@@ -1,0 +1,86 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders for the driver testdata (TPC-H-ish star schema + events/
+  * documents/embeddings; see /root/repo/TESTDATA.md) and the reference's
+  * post schema (reference: spark_jobs/preprocessing_streaming.py:75-86).
+  *
+  * All reads are plain parquet scans: Catalyst handles column pruning and
+  * predicate pushdown into the vectorized parquet reader, so callers just
+  * compose DataFrame ops and let the optimizer trim the scan.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's schema converter
+    * rejects; read it as a raw nanosecond long (legacy conf) and let
+    * callers derive epoch-second / TimestampType columns. The conf is a
+    * runtime SQL conf, safe to set per-session here.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The reference's wire schema for a Reddit post
+    * (reference: spark_jobs/preprocessing_streaming.py:75-86). `created_utc`
+    * is deliberately DoubleType (epoch seconds) and `timestamp` a bare
+    * ISO-8601 string — quirks preserved for parity.
+    */
+  val postSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("title", StringType),
+    StructField("text", StringType),
+    StructField("author", StringType),
+    StructField("subreddit", StringType),
+    StructField("created_utc", DoubleType),
+    StructField("score", IntegerType),
+    StructField("num_comments", IntegerType),
+    StructField("url", StringType),
+    StructField("timestamp", StringType),
+  ))
+
+  /** Typed model of the post record (§1.4 of SURVEY.md). */
+  case class Post(
+      id: String,
+      title: String,
+      text: String,
+      author: String,
+      subreddit: String,
+      created_utc: Double,
+      score: Int,
+      num_comments: Int,
+      url: String,
+      timestamp: String,
+  )
+
+  /** The processed/serving record shape
+    * (reference: spark_jobs/kafka_consumer_simple.py:128-140).
+    */
+  case class ProcessedPost(
+      id: String,
+      title: String,
+      subreddit: String,
+      author: String,
+      url: String,
+      text: String,
+      score: Int,
+      num_comments: Int,
+      risk_score: Int,
+      cleaned_text: String,
+      processed_at: String,
+  )
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.model.Tables
+
+/** The dashboard's hand-rolled Python statistics (reference:
+  * dashboard/app.py:30-85), re-expressed as declarative aggregations over
+  * the `documents` / `events` testdata. Each per-request Python loop becomes
+  * one hash-aggregate Catalyst plans with map-side partial aggregation —
+  * the shape that scales to 100 TB, unlike the reference's full rescan per
+  * HTTP request.
+  */
+object DashboardOps {
+
+  /** Risk-scored documents: the corpus stand-in for the processed-post
+    * stream. One narrow projection, fully codegen'd.
+    */
+  def scoredDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        col("n_chars"),
+        TextFunctions.riskScore(col("text")).as("risk_score"),
+      )
+
+  /** A-1 global count + A-2 global mean + A-3 conditional count
+    * (reference: dashboard/app.py:43-45). One single-row aggregate.
+    * `avg_chars` keeps the query non-degenerate on the synthetic corpus
+    * (risk_score is uniformly 0 there).
+    */
+  def globalStats(spark: SparkSession, dir: String): DataFrame =
+    scoredDocuments(spark, dir).agg(
+      count(lit(1)).as("total_posts"),
+      round(avg(col("risk_score")), 2).as("avg_risk"),
+      sum(when(col("risk_score") >= 30, 1L).otherwise(0L)).as("high_risk_count"),
+      round(avg(col("n_chars")), 2).as("avg_chars"),
+    )
+
+  /** A-4 hash group-by with multi-agg (reference: dashboard/app.py:48-59):
+    * per group count / sum / mean in a single pass. Partial+final hash agg
+    * — the single-pass dict accumulation the reference hand-rolled.
+    */
+  def statsByGroup(spark: SparkSession, dir: String): DataFrame =
+    scoredDocuments(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("post_count"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("risk_score")), 2).as("avg_risk"),
+      )
+      .orderBy(col("lang"))
+
+  /** A-5 capped per-group row collection (reference: dashboard/app.py:52,55
+    * collects EVERY post per group — unbounded; we cap at K as the
+    * 100-TB-safe variant). Emitted as a comma-joined string for stable
+    * hashing.
+    */
+  def groupSamples(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, k), ",")
+          .as("sample_doc_ids"),
+        count(lit(1)).as("post_count"),
+      )
+      .orderBy(col("lang"))
+
+  /** The fixed bucket labels of A-6, in order
+    * (reference: dashboard/app.py:62). */
+  val riskBuckets: Seq[String] = Seq("0-9", "10-19", "20-29", "30+")
+
+  /** Bucket expression for A-6: left-closed edges [0,10) [10,20) [20,30)
+    * [30,∞) (reference: dashboard/app.py:65-72). */
+  def riskBucket(risk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(risk < 10, "0-9")
+      .when(risk < 20, "10-19")
+      .when(risk < 30, "20-29")
+      .otherwise("30+")
+
+  /** A-6 bucketed histogram with all four buckets always present even when
+    * empty (the reference pre-seeds the dict keys, dashboard/app.py:62) —
+    * realized as a right join against a literal bucket dimension.
+    */
+  def riskHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = scoredDocuments(spark, dir)
+      .groupBy(riskBucket(col("risk_score")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val buckets = riskBuckets.toDF("bucket")
+    // Left-outer from the 4-row literal bucket dim, broadcasting the
+    // (already ≤4-row) aggregated counts: no shuffle, and the preserved
+    // side is the streamed one so the broadcast hint is legal.
+    buckets
+      .join(broadcast(counts), Seq("bucket"), "left_outer")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** S-1 sort desc + limit (top-k recency; reference: dashboard/app.py:75).
+    * Catalyst plans TakeOrderedAndProject — no global sort, each partition
+    * keeps k rows and the driver merges: exactly the scalable top-k.
+    * event_id is the unique tiebreak (Spark sort is not stable; the
+    * reference relied on Python's stable sort).
+    */
+  def recentTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id").desc)
+      .limit(k)
+
+  /** F-1 high-risk filter (reference: kafka_consumer_simple.py:168,
+    * dashboard/app.py:45): the alert predicate as a standalone scan —
+    * pushed down into the parquet reader.
+    */
+  def highRisk(spark: SparkSession, dir: String, threshold: Int = 30): DataFrame =
+    scoredDocuments(spark, dir)
+      .filter(col("risk_score") >= threshold)
+      .select(col("doc_id"), col("risk_score"))
+      .orderBy(col("doc_id"))
+}

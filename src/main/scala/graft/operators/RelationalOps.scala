@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Relational capability set over the TPC-H-ish star schema (SURVEY.md
+  * §2.3/§2.5: the reference has zero joins and zero window functions; these
+  * are the engine-capability extensions the north star requires).
+  *
+  * Scale posture: dimension tables (region/nation/customer/part/supplier)
+  * are broadcast — at 100 TB the fact tables shuffle on join keys only when
+  * the dim side is genuinely large; AQE re-plans skew. Aggregations are
+  * partial+final hash aggs; top-k is TakeOrderedAndProject (no global
+  * sort); top-N-per-group is a single window over one shuffle by the
+  * partition key.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical scan→agg→sort probe.
+    * Whole-stage codegen end to end; only one shuffle (the final 4-group
+    * agg exchange).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J-1 equi inner join fact⋈dim: order volume per customer. The dim side
+    * (customer) is explicitly broadcast — no shuffle of the fact table.
+    */
+  def ordersPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_spent"),
+      )
+      .orderBy(col("c_custkey"))
+
+  /** J-2 multi-way join chain lineitem⋈orders⋈customer⋈nation⋈region with
+    * revenue rollup per region/nation. Catalyst broadcast-joins every dim;
+    * the only fact shuffle is the final group-by exchange.
+    */
+  def revenueByRegionNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("line_count"),
+      )
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** J-3 left semi + left anti in one result: every customer tagged by
+    * whether they have orders. Emitted as a per-segment count so the result
+    * is small and stable. Both sides share one scan of orders.
+    */
+  def customerOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("status"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("status"))
+    withOrders.unionByName(withoutOrders)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("status"))
+  }
+
+  /** W-1 top-N per group: top 3 orders per customer by totalprice.
+    * One shuffle on o_custkey; rank + filter inside the same stage.
+    * o_orderkey breaks price ties deterministically.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** W-2 running aggregate: cumulative value per user over event order.
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW on a per-user window
+    * — one shuffle on user_id.
+    */
+  def runningSumPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** W-3 lag/lead delta: per-user value delta between consecutive events. */
+  def lagDeltaPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", round(col("value") - col("prev_value"), 2))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** SET-1/SET-2: key-set algebra over two event-type populations —
+    * users who clicked INTERSECT users who purchased, and click EXCEPT
+    * purchase, union'd with tags. Spark plans these as semi/anti joins.
+    */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clickers   = e.filter(col("event_type") === "click").select(col("user_id")).distinct()
+    val purchasers = e.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+    val both = clickers.intersect(purchasers).withColumn("set_op", lit("click_and_purchase"))
+    val only = clickers.except(purchasers).withColumn("set_op", lit("click_only"))
+    both.unionByName(only)
+      .orderBy(col("set_op"), col("user_id"))
+  }
+
+  /** A-8 distinct aggregation: exact distinct users per event type.
+    * (The approx_count_distinct/HLL variant is benchmarked separately; it
+    * has no deterministic oracle.)
+    */
+  def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+      )
+      .orderBy(col("event_type"))
+
+  /** A-9 hierarchical rollup region→nation over the dim chain, with
+    * grouping() folded to an explicit 'ALL' label so the result needs no
+    * null-ordering agreement with the oracle.
+    */
+  def customerRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).as("gr"),
+        grouping(col("n_name")).as("gn"),
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_balance"),
+      )
+      .select(
+        when(col("gr") === 1, "ALL").otherwise(col("r_name")).as("region"),
+        when(col("gn") === 1, "ALL").otherwise(col("n_name")).as("nation"),
+        col("n_customers"),
+        col("total_balance"),
+      )
+      .orderBy(col("region"), col("nation"))
+
+  /** MAP-1/JSON-1: JSON prop extraction from the events.props payload —
+    * get_json_object keeps the parse inside codegen.
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+      )
+      .groupBy((col("k") % 10).as("k_mod10"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod10"))
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/localcheck.py <sfdir> <outdir> [query ...]
+
+Reads <outdir>/<query>/ parquet (written by graft.Verify), runs the
+matching SQL from <outdir>/oracle_sql.json in DuckDB over views named
+after the testdata tables, and compares: column names (sorted), row
+count, and cell values (floats to 1e-9 rel tolerance, since the driver
+hashes exact values our queries round anyway).
+"""
+import json, sys, glob, math, os
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if v is None:
+        return None
+    return v
+
+
+def eq(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {res_dir}")
+            n_fail += 1
+            continue
+        spark_tbl = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(res_dir)
+        try:
+            duck = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        if spark_tbl.num_rows != duck.num_rows:
+            print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
+            n_fail += 1
+            continue
+        srows = spark_tbl.select(s_cols).to_pylist()
+        drows = duck.select(s_cols).to_pylist()
+        bad = None
+        for i, (sr, dr) in enumerate(zip(srows, drows)):
+            for c in s_cols:
+                if not eq(sr[c], dr[c]):
+                    bad = (i, c, sr[c], dr[c])
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, sv, dv = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={sv!r} duck={dv!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({spark_tbl.num_rows} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
