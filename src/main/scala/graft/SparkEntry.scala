@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.model.Tables
-import graft.operators.{DashboardOps, RelationalOps}
+import graft.operators.{DashboardOps, DedupOps, MlOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,7 +47,51 @@ object SparkEntry {
     "q_distinct_users"  -> ((s, d) => RelationalOps.distinctUsersPerType(s, d)),
     "q_rollup"          -> ((s, d) => RelationalOps.customerRollup(s, d)),
     "q_props_json"      -> ((s, d) => RelationalOps.propsExtract(s, d)),
+    "q_join_part_broadcast" -> ((s, d) => joinPartBroadcast(s, d)),
+    "q_props_map"       -> ((s, d) => propsMap(s, d)),
+    // ---- event-time windows (SURVEY.md §2.9 ST-5 extensions)
+    "q_window_tumbling" -> ((s, d) => TimeWindowOps.tumbling(s, d)),
+    "q_window_sliding"  -> ((s, d) => TimeWindowOps.sliding(s, d)),
+    "q_window_session"  -> ((s, d) => TimeWindowOps.sessions(s, d)),
+    // ---- ML / training-data pipeline set (SURVEY.md §2.11)
+    "q_term_counts"     -> ((s, d) => MlOps.termCounts(s, d)),
+    "q_tfidf_top_terms" -> ((s, d) => MlOps.tfidfTopTerms(s, d)),
+    "q_hash_dedup"      -> ((s, d) => MlOps.hashDedup(s, d)),
+    "q_minhash_sig"     -> ((s, d) => DedupOps.minhashSignatures(s, d)),
+    "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
+    "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
+    "q_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
+    "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
+    "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
+    "q_lang_profile"    -> ((s, d) => TextAnalysisOps.langProfile(s, d)),
+    "q_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
+    "q_token_counts"    -> ((s, d) => TextAnalysisOps.tokenCounts(s, d)),
+    "q_fingerprint"     -> ((s, d) => TextAnalysisOps.fingerprints(s, d)),
   )
+
+  /** J-4 explicit broadcast-hint join: fact⋈broadcast(dim) rollup. */
+  private def joinPartBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"),
+      )
+      .orderBy(col("p_brand"))
+
+  /** MAP-1: from_json to MapType + element_at (vs q_props_json's
+    * get_json_object path-extraction twin). */
+  private def propsMap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, StringType)).as("m"))
+      .select(col("event_id"), element_at(col("m"), "k").cast("long").as("k"))
+      .filter(col("event_id") < 50)
+      .orderBy(col("event_id"))
+  }
 
   /** U-1 clean_text over the corpus, truncated to 200 chars like the
     * persisted snapshot (reference: kafka_consumer_simple.py:138). */
@@ -227,5 +271,186 @@ object SparkEntry {
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events)
           GROUP BY k_mod10 ORDER BY k_mod10""",
+    "q_join_part_broadcast" ->
+      """SELECT p_brand,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+    "q_props_map" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events WHERE event_id < 50 ORDER BY event_id""",
+    "q_window_tumbling" ->
+      """SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS win_start, event_type,
+          CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+          FROM events GROUP BY win_start, event_type ORDER BY win_start, event_type""",
+    "q_window_sliding" ->
+      """SELECT win_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+          FROM (SELECT ((epoch_ns(ts) // 1000000000 // 3600) - k) * 3600 AS win_start, value
+                FROM events CROSS JOIN (VALUES (0), (1)) t(k))
+          GROUP BY win_start ORDER BY win_start""",
+    "q_window_session" ->
+      """WITH e AS (
+            SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+          flagged AS (
+            SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                            OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+          sess AS (
+            SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged)
+          SELECT user_id, min(ts_s) AS session_start, max(ts_s) AS session_last,
+            CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS total_value
+          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_term_counts" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+    "q_tfidf_top_terms" ->
+      """WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+                 GROUP BY doc_id, term),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT doc_id, term,
+              round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n)
+          SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "q_hash_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS surviving_doc_id,
+          CAST(count(*) AS BIGINT) AS dup_count
+          FROM documents GROUP BY md5(text) ORDER BY text_md5""",
+    "q_minhash_sig" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i)
+          SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+          FROM mh GROUP BY doc_id ORDER BY doc_id""",
+    "q_minhash_bands" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b))
+          SELECT CAST(b AS INTEGER) AS band, bucket,
+            CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+          FROM bands GROUP BY band, bucket HAVING count(*) > 1
+          ORDER BY band, bucket""",
+    "q_simhash" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          bits AS (
+            SELECT doc_id, j,
+              CASE WHEN sum(CASE WHEN substring(md5(t), CAST(j + 1 AS INTEGER), 1)
+                                  IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+            FROM tok CROSS JOIN range(32) r(j) WHERE t <> '' GROUP BY doc_id, j)
+          SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      """WITH g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          l AS (SELECT doc_id AS a_id, grams AS a_grams FROM g WHERE doc_id % 50 = 0)
+          SELECT a_id, g.doc_id AS b_id,
+            round(len(list_intersect(a_grams, grams)) * 1.0 /
+              CASE WHEN len(a_grams) + len(grams) - len(list_intersect(a_grams, grams)) = 0
+                   THEN 1
+                   ELSE len(a_grams) + len(grams) - len(list_intersect(a_grams, grams)) END,
+              6) AS jaccard
+          FROM g CROSS JOIN l WHERE g.doc_id > a_id ORDER BY a_id, b_id""",
+    "q_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          p AS (
+            SELECT q_id, vec_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) /
+                (sqrt(list_sum(list_transform(v, x -> x * x))) *
+                 sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+            FROM e CROSS JOIN q WHERE vec_id <> q_id)
+          SELECT q_id, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM p)
+          WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_label_norms" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+          round(avg(norm), 6) AS avg_norm,
+          round(min(norm), 6) AS min_norm,
+          round(max(norm), 6) AS max_norm
+          FROM (SELECT label,
+                  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> x * x))) AS norm
+                FROM embeddings)
+          GROUP BY label ORDER BY label""",
+    "q_sign_buckets" ->
+      """WITH b AS (
+            SELECT vec_id,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings)
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
+          FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_lang_profile" ->
+      """SELECT doc_id, s_en, s_es, s_de,
+          CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+               WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
+          FROM (
+            SELECT doc_id,
+              CAST(list_contains(toks, 'the') AS INTEGER) + CAST(list_contains(toks, 'a') AS INTEGER)
+                + CAST(list_contains(toks, 'is') AS INTEGER) + CAST(list_contains(toks, 'of') AS INTEGER) AS s_en,
+              CAST(list_contains(toks, 'el') AS INTEGER) + CAST(list_contains(toks, 'la') AS INTEGER)
+                + CAST(list_contains(toks, 'los') AS INTEGER) + CAST(list_contains(toks, 'de') AS INTEGER) AS s_es,
+              CAST(list_contains(toks, 'der') AS INTEGER) + CAST(list_contains(toks, 'das') AS INTEGER)
+                + CAST(list_contains(toks, 'und') AS INTEGER) + CAST(list_contains(toks, 'ist') AS INTEGER) AS s_de
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+          ORDER BY doc_id""",
+    "q_quality_score" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          m AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+              len(list_filter(toks, s -> s = 'the' OR s = 'a')) AS stop_hits
+            FROM t)
+          SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+            CAST(stop_hits AS INTEGER) AS stop_hits,
+            round(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio,
+            round(least(1.0, n_tokens / 100.0) * 0.5
+              + (1.0 - round(stop_hits * 1.0 / n_tokens, 6)) * 0.5, 6) AS quality
+          FROM m ORDER BY doc_id""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+          CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS re_tokens,
+          CAST(length(text) AS INTEGER) AS n_chars_actual
+          FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+          CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substring(text, CAST(i AS INTEGER), 1)) * i)) % 1000000007 AS BIGINT)
+            AS fingerprint
+          FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** North-star text/ML operators over the documents corpus (SURVEY.md
+  * §2.11): tokenization, TF-IDF, hash dedup — all pure DataFrame ops so
+  * Catalyst keeps them in codegen and the shapes scale: tokenize→explode
+  * fans out map-side, both aggregations are partial+final hash aggs, and
+  * the doc-frequency join broadcasts the (vocabulary-sized) small side.
+  */
+object MlOps {
+
+  /** (doc_id, term) pairs — whitespace tokenization with empties dropped. */
+  def docTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** ML-1: corpus term counts, top 20. TakeOrderedAndProject after one
+    * hash agg — no global sort. */
+  def termCounts(spark: SparkSession, dir: String): DataFrame =
+    docTerms(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  /** ML-2: TF-IDF top-3 terms per document.
+    * score = tf * ln((N+1)/(df+1)), rounded to 6 dp BEFORE ranking so the
+    * rank order is identical under any ulp-level math drift vs the oracle.
+    * df (vocabulary-sized) and the one-row N are both broadcast.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** ML-3: exact near-zero-cost dedup via content hash: one surviving
+    * doc per md5(text). At 100 TB this is THE first dedup pass — hash
+    * group-by shuffles 16-byte digests, never the documents themselves.
+    */
+  def hashDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("text_md5"), col("doc_id"))
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("text_md5"))
+}

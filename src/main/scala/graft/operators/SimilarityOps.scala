@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Similarity search over the embeddings table (Array[Float] vectors).
+  * Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+  * variant (bucket on a coarse projection, join within buckets) is the
+  * 100-TB path — both keep the vector math in higher-order-function
+  * Column algebra (zip_with + aggregate), inside codegen, no UDF.
+  *
+  * All math runs in double (vectors cast up from float) so the oracle
+  * agrees bit-for-bit before the 6-dp round.
+  */
+object SimilarityOps {
+
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
+    * The query side is broadcast; ranking is on the rounded score so
+    * cross-system ulp drift cannot reorder.
+    */
+  def knnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("nv", expr(
+        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("nq", expr(
+        "sqrt(aggregate(qv, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("cosine", round(col("dot") / (col("nv") * col("nq")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Per-label vector-norm statistics — the aggregate-over-array probe. */
+  def labelNorms(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .withColumn("norm", expr(
+        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("norm")), 6).as("avg_norm"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"),
+      )
+      .orderBy(col("label"))
+
+  /** LSH-bucketed near-neighbor candidates: bucket every vector by the
+    * sign pattern of its first 8 dimensions (a fixed coarse random-
+    * hyperplane surrogate), then count collisions per bucket. At scale
+    * this is the shuffle-by-bucket pre-join that replaces the O(n²)
+    * cross join.
+    */
+  def signBuckets(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .withColumn("bucket", expr(
+        """concat_ws('', transform(slice(v, 1, 8), x ->
+             CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))"""))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+}

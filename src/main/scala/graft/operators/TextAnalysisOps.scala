@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus text analysis for training-data pipelines: language-ID
+  * heuristic, quality scoring, token counting, document fingerprinting.
+  * Every score is a pure per-row Column expression (map-only, no shuffle
+  * except explicit final aggregations) so the pass parallelizes linearly
+  * with input splits.
+  */
+object TextAnalysisOps {
+
+  private def tokens = split(col("text"), " ")
+
+  /** Stopword-membership language-ID heuristic: count stopword hits per
+    * candidate language, pick the max with a fixed priority order for
+    * ties. (On real corpora the lists are per-language frequency tables;
+    * the mechanism — token membership scoring — is the operator.)
+    */
+  def langProfile(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]) = words
+      .map(wd => array_contains(tokens, wd).cast("int"))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .withColumn("s_en", hits(Seq("the", "a", "is", "of")))
+      .withColumn("s_es", hits(Seq("el", "la", "los", "de")))
+      .withColumn("s_de", hits(Seq("der", "das", "und", "ist")))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score: token count (capped contribution) + inverse stopword
+    * ratio, the length/stopword components of a C4-style quality filter.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", array_remove(tokens, ""))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits", size(expr("filter(toks, t -> t = 'the' OR t = 'a')")))
+      .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 6))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0)) * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.5, 6))
+      .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+        col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting two ways: whitespace split and regex word extraction
+    * (the BPE-ish pre-tokenizer count). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("re_tokens"),
+        length(col("text")).as("n_chars_actual"),
+      )
+      .orderBy(col("doc_id"))
+
+  /** Positional-checksum document fingerprint:
+    * sum_i ascii(text[i]) * i (1-based) mod 1e9+7, computed as a
+    * sequential fold (functions.aggregate) — the shape of a rolling hash,
+    * with a sum that any engine reproduces exactly in int64.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fingerprint", expr(
+        """aggregate(sequence(1, length(text)), cast(0 AS bigint),
+             (acc, i) -> (acc + ascii(substring(text, i, 1)) * i) % 1000000007)"""))
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+}
