@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.model.Tables
-import graft.operators.{DashboardOps, DedupOps, MlOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
+import graft.operators.{DashboardOps, DedupOps, MlOps, MultimodalOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,8 @@ object SparkEntry {
     "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
+    "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
+    "q_multimodal_features" -> ((s, d) => MultimodalOps.features(s, d)),
     "q_lang_profile"    -> ((s, d) => TextAnalysisOps.langProfile(s, d)),
     "q_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_counts"    -> ((s, d) => TextAnalysisOps.tokenCounts(s, d)),
@@ -130,6 +132,17 @@ object SparkEntry {
       .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))
       .select(col("surviving_doc_id"), col("dup_count"))
       .orderBy(col("surviving_doc_id"))
+
+  /** U-2 as the custom Catalyst RiskScore expression (whole-stage
+    * codegen'd, registered in the function registry) — must hash-match
+    * q_risk_score's Column-algebra formulation. */
+  private def riskScoreExprQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("risk_score", col("text")).as("risk_score"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Shared DuckDB SQL fragment: the risk score of documents.text. */
   private val riskSql: String = TextFunctions.riskScoreDuckDbSql("lower(text)")
@@ -412,6 +425,18 @@ object SparkEntry {
             FROM embeddings)
           SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
           FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_risk_score_expr" ->
+      s"SELECT doc_id, $riskSql AS risk_score FROM documents ORDER BY doc_id",
+    "q_multimodal_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+          round(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) * 1.0 / length(text), 6)
+            AS mean_byte,
+          CAST(list_max(list_transform(range(1, length(text) + 1),
+            i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS INTEGER) AS max_byte,
+          CAST(list_min(list_transform(range(1, length(text) + 1),
+            i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS INTEGER) AS min_byte
+          FROM documents ORDER BY doc_id""",
     "q_lang_profile" ->
       """SELECT doc_id, s_en, s_es, s_de,
           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'

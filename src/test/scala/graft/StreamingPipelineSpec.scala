@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables.Post
+import graft.streaming.{Pipeline, SnapshotSink}
+
+/** ST-1..ST-4 behavior via MemoryStream (no Kafka in this environment —
+  * the source is swappable by construction). */
+class StreamingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mkPost(i: Int, title: String = "t", text: String = "x"): Post =
+    // fixed-width microseconds keep the ISO string monotone in i (arrival order)
+    Post(s"id$i", title, text, "author", "sub", 0.0, 1, 0, "",
+      f"2025-01-01T00:00:00.${i}%06d")
+
+  test("process: kafka-shaped json stream → parsed, scored, pruned posts") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val raw = input.toDF().selectExpr("value") // kafka value column
+    val out = Pipeline.process(raw)
+    val q = out.writeStream.format("memory").queryName("processed")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        """{"id":"a1","title":"feeling depressed","text":"and anxious too","author":"u1","subreddit":"depression","created_utc":1.0,"score":5,"num_comments":2,"url":"","timestamp":"2025-01-01T00:00:00"}""",
+        """{"id":"a2","title":"all good","text":"sunny day","author":"u2","subreddit":"mentalhealth","created_utc":2.0,"score":1,"num_comments":0,"url":"","timestamp":"2025-01-01T00:00:01"}""",
+      )
+      q.processAllAvailable()
+      val rows = spark.table("processed").collect()
+      assert(rows.length === 2)
+      val byId = rows.map(r => r.getAs[String]("id") -> r.getAs[Int]("risk_score")).toMap
+      assert(byId === Map("a1" -> 20, "a2" -> 0))
+      val cols = spark.table("processed").columns.toSeq
+      assert(cols === Seq("id", "author", "subreddit", "title", "risk_score",
+        "score", "num_comments", "timestamp", "processed_at"))
+    } finally q.stop()
+  }
+
+  test("snapshot sink keeps exactly the last N by arrival across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Post]
+    val sink = new SnapshotSink(
+      Files.createTempDirectory("snap").toString + "/posts", maxRows = 100)
+    val cp = Files.createTempDirectory("cp").toString
+    val q = sink.attach(Pipeline.enrich(input.toDF()), cp)
+    try {
+      input.addData((1 to 60).map(mkPost(_)))
+      q.processAllAvailable()
+      assert(sink.snapshotRows.size === 60)
+      input.addData((61 to 130).map(mkPost(_)))
+      q.processAllAvailable()
+      val rows = sink.snapshotRows
+      assert(rows.size === 100)
+      // oldest 30 evicted: ids id31..id130 remain
+      val ids = rows.map(_.getAs[String]("id")).toSet
+      assert(!ids.contains("id30") && ids.contains("id31") && ids.contains("id130"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated post ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Post]
+    val deduped = Pipeline.dedupWithinWatermark(input.toDF())
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(mkPost(1), mkPost(1), mkPost(2))
+      q.processAllAvailable()
+      input.addData(mkPost(2), mkPost(3))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[String]("id")).sorted
+      assert(ids.toSeq === Seq("id1", "id2", "id3"))
+    } finally q.stop()
+  }
+}
