@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: initializes shuffle machinery, codegen compiler,
+    // and parquet reader paths so the first timed query isn't charged
+    // for one-time JVM setup.
+    SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

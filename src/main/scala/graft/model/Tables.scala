@@ -16,6 +16,16 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a small single-split input out to all cores before CPU-heavy
+    * per-row work (hashing, scoring, codec stubs). The testdata tables
+    * are single-row-group parquet files, which Spark scans as ONE task;
+    * on a real cluster the same data arrives in many splits and this
+    * round-robin exchange is a no-op cost-wise. Only applied where the
+    * downstream per-row work dominates the (tiny) shuffle.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

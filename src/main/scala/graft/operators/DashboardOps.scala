@@ -18,15 +18,20 @@ object DashboardOps {
   /** Risk-scored documents: the corpus stand-in for the processed-post
     * stream. One narrow projection, fully codegen'd.
     */
-  def scoredDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def scoredDocuments(spark: SparkSession, dir: String): DataFrame = {
+    // The native RiskScore expression generates ~10 lines of Java per use
+    // vs the 16-way contains tree of the Column-algebra form (which, once
+    // a filter predicate duplicates it, dominates codegen compile time).
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         col("lang"),
         col("source"),
         col("n_chars"),
-        TextFunctions.riskScore(col("text")).as("risk_score"),
+        call_function("risk_score", col("text")).as("risk_score"),
       )
+  }
 
   /** A-1 global count + A-2 global mean + A-3 conditional count
     * (reference: dashboard/app.py:43-45). One single-row aggregate.

@@ -20,32 +20,43 @@ object DedupOps {
   /** Distinct non-empty whitespace tokens as an array column. */
   private def tokensCol = array_remove(array_distinct(split(col("text"), " ")), "")
 
-  /** MinHash signature, k=8 permutations approximated by seed-prefixed
-    * md5: sig_i = min over tokens of md5(i || '|' || token), first 8 hex
-    * chars kept. Docs sharing a full signature are near-dup candidates
-    * (the LSH band-bucket join is this group-by on signature prefixes).
-    */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** MinHash signature computation without the presentation sort —
+    * the md5 fan-out dominates, so the scan is spread across all cores
+    * first. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("tokens", tokensCol)
       .withColumn("signature", expr(
         """concat_ws(',', transform(sequence(0, 7), i ->
              substring(array_min(transform(tokens, t ->
                md5(concat(cast(i AS string), '|', t)))), 1, 8)))"""))
       .select(col("doc_id"), col("signature"))
-      .orderBy(col("doc_id"))
+
+  /** MinHash signature, k=8 permutations approximated by seed-prefixed
+    * md5: sig_i = min over tokens of md5(i || '|' || token), first 8 hex
+    * chars kept. Docs sharing a full signature are near-dup candidates
+    * (the LSH band-bucket join is this group-by on signature prefixes).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir).orderBy(col("doc_id"))
 
   /** LSH band join on the MinHash signature: 4 bands of 2 minhashes;
     * docs colliding in any band are candidate pairs. Output is the
     * bucket census (band, bucket, n_docs) for buckets with >1 doc.
     */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(spark, dir)
+    signatures(spark, dir)
       .withColumn("bands", expr(
         """transform(sequence(0, 3), b -> struct(b AS band,
              concat(element_at(split(signature, ','), b * 2 + 1), '|',
                     element_at(split(signature, ','), b * 2 + 2)) AS bucket))"""))
-      .select(col("doc_id"), explode(col("bands")).as("bb"))
+      // explode_outer, deliberately: bands is always length 4, and the
+      // non-outer form makes InferFiltersFromGenerate add a size(bands)>0
+      // filter that Catalyst pushes below the fan-out exchange — where it
+      // re-evaluates the whole minhash expression single-threaded. The
+      // outer generator is exempt from that rule and semantically
+      // identical here.
+      .select(col("doc_id"), explode_outer(col("bands")).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1)
@@ -55,7 +66,7 @@ object DedupOps {
     * over tokens of ±1 by the high bit of hex digit j of md5(token).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("tokens", tokensCol)
       .withColumn("simhash", expr(
         """concat_ws('', transform(sequence(0, 31), j ->
@@ -72,7 +83,7 @@ object DedupOps {
     * ordering matters.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", expr(
         """CASE WHEN size(toks) < 2 THEN array()

@@ -16,7 +16,7 @@ object MlOps {
 
   /** (doc_id, term) pairs — whitespace tokenization with empties dropped. */
   def docTerms(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
 

@@ -39,7 +39,7 @@ object MultimodalOps {
     */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
-    withPayload(Tables.documents(spark, dir))
+    withPayload(Tables.fanOut(Tables.documents(spark, dir)))
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>

@@ -56,7 +56,8 @@ object RelationalOps {
     * the only fact shuffle is the final group-by exchange.
     */
   def revenueByRegionNation(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    Tables.fanOut(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))

@@ -19,7 +19,7 @@ object TimeWindowOps {
 
   /** events + ts_s (epoch seconds, long) + tstamp (TimestampType). */
   def eventsWithTime(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.fanOut(Tables.events(spark, dir))
       .withColumn("ts_s", expr("ts div 1000000000"))
       .withColumn("tstamp", timestamp_seconds(col("ts_s")))
 
