@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.model.Tables
-import graft.operators.{DashboardOps, DedupOps, MlOps, MultimodalOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
+import graft.operators.{AdvancedOps, DashboardOps, DedupOps, MlOps, MultimodalOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,7 +70,20 @@ object SparkEntry {
     "q_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_counts"    -> ((s, d) => TextAnalysisOps.tokenCounts(s, d)),
     "q_fingerprint"     -> ((s, d) => TextAnalysisOps.fingerprints(s, d)),
+    // ---- advanced relational extensions (as-of, range join, cube, pivot,
+    //      date bucketing, custom UDAF, sketches)
+    "q_asof_join"       -> ((s, d) => AdvancedOps.asofPurchaseClick(s, d)),
+    "q_range_join"      -> ((s, d) => AdvancedOps.ordersByPriceBand(s, d)),
+    "q_cube"            -> ((s, d) => AdvancedOps.eventCube(s, d)),
+    "q_pivot"           -> ((s, d) => AdvancedOps.eventPivot(s, d)),
+    "q_orders_by_month" -> ((s, d) => AdvancedOps.ordersByMonth(s, d)),
+    "q_geomean_udaf"    -> ((s, d) => AdvancedOps.geoMeanPerType(s, d)),
+    "q_approx_distinct" -> ((s, d) => AdvancedOps.approxDistinctUsers(s, d)),
   )
+
+  /** Queries with no DuckDB oracle (estimates are implementation-
+    * specific); the driver records a rows-only check for these. */
+  val oracleFreeQueries: Set[String] = Set("q_approx_distinct")
 
   /** J-4 explicit broadcast-hint join: fact⋈broadcast(dim) rollup. */
   private def joinPartBroadcast(spark: SparkSession, dir: String): DataFrame =
@@ -477,5 +490,66 @@ object SparkEntry {
             i -> ascii(substring(text, CAST(i AS INTEGER), 1)) * i)) % 1000000007 AS BIGINT)
             AS fingerprint
           FROM documents ORDER BY doc_id""",
+    "q_asof_join" ->
+      """WITH e AS (
+            SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type FROM events),
+          u AS (
+            SELECT user_id, ts_ns, 0 AS tag, event_id AS click_event_id,
+                   CAST(NULL AS BIGINT) AS purchase_event_id
+            FROM e WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, ts_ns, 1 AS tag, CAST(NULL AS BIGINT), event_id
+            FROM e WHERE event_type = 'purchase'),
+          r AS (
+            SELECT *, last_value(click_event_id IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts_ns, tag, click_event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click
+            FROM u)
+          SELECT purchase_event_id, user_id, ts_ns // 1000 AS ts_us, asof_click
+          FROM r WHERE tag = 1 ORDER BY purchase_event_id""",
+    "q_range_join" ->
+      """SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+          round(sum(o_totalprice), 2) AS total_price
+          FROM orders
+          JOIN (VALUES ('p0_50k', 0, 50000), ('p50k_150k', 50000, 150000),
+                       ('p150k_300k', 150000, 300000),
+                       ('p300k_plus', 300000, 1e308)) b(band, lo, hi)
+            ON o_totalprice >= lo AND o_totalprice < hi
+          GROUP BY band ORDER BY band""",
+    "q_cube" ->
+      """SELECT
+          CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(size_class) = 1 THEN 'ALL' ELSE size_class END AS size_class,
+          CAST(count(*) AS BIGINT) AS n,
+          round(sum(value), 2) AS total_value
+          FROM (SELECT event_type,
+                  CASE WHEN value >= 100 THEN 'big' ELSE 'small' END AS size_class,
+                  value
+                FROM events)
+          GROUP BY CUBE(event_type, size_class)
+          ORDER BY event_type, size_class""",
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+          FROM events GROUP BY cohort ORDER BY cohort""",
+    "q_orders_by_month" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          round(sum(o_totalprice), 2) AS total_price,
+          round(avg(o_totalprice), 2) AS avg_price,
+          strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS month_label
+          FROM orders
+          GROUP BY date_trunc('month', o_orderdate)
+          ORDER BY month""",
+    "q_geomean_udaf" ->
+      """SELECT event_type,
+          round(exp(avg(ln(value))), 6) AS geo_mean_value,
+          CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value > 0
+          GROUP BY event_type ORDER BY event_type""",
   )
 }

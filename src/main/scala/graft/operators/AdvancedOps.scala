@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Capability extensions beyond the reference's surface: as-of join,
+  * range (theta) join, cube, pivot, date bucketing, a typed custom
+  * aggregator, and sketch-based distinct counting.
+  */
+object AdvancedOps {
+
+  /** Events with exact nanosecond timestamps (unique in practice — the
+    * deterministic as-of tiebreak). */
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.events(spark, dir))
+      .select(col("event_id"), col("ts").as("ts_ns"), col("user_id"),
+        col("event_type"), col("value"))
+
+  /** As-of join: for every purchase, the most recent click by the same
+    * user at or before it. Spark lacks the operator; the scalable
+    * formulation is union + per-user window (one shuffle on user_id,
+    * then a running last_value with ignoreNulls) — never a range
+    * cross-product. Clicks order before purchases at identical
+    * timestamps via the tag sort key.
+    */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), lit(0).as("tag"),
+        col("event_id").as("click_event_id"), lit(null).cast("long").as("purchase_event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_event_id"), col("event_id").as("purchase_event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("tag"), col("click_event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last(col("click_event_id"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      // microseconds in the output: DuckDB reads the nanos-parquet column
+      // at microsecond precision, so the oracle can't see full ns.
+      .select(col("purchase_event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("asof_click"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  /** Range/theta join: orders banded by a literal price-band dimension
+    * (lo <= price < hi). The band table is tiny → broadcast nested-loop,
+    * the only sane physical plan for a non-equi join against a literal
+    * dim.
+    */
+  def ordersByPriceBand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("p0_50k", 0d, 50000d),
+      ("p50k_150k", 50000d, 150000d),
+      ("p150k_300k", 150000d, 300000d),
+      ("p300k_plus", 300000d, Double.MaxValue),
+    ).toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("band"))
+  }
+
+  /** CUBE over event_type × value-sign: all four grouping combinations,
+    * labels folded so the oracle needs no null-ordering agreement. */
+  def eventCube(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("size_class", when(col("value") >= 100, "big").otherwise("small"))
+      .cube(col("event_type"), col("size_class"))
+      .agg(
+        grouping(col("event_type")).as("ge"),
+        grouping(col("size_class")).as("gs"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+      )
+      .select(
+        when(col("ge") === 1, "ALL").otherwise(col("event_type")).as("event_type"),
+        when(col("gs") === 1, "ALL").otherwise(col("size_class")).as("size_class"),
+        col("n"), col("total_value"),
+      )
+      .orderBy(col("event_type"), col("size_class"))
+
+  /** Pivot: user cohort × event type counts as columns. The pivot values
+    * are pinned so the output schema is static (required at scale — a
+    * dynamic pivot scans twice). */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("cohort"))
+
+  /** Date bucketing + formatting (DT-2/DT-3 generalization): monthly
+    * order rollup with both a truncated date and a formatted label. */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+      .groupBy(col("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+      )
+      .withColumn("month_label", date_format(col("month"), "yyyy-MM"))
+      .orderBy(col("month"))
+
+  /** U-3: a typed custom Aggregator (UDAF) — geometric mean over the
+    * positive event values, as exp(mean(ln x)) with a (sumLog, n)
+    * buffer. Runs as a real partial/final aggregate (merge is
+    * associative), so it scales like any built-in agg.
+    */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+    override def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder = Encoders.scalaDouble
+  }
+
+  def geoMeanPerType(spark: SparkSession, dir: String): DataFrame = {
+    val geomean = udaf(GeoMean)
+    ev(spark, dir)
+      .filter(col("value") > 0)
+      .groupBy(col("event_type"))
+      .agg(round(geomean(col("value")), 6).as("geo_mean_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A-8 approx variant: HLL++ distinct-user sketch next to the exact
+    * count (the 100-TB path: constant memory per group vs a distinct
+    * shuffle). No DuckDB oracle — sketch estimates are
+    * implementation-specific; the driver records a rows-only check.
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+      )
+      .orderBy(col("event_type"))
+}

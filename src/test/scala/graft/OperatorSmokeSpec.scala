@@ -14,11 +14,13 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle and every oracle has a query") {
+  test("every query has an oracle (or is declared oracle-free) and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
+    assert((q -- o -- SparkEntry.oracleFreeQueries).isEmpty,
+      s"queries without oracles: ${q -- o -- SparkEntry.oracleFreeQueries}")
+    assert((SparkEntry.oracleFreeQueries -- q).isEmpty, "stale oracle-free entries")
   }
 
   test("all queries execute and are non-degenerate on sf0.001") {
