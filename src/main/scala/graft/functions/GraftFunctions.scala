@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RiskScore].getName, "risk_score"),
       exprs => RiskScore(exprs.head),
     ))
+    // Fold the 16-way Column-algebra risk shape into the native
+    // expression wherever user code spelled it out by hand.
+    ext.injectOptimizerRule(_ => graft.expr.RiskScoreRewrite)
   }
 }

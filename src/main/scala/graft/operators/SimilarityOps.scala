@@ -18,7 +18,7 @@ import graft.model.Tables
 object SimilarityOps {
 
   private def embDouble(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.fanOut(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
@@ -27,16 +27,16 @@ object SimilarityOps {
     * cross-system ulp drift cannot reorder.
     */
   def knnCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = embDouble(spark, dir)
+    // Norms are per-vector, not per-pair: compute them once on each side
+    // before the join (O(n·d)) so the pairwise stage only does the dot
+    // product (O(n·q·d)), not three array folds per pair.
+    val e = embDouble(spark, dir).withColumn("nv", expr(
+      "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("dot", expr(
         "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
-      .withColumn("nv", expr(
-        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
-      .withColumn("nq", expr(
-        "sqrt(aggregate(qv, cast(0 AS double), (acc, x) -> acc + x * x))"))
       .withColumn("cosine", round(col("dot") / (col("nv") * col("nq")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored
