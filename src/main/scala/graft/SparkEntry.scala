@@ -79,6 +79,7 @@ object SparkEntry {
     "q_orders_by_month" -> ((s, d) => AdvancedOps.ordersByMonth(s, d)),
     "q_geomean_udaf"    -> ((s, d) => AdvancedOps.geoMeanPerType(s, d)),
     "q_approx_distinct" -> ((s, d) => AdvancedOps.approxDistinctUsers(s, d)),
+    "q_salted_agg"      -> ((s, d) => graft.operators.ScaleOps.saltedEventStats(s, d)),
   )
 
   /** Queries with no DuckDB oracle (estimates are implementation-
@@ -551,5 +552,9 @@ object SparkEntry {
           CAST(count(*) AS BIGINT) AS n
           FROM events WHERE value > 0
           GROUP BY event_type ORDER BY event_type""",
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+          round(sum(value), 2) AS total_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layer posture: bucketed co-located joins (the 100-TB shuffle
+  * eliminator) and csv/json source round-trips. */
+class StorageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = SparkTestSession.sf0001
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so bucketing is what avoids the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 1500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+    }
+  }
+
+  test("csv and json sinks round-trip the documents sample") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = Files.createTempDirectory("roundtrip").toString
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val backCsv = spark.read.option("header", "true")
+      .schema(docs.schema).csv(s"$base/csv")
+    val backJson = spark.read.schema(docs.schema).json(s"$base/json")
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("doc_id") * col("n_chars"))).head().getLong(0)
+    assert(backCsv.count() === docs.count())
+    assert(backJson.count() === docs.count())
+    assert(checksum(backCsv) === checksum(docs))
+    assert(checksum(backJson) === checksum(docs))
+  }
+}
