@@ -62,6 +62,7 @@ object SparkEntry {
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "q_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
+    "q_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
     "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
@@ -420,6 +421,18 @@ object SparkEntry {
             SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY cosine DESC, vec_id) AS rn FROM p)
           WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          l AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 20 = 0),
+          p AS (
+            SELECT a_id, vec_id AS b_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * av[CAST(i AS INTEGER)])) /
+                (sqrt(list_sum(list_transform(v, x -> x * x))) *
+                 sqrt(list_sum(list_transform(av, x -> x * x)))), 6) AS cosine
+            FROM e CROSS JOIN l WHERE vec_id > a_id)
+          SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3
+          ORDER BY a_id, b_id""",
     "q_label_norms" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
           round(avg(norm), 6) AS avg_norm,

@@ -46,6 +46,28 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs above a threshold, sampled
+    * left side (every 20th vector vs all later ids). The filter runs on
+    * the ROUNDED score so a pair sitting exactly at the threshold cannot
+    * flip between engines on ulp drift. At scale the sampled side
+    * becomes the LSH bucket join (see signBuckets) — the pairwise stage
+    * is identical.
+    */
+  def cosineNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv", expr(
+      "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+    val left = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("av"), col("nv").as("na"))
+    e.join(broadcast(left), col("vec_id") > col("a_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, av, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("nv") * col("na")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("vec_id").as("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Per-label vector-norm statistics — the aggregate-over-array probe. */
   def labelNorms(spark: SparkSession, dir: String): DataFrame =
     embDouble(spark, dir)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables
+import graft.operators.{DashboardOps, RelationalOps}
+
+/** Physical-plan shape assertions: the properties that make these
+  * operators scale are visible in explain output, so pin them. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections push down to the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("fact-dim joins broadcast the dimension side") {
+    val p = plan(RelationalOps.ordersPerCustomer(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(DashboardOps.recentTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("scan->agg queries stay inside whole-stage codegen") {
+    // AQE wraps the plan and hides codegen spans until runtime; disable
+    // it for this shape assertion only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = RelationalOps.pricingSummary(spark, dir)
+      // compact plan strings mark codegen stages as "*(n)"; the explain
+      // codegen mode spells the subtrees out
+      val p = plan(df)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(p.contains("*(1)") && codegen.contains("WholeStageCodegen"),
+        s"no codegen span:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    val p = plan(RelationalOps.customerOrderPresence(spark, dir))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+}
