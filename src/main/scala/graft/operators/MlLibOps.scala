@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed near-dup detection: the documented 100-TB path for ML-4
+  * (SURVEY.md §2.11). Where graft's own md5 MinHash (DedupOps) is
+  * oracle-checkable, this is the battle-tested library variant:
+  * tokens → binary term vectors (HashingTF) → MinHashLSH (seeded, so
+  * deterministic) → approxSimilarityJoin, which blocks candidate pairs by
+  * LSH bucket instead of the O(n²) cross join.
+  */
+object MlLibOps {
+
+  /** Near-duplicate pairs with Jaccard distance below `maxDistance`.
+    * Deterministic for a fixed seed, but hash-function internals are
+    * implementation-specific, so this is test-verified (known planted
+    * duplicates) rather than DuckDB-oracle'd.
+    */
+  def minhashLshPairs(docs: DataFrame, maxDistance: Double = 0.4): DataFrame = {
+    val tokenized = new Tokenizer()
+      .setInputCol("text").setOutputCol("words")
+      .transform(docs)
+    val vectorized = new HashingTF()
+      .setInputCol("words").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 16)
+      .transform(tokenized)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setSeed(42L).setNumHashTables(4)
+    val model = lsh.fit(vectorized)
+    model.approxSimilarityJoin(vectorized, vectorized, maxDistance, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("a_id"),
+        col("datasetB.doc_id").as("b_id"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"),
+      )
+      .filter(col("a_id") < col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+}
