@@ -321,8 +321,11 @@ object SparkEntry {
       """WITH e AS (
             SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
           flagged AS (
+            -- strictly greater: Spark's session_window MERGES an event
+            -- landing exactly at the previous session's end (gap
+            -- boundary is inclusive on merge)
             SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
-                            OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+                            OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
           sess AS (
             SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
@@ -490,7 +493,7 @@ object SparkEntry {
             CAST(stop_hits AS INTEGER) AS stop_hits,
             round(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio,
             round(least(1.0, n_tokens / 100.0) * 0.5
-              + (1.0 - round(stop_hits * 1.0 / n_tokens, 6)) * 0.5, 6) AS quality
+              + (1.0 - stop_hits * 1.0 / n_tokens) * 0.5, 6) AS quality
           FROM m ORDER BY doc_id""",
     "q_token_counts" ->
       """SELECT doc_id,

@@ -44,10 +44,14 @@ object TextAnalysisOps {
       .withColumn("toks", array_remove(tokens, ""))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_hits", size(expr("filter(toks, t -> t = 'the' OR t = 'a')")))
+      // quality is computed from the RAW ratio, not the rounded one: a
+      // 6-dp-rounded ratio halved lands on exact decimal halves at the
+      // 7th digit, where Spark's BigDecimal rounding and other engines'
+      // multiply-then-round disagree by 1 ulp.
       .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 6))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens") / lit(100.0)) * 0.5
-          + (lit(1.0) - col("stop_ratio")) * 0.5, 6))
+          + (lit(1.0) - col("stop_hits") / col("n_tokens")) * 0.5, 6))
       .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
         col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
