@@ -81,6 +81,8 @@ object SparkEntry {
     "q_geomean_udaf"    -> ((s, d) => AdvancedOps.geoMeanPerType(s, d)),
     "q_approx_distinct" -> ((s, d) => AdvancedOps.approxDistinctUsers(s, d)),
     "q_salted_agg"      -> ((s, d) => graft.operators.ScaleOps.saltedEventStats(s, d)),
+    "q_grouping_sets"   -> ((s, d) => AdvancedOps.eventGroupingSets(s, d)),
+    "q_argmax"          -> ((s, d) => AdvancedOps.extremeEventPerType(s, d)),
   )
 
   /** Queries with no DuckDB oracle (estimates are implementation-
@@ -571,6 +573,24 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
           round(sum(value), 2) AS total_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_grouping_sets" ->
+      """SELECT
+          CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(cohort) = 1 THEN -1 ELSE cohort END AS cohort,
+          CAST(count(*) AS BIGINT) AS n,
+          round(sum(value), 2) AS total_value
+          FROM (SELECT event_type, user_id % 3 AS cohort, value FROM events)
+          GROUP BY GROUPING SETS ((event_type), (cohort), ())
+          ORDER BY event_type, cohort""",
+    "q_argmax" ->
+      """SELECT event_type,
+          max_by(event_id, CAST(round(value * 100, 0) AS BIGINT) * 1000000000 + event_id)
+            AS max_value_event,
+          min_by(event_id, CAST(round(value * 100, 0) AS BIGINT) * 1000000000 + event_id)
+            AS min_value_event,
+          round(max(value), 2) AS max_value,
+          round(min(value), 2) AS min_value
           FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

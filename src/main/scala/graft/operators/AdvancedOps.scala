@@ -141,6 +141,43 @@ object AdvancedOps {
       .orderBy(col("event_type"))
   }
 
+  /** GROUPING SETS through the SQL surface (DataFrame API only exposes
+    * rollup/cube): per-type totals, per-cohort totals, and the grand
+    * total in one pass over an Expand. */
+  def eventGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    ev(spark, dir)
+      .withColumn("cohort", col("user_id") % 3)
+      .createOrReplaceTempView("graft_events_gs")
+    spark.sql(
+      """SELECT
+           CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+           CASE WHEN GROUPING(cohort) = 1 THEN -1 ELSE cohort END AS cohort,
+           count(1) AS n,
+           round(sum(value), 2) AS total_value
+         FROM graft_events_gs
+         GROUP BY GROUPING SETS ((event_type), (cohort), ())
+         ORDER BY event_type, cohort""")
+  }
+
+  /** argmax/argmin (max_by/min_by) with a deterministic composite key:
+    * value has exactly 2 decimals, so round(value*100) is an exact
+    * integer and the composite (value, event_id) order is total —
+    * ties cannot make the picked row engine-dependent. */
+  def extremeEventPerType(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT) * 1000000000 + event_id"))
+          .as("max_value_event"),
+        min_by(col("event_id"),
+          expr("CAST(round(value * 100, 0) AS BIGINT) * 1000000000 + event_id"))
+          .as("min_value_event"),
+        round(max(col("value")), 2).as("max_value"),
+        round(min(col("value")), 2).as("min_value"),
+      )
+      .orderBy(col("event_type"))
+
   /** A-8 approx variant: HLL++ distinct-user sketch next to the exact
     * count (the 100-TB path: constant memory per group vs a distinct
     * shuffle). No DuckDB oracle — sketch estimates are
