@@ -63,6 +63,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
     "q_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
+    "q_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
     "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
@@ -438,6 +439,34 @@ object SparkEntry {
             FROM e CROSS JOIN l WHERE vec_id > a_id)
           SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3
           ORDER BY a_id, b_id""",
+    "q_ivf_topk" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv AS nc FROM e WHERE vec_id < 8),
+          scoredc AS (
+            SELECT vec_id, v, nv, c_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) / (nv * nc), 6) AS c_cos
+            FROM e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, v, nv, c_id AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY c_cos DESC, c_id) AS rn FROM scoredc)
+            WHERE rn = 1),
+          q AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS nq, cell AS q_cell
+            FROM assigned WHERE vec_id >= 10 AND vec_id < 15),
+          pairs AS (
+            SELECT q_id, cell, a.vec_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) AS cosine
+            FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+          SELECT q_id, cell, vec_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM pairs)
+          WHERE rn <= 3 ORDER BY q_id, rn""",
     "q_label_norms" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
           round(avg(norm), 6) AS avg_norm,

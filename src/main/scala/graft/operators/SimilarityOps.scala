@@ -82,6 +82,43 @@ object SimilarityOps {
       )
       .orderBy(col("label"))
 
+  /** IVF-style ANN: assign every vector to its nearest "centroid" (the
+    * first 8 vectors stand in for trained centroids — deterministic, no
+    * RNG), then answer top-k queries WITHIN the query's cell only
+    * (nprobe=1). This is the inverted-file index shape: the expensive
+    * pairwise stage touches one cell instead of the corpus, and at scale
+    * the cell assignment is the shuffle key. Assignment ties break on
+    * centroid id via the rounded score.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv", expr(
+      "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)")
+          / (col("nv") * col("nc")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("c_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
+        col("cell").as("q_cell"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)")
+          / (col("nv") * col("nq")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cell"), col("vec_id"), col("cosine"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** LSH-bucketed near-neighbor candidates: bucket every vector by the
     * sign pattern of its first 8 dimensions (a fixed coarse random-
     * hyperplane surrogate), then count collisions per bucket. At scale
