@@ -53,6 +53,15 @@ object Pipeline {
   /** Full pipeline: Kafka-shaped frame in, processed posts out. */
   def process(raw: DataFrame): DataFrame = prune(enrich(parse(raw)))
 
+  /** SRC-2 wire format: serialize post rows back to the Kafka value shape
+    * (reference: kafka_producer/reddit_collector_kafka.py:16-21 — dict →
+    * JSON bytes). `parse(serialize(df))` is the identity on the post
+    * columns, which is what makes the Kafka sink/source pair an
+    * exactly-once-compatible boundary with the checkpointed reader.
+    */
+  def serialize(posts: DataFrame): DataFrame =
+    posts.select(to_json(struct(posts.columns.map(col): _*)).as("value"))
+
   /** P-7 as streaming state: watermarked dedup by post id — the scalable
     * twin of the producer's in-memory `seen_ids` set (reference:
     * kafka_producer/reddit_collector_kafka.py:48,78-81), with state the

@@ -56,4 +56,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(RelationalOps.customerOrderPresence(spark, dir))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
   }
+
+  test("rank-filter top-N per group plans a two-phase WindowGroupLimit") {
+    // rn <= k over a row_number window must NOT sort whole groups: Spark
+    // inserts a partial group-limit before the exchange and a final one
+    // after — each side keeps at most k rows per group in memory.
+    val p = plan(RelationalOps.topOrdersPerCustomer(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+  }
 }

@@ -63,6 +63,16 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kafka wire roundtrip: parse(serialize(posts)) preserves every field") {
+    val posts = Seq(mkPost(1, "Feeling depressed", "it's bad… ü"), mkPost(2)).toDF()
+    val back = Pipeline.parse(Pipeline.serialize(posts))
+    // compare names+types; JSON-parsed columns are always nullable while
+    // case-class-derived primitives are not
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      posts.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(posts).isEmpty && posts.exceptAll(back).isEmpty)
+  }
+
   test("streaming dedup drops repeated post ids within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Post]
