@@ -84,7 +84,18 @@ object SparkEntry {
     "q_salted_agg"      -> ((s, d) => graft.operators.ScaleOps.saltedEventStats(s, d)),
     "q_grouping_sets"   -> ((s, d) => AdvancedOps.eventGroupingSets(s, d)),
     "q_argmax"          -> ((s, d) => AdvancedOps.extremeEventPerType(s, d)),
+    "q_topk_values"     -> ((s, d) => topKValuesQuery(s, d)),
   )
+
+  /** Custom TypedImperativeAggregate: bounded exact top-k values per
+    * group (constant memory per group, partial+final merge). */
+  private def topKValuesQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(call_function("top_k_values", col("value"), lit(5)).as("top_values"))
+      .orderBy(col("event_type"))
+  }
 
   /** Queries with no DuckDB oracle (estimates are implementation-
     * specific); the driver records a rows-only check for these. */
@@ -620,6 +631,10 @@ object SparkEntry {
             AS min_value_event,
           round(max(value), 2) AS max_value,
           round(min(value), 2) AS min_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_topk_values" ->
+      """SELECT event_type,
+          list_slice(list(value ORDER BY value DESC), 1, 5) AS top_values
           FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

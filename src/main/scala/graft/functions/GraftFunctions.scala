@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.RiskScore
+import graft.expr.{RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -17,11 +18,23 @@ object GraftFunctions {
     RiskScore(exprs.head)
   }
 
-  /** Make `risk_score(str)` callable from SQL / call_function on an
-    * existing session. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  private val topKBuilder: Seq[Expression] => Expression = { exprs =>
+    val k = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"top_k_values k must be an integer literal, got $other")
+    }
+    TopKValuesAgg(exprs.head, k)
+  }
+
+  /** Make `risk_score(str)` and `top_k_values(double, k)` callable from
+    * SQL / call_function on an existing session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "risk_score", riskScoreBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_values", topKBuilder, "built-in")
+  }
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — or
