@@ -85,6 +85,8 @@ object SparkEntry {
     "q_grouping_sets"   -> ((s, d) => AdvancedOps.eventGroupingSets(s, d)),
     "q_argmax"          -> ((s, d) => AdvancedOps.extremeEventPerType(s, d)),
     "q_topk_values"     -> ((s, d) => topKValuesQuery(s, d)),
+    "q_percentiles"     -> ((s, d) => AdvancedOps.valuePercentiles(s, d)),
+    "q_dispersion"      -> ((s, d) => AdvancedOps.valueDispersion(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -635,6 +637,21 @@ object SparkEntry {
     "q_topk_values" ->
       """SELECT event_type,
           list_slice(list(value ORDER BY value DESC), 1, 5) AS top_values
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_percentiles" ->
+      """SELECT event_type,
+          round(quantile_cont(value, 0.5), 6) AS p50,
+          round(quantile_cont(value, 0.9), 6) AS p90,
+          round(quantile_cont(value, 0.99), 6) AS p99,
+          CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_dispersion" ->
+      """SELECT event_type,
+          round(stddev_samp(value), 4) AS stddev_value,
+          round(var_samp(value), 4) AS var_value,
+          round(corr(value, CAST((epoch_ns(ts) // 1000000000 // 3600) % 24 AS DOUBLE)), 6)
+            AS corr_value_hour,
+          CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

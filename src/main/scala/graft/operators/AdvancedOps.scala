@@ -178,6 +178,35 @@ object AdvancedOps {
       )
       .orderBy(col("event_type"))
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition).
+    * The approximate sibling at scale is approx_percentile (t-digest) —
+    * same story as count-distinct vs HLL. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy(col("event_type"))
+
+  /** Dispersion statistics per group: sample stddev/variance plus the
+    * value↔hour-of-day correlation (a genuinely bivariate agg). */
+  def valueDispersion(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("hour", expr("(ts_ns div 1000000000 div 3600) % 24").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("stddev_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(corr(col("value"), col("hour")), 6).as("corr_value_hour"),
+        count(lit(1)).as("n"),
+      )
+      .orderBy(col("event_type"))
+
   /** A-8 approx variant: HLL++ distinct-user sketch next to the exact
     * count (the 100-TB path: constant memory per group vs a distinct
     * shuffle). No DuckDB oracle — sketch estimates are
