@@ -87,6 +87,7 @@ object SparkEntry {
     "q_topk_values"     -> ((s, d) => topKValuesQuery(s, d)),
     "q_percentiles"     -> ((s, d) => AdvancedOps.valuePercentiles(s, d)),
     "q_dispersion"      -> ((s, d) => AdvancedOps.valueDispersion(s, d)),
+    "q_neardup_components" -> ((s, d) => graft.operators.GraphOps.nearDupComponents(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -645,6 +646,28 @@ object SparkEntry {
           round(quantile_cont(value, 0.99), 6) AS p99,
           CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_neardup_components" ->
+      """WITH RECURSIVE
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          l AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 20 = 0),
+          p AS (
+            SELECT a_id, vec_id AS b_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * av[CAST(i AS INTEGER)])) /
+                (sqrt(list_sum(list_transform(v, x -> x * x))) *
+                 sqrt(list_sum(list_transform(av, x -> x * x)))), 6) AS cosine
+            FROM e CROSS JOIN l WHERE vec_id > a_id),
+          pairs AS (SELECT a_id, b_id FROM p WHERE cosine >= 0.3),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node)
+          SELECT node, min(label) AS component
+          FROM reach GROUP BY node ORDER BY node""",
     "q_dispersion" ->
       """SELECT event_type,
           round(stddev_samp(value), 4) AS stddev_value,

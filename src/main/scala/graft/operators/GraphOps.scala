@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph post-processing for dedup pipelines: candidate PAIRS (from
+  * MinHash bands, cosine thresholds, …) become duplicate GROUPS via
+  * connected components. The implementation is Pregel-style min-label
+  * propagation — each iteration is one join + one aggregation, so a
+  * round is two shuffles regardless of graph size, and the iteration
+  * count is bounded by the component diameter (near-dup clusters are
+  * shallow). This is the same loop structure large-scale CC (large-star/
+  * small-star) uses; no driver-side graph materialization.
+  */
+object GraphOps {
+
+  /** Minimum reachable node id per node, over the undirected graph given
+    * by (src, dst) pairs. Returns (node, component). */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(src).as("a"), col(dst).as("b"))
+    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node takes the min of its own label and its neighbors' labels
+      val viaNeighbors = edges
+        .join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Near-dup clusters over the embedding-cosine pair graph: every vector
+    * that has at least one near-duplicate, labeled with its component
+    * (the min vec_id reachable through near-dup edges). */
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      SimilarityOps.cosineNearDup(spark, dir), "a_id", "b_id")
+      .orderBy(col("node"))
+}
