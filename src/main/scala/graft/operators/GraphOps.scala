@@ -19,11 +19,22 @@ object GraphOps {
   def connectedComponents(pairs: DataFrame, src: String, dst: String,
       maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col(src).as("a"), col(dst).as("b"))
+    // localCheckpoint (eager), NOT cache: in an iterative loop each
+    // round's plan otherwise embeds the whole accumulated lineage and
+    // re-optimization time grows without bound — checkpointing cuts the
+    // lineage so every round plans against materialized partitions.
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+      .localCheckpoint()
+    // labels only ever decrease, so the label sum is a strictly monotone
+    // convergence measure — one cheap aggregate per round instead of a
+    // change-detection join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -31,15 +42,13 @@ object GraphOps {
       val viaNeighbors = edges
         .join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbors)
+      labels = labels.unionByName(viaNeighbors)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels = next
-      converged = changed == 0
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels.select(col("node"), col("label").as("component"))
