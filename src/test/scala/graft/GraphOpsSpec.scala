@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connected components labels every node with its component minimum") {
+    // two components: {1,2,3,4} chained, {10,11}; 20-21-22 triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+    ).toDF("a", "b")
+    val got = GraphOps.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("a long chain converges within the iteration budget") {
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq === Seq(0L))
+  }
+}
