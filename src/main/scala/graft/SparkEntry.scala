@@ -88,6 +88,8 @@ object SparkEntry {
     "q_percentiles"     -> ((s, d) => AdvancedOps.valuePercentiles(s, d)),
     "q_dispersion"      -> ((s, d) => AdvancedOps.valueDispersion(s, d)),
     "q_neardup_components" -> ((s, d) => graft.operators.GraphOps.nearDupComponents(s, d)),
+    "q_left_join_nulls" -> ((s, d) => RelationalOps.customerOrderSummary(s, d)),
+    "q_scalar_subquery" -> ((s, d) => RelationalOps.outlierOrders(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -635,6 +637,19 @@ object SparkEntry {
           round(max(value), 2) AS max_value,
           round(min(value), 2) AS min_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_left_join_nulls" ->
+      """SELECT c_custkey,
+          CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+          round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+          FROM orders o
+          WHERE o_totalprice > (
+            SELECT avg(o2.o_totalprice) * 1.5 FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""",
     "q_topk_values" ->
       """SELECT event_type,
           list_slice(list(value ORDER BY value DESC), 1, 5) AS top_values

@@ -175,6 +175,35 @@ object RelationalOps {
       )
       .orderBy(col("region"), col("nation"))
 
+  /** Left-outer join with null-row discipline: every customer keeps a
+    * row, order-less customers aggregate to 0 via count(col)'s null-skip
+    * and an explicit coalesce — the F-2 default-degradation pattern at
+    * the join level. */
+  def customerOrderSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"),
+      )
+      .orderBy(col("c_custkey"))
+
+  /** Correlated scalar subquery: orders priced above 1.5x their own
+    * customer's average — Catalyst decorrelates this into an aggregate +
+    * join rather than re-running the subquery per row. */
+  def outlierOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         FROM graft_orders o
+         WHERE o_totalprice > (
+           SELECT avg(o2.o_totalprice) * 1.5 FROM graft_orders o2
+           WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
   /** MAP-1/JSON-1: JSON prop extraction from the events.props payload —
     * get_json_object keeps the parse inside codegen.
     */
