@@ -22,7 +22,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the metric line: inside sbt, stdout is wrapped in
+    // [info]-prefixed log text the driver cannot parse (BENCH_r01.json
+    // recorded "parsed": null) — the file is the machine-readable channel.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }

@@ -31,6 +31,7 @@ object SparkEntry {
     "q_risk_histogram"  -> ((s, d) => DashboardOps.riskHistogram(s, d)),
     "q_recent_topk"     -> ((s, d) => DashboardOps.recentTopK(s, d)),
     "q_high_risk"       -> ((s, d) => DashboardOps.highRisk(s, d)),
+    "q_dashboard_payload" -> ((s, d) => DashboardOps.dashboardPayload(s, d)),
     "q_clean_text"      -> ((s, d) => cleanTextQuery(s, d)),
     "q_risk_score"      -> ((s, d) => riskScoreQuery(s, d)),
     "q_truncate_project" -> ((s, d) => truncateProject(s, d)),
@@ -63,6 +64,7 @@ object SparkEntry {
     "q_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
     "q_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
+    "q_bucketed_neardup" -> ((s, d) => SimilarityOps.bucketedNearDup(s, d)),
     "q_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
@@ -93,12 +95,20 @@ object SparkEntry {
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
-    * group (constant memory per group, partial+final merge). */
+    * group (constant memory per group, partial+final merge). The array is
+    * emitted as a comma-joined string of centi-value integers (the
+    * q_argmax scaling trick) — the driver's pandas hash compare cannot
+    * factorize array cells, and integer strings render identically in
+    * both engines (no float-format drift). */
   private def topKValuesQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(call_function("top_k_values", col("value"), lit(5)).as("top_values"))
+      .agg(array_join(
+        transform(
+          call_function("top_k_values", col("value"), lit(5)),
+          x => round(x * 100, 0).cast("bigint").cast("string")),
+        ",").as("top_values"))
       .orderBy(col("event_type"))
   }
 
@@ -215,6 +225,41 @@ object SparkEntry {
             (SELECT bucket, count(*) AS n FROM scored GROUP BY bucket) c
             USING (bucket)
           ORDER BY b.bucket""",
+    "q_dashboard_payload" ->
+      s"""WITH graft_scored AS (
+            SELECT doc_id, lang, n_chars, $riskSql AS risk_score FROM documents)
+          SELECT 'stats' AS section, 'all' AS key,
+            CAST(count(*) AS BIGINT) AS n, round(avg(risk_score), 2) AS metric
+          FROM graft_scored
+          UNION ALL
+          SELECT 'stats', 'avg_chars', CAST(count(*) AS BIGINT), round(avg(n_chars), 2)
+          FROM graft_scored
+          UNION ALL
+          SELECT 'stats', 'high_risk',
+            CAST(sum(CASE WHEN risk_score >= 30 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(NULL AS DOUBLE)
+          FROM graft_scored
+          UNION ALL
+          SELECT 'lang', lang, CAST(count(*) AS BIGINT), round(avg(risk_score), 2)
+          FROM graft_scored GROUP BY lang
+          UNION ALL
+          SELECT 'hist', b.bucket, CAST(coalesce(c.n, 0) AS BIGINT), CAST(NULL AS DOUBLE)
+          FROM (VALUES ('0-9'), ('10-19'), ('20-29'), ('30+')) b(bucket)
+          LEFT JOIN (
+            SELECT CASE WHEN risk_score < 10 THEN '0-9'
+                        WHEN risk_score < 20 THEN '10-19'
+                        WHEN risk_score < 30 THEN '20-29'
+                        ELSE '30+' END AS bucket, count(*) AS n
+            FROM graft_scored GROUP BY 1) c
+          ON b.bucket = c.bucket
+          UNION ALL
+          SELECT 'recent', CAST(doc_id AS VARCHAR), CAST(rn AS BIGINT),
+            CAST(risk_score AS DOUBLE)
+          FROM (SELECT doc_id, risk_score,
+                  row_number() OVER (ORDER BY doc_id DESC) AS rn
+                FROM (SELECT doc_id, risk_score FROM graft_scored
+                      ORDER BY doc_id DESC LIMIT 10))
+          ORDER BY section, key""",
     "q_recent_topk" ->
       """SELECT event_id, user_id, event_type, value
           FROM events ORDER BY event_id DESC LIMIT 10""",
@@ -652,7 +697,9 @@ object SparkEntry {
           ORDER BY o_orderkey""",
     "q_topk_values" ->
       """SELECT event_type,
-          list_slice(list(value ORDER BY value DESC), 1, 5) AS top_values
+          array_to_string(list_transform(
+            list_slice(list(value ORDER BY value DESC), 1, 5),
+            x -> CAST(CAST(round(x * 100, 0) AS BIGINT) AS VARCHAR)), ',') AS top_values
           FROM events GROUP BY event_type ORDER BY event_type""",
     "q_percentiles" ->
       """SELECT event_type,
@@ -661,17 +708,38 @@ object SparkEntry {
           round(quantile_cont(value, 0.99), 6) AS p99,
           CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_bucketed_neardup" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings)
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            round(list_sum(list_transform(range(1, len(a.v) + 1),
+                i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+              (a.nv * b.nv), 6) AS cosine
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+              (a.nv * b.nv), 6) >= 0.3
+          ORDER BY a_id, b_id""",
     "q_neardup_components" ->
       """WITH RECURSIVE
-          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          l AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 20 = 0),
+          e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings),
           p AS (
-            SELECT a_id, vec_id AS b_id,
-              round(list_sum(list_transform(range(1, len(v) + 1),
-                  i -> v[CAST(i AS INTEGER)] * av[CAST(i AS INTEGER)])) /
-                (sqrt(list_sum(list_transform(v, x -> x * x))) *
-                 sqrt(list_sum(list_transform(av, x -> x * x)))), 6) AS cosine
-            FROM e CROSS JOIN l WHERE vec_id > a_id),
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+                (a.nv * b.nv), 6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
           pairs AS (SELECT a_id, b_id FROM p WHERE cosine >= 0.3),
           edges AS (
             SELECT a_id AS a, b_id AS b FROM pairs

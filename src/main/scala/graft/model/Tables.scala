@@ -26,6 +26,19 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Broadcast-hint a pruned mid-size side only while its estimated scan
+    * size fits a sane driver budget. Catalyst never demotes an explicit
+    * broadcast hint (AQE only promotes), so an unconditional hint on a
+    * fact-derived projection would OOM the driver at 100×; gating on the
+    * optimized-plan size estimate keeps the hint a bench-scale
+    * optimization and falls back to the AQE-managed shuffle join when
+    * the side is genuinely large.
+    */
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -128,4 +128,51 @@ object DashboardOps {
       .filter(col("risk_score") >= threshold)
       .select(col("doc_id"), col("risk_score"))
       .orderBy(col("doc_id"))
+
+  /** The `/api/stats` payload in ONE job (reference: dashboard/app.py:30-97
+    * assembles total/avg/high-risk/per-group/histogram/recent-10 into one
+    * response per request, each via its own Python rescan). Here the scored
+    * frame is computed ONCE and cached; every payload section reads the
+    * cache, so the corpus is scanned and risk-scored exactly once per
+    * refresh — at 100 TB the cache is the materialized serving view and
+    * each section is a small aggregate over it. The sections union into a
+    * tall (section, key, n, metric) frame so the whole payload is one
+    * hashable result set.
+    */
+  def dashboardPayload(spark: SparkSession, dir: String): DataFrame = {
+    scoredDocuments(spark, dir).cache().createOrReplaceTempView("graft_scored")
+    spark.sql(
+      """SELECT 'stats' AS section, 'all' AS key,
+           CAST(count(*) AS BIGINT) AS n, round(avg(risk_score), 2) AS metric
+         FROM graft_scored
+         UNION ALL
+         SELECT 'stats', 'avg_chars', CAST(count(*) AS BIGINT), round(avg(n_chars), 2)
+         FROM graft_scored
+         UNION ALL
+         SELECT 'stats', 'high_risk',
+           CAST(sum(CASE WHEN risk_score >= 30 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM graft_scored
+         UNION ALL
+         SELECT 'lang', lang, CAST(count(*) AS BIGINT), round(avg(risk_score), 2)
+         FROM graft_scored GROUP BY lang
+         UNION ALL
+         SELECT 'hist', b.bucket, CAST(coalesce(c.n, 0) AS BIGINT), CAST(NULL AS DOUBLE)
+         FROM (VALUES ('0-9'), ('10-19'), ('20-29'), ('30+')) AS b(bucket)
+         LEFT JOIN (
+           SELECT CASE WHEN risk_score < 10 THEN '0-9'
+                       WHEN risk_score < 20 THEN '10-19'
+                       WHEN risk_score < 30 THEN '20-29'
+                       ELSE '30+' END AS bucket, count(*) AS n
+           FROM graft_scored GROUP BY 1) c
+         ON b.bucket = c.bucket
+         UNION ALL
+         SELECT 'recent', CAST(doc_id AS STRING), CAST(rn AS BIGINT),
+           CAST(risk_score AS DOUBLE)
+         FROM (SELECT doc_id, risk_score,
+                 row_number() OVER (ORDER BY doc_id DESC) AS rn
+               FROM (SELECT doc_id, risk_score FROM graft_scored
+                     ORDER BY doc_id DESC LIMIT 10))
+         ORDER BY section, key""")
+  }
 }

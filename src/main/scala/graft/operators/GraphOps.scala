@@ -31,9 +31,13 @@ object GraphOps {
       .localCheckpoint()
     // labels only ever decrease, so the label sum is a strictly monotone
     // convergence measure — one cheap aggregate per round instead of a
-    // change-detection join.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+    // change-detection join. sum() over an empty frame is null (empty
+    // pair graph → no nodes): treat it as 0 so convergence is immediate
+    // instead of an NPE.
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("label"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -56,9 +60,12 @@ object GraphOps {
 
   /** Near-dup clusters over the embedding-cosine pair graph: every vector
     * that has at least one near-duplicate, labeled with its component
-    * (the min vec_id reachable through near-dup edges). */
+    * (the min vec_id reachable through near-dup edges). The pair input is
+    * the LSH-bucketed candidate generator — shuffle-by-bucket, no O(n)
+    * broadcast, no O(n²) pair stage — so the whole chain (candidates →
+    * exact score → components) is the shape that survives 100×. */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
-      SimilarityOps.cosineNearDup(spark, dir), "a_id", "b_id")
+      SimilarityOps.bucketedNearDup(spark, dir), "a_id", "b_id")
       .orderBy(col("node"))
 }

@@ -58,7 +58,7 @@ object MlOps {
     * group-by shuffles 16-byte digests, never the documents themselves.
     */
   def hashDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir).select(col("text"), col("doc_id")))
       .select(md5(col("text")).as("text_md5"), col("doc_id"))
       .groupBy(col("text_md5"))
       .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))

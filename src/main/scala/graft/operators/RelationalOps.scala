@@ -58,7 +58,15 @@ object RelationalOps {
   def revenueByRegionNation(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      // The orders side is pruned to 2 int columns before the join; at
+      // bench scale that projection is comfortably broadcastable, so the
+      // fact table never shuffles before the final agg. The hint is
+      // size-gated, not unconditional: past the cutoff orders outgrows a
+      // sane broadcast and the un-hinted plan (sort-merge, AQE-managed)
+      // is the correct one.
+      .join(Tables.maybeBroadcast(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -208,7 +216,7 @@ object RelationalOps {
     * get_json_object keeps the parse inside codegen.
     */
   def propsExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    Tables.fanOut(Tables.events(spark, dir).select(col("event_id"), col("props")))
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),

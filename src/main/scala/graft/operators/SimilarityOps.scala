@@ -119,6 +119,42 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** The sign-pattern LSH bucket of the first 8 dimensions (a fixed
+    * coarse random-hyperplane surrogate). */
+  private val bucketExpr = expr(
+    """concat_ws('', transform(slice(v, 1, 8), x ->
+         CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))""")
+
+  /** Near-duplicate pairs at scale: LSH-bucket every vector by sign
+    * pattern, equi-join ON THE BUCKET (a plain shuffle-by-key join — no
+    * broadcast of anything O(n), no cross join), then exact-cosine-score
+    * only within-bucket candidates. Each vector lands in exactly one
+    * bucket so a pair is generated at most once — no distinct needed.
+    * This is the 100-TB formulation: the shuffle key is the bucket, the
+    * pairwise stage is sum over buckets of |bucket|², and bucket width
+    * (number of sign bits) tunes that fan-in. cosineNearDup is the
+    * brute-force small-scale twin kept as an oracle baseline.
+    */
+  def bucketedNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val e = embDouble(spark, dir)
+      .withColumn("nv", expr(
+        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("bucket", bucketExpr)
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nv").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nv").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** LSH-bucketed near-neighbor candidates: bucket every vector by the
     * sign pattern of its first 8 dimensions (a fixed coarse random-
     * hyperplane surrogate), then count collisions per bucket. At scale
@@ -127,9 +163,7 @@ object SimilarityOps {
     */
   def signBuckets(spark: SparkSession, dir: String): DataFrame =
     embDouble(spark, dir)
-      .withColumn("bucket", expr(
-        """concat_ws('', transform(slice(v, 1, 8), x ->
-             CASE WHEN x >= cast(0 AS double) THEN '1' ELSE '0' END))"""))
+      .withColumn("bucket", bucketExpr)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.Tables.Post
-import graft.streaming.{Pipeline, SnapshotSink}
+import graft.streaming.{AlertSink, Pipeline, SnapshotSink}
 
 /** ST-1..ST-4 behavior via MemoryStream (no Kafka in this environment —
   * the source is swappable by construction). */
@@ -60,6 +60,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
       // oldest 30 evicted: ids id31..id130 remain
       val ids = rows.map(_.getAs[String]("id")).toSet
       assert(!ids.contains("id30") && ids.contains("id31") && ids.contains("id130"))
+    } finally q.stop()
+  }
+
+  test("alert branch: high-risk rows split to the side sink, snapshot gets all") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Post]
+    val snap = new SnapshotSink(
+      Files.createTempDirectory("snap").toString + "/posts", maxRows = 100)
+    val alerts = new AlertSink(threshold = 30)
+    val cp = Files.createTempDirectory("cp").toString
+    val q = AlertSink.attachWithSnapshot(
+      Pipeline.enrich(input.toDF()), snap, alerts, cp)
+    try {
+      // +10 per keyword hit: post 1 scores 30 (hopeless/worthless/suicide),
+      // post 2 scores 10, post 3 scores 0 — only post 1 alerts in batch 1
+      input.addData(
+        mkPost(1, "hopeless and worthless", "thinking about suicide"),
+        mkPost(2, "feeling depressed", "meh"),
+        mkPost(3, "sunny day", "all good"))
+      q.processAllAvailable()
+      input.addData(mkPost(4, "lonely isolated scared", "and depressed"))
+      q.processAllAvailable()
+      assert(snap.snapshotRows.size === 4)
+      val alertIds = alerts.alertRows.map(_.getAs[String]("id"))
+      assert(alertIds === Seq("id1", "id4"))
+      assert(alerts.alertRows.forall(_.getAs[Int]("risk_score") >= 30))
     } finally q.stop()
   }
 
