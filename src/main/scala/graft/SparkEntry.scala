@@ -58,6 +58,7 @@ object SparkEntry {
     "q_term_counts"     -> ((s, d) => MlOps.termCounts(s, d)),
     "q_tfidf_top_terms" -> ((s, d) => MlOps.tfidfTopTerms(s, d)),
     "q_hash_dedup"      -> ((s, d) => MlOps.hashDedup(s, d)),
+    "q_tokenset_dedup"  -> ((s, d) => MlOps.tokensetDedup(s, d)),
     "q_minhash_sig"     -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -421,6 +422,11 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS surviving_doc_id,
           CAST(count(*) AS BIGINT) AS dup_count
           FROM documents GROUP BY md5(text) ORDER BY text_md5""",
+    "q_tokenset_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+            list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS tokenset_md5,
+          min(doc_id) AS surviving_doc_id, CAST(count(*) AS BIGINT) AS dup_count
+          FROM documents GROUP BY 1 ORDER BY tokenset_md5""",
     "q_minhash_sig" ->
       """WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

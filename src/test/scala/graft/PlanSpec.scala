@@ -64,4 +64,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(RelationalOps.topOrdersPerCustomer(spark, dir))
     assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
   }
+
+  test("revenue join broadcasts every non-fact side: no sort-merge join") {
+    // The pruned orders projection joins as a broadcast at bench scale —
+    // the fact table must reach the final agg without a join shuffle.
+    val p = plan(RelationalOps.revenueByRegionNation(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled for a join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("bucketed near-dup joins on the bucket key: no nested-loop or cartesian stage") {
+    // The LSH candidate generator must be a plain equi-join on bucket —
+    // any BroadcastNestedLoopJoin/CartesianProduct means the O(n²/c)
+    // brute-force shape crept back in.
+    val p = plan(graft.operators.SimilarityOps.bucketedNearDup(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"non-equi pair stage:\n$p")
+  }
+
+  test("json prop extraction fans out before the per-row parse") {
+    // Testdata parquet is single-split; without the round-robin exchange
+    // every get_json_object runs in ONE task.
+    val p = plan(RelationalOps.propsExtract(spark, dir))
+    assert(p.contains("Exchange RoundRobinPartitioning"),
+      s"no fan-out before JSON parse:\n$p")
+  }
 }
