@@ -59,6 +59,9 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, d) => MlOps.tfidfTopTerms(s, d)),
     "q_hash_dedup"      -> ((s, d) => MlOps.hashDedup(s, d)),
     "q_tokenset_dedup"  -> ((s, d) => MlOps.tokensetDedup(s, d)),
+    "q_chunk_docs"      -> ((s, d) => graft.operators.CorpusOps.chunkDocs(s, d)),
+    "q_hash_split"      -> ((s, d) => graft.operators.CorpusOps.hashSplit(s, d)),
+    "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
     "q_minhash_sig"     -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -427,6 +430,42 @@ object SparkEntry {
             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS tokenset_md5,
           min(doc_id) AS surviving_doc_id, CAST(count(*) AS BIGINT) AS dup_count
           FROM documents GROUP BY 1 ORDER BY tokenset_md5""",
+    "q_chunk_docs" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+          ch AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+              list_slice(toks, CAST(i * 40 + 1 AS INTEGER), CAST(i * 40 + 50 AS INTEGER)) AS ctoks
+            FROM c CROSS JOIN range(0, 1000) r(i)
+            WHERE i <= greatest(0, n - 1) // 40)
+          SELECT doc_id, chunk_id, CAST(len(ctoks) AS INTEGER) AS chunk_tokens,
+            md5(array_to_string(ctoks, ' ')) AS chunk_md5
+          FROM ch ORDER BY doc_id, chunk_id""",
+    "q_hash_split" ->
+      """WITH s AS (
+            SELECT lang, n_chars,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents)
+          SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM s GROUP BY split, lang ORDER BY split, lang""",
+    "q_decontaminate" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, greatest(1, len(toks) - 1)),
+              i -> array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))) AS grams
+            FROM t),
+          x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          bench AS (SELECT DISTINCT gram FROM x WHERE doc_id < 5)
+          SELECT x.doc_id, CAST(count(DISTINCT x.gram) AS BIGINT) AS n_hits
+          FROM x JOIN bench USING (gram) WHERE x.doc_id >= 5
+          GROUP BY x.doc_id ORDER BY x.doc_id""",
     "q_minhash_sig" ->
       """WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus-preparation operators a large-scale LLM training-data pipeline
+  * needs beyond dedup/similarity (SURVEY.md §2.11 extensions): fixed-size
+  * context chunking, deterministic hash-based dataset splits, and
+  * benchmark decontamination. All pure Column algebra (codegen'd,
+  * map-side except the final small aggregations), all DuckDB-oracle'd.
+  */
+object CorpusOps {
+
+  /** Non-empty whitespace tokens. */
+  private def toksCol: Column = filter(split(col("text"), " "), t => t =!= lit(""))
+
+  /** Context-window chunking: split every document into fixed-size token
+    * chunks with overlap (size 50, stride 40 → 10-token overlap), the
+    * packing step before tokenizer/training shards. Map-only: each row
+    * expands to its own chunks, no shuffle at all until a downstream
+    * consumer — at 100 TB this runs entirely inside the scan stage.
+    * Chunks are emitted as (count, md5) so the result hashes stably.
+    */
+  def chunkDocs(spark: SparkSession, dir: String,
+      chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", toksCol)
+      .withColumn("chunks", expr(
+        s"""transform(sequence(0, cast(floor(greatest(0, size(toks) - 1) / $stride) as int)),
+              i -> struct(i AS chunk_id, slice(toks, i * $stride + 1, $chunkSize) AS ctoks))"""))
+      // explode_outer: chunks is never empty (sequence(0, x>=0) has at
+      // least one element) and the outer generator dodges the
+      // InferFiltersFromGenerate re-evaluation below the fan-out exchange
+      .select(col("doc_id"), explode_outer(col("chunks")).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_id").as("chunk_id"),
+        size(col("c.ctoks")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("c.ctoks"))).as("chunk_md5"),
+      )
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Deterministic content-addressed train/val/test split: the first hex
+    * digit of md5(doc_id) buckets every document 12/2/2 sixteenths into
+    * train/val/test. No RNG, no state, stable under re-runs and
+    * repartitioning — the property a reproducible data pipeline needs;
+    * emitted as per-split-per-lang counts.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(spark, dir)
+      .select(
+        when(h <= "b", "train").when(h.isin("c", "d"), "val")
+          .otherwise("test").as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word 3-grams it shares with a benchmark set (here: doc_id < benchMax
+    * stands in for the eval suite). The benchmark side is SMALL by nature,
+    * so broadcasting its distinct gram set is the legitimate scale plan —
+    * the corpus side stays map-local (gram expansion + broadcast-hash
+    * probe) and only the per-doc hit counts aggregate.
+    */
+  def decontaminate(spark: SparkSession, dir: String, benchMax: Int = 5): DataFrame = {
+    val grams = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", toksCol)
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', slice(toks, i, 3)))) END"""))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val bench = grams.filter(col("doc_id") < benchMax).select(col("gram")).distinct()
+    grams.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+}
