@@ -62,6 +62,7 @@ object SparkEntry {
     "q_chunk_docs"      -> ((s, d) => graft.operators.CorpusOps.chunkDocs(s, d)),
     "q_hash_split"      -> ((s, d) => graft.operators.CorpusOps.hashSplit(s, d)),
     "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
+    "q_mixture_sample"  -> ((s, d) => graft.operators.CorpusOps.mixtureSample(s, d)),
     "q_minhash_sig"     -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -106,7 +107,9 @@ object SparkEntry {
     * both engines (no float-format drift). */
   private def topKValuesQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.events(spark, dir)
+    // fanOut: the partial (object-hash) aggregate otherwise runs inside
+    // the single-split scan task
+    Tables.fanOut(Tables.events(spark, dir).select(col("event_type"), col("value")))
       .groupBy(col("event_type"))
       .agg(array_join(
         transform(
@@ -466,6 +469,12 @@ object SparkEntry {
           SELECT x.doc_id, CAST(count(DISTINCT x.gram) AS BIGINT) AS n_hits
           FROM x JOIN bench USING (gram) WHERE x.doc_id >= 5
           GROUP BY x.doc_id ORDER BY x.doc_id""",
+    "q_mixture_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+            (CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0 THEN '8' ELSE '4' END)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+          FROM documents GROUP BY source ORDER BY source""",
     "q_minhash_sig" ->
       """WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

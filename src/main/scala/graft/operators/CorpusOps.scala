@@ -60,6 +60,28 @@ object CorpusOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Mixture re-weighting: deterministic per-source downsampling, the
+    * step that balances source proportions in a training mix. Keep
+    * probability is content-addressed (first md5 hex digit of doc_id vs a
+    * per-source rate threshold — even-numbered sources keep 8/16, odd
+    * 4/16), so the sample is stable under re-runs and repartitioning and
+    * needs no RNG state. Emitted as per-source kept/total counts; the
+    * kept subset itself is the same filter without the aggregate.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val hexDigit = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val rate = when(substring(col("source"), 4, 10).cast("int") % 2 === 0, "8")
+      .otherwise("4")
+    Tables.documents(spark, dir)
+      .select(col("source"), (hexDigit < rate).as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+      )
+      .orderBy(col("source"))
+  }
+
   /** Benchmark decontamination: count, per corpus document, the distinct
     * word 3-grams it shares with a benchmark set (here: doc_id < benchMax
     * stands in for the eval suite). The benchmark side is SMALL by nature,

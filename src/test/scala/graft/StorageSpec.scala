@@ -39,6 +39,23 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned parquet writes prune partitions at read time") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = Files.createTempDirectory("partitioned").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$base/docs")
+    val wanted = docs.filter(col("lang") === "en").count()
+    val read = spark.read.parquet(s"$base/docs").filter(col("lang") === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    // the lang predicate must become a partition filter on the scan (no
+    // data read from other lang dirs), not a post-scan row filter —
+    // "PartitionFilters: []" would print even without pruning, so match
+    // the lang predicate INSIDE the bracket list
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"no partition pruning:\n$plan")
+    assert(read.count() === wanted)
+  }
+
   test("csv and json sinks round-trip the documents sample") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .select(col("doc_id"), col("lang"), col("n_chars"))
