@@ -63,6 +63,7 @@ object SparkEntry {
     "q_hash_split"      -> ((s, d) => graft.operators.CorpusOps.hashSplit(s, d)),
     "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
     "q_mixture_sample"  -> ((s, d) => graft.operators.CorpusOps.mixtureSample(s, d)),
+    "q_repetition_ratio" -> ((s, d) => graft.operators.CorpusOps.repetitionRatio(s, d)),
     "q_minhash_sig"     -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -475,6 +476,20 @@ object SparkEntry {
             (CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0 THEN '8' ELSE '4' END)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
           FROM documents GROUP BY source ORDER BY source""",
+    "q_repetition_ratio" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+              i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS gram
+            FROM t),
+          c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+          SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+            CAST(max(n) AS BIGINT) AS max_gram_count,
+            round(max(n) * 1.0 / sum(n), 6) AS max_gram_ratio,
+            round(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS rep_gram_ratio
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_minhash_sig" ->
       """WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

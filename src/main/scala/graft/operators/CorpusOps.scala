@@ -60,6 +60,37 @@ object CorpusOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Repetition-based quality signal (the Gopher-rules shape): per
+    * document, the share of word bigrams occupied by the single most
+    * frequent bigram and by all repeated bigrams. High ratios flag
+    * boilerplate/spam for corpus filtering. Two-level aggregation —
+    * partial counts per (doc, gram), then per-doc rollup — both
+    * partial+final hash aggs, shuffling only (id, gram-count) pairs.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val gramCounts = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", toksCol)
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    gramCounts
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_grams"),
+        max(col("n")).as("max_gram_count"),
+        round(max(col("n")) * lit(1.0) / sum(col("n")), 6).as("max_gram_ratio"),
+        round(sum(when(col("n") >= 2, col("n")).otherwise(0L)) * lit(1.0)
+          / sum(col("n")), 6).as("rep_gram_ratio"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixture re-weighting: deterministic per-source downsampling, the
     * step that balances source proportions in a training mix. Keep
     * probability is content-addressed (first md5 hex digit of doc_id vs a

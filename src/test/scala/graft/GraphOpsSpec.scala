@@ -23,6 +23,14 @@ class GraphOpsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("an empty pair graph yields an empty labeling, not an NPE") {
+    // sum() over an empty frame is null — the convergence measure must
+    // treat that as 0 (a candidate generator can legitimately produce no
+    // pairs at some scale factor)
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(empty, "a", "b").count() === 0L)
+  }
+
   test("a long chain converges within the iteration budget") {
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
     val got = GraphOps.connectedComponents(chain, "a", "b")
