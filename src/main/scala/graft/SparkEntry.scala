@@ -64,6 +64,8 @@ object SparkEntry {
     "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
     "q_mixture_sample"  -> ((s, d) => graft.operators.CorpusOps.mixtureSample(s, d)),
     "q_repetition_ratio" -> ((s, d) => graft.operators.CorpusOps.repetitionRatio(s, d)),
+    "q_vocab_oov"       -> ((s, d) => graft.operators.CorpusOps.vocabOov(s, d)),
+    "q_quantize_vecs"   -> ((s, d) => graft.operators.CorpusOps.quantizeVecs(s, d)),
     "q_minhash_sig"     -> ((s, d) => DedupOps.minhashSignatures(s, d)),
     "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
@@ -476,6 +478,30 @@ object SparkEntry {
             (CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0 THEN '8' ELSE '4' END)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
           FROM documents GROUP BY source ORDER BY source""",
+    "q_vocab_oov" ->
+      """WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          vocab AS (
+            SELECT term FROM (
+              SELECT term, count(*) AS n FROM tok GROUP BY term
+              ORDER BY n DESC, term LIMIT 50)),
+          j AS (
+            SELECT tok.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tok LEFT JOIN vocab v ON tok.term = v.term)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(oov) AS BIGINT) AS n_oov,
+            round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "q_quantize_vecs" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          s AS (
+            SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+          SELECT vec_id, round(scale, 6) AS scale,
+            md5(array_to_string(list_transform(v,
+              x -> CAST(CAST(round(x / scale * 127, 0) AS INTEGER) AS VARCHAR)), ',')) AS q_md5
+          FROM s ORDER BY vec_id""",
     "q_repetition_ratio" ->
       """WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -60,6 +60,53 @@ object CorpusOps {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Vocabulary coverage / OOV rate: build the top-50 term vocabulary
+    * from the corpus itself (count desc, term asc tie-break), then score
+    * every document by the share of its token occurrences outside that
+    * vocabulary — the tokenizer-fit statistic computed before committing
+    * to a vocab. The vocabulary is bounded (50 rows) so it broadcasts;
+    * the corpus side never shuffles tokens, only per-doc counts.
+    */
+  def vocabOov(spark: SparkSession, dir: String, vocabSize: Int = 50): DataFrame = {
+    val tokens = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode_outer(toksCol).as("term"))
+      .filter(col("term").isNotNull)
+    val vocab = tokens.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    tokens
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("in_vocab").isNull, 1L).otherwise(0L)) * lit(1.0)
+          / count(lit(1)), 6).as("oov_rate"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** int8 vector quantization for ANN index compression: per-vector
+    * absmax scale, each component mapped to round(x / scale * 127).
+    * Map-only (one pass inside the scan stage); the quantized vector is
+    * emitted as an md5 so the result hashes stably. The real pipeline
+    * would write (scale, int8[]) back to parquet — 4× smaller index.
+    */
+  def quantizeVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", expr(
+        "aggregate(v, cast(0 AS double), (acc, x) -> greatest(acc, abs(x)))"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        md5(expr(
+          "concat_ws(',', transform(v, x -> cast(cast(round(x / scale * 127, 0) AS int) AS string)))"))
+          .as("q_md5"),
+      )
+      .orderBy(col("vec_id"))
+
   /** Repetition-based quality signal (the Gopher-rules shape): per
     * document, the share of word bigrams occupied by the single most
     * frequent bigram and by all repeated bigrams. High ratios flag

@@ -99,6 +99,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(back.exceptAll(posts).isEmpty && posts.exceptAll(back).isEmpty)
   }
 
+  test("Trigger.AvailableNow drains the backlog then stops on its own") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Post]
+    input.addData((1 to 25).map(mkPost(_)))
+    val q = Pipeline.enrich(input.toDF())
+      .writeStream.format("memory").queryName("drained")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // backfill mode: processes everything available, then terminates —
+      // the batch-catchup half of the stream/batch unification story
+      assert(q.awaitTermination(60000), "query did not self-terminate")
+      assert(spark.table("drained").count() === 25)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated post ids within the watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Post]
