@@ -44,6 +44,7 @@ object SparkEntry {
     "q_topn_per_group"  -> ((s, d) => RelationalOps.topOrdersPerCustomer(s, d)),
     "q_running_sum"     -> ((s, d) => RelationalOps.runningSumPerUser(s, d)),
     "q_lag_delta"       -> ((s, d) => RelationalOps.lagDeltaPerUser(s, d)),
+    "q_rank_stats"      -> ((s, d) => RelationalOps.rankStats(s, d)),
     "q_set_ops"         -> ((s, d) => RelationalOps.userSetOps(s, d)),
     "q_distinct_users"  -> ((s, d) => RelationalOps.distinctUsersPerType(s, d)),
     "q_rollup"          -> ((s, d) => RelationalOps.customerRollup(s, d)),
@@ -339,6 +340,12 @@ object SparkEntry {
           lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
           round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS delta
           FROM events ORDER BY user_id, event_id""",
+    "q_rank_stats" ->
+      """SELECT event_type, event_id, value,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+          FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+          ORDER BY event_type, event_id""",
     "q_set_ops" ->
       """SELECT user_id, 'click_and_purchase' AS set_op FROM (
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'

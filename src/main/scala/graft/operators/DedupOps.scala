@@ -78,9 +78,16 @@ object DedupOps {
       .orderBy(col("doc_id"))
 
   /** Word-bigram Jaccard similarity, sampled pairs (every-50th doc as the
-    * left side vs all later docs). inter/union sizes via distinct-array
-    * algebra; union computed as |A|+|B|-|A∩B| so no cross-system array
-    * ordering matters.
+    * left side vs all later docs). DELIBERATELY the small-scale
+    * brute-force oracle twin for the Jaccard math; at scale, candidate
+    * pairs come from a bucket pre-join (minhashBands collisions /
+    * SimilarityOps.bucketedNearDup shape) and exact Jaccard runs only
+    * within buckets. NOTE the synthetic corpus makes full band-join
+    * pair enumeration degenerate (shuffled-word duplicates collapse
+    * minhash buckets — see MlOps.tokensetDedup for the fingerprint
+    * formulation that handles exactly that case with no pair stage).
+    * inter/union via distinct-array algebra; union = |A|+|B|-|A∩B| so
+    * no cross-system array ordering matters.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))

@@ -132,6 +132,20 @@ object RelationalOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** W-4 rank-family windows: percent_rank + cume_dist of each event's
+    * value within its type. One shuffle on event_type; the full ORDER BY
+    * includes event_id so every rank is distinct and both engines agree
+    * exactly (k/n in double is bit-identical for identical k, n).
+    */
+  def rankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** SET-1/SET-2: key-set algebra over two event-type populations —
     * users who clicked INTERSECT users who purchased, and click EXCEPT
     * purchase, union'd with tags. Spark plans these as semi/anti joins.

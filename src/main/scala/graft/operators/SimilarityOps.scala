@@ -47,11 +47,13 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, sampled
-    * left side (every 20th vector vs all later ids). The filter runs on
-    * the ROUNDED score so a pair sitting exactly at the threshold cannot
-    * flip between engines on ulp drift. At scale the sampled side
-    * becomes the LSH bucket join (see signBuckets) — the pairwise stage
-    * is identical.
+    * left side (every 20th vector vs all later ids). DELIBERATELY the
+    * small-scale brute-force twin: it exists as an oracle baseline for
+    * the scoring math. The production path is [[bucketedNearDup]]
+    * (shuffle-by-bucket candidates, no O(n) broadcast) — which is what
+    * the flagship chain (`q_neardup_components`) consumes. The filter
+    * runs on the ROUNDED score so a pair sitting exactly at the
+    * threshold cannot flip between engines on ulp drift.
     */
   def cosineNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {

@@ -99,6 +99,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(back.exceptAll(posts).isEmpty && posts.exceptAll(back).isEmpty)
   }
 
+  test("stream-static join enriches the stream against a broadcast dimension") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val input = MemoryStream[Post]
+    val dim = Seq(("depression", "clinical"), ("mentalhealth", "general"))
+      .toDF("subreddit", "category")
+    // the canonical serving enrichment: unbounded stream joined to a
+    // small static dim — broadcast, so no stream-side state or shuffle
+    val joined = Pipeline.enrich(input.toDF())
+      .join(broadcast(dim), Seq("subreddit"), "left_outer")
+    val q = joined.writeStream.format("memory").queryName("enriched_static")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        mkPost(1).copy(subreddit = "depression"),
+        mkPost(2).copy(subreddit = "mentalhealth"),
+        mkPost(3).copy(subreddit = "unknown_sub"))
+      q.processAllAvailable()
+      val got = spark.table("enriched_static").collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[String]("category")).toMap
+      assert(got === Map("id1" -> "clinical", "id2" -> "general", "id3" -> null))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Post]
