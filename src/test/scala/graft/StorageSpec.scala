@@ -56,6 +56,24 @@ class StorageSpec extends AnyFunSuite {
     assert(read.count() === wanted)
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val base = Files.createTempDirectory("dynpart").toString + "/t"
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((1L, "en", 10), (2L, "es", 20))
+        .toDF("doc_id", "lang", "n").write
+        .mode("overwrite").partitionBy("lang").parquet(base)
+      // incremental backfill: rewrite ONLY lang=en; es must survive
+      Seq((9L, "en", 99)).toDF("doc_id", "lang", "n").write
+        .mode("overwrite").partitionBy("lang").parquet(base)
+      val got = spark.read.parquet(base)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))).toSet
+      assert(got === Set((9L, "en"), (2L, "es")),
+        "dynamic overwrite must not clobber untouched partitions")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("csv and json sinks round-trip the documents sample") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .select(col("doc_id"), col("lang"), col("n_chars"))
