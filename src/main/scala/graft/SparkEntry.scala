@@ -60,6 +60,7 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, d) => MlOps.tfidfTopTerms(s, d)),
     "q_hash_dedup"      -> ((s, d) => MlOps.hashDedup(s, d)),
     "q_tokenset_dedup"  -> ((s, d) => MlOps.tokensetDedup(s, d)),
+    "q_dedup_manifest"  -> ((s, d) => MlOps.dedupManifest(s, d)),
     "q_chunk_docs"      -> ((s, d) => graft.operators.CorpusOps.chunkDocs(s, d)),
     "q_hash_split"      -> ((s, d) => graft.operators.CorpusOps.hashSplit(s, d)),
     "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
@@ -443,6 +444,15 @@ object SparkEntry {
             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS tokenset_md5,
           min(doc_id) AS surviving_doc_id, CAST(count(*) AS BIGINT) AS dup_count
           FROM documents GROUP BY 1 ORDER BY tokenset_md5""",
+    "q_dedup_manifest" ->
+      """WITH f AS (
+            SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+              list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+            FROM documents)
+          SELECT doc_id,
+            min(doc_id) OVER (PARTITION BY fp) AS surviving_doc_id,
+            doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+          FROM f ORDER BY doc_id""",
     "q_chunk_docs" ->
       """WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -73,6 +73,26 @@ object MlOps {
     * worth its candidate-pair cost for *partial* overlap; whole-set
     * equivalence belongs in a canonical-fingerprint group-by.
     */
+  /** The dedup MANIFEST — what a downstream pipeline actually consumes:
+    * every document with its canonical-cluster representative and a
+    * keep/drop verdict. One shuffle on the fingerprint (window min), no
+    * self-join; at 100 TB the fingerprint is the natural partition key
+    * and survivors stream straight to the filtered write.
+    */
+  def dedupManifest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("tokenset_md5"))
+    Tables.fanOut(Tables.documents(spark, dir).select(col("text"), col("doc_id")))
+      .select(
+        md5(concat_ws(" ",
+          array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+          .as("tokenset_md5"),
+        col("doc_id"))
+      .withColumn("surviving_doc_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("surviving_doc_id"),
+        (col("doc_id") === col("surviving_doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def tokensetDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("text"), col("doc_id")))
       .select(
