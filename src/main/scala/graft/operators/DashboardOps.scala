@@ -170,6 +170,10 @@ object DashboardOps {
          SELECT 'recent', CAST(doc_id AS STRING), CAST(rn AS BIGINT),
            CAST(risk_score AS DOUBLE)
          FROM (SELECT doc_id, risk_score,
+                 -- global window is SAFE here: its input is the 10-row
+                 -- TakeOrderedAndProject result, not the corpus (the
+                 -- WindowExec single-partition warning is about this
+                 -- bounded frame)
                  row_number() OVER (ORDER BY doc_id DESC) AS rn
                FROM (SELECT doc_id, risk_score FROM graft_scored
                      ORDER BY doc_id DESC LIMIT 10))
