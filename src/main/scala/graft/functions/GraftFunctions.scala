@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{RiskScore, TopKValuesAgg}
+import graft.expr.{DotProduct, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -27,13 +27,21 @@ object GraftFunctions {
     TopKValuesAgg(exprs.head, k)
   }
 
-  /** Make `risk_score(str)` and `top_k_values(double, k)` callable from
-    * SQL / call_function on an existing session. Idempotent. */
+  private val dotProductBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_product expects exactly two arguments")
+    DotProduct(exprs.head, exprs(1))
+  }
+
+  /** Make `risk_score(str)`, `top_k_values(double, k)` and
+    * `dot_product(arr, arr)` callable from SQL / call_function on an
+    * existing session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "risk_score", riskScoreBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_values", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", dotProductBuilder, "built-in")
   }
 }
 
@@ -47,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("risk_score"),
       new ExpressionInfo(classOf[RiskScore].getName, "risk_score"),
       exprs => RiskScore(exprs.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      exprs => DotProduct(exprs.head, exprs(1)),
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.

@@ -9,18 +9,30 @@ import graft.model.Tables
 /** Similarity search over the embeddings table (Array[Float] vectors).
   * Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
   * variant (bucket on a coarse projection, join within buckets) is the
-  * 100-TB path — both keep the vector math in higher-order-function
-  * Column algebra (zip_with + aggregate), inside codegen, no UDF.
+  * 100-TB path. The inner kernel is the native codegen'd
+  * [[graft.expr.DotProduct]] expression — Spark's builtin
+  * aggregate/zip_with HOFs evaluate their lambdas on the interpreted
+  * path per element, which dominated the pairwise stages.
   *
   * All math runs in double (vectors cast up from float) so the oracle
   * agrees bit-for-bit before the 6-dp round.
   */
 object SimilarityOps {
 
-  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+  private def embDouble(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.fanOut(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+  }
+
+  /** Native codegen'd dot product (graft.expr.DotProduct) — replaces the
+    * interpreted aggregate(zip_with(...)) HOF pair in every pairwise
+    * kernel below; summation order (left-to-right) is identical so all
+    * oracle hashes are unchanged. */
+  private def dot(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("dot_product", a, b)
 
   /** Brute-force cosine top-3 neighbors for query vectors vec_id < 5.
     * The query side is broadcast; ranking is on the rounded score so
@@ -30,13 +42,11 @@ object SimilarityOps {
     // Norms are per-vector, not per-pair: compute them once on each side
     // before the join (O(n·d)) so the pairwise stage only does the dot
     // product (O(n·q·d)), not three array folds per pair.
-    val e = embDouble(spark, dir).withColumn("nv", expr(
-      "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("dot", dot(col("v"), col("qv")))
       .withColumn("cosine", round(col("dot") / (col("nv") * col("nq")), 6))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored
@@ -57,13 +67,11 @@ object SimilarityOps {
     */
   def cosineNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
-    val e = embDouble(spark, dir).withColumn("nv", expr(
-      "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val left = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("a_id"), col("v").as("av"), col("nv").as("na"))
     e.join(broadcast(left), col("vec_id") > col("a_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v, av, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("dot", dot(col("v"), col("av")))
       .withColumn("cosine", round(col("dot") / (col("nv") * col("na")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("vec_id").as("b_id"), col("cosine"))
@@ -73,8 +81,7 @@ object SimilarityOps {
   /** Per-label vector-norm statistics — the aggregate-over-array probe. */
   def labelNorms(spark: SparkSession, dir: String): DataFrame =
     embDouble(spark, dir)
-      .withColumn("norm", expr(
-        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vectors"),
@@ -93,16 +100,14 @@ object SimilarityOps {
     * centroid id via the rounded score.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = embDouble(spark, dir).withColumn("nv", expr(
-      "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
     val assigned = e.join(broadcast(centroids), lit(true))
       .withColumn("c_cos", round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)")
-          / (col("nv") * col("nc")), 6))
+        dot(col("v"), col("cv")) / (col("nv") * col("nc")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nv"), col("c_id").as("cell"))
@@ -113,8 +118,7 @@ object SimilarityOps {
     assigned.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cosine", round(
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)")
-          / (col("nv") * col("nq")), 6))
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("cell"), col("vec_id"), col("cosine"), col("rn"))
@@ -140,8 +144,7 @@ object SimilarityOps {
   def bucketedNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
     val e = embDouble(spark, dir)
-      .withColumn("nv", expr(
-        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", bucketExpr)
     val a = e.select(col("bucket"), col("vec_id").as("a_id"),
       col("v").as("av"), col("nv").as("na"))
@@ -149,8 +152,7 @@ object SimilarityOps {
       col("v").as("bv"), col("nv").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(av, bv, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("dot", dot(col("av"), col("bv")))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
