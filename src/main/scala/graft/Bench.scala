@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,10 +14,20 @@ object Bench {
     // and parquet reader paths so the first timed query isn't charged
     // for one-time JVM setup.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink, NOT count(): count() lets Catalyst prune the whole
+    // projection (and drop the sort), so map-heavy queries were timing a
+    // parquet row count. The noop writer materializes every output row.
+    def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // n=2 per query, min reported: a single shot confounds first-touch
+    // codegen/JIT with the plan's real cost (round-2 saw 4.5× run-order
+    // noise on q_minhash_bands).
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

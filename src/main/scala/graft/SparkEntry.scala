@@ -72,6 +72,7 @@ object SparkEntry {
     "q_minhash_bands"   -> ((s, d) => DedupOps.minhashBands(s, d)),
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "q_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    "q_bucketed_jaccard" -> ((s, d) => DedupOps.bucketedJaccard(s, d)),
     "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
     "q_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
     "q_bucketed_neardup" -> ((s, d) => SimilarityOps.bucketedNearDup(s, d)),
@@ -461,8 +462,12 @@ object SparkEntry {
           ch AS (
             SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
               list_slice(toks, CAST(i * 40 + 1 AS INTEGER), CAST(i * 40 + 50 AS INTEGER)) AS ctoks
-            FROM c CROSS JOIN range(0, 1000) r(i)
-            WHERE i <= greatest(0, n - 1) // 40)
+            FROM (
+              -- chunk ids derived per-doc from the token count (list-range
+              -- unnest), not a fixed cap: no latent divergence for long docs
+              SELECT doc_id, toks,
+                unnest(range(0, greatest(1, (n - 1) // 40 + 1))) AS i
+              FROM c))
           SELECT doc_id, chunk_id, CAST(len(ctoks) AS INTEGER) AS chunk_tokens,
             md5(array_to_string(ctoks, ' ')) AS chunk_md5
           FROM ch ORDER BY doc_id, chunk_id""",
@@ -573,19 +578,76 @@ object SparkEntry {
           SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
           FROM bits GROUP BY doc_id ORDER BY doc_id""",
     "q_ngram_jaccard" ->
-      """WITH g AS (
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM bands l JOIN bands r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id % 50 = 0 AND r.doc_id > l.doc_id),
+          g AS (
             SELECT doc_id,
               list_distinct(list_transform(range(1, len(toks)),
                 i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
-            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-          l AS (SELECT doc_id AS a_id, grams AS a_grams FROM g WHERE doc_id % 50 = 0)
-          SELECT a_id, g.doc_id AS b_id,
-            round(len(list_intersect(a_grams, grams)) * 1.0 /
-              CASE WHEN len(a_grams) + len(grams) - len(list_intersect(a_grams, grams)) = 0
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+          SELECT a_id, b_id,
+            round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+              CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
                    THEN 1
-                   ELSE len(a_grams) + len(grams) - len(list_intersect(a_grams, grams)) END,
+                   ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
               6) AS jaccard
-          FROM g CROSS JOIN l WHERE g.doc_id > a_id ORDER BY a_id, b_id""",
+          FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id
+          ORDER BY a_id, b_id""",
+    "q_bucketed_jaccard" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+          SELECT a_id, b_id, jaccard FROM (
+            SELECT a_id, b_id,
+              round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
+                     THEN 1
+                     ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
+                6) AS jaccard
+            FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+          WHERE jaccard >= 0.1 ORDER BY a_id, b_id""",
     "q_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -601,15 +663,20 @@ object SparkEntry {
               ORDER BY cosine DESC, vec_id) AS rn FROM p)
           WHERE rn <= 3 ORDER BY q_id, rn""",
     "q_cosine_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          l AS (SELECT vec_id AS a_id, v AS av FROM e WHERE vec_id % 20 = 0),
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings),
           p AS (
-            SELECT a_id, vec_id AS b_id,
-              round(list_sum(list_transform(range(1, len(v) + 1),
-                  i -> v[CAST(i AS INTEGER)] * av[CAST(i AS INTEGER)])) /
-                (sqrt(list_sum(list_transform(v, x -> x * x))) *
-                 sqrt(list_sum(list_transform(av, x -> x * x)))), 6) AS cosine
-            FROM e CROSS JOIN l WHERE vec_id > a_id)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+                (a.nv * b.nv), 6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id > a.vec_id
+            WHERE a.vec_id % 20 = 0)
           SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.3
           ORDER BY a_id, b_id""",
     "q_ivf_topk" ->

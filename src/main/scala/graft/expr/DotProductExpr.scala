@@ -15,12 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * stage's generated Java, the hot inner kernel of every ANN / cosine
   * query (SimilarityOps).
   *
-  * Summation order is left-to-right, identical to the HOF fold, so
-  * results are bit-for-bit the same and all existing oracle hashes are
-  * unchanged. Mismatched lengths contract to the shorter side (the HOF
-  * form would null out via zip_with padding; graft vectors are
-  * fixed-dimension so the case is degenerate either way); null ELEMENTS
-  * are not supported (embeddings are dense).
+  * Semantics match the HOF fold exactly, including the edge cases:
+  * left-to-right summation (bit-for-bit equal sums, so all oracle hashes
+  * are unchanged), NULL when the lengths differ (zip_with null-pads the
+  * shorter side, and the fold of a null product is null), and NULL when
+  * either array contains a null element. The null checks are emitted
+  * only when the input type's containsNull says they can occur — dense
+  * embeddings keep the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,13 +37,27 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // null is produced for non-null inputs of mismatched length, so the
+  // expression is nullable regardless of child nullability
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -54,13 +69,24 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      // static fast path: the per-element null branch exists only when the
+      // input type admits null elements
+      val nullCheck =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -13,7 +13,7 @@ import graft.expr.{DotProduct, RiskScore, TopKValuesAgg}
   */
 object GraftFunctions {
 
-  private val riskScoreBuilder: Seq[Expression] => Expression = { exprs =>
+  private[functions] val riskScoreBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 1, "risk_score expects exactly one argument")
     RiskScore(exprs.head)
   }
@@ -27,7 +27,7 @@ object GraftFunctions {
     TopKValuesAgg(exprs.head, k)
   }
 
-  private val dotProductBuilder: Seq[Expression] => Expression = { exprs =>
+  private[functions] val dotProductBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, "dot_product expects exactly two arguments")
     DotProduct(exprs.head, exprs(1))
   }
@@ -51,15 +51,17 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // same builders as the session-level path, so a wrong argument count
+    // fails the arity require instead of an IndexOutOfBoundsException
     ext.injectFunction((
       FunctionIdentifier("risk_score"),
       new ExpressionInfo(classOf[RiskScore].getName, "risk_score"),
-      exprs => RiskScore(exprs.head),
+      GraftFunctions.riskScoreBuilder,
     ))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      exprs => DotProduct(exprs.head, exprs(1)),
+      GraftFunctions.dotProductBuilder,
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.

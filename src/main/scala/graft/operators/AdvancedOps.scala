@@ -47,22 +47,36 @@ object AdvancedOps {
       .orderBy(col("purchase_event_id"))
   }
 
-  /** Range/theta join: orders banded by a literal price-band dimension
-    * (lo <= price < hi). The band table is tiny → broadcast nested-loop,
-    * the only sane physical plan for a non-equi join against a literal
-    * dim.
+  /** Range join via INTERVAL BINNING — the scale-true formulation of a
+    * point-in-interval join: each band is exploded into the fixed-width
+    * (50k) bins it covers, the fact side computes its bin with one
+    * map-side floor-division (clamped into the open-ended top band), and
+    * the join is a plain EQUI join on the bin with the exact range as a
+    * residual filter. No nested-loop stage: the pairwise work is keyed,
+    * so at 100 TB this is a BroadcastHashJoin (tiny dim) or shuffle on
+    * the bin (big×big intervals), never O(n·bands) condition evaluation
+    * per row.
     */
   def ordersByPriceBand(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val binWidth = 50000d
+    val maxBin = 6L // bins 0..5 cover [0, 300k); everything >= 300k clamps to 6
+    // (band, lo, hi, binLo, binHi): bin bounds precomputed from the
+    // literal edges — bin i covers [i*50k, (i+1)*50k)
     val bands = Seq(
-      ("p0_50k", 0d, 50000d),
-      ("p50k_150k", 50000d, 150000d),
-      ("p150k_300k", 150000d, 300000d),
-      ("p300k_plus", 300000d, Double.MaxValue),
-    ).toDF("band", "lo", "hi")
+      ("p0_50k", 0d, 50000d, 0L, 0L),
+      ("p50k_150k", 50000d, 150000d, 1L, 2L),
+      ("p150k_300k", 150000d, 300000d, 3L, 5L),
+      ("p300k_plus", 300000d, Double.MaxValue, 6L, 6L),
+    ).toDF("band", "lo", "hi", "bin_lo", "bin_hi")
+    val bandBins = bands
+      .withColumn("bin", explode(sequence(col("bin_lo"), col("bin_hi"))))
+      .select(col("band"), col("lo"), col("hi"), col("bin"))
     Tables.orders(spark, dir)
-      .join(broadcast(bands),
-        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .withColumn("bin",
+        least(floor(col("o_totalprice") / binWidth), lit(maxBin)).cast("long"))
+      .join(broadcast(bandBins), Seq("bin"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_price"))

@@ -140,22 +140,23 @@ object DashboardOps {
     * hashable result set.
     */
   def dashboardPayload(spark: SparkSession, dir: String): DataFrame = {
-    scoredDocuments(spark, dir).cache().createOrReplaceTempView("graft_scored")
-    spark.sql(
+    val scored = scoredDocuments(spark, dir).cache()
+    scored.createOrReplaceTempView("graft_dashboard_scored")
+    val payload = spark.sql(
       """SELECT 'stats' AS section, 'all' AS key,
            CAST(count(*) AS BIGINT) AS n, round(avg(risk_score), 2) AS metric
-         FROM graft_scored
+         FROM graft_dashboard_scored
          UNION ALL
          SELECT 'stats', 'avg_chars', CAST(count(*) AS BIGINT), round(avg(n_chars), 2)
-         FROM graft_scored
+         FROM graft_dashboard_scored
          UNION ALL
          SELECT 'stats', 'high_risk',
            CAST(sum(CASE WHEN risk_score >= 30 THEN 1 ELSE 0 END) AS BIGINT),
            CAST(NULL AS DOUBLE)
-         FROM graft_scored
+         FROM graft_dashboard_scored
          UNION ALL
          SELECT 'lang', lang, CAST(count(*) AS BIGINT), round(avg(risk_score), 2)
-         FROM graft_scored GROUP BY lang
+         FROM graft_dashboard_scored GROUP BY lang
          UNION ALL
          SELECT 'hist', b.bucket, CAST(coalesce(c.n, 0) AS BIGINT), CAST(NULL AS DOUBLE)
          FROM (VALUES ('0-9'), ('10-19'), ('20-29'), ('30+')) AS b(bucket)
@@ -164,7 +165,7 @@ object DashboardOps {
                        WHEN risk_score < 20 THEN '10-19'
                        WHEN risk_score < 30 THEN '20-29'
                        ELSE '30+' END AS bucket, count(*) AS n
-           FROM graft_scored GROUP BY 1) c
+           FROM graft_dashboard_scored GROUP BY 1) c
          ON b.bucket = c.bucket
          UNION ALL
          SELECT 'recent', CAST(doc_id AS STRING), CAST(rn AS BIGINT),
@@ -175,8 +176,17 @@ object DashboardOps {
                  -- WindowExec single-partition warning is about this
                  -- bounded frame)
                  row_number() OVER (ORDER BY doc_id DESC) AS rn
-               FROM (SELECT doc_id, risk_score FROM graft_scored
+               FROM (SELECT doc_id, risk_score FROM graft_dashboard_scored
                      ORDER BY doc_id DESC LIMIT 10))
          ORDER BY section, key""")
+    // Materialize the (22-row) payload eagerly so neither the scored
+    // cache nor the temp view outlives the call in a shared session:
+    // localCheckpoint pins the tiny result, the corpus-sized cache is
+    // released, and the namespaced view is dropped. One corpus scan +
+    // risk pass per refresh, no session-level residue.
+    val out = payload.localCheckpoint(true)
+    scored.unpersist()
+    spark.catalog.dropTempView("graft_dashboard_scored")
+    out
   }
 }

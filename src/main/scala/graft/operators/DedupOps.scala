@@ -40,11 +40,13 @@ object DedupOps {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir).orderBy(col("doc_id"))
 
-  /** LSH band join on the MinHash signature: 4 bands of 2 minhashes;
-    * docs colliding in any band are candidate pairs. Output is the
-    * bucket census (band, bucket, n_docs) for buckets with >1 doc.
+  /** One row per (doc, band): the LSH bucket key for each of 4 bands of
+    * 2 minhashes. This is the candidate generator every text-similarity
+    * query shares: docs colliding in any (band, bucket) are near-dup
+    * candidates, and at scale the (band, bucket) pair is the shuffle key
+    * — no pairwise stage ever sees a non-colliding pair.
     */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+  private def bandBuckets(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir)
       .withColumn("bands", expr(
         """transform(sequence(0, 3), b -> struct(b AS band,
@@ -57,7 +59,15 @@ object DedupOps {
       // outer generator is exempt from that rule and semantically
       // identical here.
       .select(col("doc_id"), explode_outer(col("bands")).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** LSH band join on the MinHash signature: 4 bands of 2 minhashes;
+    * docs colliding in any band are candidate pairs. Output is the
+    * bucket census (band, bucket, n_docs) for buckets with >1 doc.
+    */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandBuckets(spark, dir)
+      .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("n_docs") > 1)
       .orderBy(col("band"), col("bucket"))
@@ -77,38 +87,89 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Word-bigram Jaccard similarity, sampled pairs (every-50th doc as the
-    * left side vs all later docs). DELIBERATELY the small-scale
-    * brute-force oracle twin for the Jaccard math; at scale, candidate
-    * pairs come from a bucket pre-join (minhashBands collisions /
-    * SimilarityOps.bucketedNearDup shape) and exact Jaccard runs only
-    * within buckets. NOTE the synthetic corpus makes full band-join
-    * pair enumeration degenerate (shuffled-word duplicates collapse
-    * minhash buckets — see MlOps.tokensetDedup for the fingerprint
-    * formulation that handles exactly that case with no pair stage).
-    * inter/union via distinct-array algebra; union = |A|+|B|-|A∩B| so
-    * no cross-system array ordering matters.
-    */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+  /** Distinct word bigrams per document — the exact-similarity unit the
+    * Jaccard scorers share. */
+  private def bigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", expr(
         """CASE WHEN size(toks) < 2 THEN array()
            ELSE array_distinct(transform(sequence(1, size(toks) - 1), i ->
              concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"""))
       .select(col("doc_id"), col("grams"))
-    val left = grams.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
-    val pairs = grams
-      .join(broadcast(left), col("doc_id") > col("a_id"))
-      .withColumn("inter", size(array_intersect(col("a_grams"), col("grams"))))
-      .withColumn("uni", size(col("a_grams")) + size(col("grams")) - col("inter"))
-    pairs
-      .select(
-        col("a_id"), col("doc_id").as("b_id"),
-        round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6)
-          .as("jaccard"),
-      )
+
+  /** Exact word-bigram Jaccard over a candidate pair frame (a_id, b_id):
+    * two equi-joins to fetch each side's gram set, then distinct-array
+    * algebra. inter/union via |A|+|B|-|A∩B| so no cross-system array
+    * ordering matters; the threshold (when set) filters on the ROUNDED
+    * score so boundary pairs cannot flip between engines on ulp drift.
+    */
+  private def scoreJaccard(spark: SparkSession, dir: String,
+      candidates: DataFrame, threshold: Option[Double]): DataFrame = {
+    val g = bigrams(spark, dir)
+    val scored = candidates
+      .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
+      .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
+    threshold.fold(scored)(t => scored.filter(col("jaccard") >= t))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Word-bigram Jaccard for a sampled probe set (every-50th doc),
+    * scored only against its MinHash band-collision candidates: the
+    * probe side's (band, bucket) keys equi-join the full corpus's band
+    * table, colliding later-id docs become the distinct candidate pairs,
+    * and exact Jaccard runs on those pairs alone. No broadcast of
+    * anything O(n), no inequality join — at 100 TB the shuffle keys are
+    * (band, bucket) and doc_id, and the pairwise stage is bounded by
+    * collisions, not corpus size. (This replaced the round-2 brute-force
+    * broadcast-sample formulation; [[bucketedJaccard]] is the unsampled
+    * full-corpus variant with a per-bucket cap.)
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandBuckets(spark, dir)
+    val probes = bands.filter(col("doc_id") % 50 === 0)
+      .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val candidates = bands.join(probes, Seq("band", "bucket"))
+      .filter(col("doc_id") > col("a_id"))
+      // a pair can collide in several bands — dedup BEFORE the expensive
+      // exact-Jaccard stage, not after
+      .select(col("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+    scoreJaccard(spark, dir, candidates, threshold = None)
+  }
+
+  /** Full-corpus bucketed exact Jaccard — the text twin of
+    * SimilarityOps.bucketedNearDup: MinHash band collisions generate
+    * candidates, a per-bucket cap (first `cap` doc_ids per band bucket)
+    * bounds the pairwise stage at cap²/2 per bucket, and exact bigram
+    * Jaccard runs within buckets only. The cap is what makes degenerate
+    * buckets safe: this corpus's shuffled-word duplicates collapse whole
+    * clusters into one bucket (1477 docs share a signature at sf0.1 —
+    * see tokensetDedup for why fingerprint dedup is the right tool for
+    * FULL-set equivalence), and without a cap that one bucket would
+    * plan 1.1M pairs. At 100 TB: shuffle on (band, bucket), window-ranked
+    * cap (WindowGroupLimit — each side keeps ≤ cap rows per bucket),
+    * pair fan-out bounded by construction.
+    */
+  def bucketedJaccard(spark: SparkSession, dir: String,
+      cap: Int = 20, threshold: Double = 0.1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val capped = bandBuckets(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    scoreJaccard(spark, dir, candidates, threshold = Some(threshold))
   }
 }

@@ -32,17 +32,22 @@ object MlOps {
   /** ML-2: TF-IDF top-3 terms per document.
     * score = tf * ln((N+1)/(df+1)), rounded to 6 dp BEFORE ranking so the
     * rank order is identical under any ulp-level math drift vs the oracle.
-    * df (vocabulary-sized) and the one-row N are both broadcast.
+    * df (vocabulary-sized) is broadcast; the corpus size N is fetched
+    * ONCE as a driver-side scalar — a metadata-only parquet count, the
+    * same bounded-scalar pattern as the CC loop's convergence check —
+    * and inlined as a literal, so the plan has no unkeyed 1-row join
+    * stage at all (a cross-joined scalar frame plans as a
+    * BroadcastNestedLoopJoin, the shape the registry invariant bans).
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val tf = docTerms(spark, dir)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.documents(spark, dir).count()
     val scored = tf
       .join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(nDocs))
+      .withColumn("n_docs", lit(nDocs))
       .withColumn("score",
         round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
@@ -64,15 +69,6 @@ object MlOps {
       .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("text_md5"))
 
-  /** ML-3 at the canonical-form tier: dedup by the md5 of the SORTED
-    * DISTINCT token set. Catches reordered/shuffled near-copies that
-    * byte-exact hashing misses (this corpus is full of them: 500 docs →
-    * 446 token sets at sf0.01) with the SAME scale shape as hashDedup —
-    * one map-side fingerprint, one group-by on a 16-byte digest, no
-    * pairwise stage at all. Pairwise similarity (MinHash & co) is only
-    * worth its candidate-pair cost for *partial* overlap; whole-set
-    * equivalence belongs in a canonical-fingerprint group-by.
-    */
   /** The dedup MANIFEST — what a downstream pipeline actually consumes:
     * every document with its canonical-cluster representative and a
     * keep/drop verdict. One shuffle on the fingerprint (window min), no
@@ -93,6 +89,15 @@ object MlOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ML-3 at the canonical-form tier: dedup by the md5 of the SORTED
+    * DISTINCT token set. Catches reordered/shuffled near-copies that
+    * byte-exact hashing misses (this corpus is full of them: 500 docs →
+    * 446 token sets at sf0.01) with the SAME scale shape as hashDedup —
+    * one map-side fingerprint, one group-by on a 16-byte digest, no
+    * pairwise stage at all. Pairwise similarity (MinHash & co) is only
+    * worth its candidate-pair cost for *partial* overlap; whole-set
+    * equivalence belongs in a canonical-fingerprint group-by.
+    */
   def tokensetDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("text"), col("doc_id")))
       .select(

@@ -56,25 +56,31 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, sampled
-    * left side (every 20th vector vs all later ids). DELIBERATELY the
-    * small-scale brute-force twin: it exists as an oracle baseline for
-    * the scoring math. The production path is [[bucketedNearDup]]
-    * (shuffle-by-bucket candidates, no O(n) broadcast) — which is what
-    * the flagship chain (`q_neardup_components`) consumes. The filter
-    * runs on the ROUNDED score so a pair sitting exactly at the
-    * threshold cannot flip between engines on ulp drift.
+  /** Embedding-cosine near-duplicate pairs for a sampled probe set
+    * (every 20th vector), derived from the SAME sign-bucket candidate
+    * generator as [[bucketedNearDup]]: the sampled side equi-joins the
+    * corpus ON THE BUCKET, later-id collisions are scored exactly, and
+    * the threshold filters on the ROUNDED score so a boundary pair
+    * cannot flip between engines on ulp drift. No O(n) broadcast, no
+    * inequality-only join — the probe side is small so AQE broadcasts
+    * it as a BroadcastHashJoin at bench scale and falls back to a
+    * shuffle on the bucket key beyond the size gate. (This replaced the
+    * round-2 brute-force broadcast-sample formulation.)
     */
   def cosineNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    val left = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("a_id"), col("v").as("av"), col("nv").as("na"))
-    e.join(broadcast(left), col("vec_id") > col("a_id"))
-      .withColumn("dot", dot(col("v"), col("av")))
-      .withColumn("cosine", round(col("dot") / (col("nv") * col("na")), 6))
+    val e = embDouble(spark, dir)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", bucketExpr)
+    val probes = e.filter(col("vec_id") % 20 === 0)
+      .select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"), col("nv").as("na"))
+    e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"), col("nv").as("nb"))
+      .join(probes, Seq("bucket"))
+      .filter(col("b_id") > col("a_id"))
+      .withColumn("dot", dot(col("av"), col("bv")))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("vec_id").as("b_id"), col("cosine"))
+      .select(col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -138,8 +144,8 @@ object SimilarityOps {
     * bucket so a pair is generated at most once — no distinct needed.
     * This is the 100-TB formulation: the shuffle key is the bucket, the
     * pairwise stage is sum over buckets of |bucket|², and bucket width
-    * (number of sign bits) tunes that fan-in. cosineNearDup is the
-    * brute-force small-scale twin kept as an oracle baseline.
+    * (number of sign bits) tunes that fan-in. [[cosineNearDup]] is the
+    * sampled-probe variant over the same candidate generator.
     */
   def bucketedNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {

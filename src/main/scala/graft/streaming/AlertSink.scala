@@ -24,9 +24,12 @@ class AlertSink(threshold: Int = 30, maxAlerts: Int = 1000) extends Serializable
 
   def alertRows: Seq[Row] = synchronized(alerts.toSeq)
 
-  /** Append the batch's high-risk slice, newest kept under the cap. */
+  /** Append the batch's high-risk slice, newest kept under the cap.
+    * The limit applies EXECUTOR-side (before collect), so an alert-storm
+    * micro-batch transfers at most maxAlerts rows to the driver — the
+    * ring buffer can never retain more than that anyway. */
   def update(batch: DataFrame, batchId: Long): Unit = {
-    val hi = batch.filter(col("risk_score") >= threshold).collect()
+    val hi = batch.filter(col("risk_score") >= threshold).limit(maxAlerts).collect()
     synchronized {
       hi.foreach { r =>
         alerts.append(r)

@@ -24,6 +24,13 @@ class DotProductExprSpec extends AnyFunSuite {
     val nullArr = Literal.create(null,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
     assert(DotProduct(lit(1.0), nullArr).eval(null) === null)
+    // HOF edge-case parity: zip_with null-pads mismatched lengths and a
+    // null product nulls the fold — both must yield NULL, not a partial sum
+    assert(DotProduct(lit(1.0, 2.0), lit(1.0)).eval(null) === null)
+    val withNullElem = Literal.create(
+      ArrayData.toArrayData(Array[Any](1.0, null)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, true))
+    assert(DotProduct(withNullElem, lit(3.0, 4.0)).eval(null) === null)
   }
 
   test("codegen path is bit-identical to the HOF formulation on embeddings") {
@@ -36,5 +43,9 @@ class DotProductExprSpec extends AnyFunSuite {
     // exceptAll compares doubles exactly — any summation-order or ulp
     // difference would surface here
     assert(viaExpr.exceptAll(viaHof).isEmpty && viaHof.exceptAll(viaExpr).isEmpty)
+    // codegen length-mismatch branch: shorter-vs-full must be NULL, same
+    // as the zip_with null-padding the HOF form produces
+    val edge = e.selectExpr("dot_product(slice(v, 1, 4), v) AS d")
+    assert(edge.filter("d IS NOT NULL").count() === 0)
   }
 }

@@ -82,6 +82,28 @@ class PlanSpec extends AnyFunSuite {
       s"non-equi pair stage:\n$p")
   }
 
+  test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
+    // The registry-wide scale invariant: every pairwise stage must be
+    // keyed (equi-join) so its cost is bounded by collisions, never by
+    // corpus size. The only tolerated nested-loop joins are those whose
+    // broadcast side is CONSTANT-BOUNDED by construction (a fixed probe
+    // set, not a corpus sample): O(n·k) with k a literal in the query.
+    val constantSideBnl = Set(
+      "q_knn_cosine", // broadcast side = 5 fixed query vectors (vec_id < 5)
+      "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if constantSideBnl(name) => None
+      case (name, fn) =>
+        val p = plan(fn(spark, dir))
+        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"unkeyed pair stages in registry queries: ${offenders.mkString(", ")}")
+  }
+
   test("json prop extraction fans out before the per-row parse") {
     // Testdata parquet is single-split; without the round-robin exchange
     // every get_json_object runs in ONE task.
