@@ -23,7 +23,8 @@ object Profile {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink (not count) so map-only projections are not pruned away
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-28s ${times.map(t => f"$t%.2f").mkString("  ")}")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.model.Tables
-import graft.operators.{AdvancedOps, DashboardOps, DedupOps, MlOps, MultimodalOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
+import graft.operators.{AdvancedOps, BehaviorOps, DashboardOps, DedupOps, MlOps, MultimodalOps, RelationalOps, SimilarityOps, TextAnalysisOps, TimeWindowOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,7 @@ object SparkEntry {
     "q_window_session"  -> ((s, d) => TimeWindowOps.sessions(s, d)),
     // ---- ML / training-data pipeline set (SURVEY.md §2.11)
     "q_term_counts"     -> ((s, d) => MlOps.termCounts(s, d)),
+    "q_bm25_top_terms"  -> ((s, d) => MlOps.bm25TopTerms(s, d)),
     "q_tfidf_top_terms" -> ((s, d) => MlOps.tfidfTopTerms(s, d)),
     "q_hash_dedup"      -> ((s, d) => MlOps.hashDedup(s, d)),
     "q_tokenset_dedup"  -> ((s, d) => MlOps.tokensetDedup(s, d)),
@@ -79,6 +80,11 @@ object SparkEntry {
     "q_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
+    "q_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
+    "q_minhash_est_exact" -> ((s, d) => DedupOps.minhashEstVsExact(s, d)),
+    // ---- behavioral analytics over the event log
+    "q_funnel"          -> ((s, d) => BehaviorOps.funnel(s, d)),
+    "q_retention_cohorts" -> ((s, d) => BehaviorOps.retentionCohorts(s, d)),
     "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
     "q_multimodal_features" -> ((s, d) => MultimodalOps.features(s, d)),
     "q_lang_profile"    -> ((s, d) => TextAnalysisOps.langProfile(s, d)),
@@ -930,6 +936,104 @@ object SparkEntry {
             SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node)
           SELECT node, min(label) AS component
           FROM reach GROUP BY node ORDER BY node""",
+    "q_funnel" ->
+      """WITH e AS (
+            SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+          fv AS (
+            SELECT user_id, min(ts_us) AS first_view FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+          fc AS (
+            SELECT e.user_id, min(ts_us) AS first_click FROM e JOIN fv USING (user_id)
+            WHERE event_type = 'click' AND ts_us > first_view GROUP BY e.user_id),
+          fp AS (
+            SELECT e.user_id, min(ts_us) AS first_purchase FROM e JOIN fc USING (user_id)
+            WHERE event_type = 'purchase' AND ts_us > first_click GROUP BY e.user_id)
+          SELECT stage, n_users FROM (
+            SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM fv
+            UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM fc
+            UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM fp)
+          ORDER BY stage""",
+    "q_retention_cohorts" ->
+      """WITH d AS (
+            SELECT DISTINCT user_id,
+              (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+          c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+          SELECT cohort_day, day - cohort_day AS day_offset,
+            CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+          FROM d JOIN c USING (user_id)
+          GROUP BY cohort_day, day_offset
+          ORDER BY cohort_day, day_offset""",
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT label, v, unnest(range(0, len(v))) AS dim FROM e)
+          SELECT label, CAST(dim AS INTEGER) AS dim,
+            round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS centroid,
+            CAST(count(*) AS BIGINT) AS n_vectors
+          FROM x GROUP BY label, dim ORDER BY label, dim""",
+    "q_minhash_est_exact" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          p AS (SELECT doc_id, string_split(signature, ',') AS parts FROM sig),
+          ts AS (
+            SELECT doc_id,
+              list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+            FROM documents)
+          SELECT a_id, b_id,
+            round(len(list_filter(range(1, 9), i ->
+              pa.parts[CAST(i AS INTEGER)] = pb.parts[CAST(i AS INTEGER)])) / 8.0, 6)
+              AS est_jaccard,
+            round(len(list_intersect(ta.toks, tb.toks)) * 1.0 /
+              CASE WHEN len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) = 0
+                   THEN 1
+                   ELSE len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) END,
+              6) AS exact_jaccard
+          FROM cand
+          JOIN p pa ON pa.doc_id = a_id JOIN p pb ON pb.doc_id = b_id
+          JOIN ts ta ON ta.doc_id = a_id JOIN ts tb ON tb.doc_id = b_id
+          ORDER BY a_id, b_id""",
+    "q_bm25_top_terms" ->
+      """WITH tt AS (
+            SELECT doc_id, term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+            WHERE term <> ''),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl),
+          scored AS (
+            SELECT tf.doc_id, tf.term,
+              round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+                (tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
+          SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rn FROM scored)
+          WHERE rn <= 3 ORDER BY doc_id, rn""",
     "q_dispersion" ->
       """SELECT event_type,
           round(stddev_samp(value), 4) AS stddev_value,

@@ -230,7 +230,13 @@ object AdvancedOps {
     ev(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        // rsd 0.05 (the engine default), NOT 0.01: HLL++ register count
+        // grows ~1/rsd² — at 0.01 the aggregation buffer is 1639 longs
+        // PER GROUP and every row update drags that row through the
+        // imperative-aggregate path (~5× the whole-query time). The
+        // sketch's job here is the cardinality-vs-exact comparison, not
+        // 1% error.
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
       )
       .orderBy(col("event_type"))

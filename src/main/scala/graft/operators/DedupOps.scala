@@ -157,7 +157,18 @@ object DedupOps {
     * pair fan-out bounded by construction.
     */
   def bucketedJaccard(spark: SparkSession, dir: String,
-      cap: Int = 20, threshold: Double = 0.1): DataFrame = {
+      cap: Int = 20, threshold: Double = 0.1): DataFrame =
+    scoreJaccard(spark, dir, cappedBandCandidates(spark, dir, cap),
+      threshold = Some(threshold))
+
+  /** Distinct (a_id, b_id) candidate pairs from MinHash band collisions,
+    * with the first `cap` doc_ids per (band, bucket) kept (row_number →
+    * WindowGroupLimit, so each side holds ≤ cap rows per bucket in
+    * memory). The cap bounds the pairwise fan-out at cap²/2 per bucket
+    * regardless of how degenerate a bucket gets.
+    */
+  private def cappedBandCandidates(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
     val capped = bandBuckets(spark, dir)
@@ -166,10 +177,39 @@ object DedupOps {
       .select(col("band"), col("bucket"), col("doc_id"))
     val a = capped.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val b = capped.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    scoreJaccard(spark, dir, candidates, threshold = Some(threshold))
+  }
+
+  /** MinHash estimator quality: for the capped band-collision pairs, the
+    * ESTIMATED Jaccard (fraction of the 8 signature components that
+    * agree — the quantity LSH actually thresholds on) side by side with
+    * the EXACT distinct-token-set Jaccard it estimates. The pair set,
+    * both signature fetches, and both token-set fetches are all plain
+    * equi-joins on doc_id; estimates are exact eighths so the 6-dp round
+    * cannot drift between engines.
+    */
+  def minhashEstVsExact(spark: SparkSession, dir: String,
+      cap: Int = 20): DataFrame = {
+    val sig = signatures(spark, dir)
+      .select(col("doc_id"), split(col("signature"), ",").as("parts"))
+    val toks = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokensCol.as("toks"))
+    cappedBandCandidates(spark, dir, cap)
+      .join(sig.select(col("doc_id").as("a_id"), col("parts").as("a_parts")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("parts").as("b_parts")), Seq("b_id"))
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
+      .withColumn("est_jaccard", round(expr(
+        """size(filter(sequence(1, 8), i ->
+             element_at(a_parts, i) = element_at(b_parts, i)))""") / 8.0, 6))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
+      .withColumn("exact_jaccard",
+        round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("exact_jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 }

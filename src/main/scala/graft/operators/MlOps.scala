@@ -58,6 +58,46 @@ object MlOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** ML-2 extension: BM25 top-3 terms per document — TF-IDF's saturating
+    * big sibling (Okapi BM25, k1=1.2, b=0.75):
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    * Same join shape as TF-IDF plus a doc-length join keyed on doc_id;
+    * the two corpus scalars (N, total tokens → avgdl) are driver-side
+    * bounded aggregates inlined as literals. All numeric constants are
+    * spelled as the SAME decimal literals in the oracle SQL so both
+    * engines parse identical doubles, and the score is rounded BEFORE
+    * ranking so rank order cannot flip on ulp drift.
+    */
+  def bm25TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docTerms(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val nDocs = stats.getLong(0)
+    // exact int64 sum / int64 count → the identical IEEE double on any
+    // engine that evaluates the same division
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** ML-3: exact near-zero-cost dedup via content hash: one surviving
     * doc per md5(text). At 100 TB this is THE first dedup pass — hash
     * group-by shuffles 16-byte digests, never the documents themselves.

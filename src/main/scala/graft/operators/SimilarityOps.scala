@@ -165,6 +165,22 @@ object SimilarityOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Per-label centroid — the k-means update step over labeled
+    * embeddings: posexplode to (label, dim, x), then one partial+final
+    * hash aggregate per (label, dim) cell. Map-side partials mean each
+    * partition contributes ONE accumulator per (label, dim) — at 100 TB
+    * the shuffle carries #labels × #dims running sums per partition, not
+    * vectors. (A fixed-width vector-sum UDAF would shave the explode
+    * fan-out; the exploded form keeps the whole step in codegen'd
+    * Column algebra.)
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
+      .orderBy(col("label"), col("dim"))
+
   /** LSH-bucketed near-neighbor candidates: bucket every vector by the
     * sign pattern of its first 8 dimensions (a fixed coarse random-
     * hyperplane surrogate), then count collisions per bucket. At scale

@@ -74,7 +74,10 @@ object TextAnalysisOps {
     * with a sum that any engine reproduces exactly in int64.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // fanOut: the per-character fold below is the per-row CPU hot spot of
+    // the whole text tier, and the single-split scan would run it in one
+    // task
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("fingerprint", expr(
         """aggregate(sequence(1, length(text)), cast(0 AS bigint),
              (acc, i) -> (acc + ascii(substring(text, i, 1)) * i) % 1000000007)"""))
