@@ -58,6 +58,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** All testdata table names, in TESTDATA.md order. */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so the whole engine is
+    * drivable from plain `spark.sql(...)` — the SQL API surface of the
+    * library. Views are lazy scans: each query still gets full pruning /
+    * pushdown, and `events` goes through the nanos-safe loader.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { name =>
+      val df = if (name == "events") events(spark, dir) else table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+
   /** The reference's wire schema for a Reddit post
     * (reference: spark_jobs/preprocessing_streaming.py:75-86). `created_utc`
     * is deliberately DoubleType (epoch seconds) and `timestamp` a bare

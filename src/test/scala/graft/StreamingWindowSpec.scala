@@ -50,4 +50,39 @@ class StreamingWindowSpec extends AnyFunSuite {
       assert(rows.contains("2025-01-01 10:30:00.0"))
     } finally q.stop()
   }
+
+  test("watermarked session window merges gap-joined events and finalizes per user") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val agg = input.toDF().toDF("user", "ts")
+      .withWatermark("ts", "10 minutes")
+      // 5-minute gap: events closer than the gap merge into one session,
+      // and the session interval is [first, last + gap)
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      // u1: 10:00, 10:03, 10:06 chain into ONE session (each gap < 5 min);
+      // u2: 10:00 alone
+      input.addData(("u1", ts(0)), ("u1", ts(3)), ("u1", ts(6)), ("u2", ts(0)))
+      q.processAllAvailable()
+      // advance the watermark past every session's close
+      input.addData(("u3", ts(45)))
+      q.processAllAvailable()
+      val rows = spark.table("sesswin").collect()
+        .map(r => r.getAs[String]("user") ->
+          ((r.getAs[Timestamp]("s_start").toString,
+            r.getAs[Timestamp]("s_end").toString,
+            r.getAs[Long]("n"))))
+        .toMap
+      // one merged session per user, end = last event + gap
+      assert(rows("u1") === (("2025-01-01 10:00:00.0", "2025-01-01 10:11:00.0", 3L)),
+        s"session chain did not merge: $rows")
+      assert(rows("u2") === (("2025-01-01 10:00:00.0", "2025-01-01 10:05:00.0", 1L)))
+      assert(!rows.contains("u3"), "open session must not emit in append mode")
+    } finally q.stop()
+  }
 }
