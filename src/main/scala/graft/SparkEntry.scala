@@ -105,6 +105,7 @@ object SparkEntry {
     "q_argmax"          -> ((s, d) => AdvancedOps.extremeEventPerType(s, d)),
     "q_topk_values"     -> ((s, d) => topKValuesQuery(s, d)),
     "q_percentiles"     -> ((s, d) => AdvancedOps.valuePercentiles(s, d)),
+    "q_iqr_outliers"    -> ((s, d) => AdvancedOps.iqrOutliers(s, d)),
     "q_dispersion"      -> ((s, d) => AdvancedOps.valueDispersion(s, d)),
     "q_neardup_components" -> ((s, d) => graft.operators.GraphOps.nearDupComponents(s, d)),
     "q_left_join_nulls" -> ((s, d) => RelationalOps.customerOrderSummary(s, d)),
@@ -893,6 +894,28 @@ object SparkEntry {
           round(quantile_cont(value, 0.99), 6) AS p99,
           CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_iqr_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+          r AS (
+            SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM e),
+          f AS (
+            SELECT event_type,
+              min(CASE WHEN rn = (n - 1) // 4 + 1 THEN value END) AS p25,
+              min(CASE WHEN rn = (n - 1) * 3 // 4 + 1 THEN value END) AS p75
+            FROM r GROUP BY event_type),
+          f2 AS (
+            SELECT event_type, p25 - 1.5 * (p75 - p25) AS lo,
+              p75 + 1.5 * (p75 - p25) AS hi
+            FROM f)
+          SELECT e.event_type, round(min(lo), 6) AS lo, round(min(hi), 6) AS hi,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_outliers
+          FROM e JOIN f2 USING (event_type)
+          GROUP BY e.event_type ORDER BY e.event_type""",
     "q_bucketed_neardup" ->
       """WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -226,6 +226,41 @@ object AdvancedOps {
     * shuffle). No DuckDB oracle — sketch estimates are
     * implementation-specific; the driver records a rows-only check.
     */
+  /** IQR outlier census per event type — the robust-statistics filter a
+    * data-quality pass runs before training. Quartiles are EXACT ORDER
+    * STATISTICS (the value at rank floor((n-1)·q)+1), not interpolated
+    * percentiles: the fence is then an actual data value, bit-identical
+    * on any engine, so the < / > comparisons below cannot flip on the
+    * ulp drift interpolation would introduce. Shape: one window shuffle
+    * for ranks, a 5-row fence broadcast, one counting scan.
+    */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val fences = e
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === expr("(n - 1) div 4 + 1"), col("value"))).as("p25"),
+        min(when(col("rn") === expr("(n - 1) * 3 div 4 + 1"), col("value"))).as("p75"),
+      )
+      .withColumn("lo", col("p25") - lit(1.5) * (col("p75") - col("p25")))
+      .withColumn("hi", col("p75") + lit(1.5) * (col("p75") - col("p25")))
+      .select(col("event_type"), col("lo"), col("hi"))
+    e.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(min(col("lo")), 6).as("lo"),
+        round(min(col("hi")), 6).as("hi"),
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+      )
+      .orderBy(col("event_type"))
+  }
+
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     ev(spark, dir)
       .groupBy(col("event_type"))

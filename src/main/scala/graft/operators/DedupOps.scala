@@ -106,7 +106,13 @@ object DedupOps {
     */
   private def scoreJaccard(spark: SparkSession, dir: String,
       candidates: DataFrame, threshold: Option[Double]): DataFrame = {
-    val g = bigrams(spark, dir)
+    // localCheckpoint: the gram table feeds BOTH sides of the pair join
+    // and Catalyst does not reuse the subtree across the two aliases —
+    // without it the whole tokenize+distinct pass runs twice. This is
+    // the feature-store pattern: materialize the per-doc feature table
+    // once, join it many times. (Blocks are freed by the context cleaner
+    // once the query's result is materialized and dereferenced.)
+    val g = bigrams(spark, dir).localCheckpoint()
     val scored = candidates
       .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
@@ -131,7 +137,9 @@ object DedupOps {
     * full-corpus variant with a per-bucket cap.)
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandBuckets(spark, dir)
+    // one minhash pass, not two: the band table is probe side AND corpus
+    // side of the collision join (see scoreJaccard's note)
+    val bands = bandBuckets(spark, dir).localCheckpoint()
     val probes = bands.filter(col("doc_id") % 50 === 0)
       .select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val candidates = bands.join(probes, Seq("band", "bucket"))
@@ -175,6 +183,9 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
       .select(col("band"), col("bucket"), col("doc_id"))
+      // both sides of the pair self-join read this (tiny, ≤ 4n×3-col)
+      // frame; materialize so the signature+window pass runs once
+      .localCheckpoint()
     val a = capped.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
     val b = capped.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     a.join(b, Seq("band", "bucket"))
@@ -195,8 +206,10 @@ object DedupOps {
       cap: Int = 20): DataFrame = {
     val sig = signatures(spark, dir)
       .select(col("doc_id"), split(col("signature"), ",").as("parts"))
+      .localCheckpoint() // joined for both pair sides — one minhash pass
     val toks = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokensCol.as("toks"))
+      .localCheckpoint() // ditto for the token sets
     cappedBandCandidates(spark, dir, cap)
       .join(sig.select(col("doc_id").as("a_id"), col("parts").as("a_parts")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("parts").as("b_parts")), Seq("b_id"))

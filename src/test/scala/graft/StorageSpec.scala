@@ -74,6 +74,24 @@ class StorageSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("maxRecordsPerFile shards the corpus write into bounded training shards") {
+    // Training readers want many bounded shards, not one file per task:
+    // the writer must split a partition's output at the record cap.
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .coalesce(1) // worst case: all rows arrive at ONE write task
+    val base = Files.createTempDirectory("shards").toString + "/corpus"
+    docs.write.mode("overwrite")
+      .option("maxRecordsPerFile", 20)
+      .parquet(base)
+    val files = new java.io.File(base).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val total = docs.count()
+    assert(files.length >= (total / 20).toInt,
+      s"expected >= ${total / 20} shards for $total rows, got ${files.length}")
+    assert(spark.read.parquet(base).count() === total)
+  }
+
   test("csv and json sinks round-trip the documents sample") {
     val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
       .select(col("doc_id"), col("lang"), col("n_chars"))
