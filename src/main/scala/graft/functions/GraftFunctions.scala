@@ -66,5 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.
     ext.injectOptimizerRule(_ => graft.expr.RiskScoreRewrite)
+    // Fold the aggregate(zip_with(...)) dot-product spelling into the
+    // native codegen'd kernel.
+    ext.injectOptimizerRule(_ => graft.expr.DotProductRewrite)
   }
 }

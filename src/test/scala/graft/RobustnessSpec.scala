@@ -37,6 +37,44 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one key owns ~all the rows: the classic skew that stalls a static
+    // plan on a single straggler task. With the skew-join thresholds
+    // lowered to bench scale, AQE must detect and split that partition.
+    // The pad is md5 chains, NOT a repeated constant: shuffle sizes are
+    // COMPRESSED bytes, and a constant pad deflates below any threshold.
+    val left = spark.range(60000).selectExpr(
+      "CASE WHEN id % 100 = 0 THEN id % 7 + 1 ELSE CAST(0 AS BIGINT) END AS k",
+      """concat(md5(cast(id AS string)), md5(cast(id * 31 AS string)),
+         md5(cast(id * 17 AS string))) AS pad""")
+    val right = (0 to 7).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+    )
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = left.join(right, Seq("k"))
+      // collect() (not count()) so THIS queryExecution runs to completion:
+      // count() spawns its own execution and the inspected plan would
+      // still print isFinalPlan=false
+      assert(joined.collect().length === 60000)
+      // the FINAL adaptive plan (only materialized after execution) must
+      // mark the skewed side: SMJ prints "skew=true" once OptimizeSkewedJoin
+      // split the oversized partition
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"skew join not applied:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("registered views drive the engine through plain spark.sql") {
     Tables.registerViews(spark, dir)
     graft.functions.GraftFunctions.register(spark)
