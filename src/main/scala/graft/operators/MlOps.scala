@@ -40,9 +40,13 @@ object MlOps {
     * BroadcastNestedLoopJoin, the shape the registry invariant bans).
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: tf feeds both the df aggregate and the scored join
+    // — materialize the tokenize+count pass once (feature-store pattern,
+    // see DedupOps.scoreJaccard)
     val tf = docTerms(spark, dir)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).count()
     val scored = tf
@@ -70,12 +74,14 @@ object MlOps {
     * ranking so rank order cannot flip on ulp drift.
     */
   def bm25TopTerms(spark: SparkSession, dir: String): DataFrame = {
+    // one tokenize pass total: tf is materialized (it feeds df, dl AND
+    // the scored join), and dl folds tf rather than re-scanning the
+    // corpus — sum of per-term counts = doc length
     val tf = docTerms(spark, dir)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = docTerms(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
     val nDocs = stats.getLong(0)
