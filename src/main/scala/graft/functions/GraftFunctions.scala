@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, RiskScore, TopKValuesAgg}
+import graft.expr.{DotProduct, IntersectSize, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -32,9 +32,14 @@ object GraftFunctions {
     DotProduct(exprs.head, exprs(1))
   }
 
-  /** Make `risk_score(str)`, `top_k_values(double, k)` and
-    * `dot_product(arr, arr)` callable from SQL / call_function on an
-    * existing session. Idempotent. */
+  private[functions] val intersectSizeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "intersect_size expects exactly two arguments")
+    IntersectSize(exprs.head, exprs(1))
+  }
+
+  /** Make `risk_score(str)`, `top_k_values(double, k)`,
+    * `dot_product(arr, arr)` and `intersect_size(arr, arr)` callable from
+    * SQL / call_function on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "risk_score", riskScoreBuilder, "built-in")
@@ -42,6 +47,8 @@ object GraftFunctions {
       "top_k_values", topKBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", dotProductBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_size", intersectSizeBuilder, "built-in")
   }
 }
 
@@ -62,6 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftFunctions.dotProductBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      GraftFunctions.intersectSizeBuilder,
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.

@@ -112,11 +112,15 @@ object DedupOps {
     // the feature-store pattern: materialize the per-doc feature table
     // once, join it many times. (Blocks are freed by the context cleaner
     // once the query's result is materialized and dereferenced.)
+    graft.functions.GraftFunctions.register(spark)
     val g = bigrams(spark, dir).localCheckpoint()
     val scored = candidates
       .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_grams"), col("b_grams"))))
+      // native IntersectSize: same value as size(array_intersect(...)),
+      // minus the per-pair intersection-array allocation (the hot spot —
+      // hundreds of grams per side across every candidate pair)
+      .withColumn("inter", call_function("intersect_size", col("a_grams"), col("b_grams")))
       .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
       .withColumn("jaccard",
         round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
@@ -204,6 +208,7 @@ object DedupOps {
     */
   def minhashEstVsExact(spark: SparkSession, dir: String,
       cap: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sig = signatures(spark, dir)
       .select(col("doc_id"), split(col("signature"), ",").as("parts"))
       .localCheckpoint() // joined for both pair sides — one minhash pass
@@ -218,7 +223,7 @@ object DedupOps {
       .withColumn("est_jaccard", round(expr(
         """size(filter(sequence(1, 8), i ->
              element_at(a_parts, i) = element_at(b_parts, i)))""") / 8.0, 6))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("inter", call_function("intersect_size", col("a_toks"), col("b_toks")))
       .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
       .withColumn("exact_jaccard",
         round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
