@@ -108,6 +108,9 @@ object SparkEntry {
     "q_iqr_outliers"    -> ((s, d) => AdvancedOps.iqrOutliers(s, d)),
     "q_dispersion"      -> ((s, d) => AdvancedOps.valueDispersion(s, d)),
     "q_neardup_components" -> ((s, d) => graft.operators.GraphOps.nearDupComponents(s, d)),
+    "q_neardup_degrees" -> ((s, d) => graft.operators.GraphOps.nearDupDegrees(s, d)),
+    "q_dedup_rate_by_source" -> ((s, d) => MlOps.dedupRateBySource(s, d)),
+    "q_schema_profile"  -> ((s, d) => RelationalOps.schemaProfile(s, d)),
     "q_left_join_nulls" -> ((s, d) => RelationalOps.customerOrderSummary(s, d)),
     "q_scalar_subquery" -> ((s, d) => RelationalOps.outlierOrders(s, d)),
   )
@@ -1057,6 +1060,54 @@ object SparkEntry {
             SELECT *, row_number() OVER (PARTITION BY doc_id
               ORDER BY score DESC, term) AS rn FROM scored)
           WHERE rn <= 3 ORDER BY doc_id, rn""",
+    "q_neardup_degrees" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+                (a.nv * b.nv), 6) >= 0.3),
+          n AS (SELECT a_id AS node FROM p UNION ALL SELECT b_id FROM p)
+          SELECT node, CAST(count(*) AS BIGINT) AS degree
+          FROM n GROUP BY node ORDER BY node""",
+    "q_dedup_rate_by_source" ->
+      """WITH f AS (
+            SELECT source, md5(array_to_string(list_sort(list_distinct(
+              list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+            FROM documents)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+            round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6) AS dup_rate
+          FROM f GROUP BY source ORDER BY source""",
+    "q_schema_profile" ->
+      """WITH m AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+            round(CAST(min(o_orderkey) AS DOUBLE), 2) AS mn1,
+            round(CAST(max(o_orderkey) AS DOUBLE), 2) AS mx1,
+            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+            round(CAST(min(o_custkey) AS DOUBLE), 2) AS mn2,
+            round(CAST(max(o_custkey) AS DOUBLE), 2) AS mx2,
+            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
+            CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd3,
+            round(CAST(min(o_totalprice) AS DOUBLE), 2) AS mn3,
+            round(CAST(max(o_totalprice) AS DOUBLE), 2) AS mx3
+          FROM orders)
+          SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+            SELECT 'o_orderkey' AS col_name, n_rows, nu1 AS n_nulls, nd1 AS n_distinct,
+              mn1 AS min_val, mx1 AS max_val FROM m
+            UNION ALL SELECT 'o_custkey', n_rows, nu2, nd2, mn2, mx2 FROM m
+            UNION ALL SELECT 'o_totalprice', n_rows, nu3, nd3, mn3, mx3 FROM m)
+          ORDER BY col_name""",
     "q_dispersion" ->
       """SELECT event_type,
           round(stddev_samp(value), 4) AS stddev_value,

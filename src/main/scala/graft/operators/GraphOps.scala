@@ -68,4 +68,19 @@ object GraphOps {
     connectedComponents(
       SimilarityOps.bucketedNearDup(spark, dir), "a_id", "b_id")
       .orderBy(col("node"))
+
+  /** Degree distribution of the near-dup graph — the health check a
+    * dedup run reads first (a fat-tailed degree histogram means a
+    * near-dup "hub" is about to glue unrelated clusters). Each
+    * undirected edge contributes to both endpoints; one hash aggregate
+    * over the exploded endpoints. */
+  def nearDupDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityOps.bucketedNearDup(spark, dir)
+      .select(col("a_id"), col("b_id"))
+    pairs.select(col("a_id").as("node"))
+      .unionAll(pairs.select(col("b_id").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("node"))
+  }
 }

@@ -144,6 +144,23 @@ object MlOps {
     * worth its candidate-pair cost for *partial* overlap; whole-set
     * equivalence belongs in a canonical-fingerprint group-by.
     */
+  /** Dedup pressure per source — the per-corpus summary a mixture
+    * designer reads before setting sampling weights: how much of each
+    * source survives canonical-fingerprint dedup. Same single-shuffle
+    * shape as tokensetDedup, keyed by (source) with a distinct count on
+    * the 16-byte fingerprint. */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"),
+        md5(concat_ws(" ",
+          array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+          .as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_unique")) / col("n_docs"), 6))
+      .orderBy(col("source"))
+
   def tokensetDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("text"), col("doc_id")))
       .select(

@@ -226,6 +226,37 @@ object RelationalOps {
          ORDER BY o_orderkey""")
   }
 
+  /** One-pass column profiling — null count, distinct count, min/max —
+    * for the numeric columns of orders, unpivoted to one row per column.
+    * All aggregates compute in a SINGLE scan (the profiling shape that
+    * matters at 100 TB: never one pass per column); the unpivot is a
+    * zero-cost stack() over the one-row aggregate result.
+    */
+  def schemaProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nu1"),
+        countDistinct(col("o_orderkey")).as("nd1"),
+        round(min(col("o_orderkey")).cast("double"), 2).as("mn1"),
+        round(max(col("o_orderkey")).cast("double"), 2).as("mx1"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nu2"),
+        countDistinct(col("o_custkey")).as("nd2"),
+        round(min(col("o_custkey")).cast("double"), 2).as("mn2"),
+        round(max(col("o_custkey")).cast("double"), 2).as("mx2"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nu3"),
+        countDistinct(col("o_totalprice")).as("nd3"),
+        round(min(col("o_totalprice")).cast("double"), 2).as("mn3"),
+        round(max(col("o_totalprice")).cast("double"), 2).as("mx3"),
+      )
+      .selectExpr(
+        """stack(3,
+             'o_orderkey', n_rows, nu1, nd1, mn1, mx1,
+             'o_custkey', n_rows, nu2, nd2, mn2, mx2,
+             'o_totalprice', n_rows, nu3, nd3, mn3, mx3)
+           AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""")
+      .orderBy(col("col_name"))
+
   /** MAP-1/JSON-1: JSON prop extraction from the events.props payload —
     * get_json_object keeps the parse inside codegen.
     */
