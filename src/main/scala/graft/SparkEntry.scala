@@ -91,6 +91,7 @@ object SparkEntry {
     "q_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_counts"    -> ((s, d) => TextAnalysisOps.tokenCounts(s, d)),
     "q_fingerprint"     -> ((s, d) => TextAnalysisOps.fingerprints(s, d)),
+    "q_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHitters(s, d)),
     // ---- advanced relational extensions (as-of, range join, cube, pivot,
     //      date bucketing, custom UDAF, sketches)
     "q_asof_join"       -> ((s, d) => AdvancedOps.asofPurchaseClick(s, d)),
@@ -137,7 +138,7 @@ object SparkEntry {
 
   /** Queries with no DuckDB oracle (estimates are implementation-
     * specific); the driver records a rows-only check for these. */
-  val oracleFreeQueries: Set[String] = Set("q_approx_distinct")
+  val oracleFreeQueries: Set[String] = Set("q_approx_distinct", "q_heavy_hitters")
 
   /** J-4 explicit broadcast-hint join: fact⋈broadcast(dim) rollup. */
   private def joinPartBroadcast(spark: SparkSession, dir: String): DataFrame =

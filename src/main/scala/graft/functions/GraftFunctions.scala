@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, IntersectSize, RiskScore, TopKValuesAgg}
+import graft.expr.{DotProduct, FreqItemsAgg, IntersectSize, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -32,6 +32,16 @@ object GraftFunctions {
     DotProduct(exprs.head, exprs(1))
   }
 
+  private[functions] val freqItemsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "freq_items expects exactly two arguments")
+    val k = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"freq_items k must be an integer literal, got $other")
+    }
+    FreqItemsAgg(exprs.head, k)
+  }
+
   private[functions] val intersectSizeBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, "intersect_size expects exactly two arguments")
     IntersectSize(exprs.head, exprs(1))
@@ -49,6 +59,8 @@ object GraftFunctions {
       "dot_product", dotProductBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_size", intersectSizeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_items", freqItemsBuilder, "built-in")
   }
 }
 

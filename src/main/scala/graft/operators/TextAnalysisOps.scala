@@ -68,6 +68,25 @@ object TextAnalysisOps {
       )
       .orderBy(col("doc_id"))
 
+  /** Per-language heavy-hitter tokens via the Misra–Gries sketch
+    * ([[graft.expr.FreqItemsAgg]]): constant memory per group no matter
+    * the vocabulary size — the sketch answer to "what dominates this
+    * corpus" that an exact term count (full-vocabulary shuffle) cannot
+    * give at 100 TB. Candidates below the n/(k+1) guarantee are
+    * processing-order dependent, so the query is oracle-free (rows-only:
+    * one row per language regardless).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanOut(Tables.documents(spark, dir).select(col("lang"), col("text")))
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("lang"))
+      .agg(array_join(
+        call_function("freq_items", col("term"), lit(10)), ",").as("heavy_hitters"))
+      .orderBy(col("lang"))
+  }
+
   /** Positional-checksum document fingerprint:
     * sum_i ascii(text[i]) * i (1-based) mod 1e9+7, computed as a
     * sequential fold (functions.aggregate) — the shape of a rolling hash,
