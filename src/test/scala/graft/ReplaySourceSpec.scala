@@ -33,4 +33,24 @@ class ReplaySourceSpec extends AnyFunSuite {
       assert(rows === Map("a" -> 20, "b" -> 0, "c" -> 20))
     } finally q.stop()
   }
+
+  test("429 control line triggers backoff cycles then resumes; marker never emitted") {
+    val spool = Files.createTempFile("spool429", ".jsonl")
+    Files.writeString(spool, Seq(
+      post("a", "t", "x"), post("b", "t", "x"),
+      graft.sources.ReplaySourceProvider.RateLimitMarker,
+      post("c", "t", "x"),
+    ).mkString("\n"))
+    // unit-level state machine: offsets advance 2 (posts) → 3 (the 429
+    // itself) → stall, stall (backoff) → 4 (resume)
+    val stream = new graft.sources.ReplayMicroBatchStream(
+      spool.toString, rowsPerBatch = 2, backoffCycles = 2)
+    val offsets = (1 to 5).map(_ => stream.latestOffset().json().toLong)
+    assert(offsets === Seq(2L, 3L, 3L, 3L, 4L), s"backoff sequence wrong: $offsets")
+    // the consumed range containing the marker must not emit it
+    val part = stream.planInputPartitions(
+      graft.sources.ReplayOffset(2L), graft.sources.ReplayOffset(4L))
+    val emitted = part.head.asInstanceOf[graft.sources.ReplayPartition].rows.toSeq
+    assert(emitted === Seq(post("c", "t", "x")), s"marker leaked: $emitted")
+  }
 }
