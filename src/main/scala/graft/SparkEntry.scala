@@ -65,6 +65,7 @@ object SparkEntry {
     "q_chunk_docs"      -> ((s, d) => graft.operators.CorpusOps.chunkDocs(s, d)),
     "q_hash_split"      -> ((s, d) => graft.operators.CorpusOps.hashSplit(s, d)),
     "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
+    "q_corpus_pipeline" -> ((s, d) => graft.operators.CorpusOps.corpusPipeline(s, d)),
     "q_mixture_sample"  -> ((s, d) => graft.operators.CorpusOps.mixtureSample(s, d)),
     "q_repetition_ratio" -> ((s, d) => graft.operators.CorpusOps.repetitionRatio(s, d)),
     "q_vocab_oov"       -> ((s, d) => graft.operators.CorpusOps.vocabOov(s, d)),
@@ -963,6 +964,28 @@ object SparkEntry {
             SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node)
           SELECT node, min(label) AS component
           FROM reach GROUP BY node ORDER BY node""",
+    "q_corpus_pipeline" ->
+      """WITH d AS (
+            SELECT doc_id, lang,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          s AS (
+            SELECT doc_id, lang, len(toks) AS n_tokens,
+              md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+            FROM d),
+          k AS (
+            SELECT * FROM (
+              SELECT *, min(doc_id) OVER (PARTITION BY fp) AS surviving FROM s)
+            WHERE doc_id = surviving AND n_tokens >= 20),
+          sp AS (
+            SELECT lang, n_tokens,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+                   ELSE 'test' END AS split
+            FROM k)
+          SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM sp GROUP BY split, lang ORDER BY split, lang""",
     "q_funnel" ->
       """WITH e AS (
             SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),

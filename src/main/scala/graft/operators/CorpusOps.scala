@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -182,5 +183,36 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The corpus-prep pipeline END TO END in one job — the ML-side twin of
+    * q_dashboard_payload's composed serving query: tokenize → canonical
+    * token-set dedup (keep the min-id representative) → length quality
+    * gate → content-addressed train/val/test split → per-(split, lang)
+    * corpus stats. One tokenize pass, one window shuffle on the
+    * fingerprint, one final aggregate; every stage is the oracle-proven
+    * building block it composes (tokensetDedup, qualityScore's length
+    * gate, hashSplit), so this is what a user would actually run nightly
+    * over 100 TB.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String,
+      minTokens: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
+      .withColumn("toks", array_remove(split(col("text"), " "), ""))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .withColumn("surviving", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("surviving"))
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "b", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
   }
 }
