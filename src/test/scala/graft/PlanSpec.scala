@@ -104,6 +104,20 @@ class PlanSpec extends AnyFunSuite {
       s"unkeyed pair stages in registry queries: ${offenders.mkString(", ")}")
   }
 
+  test("schema profiling reads the table exactly once") {
+    // the one-pass promise: 13 aggregates over 3 columns must not become
+    // one scan per column
+    val p = plan(RelationalOps.schemaProfile(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected a single scan, got $scans:\n$p")
+  }
+
+  test("interval-binned range join plans a keyed broadcast join") {
+    val p = plan(graft.operators.AdvancedOps.ordersByPriceBand(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no keyed join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop crept back:\n$p")
+  }
+
   test("json prop extraction fans out before the per-row parse") {
     // Testdata parquet is single-split; without the round-robin exchange
     // every get_json_object runs in ONE task.
