@@ -86,6 +86,8 @@ object SparkEntry {
     // ---- behavioral analytics over the event log
     "q_funnel"          -> ((s, d) => BehaviorOps.funnel(s, d)),
     "q_retention_cohorts" -> ((s, d) => BehaviorOps.retentionCohorts(s, d)),
+    "q_ctr_by_hour"     -> ((s, d) => BehaviorOps.ctrByHour(s, d)),
+    "q_term_cooccurrence" -> ((s, d) => MlOps.termCooccurrence(s, d)),
     "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
     "q_multimodal_features" -> ((s, d) => MultimodalOps.features(s, d)),
     "q_lang_profile"    -> ((s, d) => TextAnalysisOps.langProfile(s, d)),
@@ -1003,6 +1005,32 @@ object SparkEntry {
             UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM fc
             UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM fp)
           ORDER BY stage""",
+    "q_ctr_by_hour" ->
+      """SELECT hour, CAST(views AS BIGINT) AS views, CAST(clicks AS BIGINT) AS clicks,
+            round(clicks / CAST(nullif(views, 0) AS DOUBLE), 6) AS ctr
+          FROM (
+            SELECT (epoch_ns(ts) // 1000 // 3600000000) % 24 AS hour,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+            FROM events GROUP BY hour)
+          ORDER BY hour""",
+    "q_term_cooccurrence" ->
+      """WITH dt AS (
+            SELECT DISTINCT doc_id, t AS term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+            WHERE t <> ''),
+          dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+          top AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 50),
+          t AS (SELECT dt.doc_id, dt.term, top.df FROM dt JOIN top USING (term)),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          p AS (
+            SELECT a.term AS a, b.term AS b, a.df AS ca, b.df AS cb,
+              count(*) AS c_ab
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY a.term, b.term, a.df, b.df)
+          SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+            round(ln((c_ab * (SELECT n_docs FROM n)) / (ca * cb)), 6) AS pmi
+          FROM p WHERE c_ab >= 5 ORDER BY a, b""",
     "q_retention_cohorts" ->
       """WITH d AS (
             SELECT DISTINCT user_id,

@@ -51,6 +51,24 @@ object BehaviorOps {
       .orderBy(col("stage"))
   }
 
+  /** Click-through rate by hour of day: one conditional aggregate over
+    * the event log, keyed by a 24-value derived column — the canonical
+    * time-dimension rollup. The ratio divides the two conditional counts
+    * AFTER aggregation (exact int64s → one double division per output
+    * row, identical cross-engine).
+    */
+  def ctrByHour(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .withColumn("hour", expr("(ts_us div 3600000000) % 24"))
+      .groupBy(col("hour"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+      )
+      .withColumn("ctr", round(col("clicks") /
+        when(col("views") === 0, null).otherwise(col("views")), 6))
+      .orderBy(col("hour"))
+
   /** Retention cohorts: users bucketed by their first-active day, then
     * distinct active users per (cohort day, day offset). Two shuffles —
     * one on user_id for the cohort assignment, one on the (cohort,

@@ -62,6 +62,37 @@ object MlOps {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Term co-occurrence with PMI over a CAPPED vocabulary — the corpus
+    * statistics pass behind topic/collocation analysis. The pairwise
+    * space is bounded BEFORE the self-join: only the top-N terms by
+    * document frequency (a TakeOrdered, broadcast back) enter the
+    * per-document pair stage, so the pair keyspace is ≤ N²/2 regardless
+    * of corpus size — vocabulary capping is what makes co-occurrence
+    * tractable at 100 TB. PMI = ln(c_ab·n / (c_a·c_b)): exact int64
+    * products divided as doubles, identical on both engines, rounded
+    * before emission.
+    */
+  def termCooccurrence(spark: SparkSession, dir: String,
+      topN: Int = 50, minSupport: Int = 5): DataFrame = {
+    // presence pairs (doc, term), used by df, both join sides — one pass
+    val dt = docTerms(spark, dir).distinct().localCheckpoint()
+    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = df.orderBy(col("df").desc, col("term")).limit(topN)
+    val nDocs = Tables.documents(spark, dir).count()
+    val t = dt.join(broadcast(top), Seq("term"))
+    t.select(col("doc_id"), col("term").as("a"), col("df").as("ca"))
+      .join(t.select(col("doc_id"), col("term").as("b"), col("df").as("cb")),
+        Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("ca"), col("cb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+      .withColumn("pmi",
+        round(log((col("c_ab") * lit(nDocs)) / (col("ca") * col("cb"))), 6))
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** ML-2 extension: BM25 top-3 terms per document — TF-IDF's saturating
     * big sibling (Okapi BM25, k1=1.2, b=0.75):
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
