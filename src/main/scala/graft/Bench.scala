@@ -20,22 +20,42 @@ object Bench {
     // noop sink, NOT count(): count() lets Catalyst prune the whole
     // projection (and drop the sort), so map-heavy queries were timing a
     // parquet row count. The noop writer materializes every output row.
-    def once(fn: (SparkSession, String) => DataFrame): Double = {
+    // A throwing query returns its wall time AND the error message — a
+    // silent catch would record the fast-fail time and report a broken
+    // engine as healthy.
+    def once(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // n=2 per query, min reported: a single shot confounds first-touch
     // codegen/JIT with the plan's real cost (round-2 saw 4.5× run-order
     // noise on q_minhash_bands).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      val (t1, e1) = once(fn)
+      val (t2, e2) = once(fn)
+      name -> (math.min(t1, t2), e1.orElse(e2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"sink":"noop","timing":"min_of_runs"}"""
+    val errors = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val ok = results.valuesIterator.forall(_._2.isEmpty)
+    // any failed query poisons the headline metric: -1 is unmistakably
+    // invalid, where a sum of fast-fail times would look like a great run
+    val total =
+      if (!ok) -1.0
+      else if (results.nonEmpty) results.valuesIterator.map(_._1).sum
+      else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errors,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"sink":"noop","timing":"min_of_runs"}"""
     println(line)
     // Also persist the metric line: inside sbt, stdout is wrapped in
     // [info]-prefixed log text the driver cannot parse (BENCH_r01.json

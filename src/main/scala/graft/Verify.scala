@@ -39,9 +39,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A partial run (`only` non-empty) writes a matching partial oracle
+    // map, so localcheck checks exactly the requested subset instead of
+    // reporting every unfiltered query as missing — unless a full
+    // oracle_sql.json is already in place from a prior full run, which a
+    // partial re-verify must not clobber.
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isEmpty || !Files.exists(oraclePath)) {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => only.isEmpty || only(k) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, json)
+    }
     spark.stop()
   }
 }

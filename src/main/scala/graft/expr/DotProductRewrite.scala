@@ -42,8 +42,15 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Strictly +0.0D: a -0.0 seed makes the HOF fold return -0.0 for an
+    * empty (or mismatched-to-empty) array where [[DotProduct]] returns
+    * +0.0 — a bit-level divergence, so the rewrite must not fire on it.
+    * `== 0.0d` would accept both (IEEE equality); compare raw bits. */
   private def isZeroDouble(e: Expression): Boolean =
-    e.foldable && e.dataType == DoubleType && e.eval(null) == 0.0d
+    e.foldable && e.dataType == DoubleType && (e.eval(null) match {
+      case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d) == 0L
+      case _ => false
+    })
 
   /** function is exactly `x * y` over the two lambda variables (either
     * order — IEEE multiplication commutes bit-exactly). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, FreqItemsAgg, IntersectSize, RiskScore, TopKValuesAgg}
+import graft.expr.{DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -47,9 +47,15 @@ object GraftFunctions {
     IntersectSize(exprs.head, exprs(1))
   }
 
+  private[functions] val fingerprintBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "fingerprint expects exactly one argument")
+    Fingerprint(exprs.head)
+  }
+
   /** Make `risk_score(str)`, `top_k_values(double, k)`,
-    * `dot_product(arr, arr)` and `intersect_size(arr, arr)` callable from
-    * SQL / call_function on an existing session. Idempotent. */
+    * `dot_product(arr, arr)`, `intersect_size(arr, arr)`,
+    * `freq_items(str, k)` and `fingerprint(str)` callable from SQL /
+    * call_function on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "risk_score", riskScoreBuilder, "built-in")
@@ -61,6 +67,8 @@ object GraftFunctions {
       "intersect_size", intersectSizeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_items", freqItemsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint", fingerprintBuilder, "built-in")
   }
 }
 
@@ -86,6 +94,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       GraftFunctions.intersectSizeBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
+      GraftFunctions.fingerprintBuilder,
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.

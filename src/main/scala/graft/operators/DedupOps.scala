@@ -74,16 +74,33 @@ object DedupOps {
 
   /** 32-bit SimHash from md5 hex digits: bit j is the sign of the sum
     * over tokens of ±1 by the high bit of hex digit j of md5(token).
+    *
+    * Each token is digested ONCE: the md5 transform is the aggregate's
+    * INPUT child, so one pass folds every digest's 32 hex-digit tests
+    * into a 32-counter accumulator (zip_with add), and the finish lambda
+    * renders the signs. The naive spelling — a per-bit outer loop calling
+    * `md5(t)` inside its lambda — recomputes every token's digest 32×,
+    * and hoisting the digest array into a separate column does NOT fix
+    * it: CollapseProject inlines a once-referenced alias back into the
+    * consuming lambda, where the outer per-bit loop re-evaluates it per
+    * iteration. Making the digests the fold's input is the structural
+    * guarantee no optimizer rewrite can undo. Bit-identical output (a
+    * per-bit ±1 sum is order-free), 1/32nd of the digest work.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("tokens", tokensCol)
       .withColumn("simhash", expr(
-        """concat_ws('', transform(sequence(0, 31), j ->
-             CASE WHEN aggregate(tokens, 0, (acc, t) -> acc +
-               (CASE WHEN substring(md5(t), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
-                     THEN 1 ELSE -1 END)) > 0
-             THEN '1' ELSE '0' END))"""))
+        """aggregate(
+             transform(tokens, t -> md5(t)),
+             array_repeat(0, 32),
+             (acc, d) -> zip_with(acc,
+               transform(sequence(0, 31), j ->
+                 CASE WHEN substring(d, j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END),
+               (x, y) -> x + y),
+             acc -> concat_ws('', transform(acc, s ->
+               CASE WHEN s > 0 THEN '1' ELSE '0' END)))"""))
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 

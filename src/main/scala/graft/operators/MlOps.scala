@@ -166,20 +166,11 @@ object MlOps {
       .orderBy(col("doc_id"))
   }
 
-  /** ML-3 at the canonical-form tier: dedup by the md5 of the SORTED
-    * DISTINCT token set. Catches reordered/shuffled near-copies that
-    * byte-exact hashing misses (this corpus is full of them: 500 docs →
-    * 446 token sets at sf0.01) with the SAME scale shape as hashDedup —
-    * one map-side fingerprint, one group-by on a 16-byte digest, no
-    * pairwise stage at all. Pairwise similarity (MinHash & co) is only
-    * worth its candidate-pair cost for *partial* overlap; whole-set
-    * equivalence belongs in a canonical-fingerprint group-by.
-    */
   /** Dedup pressure per source — the per-corpus summary a mixture
     * designer reads before setting sampling weights: how much of each
     * source survives canonical-fingerprint dedup. Same single-shuffle
-    * shape as tokensetDedup, keyed by (source) with a distinct count on
-    * the 16-byte fingerprint. */
+    * shape as [[tokensetDedup]], keyed by (source) with a distinct count
+    * on the 16-byte fingerprint. */
   def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
       .select(col("source"),
@@ -192,6 +183,15 @@ object MlOps {
         round((col("n_docs") - col("n_unique")) / col("n_docs"), 6))
       .orderBy(col("source"))
 
+  /** ML-3 at the canonical-form tier: dedup by the md5 of the SORTED
+    * DISTINCT token set. Catches reordered/shuffled near-copies that
+    * byte-exact hashing misses (this corpus is full of them: 500 docs →
+    * 446 token sets at sf0.01) with the SAME scale shape as hashDedup —
+    * one map-side fingerprint, one group-by on a 16-byte digest, no
+    * pairwise stage at all. Pairwise similarity (MinHash & co) is only
+    * worth its candidate-pair cost for *partial* overlap; whole-set
+    * equivalence belongs in a canonical-fingerprint group-by.
+    */
   def tokensetDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("text"), col("doc_id")))
       .select(

@@ -25,11 +25,19 @@ class AlertSink(threshold: Int = 30, maxAlerts: Int = 1000) extends Serializable
   def alertRows: Seq[Row] = synchronized(alerts.toSeq)
 
   /** Append the batch's high-risk slice, newest kept under the cap.
-    * The limit applies EXECUTOR-side (before collect), so an alert-storm
-    * micro-batch transfers at most maxAlerts rows to the driver — the
-    * ring buffer can never retain more than that anyway. */
+    * The cap applies EXECUTOR-side as orderBy(event time desc).limit —
+    * TakeOrderedAndProject, so an alert-storm micro-batch transfers at
+    * most maxAlerts rows to the driver AND the retained subset is the
+    * NEWEST maxAlerts by event time (a bare limit would keep an arbitrary
+    * partition-order subset within an over-cap batch). Rows append
+    * oldest-first so the deque stays chronological and eviction always
+    * drops the oldest. */
   def update(batch: DataFrame, batchId: Long): Unit = {
-    val hi = batch.filter(col("risk_score") >= threshold).limit(maxAlerts).collect()
+    val hi = batch.filter(col("risk_score") >= threshold)
+      .orderBy(col("created_utc").desc_nulls_last, col("id").desc_nulls_last)
+      .limit(maxAlerts)
+      .collect()
+      .reverse
     synchronized {
       hi.foreach { r =>
         alerts.append(r)

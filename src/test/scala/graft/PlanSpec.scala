@@ -118,6 +118,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop crept back:\n$p")
   }
 
+  test("fingerprint plans the native kernel, not the interpreted substring fold") {
+    // The O(d) byte-walk expression must be in the plan; the O(d²)
+    // aggregate(sequence(1, length(text)), ...) spelling re-scans the
+    // string per character on the interpreted lambda path.
+    val p = plan(graft.operators.TextAnalysisOps.fingerprints(spark, dir))
+    assert(p.contains("fingerprint("), s"native kernel missing:\n$p")
+    assert(!p.contains("aggregate(sequence("), s"interpreted char fold crept back:\n$p")
+  }
+
+  test("simhash computes each token digest once, outside the bit loop") {
+    // One transform(tokens, t -> md5(t)) feeding the 32 bit-folds — the
+    // naive spelling calls md5 inside the per-bit lambda, recomputing
+    // every digest 32×. Exactly one md5 call may appear in the plan.
+    val p = plan(graft.operators.DedupOps.simhash(spark, dir))
+    val md5Calls = "md5\\(".r.findAllIn(p).length
+    assert(md5Calls === 1, s"expected one hoisted md5 call, got $md5Calls:\n$p")
+  }
+
   test("json prop extraction fans out before the per-row parse") {
     // Testdata parquet is single-split; without the round-robin exchange
     // every get_json_object runs in ONE task.
