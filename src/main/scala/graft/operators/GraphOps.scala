@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Graph post-processing for dedup pipelines: candidate PAIRS (from
   * MinHash bands, cosine thresholds, …) become duplicate GROUPS via
-  * connected components. The implementation is Pregel-style min-label
-  * propagation — each iteration is one join + one aggregation, so a
-  * round is two shuffles regardless of graph size, and the iteration
-  * count is bounded by the component diameter (near-dup clusters are
-  * shallow). This is the same loop structure large-scale CC (large-star/
-  * small-star) uses; no driver-side graph materialization.
+  * connected components. Two interchangeable implementations, both
+  * join+aggregate rounds with no driver-side graph materialization:
+  * Pregel-style min-label propagation (O(diameter) rounds — fine for
+  * shallow near-dup clusters, and the simplest correct loop) and the
+  * alternating large-star/small-star algorithm (O(log diameter) rounds —
+  * the published-at-scale formulation, used by the registry query).
   */
 object GraphOps {
 
@@ -58,14 +58,87 @@ object GraphOps {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the published-at-scale formulation: round count is
+    * O(log diameter) where min-label propagation needs O(diameter)
+    * rounds, because every round rewires whole neighborhoods onto their
+    * minimum instead of moving labels one hop.
+    *
+    * Edges keep the invariant u > v ("child points down to a smaller
+    * id"). Large-star hangs every neighbor ABOVE u onto u's neighborhood
+    * minimum; small-star rewires every neighbor BELOW u (plus u itself)
+    * onto that minimum. Both are one aggregation + one equi-join on node
+    * id — two shuffles per half-round regardless of graph size, no
+    * driver-side graph state. Convergence = the edge set is a star
+    * forest: no child endpoint is also a parent (one semi-join to test,
+    * exact — no checksum heuristics that could false-converge).
+    * Returns (node, component) for every node of the pair graph,
+    * identical to [[connectedComponents]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, src: String, dst: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(src).as("u"), col(dst).as("v"))
+    val allNodes = fwd.select(col("u").as("node"))
+      .unionByName(fwd.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // canonical downward orientation; self-loops carry no connectivity
+    var edges = fwd
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); every neighbor v > u re-hangs
+    // as (v, m). Output preserves u > v: m ≤ u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star(u): over the downward edges alone, m = min(Γ<(u));
+    // every other below-neighbor re-hangs as (v, m) and u keeps (u, m).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val moved = e.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionByName(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // star forest ⇔ no child (u side) ever appears as a parent (v side)
+      converged = edges
+        .join(edges.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+        .isEmpty
+      i += 1
+    }
+    // converged stars: each non-root child carries exactly one (u, root)
+    // edge; roots and isolated nodes label themselves (min is a no-op
+    // guard for the maxIter-truncated case)
+    allNodes
+      .join(edges.groupBy(col("u")).agg(min(col("v")).as("root")),
+        allNodes("node") === col("u"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+  }
+
   /** Near-dup clusters over the embedding-cosine pair graph: every vector
     * that has at least one near-duplicate, labeled with its component
-    * (the min vec_id reachable through near-dup edges). The pair input is
+    * (the min vec_id reachable through near-dup edges). Components run
+    * the O(log d)-round [[connectedComponentsStar]]; the pair input is
     * the LSH-bucketed candidate generator — shuffle-by-bucket, no O(n)
     * broadcast, no O(n²) pair stage — so the whole chain (candidates →
     * exact score → components) is the shape that survives 100×. */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
+    connectedComponentsStar(
       SimilarityOps.bucketedNearDup(spark, dir), "a_id", "b_id")
       .orderBy(col("node"))
 
