@@ -87,6 +87,9 @@ object SparkEntry {
     "q_funnel"          -> ((s, d) => BehaviorOps.funnel(s, d)),
     "q_retention_cohorts" -> ((s, d) => BehaviorOps.retentionCohorts(s, d)),
     "q_ctr_by_hour"     -> ((s, d) => BehaviorOps.ctrByHour(s, d)),
+    "q_rolling_1h"      -> ((s, d) => BehaviorOps.rollingHour(s, d)),
+    "q_scd2_intervals"  -> ((s, d) => BehaviorOps.statusIntervals(s, d)),
+    "q_bloom_decontaminate" -> ((s, d) => graft.operators.CorpusOps.bloomDecontaminate(s, d)),
     "q_term_cooccurrence" -> ((s, d) => MlOps.termCooccurrence(s, d)),
     "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
     "q_multimodal_features" -> ((s, d) => MultimodalOps.features(s, d)),
@@ -496,6 +499,22 @@ object SparkEntry {
             CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM s GROUP BY split, lang ORDER BY split, lang""",
     "q_decontaminate" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, greatest(1, len(toks) - 1)),
+              i -> array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))) AS grams
+            FROM t),
+          x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          bench AS (SELECT DISTINCT gram FROM x WHERE doc_id < 5)
+          SELECT x.doc_id, CAST(count(DISTINCT x.gram) AS BIGINT) AS n_hits
+          FROM x JOIN bench USING (gram) WHERE x.doc_id >= 5
+          GROUP BY x.doc_id ORDER BY x.doc_id""",
+    // the Bloom prefilter is exact end-to-end (no false negatives; false
+    // positives die in the confirm join), so its oracle IS the exact
+    // decontamination query
+    "q_bloom_decontaminate" ->
       """WITH t AS (
             SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
             FROM documents),
@@ -1041,6 +1060,35 @@ object SparkEntry {
           FROM d JOIN c USING (user_id)
           GROUP BY cohort_day, day_offset
           ORDER BY cohort_day, day_offset""",
+    "q_rolling_1h" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+            CAST(count(*) OVER w AS BIGINT) AS n_1h,
+            round(sum(value) OVER w, 2) AS value_1h
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""",
+    "q_scd2_intervals" ->
+      """WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+            FROM events),
+          f AS (
+            SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          g AS (
+            SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS seq
+            FROM f),
+          i AS (
+            SELECT user_id, CAST(seq AS BIGINT) AS seq, event_type,
+              min(ts_us) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, seq, event_type)
+          SELECT user_id, seq, event_type, valid_from_us,
+            lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_us,
+            n_events
+          FROM i ORDER BY user_id, seq""",
     "q_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           x AS (SELECT label, v, unnest(range(0, len(v))) AS dim FROM e)

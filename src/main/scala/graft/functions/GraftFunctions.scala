@@ -52,6 +52,22 @@ object GraftFunctions {
     Fingerprint(exprs.head)
   }
 
+  // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+  // runtime-filter rewrite but keeps them off the SQL search path;
+  // expose both so the Bloom prefilter pattern is writable as plain
+  // Column algebra.
+  private[functions] val bloomAggBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "bloom_agg expects (value, estimatedNumItems, numBits)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs.head, exprs(1), exprs(2))
+  }
+
+  private[functions] val mightContainBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "might_contain expects exactly two arguments")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
+  }
+
   /** Make `risk_score(str)`, `top_k_values(double, k)`,
     * `dot_product(arr, arr)`, `intersect_size(arr, arr)`,
     * `freq_items(str, k)` and `fingerprint(str)` callable from SQL /
@@ -69,6 +85,10 @@ object GraftFunctions {
       "freq_items", freqItemsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fingerprint", fingerprintBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", mightContainBuilder, "built-in")
   }
 }
 

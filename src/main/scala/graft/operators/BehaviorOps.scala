@@ -86,4 +86,65 @@ object BehaviorOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** Rolling 1-hour per-user features over EVENT TIME — a RANGE window
+    * (`RANGE BETWEEN 3600000000 µs PRECEDING AND CURRENT ROW`), not a
+    * ROWS window: the frame is "everything in the last hour" regardless
+    * of how many events landed there, which is what a time-decayed
+    * feature (rate limiting, burst detection, short-horizon activity
+    * features for a ranking model) actually means. One shuffle on
+    * user_id; within a partition the running frame advances two pointers
+    * over the time-sorted events, so cost is O(events), not
+    * O(events × frame size). The sum rounds at 2 dp: inputs carry 2
+    * decimals, so the true decimal sum is never at a round-half boundary
+    * and a sub-ulp cross-engine difference cannot flip the rounding.
+    */
+  def rollingHour(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("value_1h", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("n_1h"), col("value_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** SCD2-style validity intervals from the event log: collapse each
+    * user's time-ordered event stream into runs of the same event_type,
+    * each emitted as (valid_from, valid_to) with valid_to = the next
+    * run's start (NULL while current) — the slowly-changing-dimension
+    * build every warehouse derives from a change stream. Gaps-and-islands
+    * by the classic two-window formulation: a lag() change flag, a
+    * running sum to number the runs, one aggregate per run, and a lead()
+    * for the closing timestamp. Every window and the aggregate shuffle
+    * on user_id alone, so the whole build is two exchanges at any scale;
+    * ordering ties break on event_id (unique), which keeps run
+    * numbering deterministic on both engines.
+    */
+  def statusIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = Window.partitionBy(col("user_id")).orderBy(col("seq"))
+    Tables.fanOut(Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev_type").isNull
+          || col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("seq", sum(col("chg")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("seq"), col("event_type"))
+      .agg(min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(runs))
+      .select(col("user_id"), col("seq"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+      .orderBy(col("user_id"), col("seq"))
+  }
 }

@@ -161,6 +161,18 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** One row per (doc_id, distinct word 3-gram) — the shared expansion
+    * of both decontamination variants. */
+  private def docTrigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", toksCol)
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', slice(toks, i, 3)))) END"""))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+
   /** Benchmark decontamination: count, per corpus document, the distinct
     * word 3-grams it shares with a benchmark set (here: doc_id < benchMax
     * stands in for the eval suite). The benchmark side is SMALL by nature,
@@ -169,16 +181,47 @@ object CorpusOps {
     * probe) and only the per-doc hit counts aggregate.
     */
   def decontaminate(spark: SparkSession, dir: String, benchMax: Int = 5): DataFrame = {
-    val grams = Tables.fanOut(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .withColumn("toks", toksCol)
-      .withColumn("grams", expr(
-        """CASE WHEN size(toks) < 3 THEN array()
-           ELSE array_distinct(transform(sequence(1, size(toks) - 2),
-             i -> concat_ws(' ', slice(toks, i, 3)))) END"""))
-      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+    val grams = docTrigrams(spark, dir)
     val bench = grams.filter(col("doc_id") < benchMax).select(col("gram")).distinct()
     grams.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter — the formulation
+    * that survives a benchmark suite too big to broadcast raw: the bench
+    * gram set aggregates into a FIXED-SIZE Bloom filter
+    * (`bloom_agg`, Spark's BloomFilterAggregate — mergeable partials, so the build is one
+    * aggregation whose shuffle carries kilobytes per partition no matter
+    * how many grams), the filter ships to every corpus task as a scalar
+    * literal, and `might_contain` drops non-member grams MAP-SIDE before
+    * the confirm join ever sees them. The exact equi-join against the
+    * bench set then removes the Bloom's false positives; false negatives
+    * cannot exist, so the result is BIT-IDENTICAL to [[decontaminate]]
+    * (same oracle). At 100 TB the prefilter turns the join input from
+    * every corpus gram into (true hits + ~0.1% FPs) — decontamination
+    * hit rates are tiny, so that is a ~1000× cut in shuffled rows.
+    *
+    * The driver-side fetch of the serialized filter is a bounded scalar
+    * (numBits/8 bytes), the same documented pattern as the TF-IDF corpus
+    * size — NOT an O(data) collect.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      benchMax: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val grams = docTrigrams(spark, dir)
+    // used twice (bloom build + exact confirm): materialize the tiny
+    // bench gram set once instead of re-running the expansion
+    val bench = grams.filter(col("doc_id") < benchMax)
+      .select(col("gram")).distinct().localCheckpoint()
+    val bloomBytes = bench
+      .agg(expr(
+        "bloom_agg(xxhash64(gram), cast(4096 AS bigint), cast(65536 AS bigint))"))
+      .head().getAs[Array[Byte]](0)
+    grams.filter(col("doc_id") >= benchMax)
+      .filter(call_function("might_contain", lit(bloomBytes), xxhash64(col("gram"))))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))
