@@ -136,6 +136,16 @@ class PlanSpec extends AnyFunSuite {
     assert(md5Calls === 1, s"expected one hoisted md5 call, got $md5Calls:\n$p")
   }
 
+  test("bloom decontamination prefilters map-side before the confirm join") {
+    // might_contain must sit below the (broadcast) confirm join — the
+    // whole point is that non-member grams die inside the scan stage and
+    // never reach the join.
+    val p = plan(graft.operators.CorpusOps.bloomDecontaminate(spark, dir))
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"confirm join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"confirm join shuffled the gram stream:\n$p")
+  }
+
   test("json prop extraction fans out before the per-row parse") {
     // Testdata parquet is single-split; without the round-robin exchange
     // every get_json_object runs in ONE task.
