@@ -90,6 +90,8 @@ object SparkEntry {
     "q_rolling_1h"      -> ((s, d) => BehaviorOps.rollingHour(s, d)),
     "q_scd2_intervals"  -> ((s, d) => BehaviorOps.statusIntervals(s, d)),
     "q_bloom_decontaminate" -> ((s, d) => graft.operators.CorpusOps.bloomDecontaminate(s, d)),
+    "q_latest_per_key"  -> ((s, d) => RelationalOps.latestPerUser(s, d)),
+    "q_stratified_sample" -> ((s, d) => graft.operators.CorpusOps.stratifiedSample(s, d)),
     "q_term_cooccurrence" -> ((s, d) => MlOps.termCooccurrence(s, d)),
     "q_risk_score_expr" -> ((s, d) => riskScoreExprQuery(s, d)),
     "q_multimodal_features" -> ((s, d) => MultimodalOps.features(s, d)),
@@ -1089,6 +1091,20 @@ object SparkEntry {
             lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_us,
             n_events
           FROM i ORDER BY user_id, seq""",
+    "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, ts_us, value FROM (
+            SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+            FROM events)
+          WHERE rn = 1 ORDER BY user_id""",
+    "q_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+            SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+          WHERE rn <= 10 ORDER BY source, rn""",
     "q_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           x AS (SELECT label, v, unnest(range(0, len(v))) AS dim FROM e)

@@ -228,6 +228,28 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-N stratified sampling: precisely `perSource` documents from
+    * every source, chosen content-addressed (ranked by md5(doc_id)) so
+    * the sample is a deterministic pseudo-random draw — stable under
+    * re-runs, repartitioning, and data-order changes, with none of the
+    * approximate-fraction drift of `sample()`. Complements
+    * [[mixtureSample]] (rate-based) when the mixture recipe demands
+    * exact per-stratum counts. Plans as the WindowGroupLimit shape:
+    * row_number ≤ N keeps at most N rows per stratum on each side of
+    * the exchange, so no stratum is ever materialized whole.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+      perSource: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perSource)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** The corpus-prep pipeline END TO END in one job — the ML-side twin of
     * q_dashboard_payload's composed serving query: tokenize → canonical
     * token-set dedup (keep the min-id representative) → length quality

@@ -109,6 +109,29 @@ object RelationalOps {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** CDC latest-wins compaction: the current-state snapshot a change
+    * stream compacts to — one row per key, the newest version by event
+    * time (event_id breaks exact-timestamp ties, so "newest" is total and
+    * deterministic on every engine and partitioning). Same WindowGroupLimit
+    * shape as top-N-per-group with N=1: each side of the exchange keeps
+    * one row per key in memory, so the compaction never materializes a
+    * full partition — the read-side merge of any upsert/CDC table format
+    * at 100 TB. Raw `value` passes through untouched (no float
+    * arithmetic to drift cross-engine).
+    */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** W-2 running aggregate: cumulative value per user over event order.
     * ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW on a per-user window
     * — one shuffle on user_id.

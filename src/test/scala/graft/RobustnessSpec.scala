@@ -24,6 +24,9 @@ class RobustnessSpec extends AnyFunSuite {
       "q_retention_cohorts", // counts over integer day buckets
       "q_minhash_bands",     // md5-derived buckets + counts
       "q_hash_split",        // md5 splits + integer sums
+      "q_latest_per_key",    // total order (ts desc, id desc) → rank 1
+      "q_scd2_intervals",    // run numbering over a total per-user order
+      "q_stratified_sample", // md5-ranked draw, integer rank cut
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
