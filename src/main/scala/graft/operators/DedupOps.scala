@@ -20,17 +20,23 @@ object DedupOps {
   /** Distinct non-empty whitespace tokens as an array column. */
   private def tokensCol = array_remove(array_distinct(split(col("text"), " ")), "")
 
-  /** MinHash signature computation without the presentation sort —
-    * the md5 fan-out dominates, so the scan is spread across all cores
-    * first. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .withColumn("tokens", tokensCol)
+  /** MinHash signature columns on ANY (doc_id, text) frame — batch or
+    * streaming (every expression is a stateless per-row map, so the same
+    * plan fragment is legal under a streaming source). */
+  private[graft] def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("tokens", tokensCol)
       .withColumn("signature", expr(
         """concat_ws(',', transform(sequence(0, 7), i ->
              substring(array_min(transform(tokens, t ->
                md5(concat(cast(i AS string), '|', t)))), 1, 8)))"""))
       .select(col("doc_id"), col("signature"))
+
+  /** MinHash signature computation without the presentation sort —
+    * the md5 fan-out dominates, so the scan is spread across all cores
+    * first. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    withSignature(
+      Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
 
   /** MinHash signature, k=8 permutations approximated by seed-prefixed
     * md5: sig_i = min over tokens of md5(i || '|' || token), first 8 hex
@@ -47,7 +53,13 @@ object DedupOps {
     * — no pairwise stage ever sees a non-colliding pair.
     */
   private def bandBuckets(spark: SparkSession, dir: String): DataFrame =
-    signatures(spark, dir)
+    withBandBuckets(signatures(spark, dir))
+
+  /** (band, bucket) expansion on any frame carrying a `signature`
+    * column — shared by the batch candidate generators and the streaming
+    * stateful dedup. */
+  private[graft] def withBandBuckets(sigs: DataFrame): DataFrame =
+    sigs
       .withColumn("bands", expr(
         """transform(sequence(0, 3), b -> struct(b AS band,
              concat(element_at(split(signature, ','), b * 2 + 1), '|',
