@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state beyond what dropDuplicates/window give for free
@@ -57,5 +58,77 @@ object StatefulOps {
       .groupByKey(_.subreddit)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         updateSubreddit)
+  }
+
+  // ---- event-time session with timeout-driven finalization ----
+
+  /** A user event carrying its event-time in epoch millis. */
+  case class UserEvent(user_id: Long, ts_ms: Long)
+
+  /** Open-session state: bounds + count. */
+  case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
+
+  /** Emitted ONLY when a session closes (the watermark passed its gap). */
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Session finalization via EventTimeTimeout — the GroupStateTimeout
+    * facet `session_window` hides: state carries the open session, the
+    * timeout is re-armed at (last event + gap) on every arrival, and the
+    * session is EMITTED EXACTLY ONCE, from the timeout branch, when the
+    * watermark finally passes that deadline. Expired state is removed, so
+    * the store holds only OPEN sessions — bounded by concurrently active
+    * keys, the property that keeps a stateful job alive on an unbounded
+    * stream. Events later than the gap open a fresh session (same
+    * semantics as the built-in session_window, which [[graft.operators.TimeWindowOps]]
+    * oracles in batch mode — this is the custom-state formulation that
+    * can carry arbitrary per-session payload).
+    */
+  def sessionize(gapMs: Long)(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(ClosedSession(userId, s.start_ms, s.last_ms, s.n_events))
+    } else {
+      // fold in event-time order so batch/shuffle order cannot split
+      // sessions differently
+      val closed = List.newBuilder[ClosedSession]
+      var cur = state.getOption
+      events.toSeq.sortBy(_.ts_ms).foreach { e =>
+        cur match {
+          case Some(s) if e.ts_ms - s.last_ms <= gapMs =>
+            cur = Some(SessionState(s.start_ms, math.max(s.last_ms, e.ts_ms),
+              s.n_events + 1))
+          case Some(s) => // gap exceeded inside the batch: close + reopen
+            closed += ClosedSession(userId, s.start_ms, s.last_ms, s.n_events)
+            cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L))
+          case None =>
+            cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last_ms + gapMs)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** Wire sessionization onto a (user_id, ts_ms) event stream. The
+    * watermark drives the timeouts, so late data beyond it can never
+    * reopen an emitted session — the exactly-once-per-session guarantee.
+    */
+  def closedSessions(spark: SparkSession, events: Dataset[UserEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withColumn("event_time", (col("ts_ms") / 1000).cast("timestamp"))
+      .withWatermark("event_time", "0 seconds")
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionize(gapMs) _)
   }
 }

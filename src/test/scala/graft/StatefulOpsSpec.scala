@@ -47,10 +47,59 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(carried.head.posts === 3 && carried.head.total_risk === 140
       && carried.head.high_risk === 2)
   }
+
+  test("sessionize: in-batch gap split, timeout close, state removal") {
+    import StatefulOps.{ClosedSession, SessionState, UserEvent}
+    val fn = StatefulOps.sessionize(60000L) _
+    // one batch containing a gap: first session closes inline, second stays open
+    val s0 = new TestGroupState[SessionState](None)
+    val closed = fn(1L, Iterator(
+      UserEvent(1L, 0L), UserEvent(1L, 30000L), UserEvent(1L, 200000L)), s0).toSeq
+    assert(closed === Seq(ClosedSession(1L, 0L, 30000L, 2L)))
+    assert(s0.get === SessionState(200000L, 200000L, 1L))
+    // timeout branch: emit the open session once and clear the state
+    val s1 = new TestGroupState[SessionState](
+      Some(SessionState(0L, 30000L, 2L)), timedOut = true)
+    assert(fn(1L, Iterator.empty, s1).toSeq
+      === Seq(ClosedSession(1L, 0L, 30000L, 2L)))
+    assert(s1.getOption.isEmpty)
+    // out-of-order arrivals inside a batch fold in event-time order
+    val s2 = new TestGroupState[SessionState](None)
+    assert(fn(1L, Iterator(UserEvent(1L, 50000L), UserEvent(1L, 10000L)), s2).isEmpty)
+    assert(s2.get === SessionState(10000L, 50000L, 2L))
+  }
+
+  test("event-time timeout closes sessions exactly once across the stream") {
+    import StatefulOps.{ClosedSession, UserEvent}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val out = StatefulOps.closedSessions(spark, input.toDS(), gapMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // base offset: the pre-first-batch watermark is epoch 0, and events
+    // AT the watermark are dropped as late — event times must sit above it
+    val t0 = 86400000L
+    try {
+      // user 1: two events 30s apart — one open session, deadline t0+90s
+      input.addData(UserEvent(1L, t0), UserEvent(1L, t0 + 30000L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "session closed too early")
+      // a much later event advances the watermark far past the deadline...
+      input.addData(UserEvent(2L, t0 + 300000L))
+      q.processAllAvailable()
+      // ...and the timeout fires on the following trigger (the new
+      // watermark takes effect in the next batch)
+      input.addData(UserEvent(2L, t0 + 310000L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[ClosedSession].collect().toSeq
+      assert(closed === Seq(ClosedSession(1L, t0, t0 + 30000L, 2L)),
+        s"expected exactly user 1's session, got $closed")
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState stub for pure-function testing. */
-class TestGroupState[S](initial: Option[S])
+class TestGroupState[S](initial: Option[S], timedOut: Boolean = false)
     extends org.apache.spark.sql.streaming.GroupState[S] {
   private var v: Option[S] = initial
   override def exists: Boolean = v.isDefined
@@ -58,7 +107,7 @@ class TestGroupState[S](initial: Option[S])
   override def getOption: Option[S] = v
   override def update(newState: S): Unit = v = Some(newState)
   override def remove(): Unit = v = None
-  override def hasTimedOut: Boolean = false
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(durationMs: Long): Unit = ()
   override def setTimeoutDuration(duration: String): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
