@@ -18,7 +18,7 @@ import graft.functions.TextFunctions
   * at 100; 0 on null/empty.
   *
   * Semantics are byte-identical to the Column-algebra form in
-  * [[TextFunctions.riskScore]] (lower → UTF8String.contains per keyword):
+  * `TextFunctions.riskScore` (lower → UTF8String.contains per keyword):
   * `q_risk_score_expr` must hash-match `q_risk_score`. The expression
   * never returns null (null input scores 0, like the Python UDF's
   * `if not text: return 0`).

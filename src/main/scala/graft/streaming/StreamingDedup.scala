@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * MinHash/LSH path (SURVEY.md §2.9 ST-4 × §2.11 ML-4): documents arrive
   * on an unbounded stream, each is mapped to its LSH band buckets with
   * EXACTLY the batch operators' Column expressions
-  * ([[graft.operators.DedupOps.withSignature]] — stateless per-row maps,
+  * (`DedupOps.withSignature` — stateless per-row maps,
   * so the same plan fragment runs under a streaming source), and a
   * per-bucket `flatMapGroupsWithState` remembers which documents each
   * bucket has seen. A new arrival colliding with remembered documents

@@ -42,6 +42,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("malformed json lines degrade to null-field rows; the stream survives") {
+    // P-3's tolerance contract: from_json is PERMISSIVE — a corrupt wire
+    // message must become a null-field row (filterable downstream), not
+    // a stream-killing exception. At scale one poison message must never
+    // wedge a consumer.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Pipeline.process(input.toDF().selectExpr("value"))
+    val q = out.writeStream.format("memory").queryName("tolerant")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        """{"id":"ok1","title":"fine","text":"fine","author":"u","subreddit":"s","created_utc":1.0,"score":1,"num_comments":0,"url":"","timestamp":"2025-01-01T00:00:00"}""",
+        """{not json at all""",
+        """{"id":123}""", // number where a string field is declared
+      )
+      q.processAllAvailable()
+      val rows = spark.table("tolerant").collect()
+      assert(rows.length === 3, "corrupt lines must not be dropped or crash")
+      assert(rows.count(_.getAs[String]("id") == "ok1") === 1)
+      // unparseable line → all-null row; type mismatch → lenient string
+      // coercion ("123") with the missing fields null — both filterable,
+      // neither fatal
+      assert(rows.count(r => r.getAs[String]("id") == null) === 1)
+      assert(rows.count(r => r.getAs[String]("id") == "123") === 1)
+      assert(rows.filter(r => r.getAs[String]("id") != "ok1")
+        .forall(_.getAs[Int]("risk_score") === 0))
+    } finally q.stop()
+  }
+
   test("snapshot sink keeps exactly the last N by arrival across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Post]
