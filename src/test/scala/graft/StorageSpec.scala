@@ -108,4 +108,24 @@ class StorageSpec extends AnyFunSuite {
     assert(checksum(backCsv) === checksum(docs))
     assert(checksum(backJson) === checksum(docs))
   }
+
+  test("orc sink round-trips with predicate pushdown at the scan") {
+    // ORC is the second columnar interchange format a Spark shop meets
+    // (Hive estates); the engine must read/write it with the same
+    // pushdown behavior it gets from parquet.
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = Files.createTempDirectory("orc").toString
+    docs.write.mode("overwrite").option("compression", "zlib").orc(s"$base/docs")
+    val back = spark.read.orc(s"$base/docs")
+    assert(back.count() === docs.count())
+    assert(back.agg(sum(col("doc_id") * col("n_chars"))).head().getLong(0)
+      === docs.agg(sum(col("doc_id") * col("n_chars"))).head().getLong(0))
+    val filtered = back.filter(col("n_chars") > 300).select(col("doc_id"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)"),
+      s"filter not pushed to the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"columns not pruned at the ORC scan:\n$plan")
+  }
 }
