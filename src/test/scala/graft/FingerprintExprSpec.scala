@@ -26,6 +26,59 @@ class FingerprintExprSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("property: native == HOF fold over 300 generated unicode strings") {
+    // messy generated inputs (BMP unicode incl. multi-byte, ascii,
+    // empties) — fixed seed keeps CI stable; one DataFrame pass runs
+    // both formulations through the real engine
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    GraftFunctions.register(spark)
+    val str: Gen[String] = Gen.oneOf(
+      Gen.listOf(Gen.choose(32.toChar, 0x2fff.toChar)).map(_.mkString),
+      Gen.asciiPrintableStr,
+      Gen.const(""))
+    val samples = Gen.listOfN(300, str)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    import spark.implicits._
+    val diff = samples.toDF("t")
+      .selectExpr("t", "fingerprint(t) AS native", s"$hofFold AS hof")
+      .where("native <> hof")
+      .collect()
+    assert(diff.isEmpty, s"diverged on: ${diff.take(3).mkString("; ")}")
+  }
+
+  test("property: single-pass simhash equals the naive per-bit md5 spelling") {
+    // the round-4 restructure must be bit-identical to the 32x-digest
+    // original on arbitrary token sets, not just the corpus
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val doc: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+    val samples = Gen.listOfN(120, doc)
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    val diff = samples.toDF("text")
+      .selectExpr("array_remove(array_distinct(split(text, ' ')), '') AS tokens")
+      .selectExpr(
+        """aggregate(
+             transform(tokens, t -> md5(t)),
+             array_repeat(0, 32),
+             (acc, d) -> zip_with(acc,
+               transform(sequence(0, 31), j ->
+                 CASE WHEN substring(d, j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END),
+               (x, y) -> x + y),
+             acc -> concat_ws('', transform(acc, s ->
+               CASE WHEN s > 0 THEN '1' ELSE '0' END))) AS single_pass""",
+        """concat_ws('', transform(sequence(0, 31), j ->
+             CASE WHEN aggregate(tokens, 0, (acc, t) -> acc +
+               (CASE WHEN substring(md5(t), j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END)) > 0
+             THEN '1' ELSE '0' END)) AS naive""")
+      .where("single_pass <> naive")
+    assert(diff.count() === 0)
+  }
+
   test("edge cases: empty, single char, multi-byte codepoints, null") {
     GraftFunctions.register(spark)
     // multi-byte coverage: 2-byte (é), 3-byte (€), 4-byte (𝄞 U+1D11E) —
