@@ -62,6 +62,7 @@ object SparkEntry {
     "q_hash_dedup"      -> ((s, d) => MlOps.hashDedup(s, d)),
     "q_tokenset_dedup"  -> ((s, d) => MlOps.tokensetDedup(s, d)),
     "q_dedup_manifest"  -> ((s, d) => MlOps.dedupManifest(s, d)),
+    "q_incremental_dedup" -> ((s, d) => MlOps.incrementalDedup(s, d)),
     "q_chunk_docs"      -> ((s, d) => graft.operators.CorpusOps.chunkDocs(s, d)),
     "q_hash_split"      -> ((s, d) => graft.operators.CorpusOps.hashSplit(s, d)),
     "q_decontaminate"   -> ((s, d) => graft.operators.CorpusOps.decontaminate(s, d)),
@@ -464,6 +465,21 @@ object SparkEntry {
             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS tokenset_md5,
           min(doc_id) AS surviving_doc_id, CAST(count(*) AS BIGINT) AS dup_count
           FROM documents GROUP BY 1 ORDER BY tokenset_md5""",
+    "q_incremental_dedup" ->
+      """WITH f AS (
+            SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+              list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+            FROM documents),
+          hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+          fresh AS (
+            SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS shard_rep
+            FROM f WHERE doc_id % 10 = 0)
+          SELECT fresh.doc_id,
+            (hist.fp IS NOT NULL) AS dup_of_history,
+            (fresh.doc_id = shard_rep) AS shard_first,
+            (hist.fp IS NULL AND fresh.doc_id = shard_rep) AS keep
+          FROM fresh LEFT JOIN hist ON fresh.fp = hist.fp
+          ORDER BY fresh.doc_id""",
     "q_dedup_manifest" ->
       """WITH f AS (
             SELECT doc_id, md5(array_to_string(list_sort(list_distinct(

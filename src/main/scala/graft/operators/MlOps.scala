@@ -183,6 +183,43 @@ object MlOps {
         round((col("n_docs") - col("n_unique")) / col("n_docs"), 6))
       .orderBy(col("source"))
 
+  /** Incremental dedup — the daily 100-TB job: a NEW shard (doc_id % 10
+    * == 0 stands in for today's arrivals) deduped against the HISTORICAL
+    * manifest (the rest of the corpus) without ever touching historical
+    * documents — history participates only as its distinct 16-byte
+    * fingerprint set, exactly what a dedup manifest table stores. Per
+    * new document: is it a duplicate of history (fingerprint join), is
+    * it first within its shard (window min), and the composed keep
+    * verdict. One window shuffle + one digest join; at scale the
+    * manifest is the bucketed-by-fp table this engine's storage tier
+    * already demonstrates, so the join co-locates without a shuffle —
+    * and a Bloom of the manifest ([[graft.operators.CorpusOps.bloomDecontaminate]]'s
+    * pattern) prefilters the shard map-side when even the digest join is
+    * too much.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(concat_ws(" ",
+      array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+    val docs = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), fp.as("fp"))
+    val history = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("fp")).distinct()
+      .withColumn("in_history", lit(true))
+    val w = Window.partitionBy(col("fp"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("shard_rep", min(col("doc_id")).over(w))
+      .join(history, Seq("fp"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("in_history"), lit(false)).as("dup_of_history"),
+        (col("doc_id") === col("shard_rep")).as("shard_first"),
+        (coalesce(col("in_history"), lit(false)) === false
+          && col("doc_id") === col("shard_rep")).as("keep"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** ML-3 at the canonical-form tier: dedup by the md5 of the SORTED
     * DISTINCT token set. Catches reordered/shuffled near-copies that
     * byte-exact hashing misses (this corpus is full of them: 500 docs →
