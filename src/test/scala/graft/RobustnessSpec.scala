@@ -27,6 +27,16 @@ class RobustnessSpec extends AnyFunSuite {
       "q_latest_per_key",    // total order (ts desc, id desc) → rank 1
       "q_scd2_intervals",    // run numbering over a total per-user order
       "q_stratified_sample", // md5-ranked draw, integer rank cut
+      "q_hash_dedup",        // md5 group-by, integer aggregates
+      "q_tokenset_dedup",    // canonical fingerprint group-by
+      "q_dedup_manifest",    // fingerprint window min + boolean verdict
+      "q_incremental_dedup", // digest join + window min + booleans
+      "q_decontaminate",     // gram equi-join + distinct counts
+      "q_bloom_decontaminate", // bloom prefilter must not leak partitioning
+      "q_fingerprint",       // native int64 kernel, per-row
+      "q_simhash",           // md5 digest folds, per-row
+      "q_funnel",            // min-µs stage chaining, integer counts
+      "q_distinct_users",    // exact distinct count
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
