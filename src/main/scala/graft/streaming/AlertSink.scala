@@ -31,15 +31,18 @@ class AlertSink(threshold: Int = 30, maxAlerts: Int = 1000) extends Serializable
     * NEWEST maxAlerts by event time (a bare limit would keep an arbitrary
     * partition-order subset within an over-cap batch). Rows append
     * oldest-first so the deque stays chronological and eviction always
-    * drops the oldest. */
+    * drops the oldest. A frame without the event-time column (e.g. an
+    * already-pruned projection) falls back to a bare limit: still capped
+    * transfer, retained subset arbitrary within one over-cap batch. */
   def update(batch: DataFrame, batchId: Long): Unit = {
-    val hi = batch.filter(col("risk_score") >= threshold)
-      .orderBy(col("created_utc").desc_nulls_last, col("id").desc_nulls_last)
-      .limit(maxAlerts)
-      .collect()
-      .reverse
+    val hiRisk = batch.filter(col("risk_score") >= threshold)
+    val capped =
+      if (batch.columns.contains("created_utc"))
+        hiRisk.orderBy(col("created_utc").desc_nulls_last, col("id").desc_nulls_last)
+          .limit(maxAlerts).collect().reverse
+      else hiRisk.limit(maxAlerts).collect()
     synchronized {
-      hi.foreach { r =>
+      capped.foreach { r =>
         alerts.append(r)
         if (alerts.size > maxAlerts) alerts.removeHead()
       }
