@@ -18,7 +18,7 @@ object GraftFunctions {
     RiskScore(exprs.head)
   }
 
-  private val topKBuilder: Seq[Expression] => Expression = { exprs =>
+  private[functions] val topKBuilder: Seq[Expression] => Expression = { exprs =>
     val k = exprs(1) match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
@@ -119,6 +119,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fingerprint"),
       new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
       GraftFunctions.fingerprintBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_values"),
+      new ExpressionInfo(classOf[TopKValuesAgg].getName, "top_k_values"),
+      GraftFunctions.topKBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "freq_items"),
+      GraftFunctions.freqItemsBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      GraftFunctions.bloomAggBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      GraftFunctions.mightContainBuilder,
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.
