@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, RiskScore, TopKValuesAgg}
+import graft.expr.{DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -52,6 +52,11 @@ object GraftFunctions {
     Fingerprint(exprs.head)
   }
 
+  private[functions] val intersectSortedBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "intersect_size_sorted expects exactly two arguments")
+    IntersectSizeSorted(exprs.head, exprs(1))
+  }
+
   // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
   // runtime-filter rewrite but keeps them off the SQL search path;
   // expose both so the Bloom prefilter pattern is writable as plain
@@ -86,6 +91,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fingerprint", fingerprintBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_size_sorted", intersectSortedBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
@@ -119,6 +126,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fingerprint"),
       new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
       GraftFunctions.fingerprintBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_size_sorted"),
+      new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size_sorted"),
+      GraftFunctions.intersectSortedBuilder,
     ))
     ext.injectFunction((
       FunctionIdentifier("top_k_values"),

@@ -116,15 +116,18 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
-  /** Distinct word bigrams per document — the exact-similarity unit the
-    * Jaccard scorers share. */
+  /** Distinct word bigrams per document, SORTED — the exact-similarity
+    * unit the Jaccard scorers share. The sort is paid once per document
+    * here so the per-PAIR intersection downstream can be the zero-alloc
+    * two-pointer merge ([[graft.expr.IntersectSizeSorted]]) instead of a
+    * hash-set build per candidate pair. */
   private def bigrams(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", expr(
         """CASE WHEN size(toks) < 2 THEN array()
-           ELSE array_distinct(transform(sequence(1, size(toks) - 1), i ->
-             concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END"""))
+           ELSE array_sort(array_distinct(transform(sequence(1, size(toks) - 1), i ->
+             concat(element_at(toks, i), ' ', element_at(toks, i + 1))))) END"""))
       .select(col("doc_id"), col("grams"))
 
   /** Exact word-bigram Jaccard over a candidate pair frame (a_id, b_id):
@@ -146,10 +149,13 @@ object DedupOps {
     val scored = candidates
       .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
-      // native IntersectSize: same value as size(array_intersect(...)),
-      // minus the per-pair intersection-array allocation (the hot spot —
-      // hundreds of grams per side across every candidate pair)
-      .withColumn("inter", call_function("intersect_size", col("a_grams"), col("b_grams")))
+      // native sorted-merge intersect: same value as
+      // size(array_intersect(...)), with neither the intersection-array
+      // allocation nor a per-pair hash-set build (the hot spot — hundreds
+      // of grams per side across every candidate pair; arrays arrive
+      // sorted from the feature table above)
+      .withColumn("inter",
+        call_function("intersect_size_sorted", col("a_grams"), col("b_grams")))
       .withColumn("uni", size(col("a_grams")) + size(col("b_grams")) - col("inter"))
       .withColumn("jaccard",
         round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
@@ -242,8 +248,8 @@ object DedupOps {
       .select(col("doc_id"), split(col("signature"), ",").as("parts"))
       .localCheckpoint() // joined for both pair sides — one minhash pass
     val toks = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokensCol.as("toks"))
-      .localCheckpoint() // ditto for the token sets
+      .select(col("doc_id"), array_sort(tokensCol).as("toks"))
+      .localCheckpoint() // ditto for the token sets (sorted once for the merge kernel)
     cappedBandCandidates(spark, dir, cap)
       .join(sig.select(col("doc_id").as("a_id"), col("parts").as("a_parts")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("parts").as("b_parts")), Seq("b_id"))
@@ -252,7 +258,8 @@ object DedupOps {
       .withColumn("est_jaccard", round(expr(
         """size(filter(sequence(1, 8), i ->
              element_at(a_parts, i) = element_at(b_parts, i)))""") / 8.0, 6))
-      .withColumn("inter", call_function("intersect_size", col("a_toks"), col("b_toks")))
+      .withColumn("inter",
+        call_function("intersect_size_sorted", col("a_toks"), col("b_toks")))
       .withColumn("uni", size(col("a_toks")) + size(col("b_toks")) - col("inter"))
       .withColumn("exact_jaccard",
         round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
