@@ -80,6 +80,7 @@ object SparkEntry {
     "q_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
     "q_bucketed_neardup" -> ((s, d) => SimilarityOps.bucketedNearDup(s, d)),
     "q_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    "q_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
@@ -758,6 +759,48 @@ object SparkEntry {
             SELECT *, row_number() OVER (PARTITION BY q_id
               ORDER BY cosine DESC, vec_id) AS rn FROM pairs)
           WHERE rn <= 3 ORDER BY q_id, rn""",
+    "q_ivf_recall" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv AS nc FROM e WHERE vec_id < 8),
+          scoredc AS (
+            SELECT vec_id, v, nv, c_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) / (nv * nc), 6) AS c_cos
+            FROM e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, v, nv, c_id AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY c_cos DESC, c_id) AS rn FROM scoredc)
+            WHERE rn = 1),
+          q AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS nq, cell AS q_cell
+            FROM assigned WHERE vec_id >= 10 AND vec_id < 15),
+          ivf AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, a.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  a.vec_id) AS rn
+              FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+            WHERE rn <= 3),
+          exact AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, e.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  e.vec_id) AS rn
+              FROM e JOIN q ON e.vec_id <> q.q_id)
+            WHERE rn <= 3)
+          SELECT exact.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+            CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+          FROM exact LEFT JOIN ivf ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id
+          GROUP BY exact.q_id ORDER BY exact.q_id""",
     "q_label_norms" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
           round(avg(norm), 6) AS avg_norm,

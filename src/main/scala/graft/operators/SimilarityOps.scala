@@ -131,6 +131,40 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** ANN index QUALITY: recall@k of the IVF cell-probe answer against
+    * the exact brute-force top-k for the same query vectors — the
+    * estimator-quality companion to [[ivfTopK]], the way
+    * `DedupOps.minhashEstVsExact` audits MinHash. This is the number an
+    * index owner actually watches: how much of the true neighborhood the
+    * nprobe=1 cell search surrendered. Both sides rank on the ROUNDED
+    * score with a vec_id tie-break so the top-k sets are deterministic
+    * cross-engine; hits count via a left join from the exact set (a
+    * query with zero IVF overlap still reports, with recall 0).
+    */
+  def ivfRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ivf = ivfTopK(spark, dir, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(ivf, Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0L))) * lit(1.0) / count(lit(1)), 6)
+          .as("recall"),
+      )
+      .orderBy(col("q_id"))
+  }
+
   /** The sign-pattern LSH bucket of the first 8 dimensions (a fixed
     * coarse random-hyperplane surrogate). */
   private val bucketExpr = expr(

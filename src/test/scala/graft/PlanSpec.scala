@@ -91,6 +91,7 @@ class PlanSpec extends AnyFunSuite {
     val constantSideBnl = Set(
       "q_knn_cosine", // broadcast side = 5 fixed query vectors (vec_id < 5)
       "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
+      "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if constantSideBnl(name) => None
