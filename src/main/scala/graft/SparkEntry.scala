@@ -81,6 +81,7 @@ object SparkEntry {
     "q_bucketed_neardup" -> ((s, d) => SimilarityOps.bucketedNearDup(s, d)),
     "q_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
+    "q_ivf_nprobe"      -> ((s, d) => SimilarityOps.ivfNprobeRecall(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
@@ -801,6 +802,52 @@ object SparkEntry {
             round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
           FROM exact LEFT JOIN ivf ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id
           GROUP BY exact.q_id ORDER BY exact.q_id""",
+    "q_ivf_nprobe" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv AS nc FROM e WHERE vec_id < 8),
+          scoredc AS (
+            SELECT vec_id, v, nv, c_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY
+                round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) / (nv * nc), 6) DESC,
+                c_id) AS crank
+            FROM e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, v, nv, c_id AS cell FROM scoredc WHERE crank = 1),
+          qcells AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS nq, c_id AS q_cell, crank
+            FROM scoredc WHERE vec_id >= 10 AND vec_id < 15 AND crank <= 4),
+          nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+          ivf AS (
+            SELECT np, q_id, vec_id FROM (
+              SELECT np, q_id, a.vec_id,
+                row_number() OVER (PARTITION BY np, q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  a.vec_id) AS rn
+              FROM assigned a
+              JOIN qcells ON a.cell = qcells.q_cell AND a.vec_id <> qcells.q_id
+              CROSS JOIN nps WHERE qcells.crank <= np)
+            WHERE rn <= 3),
+          q AS (SELECT vec_id AS q_id, v AS qv, nv AS nq FROM e
+                WHERE vec_id >= 10 AND vec_id < 15),
+          exact AS (
+            SELECT np, q_id, vec_id FROM (
+              SELECT q_id, e.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  e.vec_id) AS rn
+              FROM e JOIN q ON e.vec_id <> q.q_id)
+            CROSS JOIN nps WHERE rn <= 3)
+          SELECT CAST(exact.np AS INTEGER) AS np, exact.q_id,
+            round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+          FROM exact LEFT JOIN ivf
+            ON exact.np = ivf.np AND exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id
+          GROUP BY exact.np, exact.q_id ORDER BY np, exact.q_id""",
     "q_label_norms" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
           round(avg(norm), 6) AS avg_norm,

@@ -165,6 +165,63 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** The IVF tuning curve: recall@k at nprobe ∈ {1, 2, 4} in ONE plan —
+    * the accuracy/cost knob every inverted-file index exposes. Queries
+    * keep their `nprobe` nearest cells (centroid rank ≤ nprobe), the
+    * candidate set grows cell by cell, and each (nprobe, query) ranks
+    * its own top-k against the exact brute-force neighborhood. The three
+    * curve points share one centroid-scoring pass and one candidate
+    * join: candidates carry their cell's centroid rank, an explode over
+    * the nprobe literals replicates each candidate into every curve
+    * point that would probe its cell, and ranking partitions on
+    * (nprobe, q_id). Every broadcast side is constant-bounded (8
+    * centroids / 5 queries / 3 literals).
+    */
+  def ivfNprobeRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val scoredc = e.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", round(
+        dot(col("v"), col("cv")) / (col("nv") * col("nc")), 6))
+      .withColumn("crank", row_number().over(wAssign))
+    val assigned = scoredc.filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nv"), col("c_id").as("cell"))
+    val queryCells = scoredc
+      .filter(col("vec_id") >= 10 && col("vec_id") < 15 && col("crank") <= 4)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"),
+        col("c_id").as("q_cell"), col("crank"))
+    val wRank = Window.partitionBy(col("np"), col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ivfTop = assigned
+      .join(broadcast(queryCells),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("np", explode(array(lit(1), lit(2), lit(4))))
+      .filter(col("crank") <= col("np"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("np"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val wExact = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))
+      .withColumn("np", explode(array(lit(1), lit(2), lit(4))))
+    exact.join(ivfTop, Seq("np", "q_id", "vec_id"), "left_outer")
+      .groupBy(col("np"), col("q_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0L))) * lit(1.0) / count(lit(1)), 6)
+        .as("recall"))
+      .orderBy(col("np"), col("q_id"))
+  }
+
   /** The sign-pattern LSH bucket of the first 8 dimensions (a fixed
     * coarse random-hyperplane surrogate). */
   private val bucketExpr = expr(

@@ -92,6 +92,7 @@ class PlanSpec extends AnyFunSuite {
       "q_knn_cosine", // broadcast side = 5 fixed query vectors (vec_id < 5)
       "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
       "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
+      "q_ivf_nprobe", // same constant sides, swept over 3 nprobe literals
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if constantSideBnl(name) => None
