@@ -65,6 +65,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
   }
 
+  test("CDC compaction and stratified sampling keep the group-limit shape") {
+    // the same WindowGroupLimit guarantee must hold for rank-1 compaction
+    // (latest per key) and the exact-N stratum cut — neither may
+    // materialize a whole partition to pick its head rows
+    val compaction = plan(RelationalOps.latestPerUser(spark, dir))
+    assert(compaction.contains("WindowGroupLimit"),
+      s"compaction sorts whole keys:\n$compaction")
+    val sample = plan(graft.operators.CorpusOps.stratifiedSample(spark, dir))
+    assert(sample.contains("WindowGroupLimit"),
+      s"stratified cut sorts whole strata:\n$sample")
+  }
+
   test("revenue join broadcasts every non-fact side: no sort-merge join") {
     // The pruned orders projection joins as a broadcast at bench scale —
     // the fact table must reach the final agg without a join shuffle.
