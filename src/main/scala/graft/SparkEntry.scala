@@ -125,6 +125,16 @@ object SparkEntry {
     "q_schema_profile"  -> ((s, d) => RelationalOps.schemaProfile(s, d)),
     "q_left_join_nulls" -> ((s, d) => RelationalOps.customerOrderSummary(s, d)),
     "q_scalar_subquery" -> ((s, d) => RelationalOps.outlierOrders(s, d)),
+    // ---- round-5 training-data pipeline tier: packing, sampling,
+    //      substring-dedup census, LM quality, layout, clustering
+    "q_seq_pack"        -> ((s, d) => graft.operators.CorpusOps.seqPack(s, d)),
+    "q_weighted_sample" -> ((s, d) => graft.operators.CorpusOps.weightedSample(s, d)),
+    "q_token_budget"    -> ((s, d) => graft.operators.CorpusOps.tokenBudget(s, d)),
+    "q_dup_ngram_spans" -> ((s, d) => DedupOps.dupNgramSpans(s, d)),
+    "q_unigram_logprob" -> ((s, d) => MlOps.unigramLogprob(s, d)),
+    "q_dim_stats"       -> ((s, d) => SimilarityOps.dimStats(s, d)),
+    "q_kmeans_step"     -> ((s, d) => SimilarityOps.kmeansStep(s, d)),
+    "q_zorder_layout"   -> ((s, d) => graft.operators.ScaleOps.zorderLayout(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1338,5 +1348,140 @@ object SparkEntry {
             AS corr_value_hour,
           CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_seq_pack" ->
+      """WITH t AS (
+            SELECT source, doc_id,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT source, doc_id, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+            FROM t)
+          SELECT source, CAST(start_off // 512 AS INTEGER) AS bin,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+            min(doc_id) AS first_doc_id
+          FROM c GROUP BY source, bin ORDER BY source, bin""",
+    "q_weighted_sample" ->
+      """WITH u AS (
+            SELECT source, doc_id, n_chars,
+              (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) AS u_int
+            FROM documents),
+          k AS (
+            SELECT source, doc_id, n_chars,
+              round(ln((u_int + 1.0) / 16777217.0) / n_chars, 9) AS es_key
+            FROM u)
+          SELECT source, doc_id, CAST(n_chars AS INTEGER) AS weight, es_key,
+            CAST(rn AS INTEGER) AS rn
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY es_key DESC, doc_id) AS rn FROM k)
+          WHERE rn <= 10 ORDER BY source, rn""",
+    "q_token_budget" ->
+      """WITH s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+                AS total_tokens
+            FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(total_tokens) AS DOUBLE) AS grand FROM s)
+          SELECT source, n_docs, total_tokens,
+            round(total_tokens / grand, 6) AS share,
+            round(sum(total_tokens) OVER (ORDER BY total_tokens DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / grand, 6) AS cum_share
+          FROM s CROSS JOIN t ORDER BY total_tokens DESC, source""",
+    "q_dup_ngram_spans" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id,
+              array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' ') AS gram
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+                  FROM t WHERE len(toks) >= 5)),
+          cnt AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+            round(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+              AS dup_fraction
+          FROM g JOIN cnt USING (gram) GROUP BY doc_id ORDER BY doc_id""",
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          tc AS (SELECT term, sum(tf) AS n FROM tf GROUP BY term),
+          s AS (SELECT CAST(sum(n) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom FROM tc)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            round(sum(tf * ln((n + 1.0) / denom)) / sum(tf), 6) AS avg_logprob
+          FROM tf JOIN tc USING (term) CROSS JOIN s
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT v, unnest(range(0, len(v))) AS dim FROM e)
+          SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+            round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS mean_val,
+            round(stddev_samp(v[CAST(dim + 1 AS INTEGER)]), 4) AS std_val,
+            round(min(v[CAST(dim + 1 AS INTEGER)]), 6) AS min_val,
+            round(max(v[CAST(dim + 1 AS INTEGER)]), 6) AS max_val
+          FROM x GROUP BY dim ORDER BY dim""",
+    "q_kmeans_step" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nv2
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv2 AS nc2 FROM e WHERE vec_id < 8),
+          d AS (
+            SELECT vec_id, v, c_id,
+              round(nv2 + nc2 - 2.0 * list_sum(list_transform(range(1, len(v) + 1),
+                i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])), 6) AS dist2
+            FROM e CROSS JOIN c),
+          a AS (
+            SELECT vec_id, v, c_id AS cell, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, c_id) AS rn FROM d)
+            WHERE rn = 1),
+          sz AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              round(sum(dist2), 6) AS inertia
+            FROM a GROUP BY cell),
+          nc AS (
+            SELECT cell, dim, round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS mu
+            FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a)
+            GROUP BY cell, dim),
+          sh AS (
+            SELECT nc.cell,
+              round(sqrt(sum((mu - cv[CAST(dim + 1 AS INTEGER)])
+                           * (mu - cv[CAST(dim + 1 AS INTEGER)]))), 6) AS shift
+            FROM nc JOIN c ON nc.cell = c.c_id GROUP BY nc.cell)
+          SELECT sz.cell, n_vectors, inertia, shift
+          FROM sz JOIN sh ON sz.cell = sh.cell ORDER BY sz.cell""",
+    "q_zorder_layout" ->
+      """WITH o AS (
+            SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+              CAST((EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate)) % 256 AS BIGINT) AS y
+            FROM orders),
+          z AS (
+            SELECT x, y,
+              ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2
+              + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8
+              + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32
+              + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128
+              + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512
+              + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048
+              + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192
+              + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zkey
+            FROM o)
+          SELECT CAST(zkey >> 8 AS BIGINT) AS zbucket,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+            CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+          FROM z GROUP BY zbucket ORDER BY zbucket""",
   )
 }

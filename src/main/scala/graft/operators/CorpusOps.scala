@@ -250,6 +250,94 @@ object CorpusOps {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** Sequence packing for training shards: lay every document's tokens
+    * end to end (per source, in doc_id order) and chop the stream at
+    * fixed `binTokens` boundaries — the concatenate-and-chop packing
+    * step that turns ragged documents into fixed-length training
+    * sequences. Each document is assigned to the bin its FIRST token
+    * lands in; the running offset is one window cumulative sum keyed on
+    * the source, so at 100 TB the packing parallelizes per shard (no
+    * global order is ever imposed — a per-source sort, not a total
+    * sort). `binTokens` is a power of two so the offset→bin division is
+    * exact in binary floating point on every engine.
+    */
+  def seqPack(spark: SparkSession, dir: String, binTokens: Int = 512): DataFrame = {
+    require((binTokens & (binTokens - 1)) == 0, "binTokens must be a power of two")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(toksCol).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_off") / lit(binTokens)).cast("int"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc_id"),
+      )
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-Res scheme): every document draws a uniform
+    * u from its own content address (the first 6 hex digits of
+    * md5(doc_id)), its sort key is ln(u)/weight — equivalent to ranking
+    * by u^(1/w) — and the top `perSource` keys per source win. Longer
+    * documents (weight = n_chars) are proportionally likelier to be
+    * drawn, yet the sample is fully reproducible: no RNG state, stable
+    * under re-runs and repartitioning, and the per-source rank plans as
+    * WindowGroupLimit so no stratum is materialized whole. The key is
+    * rounded to 9 dp BEFORE ranking (doc_id tie-break) so cross-engine
+    * ulp drift in ln cannot reorder the draw.
+    */
+  def weightedSample(spark: SparkSession, dir: String,
+      perSource: Int = 10): DataFrame = {
+    val uInt = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    // u in (0,1]: (u_int+1)/(16^6+1) — never 0, so ln is finite
+    val esKey = round(
+      log((uInt + lit(1.0)) / lit(16777217.0)) / col("n_chars"), 9)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("es_key", esKey)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perSource)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").cast("int").as("weight"), col("es_key"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** Corpus token accounting for mixture design: per-source token
+    * totals with each source's share of the corpus and the cumulative
+    * share in descending-size order — the "which sources cover 80% of
+    * the tokens" table a mixture recipe starts from. The token count is
+    * one partial+final hash agg; the cumulative window runs over the
+    * post-aggregation frame (one row per source), so the unpartitioned
+    * window is bounded by source cardinality, not data size. The grand
+    * total is a driver-side bounded scalar inlined as a literal (the
+    * documented TF-IDF pattern — a 1-row cross join would plan as the
+    * BroadcastNestedLoopJoin the registry invariant bans).
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    // feeds the grand-total scalar AND the share projection: materialize
+    // the (tiny, one row per source) aggregate once
+    val s = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), size(toksCol).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .localCheckpoint()
+    val grand = s.agg(sum(col("total_tokens"))).head().getLong(0).toDouble
+    val w = Window.orderBy(col("total_tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("share", round(col("total_tokens") / lit(grand), 6))
+      .withColumn("cum_share",
+        round(sum(col("total_tokens")).over(w) / lit(grand), 6))
+      .orderBy(col("total_tokens").desc, col("source"))
+  }
+
   /** The corpus-prep pipeline END TO END in one job — the ML-side twin of
     * q_dashboard_payload's composed serving query: tokenize → canonical
     * token-set dedup (keep the min-id representative) → length quality

@@ -233,6 +233,42 @@ object DedupOps {
       .distinct()
   }
 
+  /** Substring-level duplication census (the signal behind exact
+    * substring dedup à la "Deduplicating Training Data Makes Language
+    * Models Better"): every POSITIONAL word 5-gram — occurrences, not
+    * the distinct set — is counted corpus-wide, and each document
+    * reports how many of its spans belong to a 5-gram seen ≥ 2 times
+    * anywhere in the corpus. High `dup_fraction` docs are boilerplate /
+    * copy candidates whose repeated spans would be cut by a
+    * suffix-array pass. Scale shape: the span expansion is map-only,
+    * the occurrence count is a partial+final hash agg on the gram, and
+    * the count join back to spans is a plain equi-join on the gram key
+    * — every stage is keyed, nothing pairwise.
+    */
+  def dupNgramSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    // the span table feeds the corpus count AND the join back —
+    // materialize the tokenize+expand pass once (feature-store pattern,
+    // see scoreJaccard)
+    val spans = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", array_remove(split(col("text"), " "), ""))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+              i -> concat_ws(' ', slice(toks, i, $n)))""")).as("gram"))
+      .localCheckpoint()
+    val counts = spans.groupBy(col("gram")).agg(count(lit(1)).as("n_occ"))
+    spans.join(counts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+        round(sum(when(col("n_occ") >= 2, 1L).otherwise(0L)) * lit(1.0)
+          / count(lit(1)), 6).as("dup_fraction"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash estimator quality: for the capped band-collision pairs, the
     * ESTIMATED Jaccard (fraction of the 8 signature components that
     * agree — the quantity LSH actually thresholds on) side by side with

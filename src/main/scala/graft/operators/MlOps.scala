@@ -93,6 +93,37 @@ object MlOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Unigram language-model quality score (the CCNet-style perplexity
+    * filter, reduced to its order-0 form): train a unigram LM on the
+    * corpus itself — add-one smoothed, P(t) = (c(t)+1)/(T+V) — and score
+    * every document by its mean token log-probability. Documents far
+    * below the corpus mean are gibberish/outlier candidates; far above,
+    * repetitive boilerplate. One tokenize pass total (tf is
+    * materialized and feeds the term-count aggregate AND the scoring
+    * join); the LM side is vocabulary-sized so it broadcasts; the two
+    * corpus scalars (T, V) are driver-side bounded aggregates inlined
+    * as literals (the documented TF-IDF pattern). The per-doc mean is
+    * the tf-weighted sum — identical algebra in the oracle so summation
+    * grouping matches.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tc = tf.groupBy(col("term")).agg(sum(col("tf")).as("n"))
+    val stats = tc.agg(sum(col("n")), count(lit(1))).head()
+    val denom = stats.getLong(0).toDouble + stats.getLong(1).toDouble
+    tf.join(broadcast(tc), Seq("term"))
+      .withColumn("lp", log((col("n") + lit(1.0)) / lit(denom)))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("lp")) / sum(col("tf")), 6).as("avg_logprob"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** ML-2 extension: BM25 top-3 terms per document — TF-IDF's saturating
     * big sibling (Okapi BM25, k1=1.2, b=0.75):
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),

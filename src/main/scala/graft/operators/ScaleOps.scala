@@ -28,4 +28,37 @@ object ScaleOps {
         round(sum(col("pv")), 2).as("total_value"),
       )
       .orderBy(col("event_type"))
+
+  /** Z-order (Morton) layout key: interleave the low 8 bits of two
+    * query dimensions — customer bucket and order month — so that
+    * sorting/partitioning by the key co-locates rows that are close in
+    * BOTH dimensions at once. This is the multi-dimensional clustering
+    * trick behind data-skipping layouts (Delta/Iceberg OPTIMIZE
+    * ZORDER): min/max file statistics on a z-sorted table prune
+    * two-dimensional predicates, where a lexicographic sort prunes only
+    * its leading column. The output is the layout audit — per key range
+    * (zkey >> 8), the min/max span of each dimension, which stays ≤ 16
+    * in BOTH dims by construction (each 256-key bucket is a 16×16 tile
+    * of the grid). Pure integer bit algebra: one map-only projection
+    * and a hash agg, identical arithmetic on any engine.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val zkey = (0 until 8).map { k =>
+      shiftright(col("x"), k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
+        shiftright(col("y"), k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1))
+    }.reduce(_ + _)
+    Tables.orders(spark, dir)
+      .select(
+        (col("o_custkey") % 256).cast("long").as("x"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) % 256)
+          .cast("long").as("y"))
+      .withColumn("zbucket", shiftright(zkey, 8))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+      )
+      .orderBy(col("zbucket"))
+  }
 }

@@ -272,6 +272,73 @@ object SimilarityOps {
       .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
       .orderBy(col("label"), col("dim"))
 
+  /** Per-dimension embedding profile (mean/std/min/max for each of the
+    * d dimensions) — the statistics pass behind feature normalization /
+    * whitening and the first sanity check on a new embedding dump
+    * (dead dimensions, scale drift). Same shape as [[labelCentroids]]:
+    * posexplode then one partial+final hash agg keyed on dim — the
+    * shuffle carries d accumulators per partition, never vectors.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    embDouble(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean_val"),
+        round(stddev_samp(col("x")), 4).as("std_val"),
+        round(min(col("x")), 6).as("min_val"),
+        round(max(col("x")), 6).as("max_val"),
+      )
+      .orderBy(col("dim"))
+
+  /** One full Lloyd iteration of k-means over the embeddings —
+    * assignment, update, and convergence diagnostics in a single job:
+    * every vector goes to its nearest (squared-euclidean) centroid (the
+    * first k vectors stand in for an init, deterministic like
+    * [[ivfTopK]]), and each cell reports its size, its inertia
+    * (Σ dist², the quantity Lloyd descends), and how far the updated
+    * centroid moved. Distances expand to ‖v‖² + ‖c‖² − 2·v·c with the
+    * per-VECTOR norms precomputed once, so the pairwise stage is one
+    * native dot product per (vector, centroid) — and the oracle mirrors
+    * that exact expression tree so both engines sum in the same order.
+    * The centroid side is k constant rows (broadcast); the update is
+    * the [[labelCentroids]] posexplode agg keyed on (cell, dim). At
+    * scale the iteration loop would localCheckpoint per round like
+    * GraphOps' connected components.
+    */
+  def kmeansStep(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv2", dot(col("v"), col("v")))
+    // feeds the assignment join AND the shift comparison — one pass
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv2").as("nc2"))
+      .localCheckpoint()
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
+    // assignments feed the size/inertia agg AND the centroid update
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .withColumn("dist2", round(
+        col("nv2") + col("nc2") - lit(2.0) * dot(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("dist2"))
+      .localCheckpoint()
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), round(sum(col("dist2")), 6).as("inertia"))
+    val newC = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mu"))
+    val oldC = centroids
+      .select(col("c_id").as("cell"), posexplode(col("cv")).as(Seq("dim", "cx")))
+    val shifts = newC.join(oldC, Seq("cell", "dim"))
+      .groupBy(col("cell"))
+      .agg(round(sqrt(sum((col("mu") - col("cx")) * (col("mu") - col("cx")))), 6)
+        .as("shift"))
+    sizes.join(shifts, Seq("cell"))
+      .select(col("cell"), col("n_vectors"), col("inertia"), col("shift"))
+      .orderBy(col("cell"))
+  }
+
   /** LSH-bucketed near-neighbor candidates: bucket every vector by the
     * sign pattern of its first 8 dimensions (a fixed coarse random-
     * hyperplane surrogate), then count collisions per bucket. At scale

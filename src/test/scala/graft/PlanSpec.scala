@@ -105,6 +105,7 @@ class PlanSpec extends AnyFunSuite {
       "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
       "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
       "q_ivf_nprobe", // same constant sides, swept over 3 nprobe literals
+      "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if constantSideBnl(name) => None
