@@ -135,6 +135,11 @@ object SparkEntry {
     "q_dim_stats"       -> ((s, d) => SimilarityOps.dimStats(s, d)),
     "q_kmeans_step"     -> ((s, d) => SimilarityOps.kmeansStep(s, d)),
     "q_zorder_layout"   -> ((s, d) => graft.operators.ScaleOps.zorderLayout(s, d)),
+    "q_bigram_logprob"  -> ((s, d) => MlOps.bigramLogprob(s, d)),
+    "q_ppx_buckets"     -> ((s, d) => MlOps.ppxBuckets(s, d)),
+    "q_token_entropy"   -> ((s, d) => TextAnalysisOps.tokenEntropy(s, d)),
+    "q_dim_corr"        -> ((s, d) => SimilarityOps.dimCorr(s, d)),
+    "q_neardup_triangles" -> ((s, d) => graft.operators.GraphOps.nearDupTriangles(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1483,5 +1488,103 @@ object SparkEntry {
             CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
             CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
           FROM z GROUP BY zbucket ORDER BY zbucket""",
+    "q_bigram_logprob" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i + 1 AS INTEGER)] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)),
+          tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM g GROUP BY doc_id, w1, w2),
+          bc AS (SELECT w1, w2, sum(tf) AS nb FROM tf GROUP BY w1, w2),
+          uc AS (SELECT w1, sum(tf) AS na FROM tf GROUP BY w1),
+          v AS (
+            SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vs
+            FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS term FROM documents))
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+            round(sum(tf * ln((nb + 1.0) / (na + vs))) / sum(tf), 6) AS avg_logprob
+          FROM tf JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+          GROUP BY doc_id ORDER BY doc_id""",
+    "q_ppx_buckets" ->
+      """WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          tc AS (SELECT term, sum(tf) AS n FROM tf GROUP BY term),
+          s AS (SELECT CAST(sum(n) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS denom FROM tc),
+          sc AS (
+            SELECT doc_id,
+              round(sum(tf * ln((n + 1.0) / denom)) / sum(tf), 6) AS avg_logprob
+            FROM tf JOIN tc USING (term) CROSS JOIN s GROUP BY doc_id),
+          b AS (
+            SELECT d.source, sc.doc_id, sc.avg_logprob,
+              ntile(3) OVER (PARTITION BY d.source
+                ORDER BY sc.avg_logprob DESC, sc.doc_id) AS t
+            FROM sc JOIN documents d USING (doc_id))
+          SELECT source,
+            CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            round(avg(avg_logprob), 6) AS mean_logprob,
+            round(min(avg_logprob), 6) AS min_logprob,
+            round(max(avg_logprob), 6) AS max_logprob
+          FROM b GROUP BY source, t ORDER BY source, bucket""",
+    "q_token_entropy" ->
+      """WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+            CAST(count(*) AS BIGINT) AS n_types,
+            round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy,
+            round(count(*) / CAST(sum(tf) AS DOUBLE), 6) AS ttr
+          FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    "q_dim_corr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (
+            SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[CAST(dim + 1 AS INTEGER)] AS x
+            FROM (SELECT vec_id, v, unnest(range(0, len(v))) AS dim FROM e)),
+          p AS (
+            SELECT a.dim AS dim_i, b.dim AS dim_j,
+              round(corr(a.x, b.x), 4) AS corr_val, CAST(count(*) AS BIGINT) AS n
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+            GROUP BY a.dim, b.dim)
+          SELECT dim_i, dim_j, corr_val, n FROM p
+          ORDER BY abs(corr_val) DESC, dim_i, dim_j LIMIT 20""",
+    "q_neardup_triangles" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+                (a.nv * b.nv), 6) >= 0.3),
+          w AS (
+            SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+            FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id),
+          t AS (SELECT w.a, w.b, w.c FROM w JOIN p e3 ON w.a = e3.a_id AND w.c = e3.b_id),
+          pn AS (
+            SELECT node, count(*) AS nt FROM (
+              SELECT a AS node FROM t
+              UNION ALL SELECT b FROM t
+              UNION ALL SELECT c FROM t)
+            GROUP BY node),
+          d AS (
+            SELECT node, count(*) AS degree FROM (
+              SELECT a_id AS node FROM p UNION ALL SELECT b_id FROM p)
+            GROUP BY node)
+          SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+            CAST(coalesce(pn.nt, 0) AS BIGINT) AS n_triangles,
+            CASE WHEN d.degree >= 2
+              THEN round(2.0 * coalesce(pn.nt, 0) / (d.degree * (d.degree - 1)), 6)
+            END AS clustering
+          FROM d LEFT JOIN pn USING (node) ORDER BY d.node""",
   )
 }

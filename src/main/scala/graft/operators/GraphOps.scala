@@ -156,4 +156,44 @@ object GraphOps {
       .agg(count(lit(1)).as("degree"))
       .orderBy(col("node"))
   }
+
+  /** Triangle census of the near-dup graph: per-node triangle count and
+    * local clustering coefficient 2T/(d(d−1)). High clustering says the
+    * candidate pairs form tight cliques (true duplicate clusters); low
+    * clustering with high degree flags the hub nodes that glue unrelated
+    * documents — THE failure mode transitive-closure dedup must catch
+    * before merging components. Edges arrive canonically oriented
+    * (a < b), so each triangle a<b<c is counted exactly once by the
+    * standard two-join formulation: wedges (a,b)+(b,c) closed by the
+    * (a,c) edge — both joins are equi-joins on node ids, the shape
+    * triangle counting takes on any MapReduce-class engine. The edge
+    * table feeds three joins and the degree count, so it is materialized
+    * once.
+    */
+  def nearDupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = SimilarityOps.bucketedNearDup(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b_id") === col("e2.a_id"))
+      .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"), col("e2.b_id").as("c"))
+    val tris = wedges.join(edges.as("e3"),
+        col("a") === col("e3.a_id") && col("c") === col("e3.b_id"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degrees = edges.select(col("a_id").as("node"))
+      .unionAll(edges.select(col("b_id").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"))
+    degrees.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering", when(col("degree") >= 2,
+        round(lit(2.0) * col("n_triangles")
+          / (col("degree") * (col("degree") - lit(1))), 6)))
+      .select(col("node"), col("degree"), col("n_triangles"), col("clustering"))
+      .orderBy(col("node"))
+  }
 }

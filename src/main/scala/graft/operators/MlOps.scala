@@ -124,6 +124,76 @@ object MlOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Order-1 sibling of [[unigramLogprob]]: a bigram language model
+    * trained on the corpus itself scores every document by its mean
+    * conditional log-probability, P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)
+    * add-one smoothed over the corpus vocabulary V. The gap between a
+    * document's unigram and bigram scores is the classic fluency signal
+    * (word salad scores fine under order-0, collapses under order-1).
+    * Scale shape mirrors the unigram pass: positional bigram expansion
+    * is map-only, the per-doc bigram tf is materialized once and feeds
+    * the two LM count aggregates AND the scoring join, the LM sides are
+    * bigram-vocabulary-sized (≤ V²) so they broadcast, and V is a
+    * driver-side bounded scalar inlined as a literal.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", array_remove(split(col("text"), " "), ""))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i-1] AS w1, toks[i] AS w2))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val bc = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("nb"))
+    val uc = tf.groupBy(col("w1")).agg(sum(col("tf")).as("na"))
+    val vocab = docTerms(spark, dir).select(col("term")).distinct().count()
+    tf.join(broadcast(bc), Seq("w1", "w2"))
+      .join(broadcast(uc), Seq("w1"))
+      .withColumn("lp", log((col("nb") + lit(1.0)) / (col("na") + lit(vocab.toDouble))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * col("lp")) / sum(col("tf")), 6).as("avg_logprob"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style head/middle/tail corpus partition: per source, rank
+    * every document by its [[unigramLogprob]] quality score and cut the
+    * ranking into perplexity tertiles with ntile(3) — "head" is the
+    * most-fluent third the mixture oversamples, "tail" the third a
+    * cleaning pass inspects first. The tertile assignment is exact and
+    * deterministic (scores are rounded to 6 dp BEFORE ranking and ties
+    * break on doc_id), and the window is keyed on source, so at scale
+    * each shard ranks independently — no global sort. Output is the
+    * per-(source, bucket) summary a mixture recipe reads.
+    */
+  def ppxBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = unigramLogprob(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored
+      .withColumn("t", ntile(3).over(w))
+      .groupBy(col("source"), col("t"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("avg_logprob")), 6).as("mean_logprob"),
+        round(min(col("avg_logprob")), 6).as("min_logprob"),
+        round(max(col("avg_logprob")), 6).as("max_logprob"),
+      )
+      .withColumn("bucket",
+        when(col("t") === 1, "head").when(col("t") === 2, "middle").otherwise("tail"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        col("mean_logprob"), col("min_logprob"), col("max_logprob"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** ML-2 extension: BM25 top-3 terms per document — TF-IDF's saturating
     * big sibling (Okapi BM25, k1=1.2, b=0.75):
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),

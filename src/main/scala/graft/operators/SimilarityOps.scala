@@ -292,6 +292,31 @@ object SimilarityOps {
       )
       .orderBy(col("dim"))
 
+  /** Top correlated embedding-dimension pairs — the redundancy audit
+    * behind feature pruning / whitening decisions ([[dimStats]] finds
+    * dead dimensions; this finds duplicated ones). Every vector fans out
+    * to its (dim, value) cells once; the pair stage is a self-equi-join
+    * ON vec_id (each key meets exactly its own d cells — keyed fan-out,
+    * no cross join), and Pearson r is one partial+final `corr`
+    * aggregate per (i, j) cell pair, mergeable at scale. Ranking is on
+    * the ROUNDED |r| (tie-break (i, j)) so cross-engine ulp drift in the
+    * moment sums cannot reorder the top-k.
+    */
+  def dimCorr(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val x = embDouble(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .localCheckpoint() // feeds both sides of the pair join — one fan-out pass
+    val a = x.select(col("vec_id"), col("dim").as("dim_i"), col("x").as("xi"))
+    val b = x.select(col("vec_id"), col("dim").as("dim_j"), col("x").as("xj"))
+    a.join(b, Seq("vec_id"))
+      .filter(col("dim_i") < col("dim_j"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(round(corr(col("xi"), col("xj")), 4).as("corr_val"),
+        count(lit(1)).as("n"))
+      .orderBy(abs(col("corr_val")).desc, col("dim_i"), col("dim_j"))
+      .limit(topK)
+  }
+
   /** One full Lloyd iteration of k-means over the embeddings —
     * assignment, update, and convergence diagnostics in a single job:
     * every vector goes to its nearest (squared-euclidean) centroid (the

@@ -68,6 +68,30 @@ object TextAnalysisOps {
       )
       .orderBy(col("doc_id"))
 
+  /** Lexical-diversity quality metrics: per-document Shannon entropy of
+    * the token distribution and the type-token ratio. Entropy uses the
+    * algebraic identity H = ln(n) − Σ tf·ln(tf)/n so the whole metric is
+    * one grouped aggregate over the (doc, term) counts — no second pass
+    * to form probabilities. Low entropy (relative to length) flags
+    * repetitive boilerplate the same way [[graft.operators.CorpusOps]]'s
+    * repetition ratio does, but from the distribution rather than from
+    * specific repeated bigrams. Two chained hash aggs, both keyed on
+    * doc_id — map-side partials all the way at scale.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    MlOps.docTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("tf"))) -
+          sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6).as("entropy"),
+        round(count(lit(1)) / sum(col("tf")).cast("double"), 6).as("ttr"),
+      )
+      .orderBy(col("doc_id"))
+
   /** Per-language heavy-hitter tokens via the Misra–Gries sketch
     * ([[graft.expr.FreqItemsAgg]]): constant memory per group no matter
     * the vocabulary size — the sketch answer to "what dominates this
