@@ -140,6 +140,7 @@ object SparkEntry {
     "q_token_entropy"   -> ((s, d) => TextAnalysisOps.tokenEntropy(s, d)),
     "q_dim_corr"        -> ((s, d) => SimilarityOps.dimCorr(s, d)),
     "q_neardup_triangles" -> ((s, d) => graft.operators.GraphOps.nearDupTriangles(s, d)),
+    "q_pca_step"        -> ((s, d) => SimilarityOps.pcaStep(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1586,5 +1587,20 @@ object SparkEntry {
               THEN round(2.0 * coalesce(pn.nt, 0) / (d.degree * (d.degree - 1)), 6)
             END AS clustering
           FROM d LEFT JOIN pn USING (node) ORDER BY d.node""",
+    "q_pca_step" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (
+            SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[CAST(dim + 1 AS INTEGER)] AS x
+            FROM (SELECT vec_id, v, unnest(range(0, len(v))) AS dim FROM e)),
+          cov AS (
+            SELECT a.dim AS i, b.dim AS j,
+              (sum(a.x * b.x) - sum(a.x) * sum(b.x) / count(*)) / (count(*) - 1) AS c
+            FROM x a JOIN x b ON a.vec_id = b.vec_id
+            GROUP BY a.dim, b.dim),
+          y AS (SELECT i, sum(c) / 8.0 AS y FROM cov GROUP BY i),
+          n AS (SELECT sqrt(sum(y * y)) AS nrm FROM y)
+          SELECT i AS dim, round(y, 6) AS cv0, round(y / nrm, 6) AS loading,
+            round(nrm, 6) AS eigval_est
+          FROM y CROSS JOIN n ORDER BY dim""",
   )
 }

@@ -170,9 +170,16 @@ object GraphOps {
     * table feeds three joins and the degree count, so it is materialized
     * once.
     */
-  def nearDupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = SimilarityOps.bucketedNearDup(spark, dir)
-      .select(col("a_id"), col("b_id"))
+  def nearDupTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(
+      SimilarityOps.bucketedNearDup(spark, dir).select(col("a_id"), col("b_id")),
+      "a_id", "b_id")
+
+  /** Triangle count + local clustering coefficient for an edge list with
+    * canonical orientation src < dst (each undirected edge exactly once).
+    * See [[nearDupTriangles]] for the shape discussion. */
+  def triangleStats(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    val edges = pairs.select(col(src).as("a_id"), col(dst).as("b_id"))
       .localCheckpoint()
     val wedges = edges.as("e1")
       .join(edges.as("e2"), col("e1.b_id") === col("e2.a_id"))

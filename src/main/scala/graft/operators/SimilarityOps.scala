@@ -292,6 +292,48 @@ object SimilarityOps {
       )
       .orderBy(col("dim"))
 
+  /** One power-iteration step of PCA over the embeddings, as distributed
+    * linear algebra on DataFrames: build the sample covariance matrix
+    * C (d×d cells, one keyed aggregate over the [[dimCorr]] pair
+    * fan-out — the shuffle carries per-cell moment sums, never vectors),
+    * then multiply by the deterministic start vector v₀ = 1/√d·(1,…,1)
+    * and report, per dimension, the resulting unnormalized component,
+    * the normalized top-eigenvector estimate, and the Rayleigh-quotient
+    * eigenvalue estimate ‖Cv₀‖ (v₀ unit). √d is exact in binary for
+    * d a power of four (64 ⇒ ‖v₀‖ divides by exactly 8), so both
+    * engines scale identically; nothing is rounded until the final
+    * projection. The matvec is a second keyed aggregate (group the d²
+    * cells by row index) — at 100 TB the iteration loop is
+    * O(d²)-state, data passes once per step.
+    */
+  def pcaStep(spark: SparkSession, dir: String): DataFrame = {
+    val x = embDouble(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .localCheckpoint() // feeds both sides of the covariance pair join
+    val a = x.select(col("vec_id"), col("dim").as("i"), col("x").as("xi"))
+    val b = x.select(col("vec_id"), col("dim").as("j"), col("x").as("xj"))
+    // full d×d moment table: c_ij = (S_ij − S_i·S_j/N) / (N−1)
+    val cov = a.join(b, Seq("vec_id"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi") * col("xj")).as("sij"),
+        sum(col("xi")).as("si"), sum(col("xj")).as("sj"),
+        count(lit(1)).as("nn"))
+      .withColumn("c",
+        (col("sij") - col("si") * col("sj") / col("nn")) / (col("nn") - lit(1)))
+    // y = C·v₀ with v₀ = (1/8,…,1/8): one row-keyed aggregate
+    val y = cov.groupBy(col("i"))
+      .agg((sum(col("c")) / lit(8.0)).as("y"))
+      .localCheckpoint() // feeds the norm scalar AND the projection
+    // ‖y‖: bounded d-element driver-side scalar, inlined as a literal
+    // (the documented TF-IDF pattern — no 1-row BNLJ stage)
+    val norm = math.sqrt(y.agg(sum(col("y") * col("y"))).head().getDouble(0))
+    y.select(col("i").cast("int").as("dim"),
+        round(col("y"), 6).as("cv0"),
+        round(col("y") / lit(norm), 6).as("loading"),
+        round(lit(norm), 6).as("eigval_est"))
+      .orderBy(col("dim"))
+  }
+
   /** Top correlated embedding-dimension pairs — the redundancy audit
     * behind feature pruning / whitening decisions ([[dimStats]] finds
     * dead dimensions; this finds duplicated ones). Every vector fans out
