@@ -141,6 +141,7 @@ object SparkEntry {
     "q_dim_corr"        -> ((s, d) => SimilarityOps.dimCorr(s, d)),
     "q_neardup_triangles" -> ((s, d) => graft.operators.GraphOps.nearDupTriangles(s, d)),
     "q_pca_step"        -> ((s, d) => SimilarityOps.pcaStep(s, d)),
+    "q_simhash_radius"  -> ((s, d) => DedupOps.simhashRadius(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1602,5 +1603,40 @@ object SparkEntry {
           SELECT i AS dim, round(y, 6) AS cv0, round(y / nrm, 6) AS loading,
             round(nrm, 6) AS eigval_est
           FROM y CROSS JOIN n ORDER BY dim""",
+    "q_simhash_radius" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          bits AS (
+            SELECT doc_id, j,
+              CASE WHEN sum(CASE WHEN substring(md5(t), CAST(j + 1 AS INTEGER), 1)
+                                  IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+            FROM tok CROSS JOIN range(32) r(j) WHERE t <> '' GROUP BY doc_id, j),
+          sig AS (
+            SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash
+            FROM bits GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, simhash, b,
+              substring(simhash, CAST(b * 8 + 1 AS INTEGER), 8) AS bucket
+            FROM sig CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT b, bucket, doc_id, simhash FROM (
+              SELECT *, row_number() OVER (PARTITION BY b, bucket
+                ORDER BY doc_id) AS rn FROM bands)
+            WHERE rn <= 8),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+              l.simhash AS a_sim, r.simhash AS b_sim
+            FROM capped l JOIN capped r
+              ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+          SELECT a_id, b_id,
+            CAST(len(list_filter(range(1, 33), j ->
+              substring(a_sim, CAST(j AS INTEGER), 1)
+                <> substring(b_sim, CAST(j AS INTEGER), 1))) AS INTEGER) AS hamming
+          FROM cand
+          WHERE len(list_filter(range(1, 33), j ->
+              substring(a_sim, CAST(j AS INTEGER), 1)
+                <> substring(b_sim, CAST(j AS INTEGER), 1))) <= 3
+          ORDER BY a_id, b_id""",
   )
 }

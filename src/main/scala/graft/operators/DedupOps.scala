@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -115,6 +116,47 @@ object DedupOps {
                CASE WHEN s > 0 THEN '1' ELSE '0' END)))"""))
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
+
+  /** Simhash near-dup pairs within Hamming radius 3, by the pigeonhole
+    * multi-index: split every 32-bit [[simhash]] into 4 bands of 8 bits
+    * — any pair within distance 3 differs in at most 3 bands, so it
+    * EXACTLY matches on at least one band. Candidates are therefore a
+    * plain equi-join on (band, 8-bit value); the Hamming check inside
+    * the candidate set is a 32-position compare on bounded pairs. The
+    * degenerate corpus makes identical signatures cluster, so buckets
+    * are capped like [[bucketedJaccard]] (row_number → WindowGroupLimit,
+    * pair fan-out ≤ cap²/2 per bucket, declared in the result contract).
+    * Completes the near-dup family: minhash answers set overlap, cosine
+    * answers embedding angle, simhash-radius answers weighted-feature
+    * drift — same scale shape for all three (map-only signature, shuffle
+    * on the band key, nothing pairwise outside buckets).
+    */
+  def simhashRadius(spark: SparkSession, dir: String,
+      cap: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val bands = simhash(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bucket", expr("substring(simhash, b * 8 + 1, 8)"))
+    val w = Window.partitionBy(col("b"), col("bucket")).orderBy(col("doc_id"))
+    // feeds both sides of the candidate join — one signature pass total
+    val capped = bands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("b"), col("bucket"), col("doc_id"), col("simhash"))
+      .localCheckpoint()
+    val a = capped.select(col("b"), col("bucket"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val bb = capped.select(col("b"), col("bucket"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(bb, Seq("b", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      .distinct() // a close pair can collide in several bands
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 32), j -> substring(a_sim, j, 1) <> substring(b_sim, j, 1)))"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 
   /** Distinct word bigrams per document, SORTED — the exact-similarity
     * unit the Jaccard scorers share. The sort is paid once per document

@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite {
     val sample = plan(graft.operators.CorpusOps.stratifiedSample(spark, dir))
     assert(sample.contains("WindowGroupLimit"),
       s"stratified cut sorts whole strata:\n$sample")
+    // the weighted-sample stratum cut carries the same guarantee (the
+    // simhash-radius bucket cap has the identical rn<=k shape but sits
+    // above an eager localCheckpoint, so its executed plan is not
+    // inspectable here)
+    val weighted = plan(graft.operators.CorpusOps.weightedSample(spark, dir))
+    assert(weighted.contains("WindowGroupLimit"),
+      s"weighted sample sorts whole strata:\n$weighted")
   }
 
   test("revenue join broadcasts every non-fact side: no sort-merge join") {
