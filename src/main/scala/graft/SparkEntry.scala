@@ -142,6 +142,7 @@ object SparkEntry {
     "q_neardup_triangles" -> ((s, d) => graft.operators.GraphOps.nearDupTriangles(s, d)),
     "q_pca_step"        -> ((s, d) => SimilarityOps.pcaStep(s, d)),
     "q_simhash_radius"  -> ((s, d) => DedupOps.simhashRadius(s, d)),
+    "q_approx_percentiles" -> ((s, d) => AdvancedOps.approxPercentileAudit(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -166,7 +167,8 @@ object SparkEntry {
 
   /** Queries with no DuckDB oracle (estimates are implementation-
     * specific); the driver records a rows-only check for these. */
-  val oracleFreeQueries: Set[String] = Set("q_approx_distinct", "q_heavy_hitters")
+  val oracleFreeQueries: Set[String] =
+    Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles")
 
   /** J-4 explicit broadcast-hint join: fact⋈broadcast(dim) rollup. */
   private def joinPartBroadcast(spark: SparkSession, dir: String): DataFrame =

@@ -261,6 +261,44 @@ object AdvancedOps {
       .orderBy(col("event_type"))
   }
 
+  /** Quantile-sketch audit — the third member of the sketch tier next to
+    * HLL++ ([[approxDistinctUsers]]) and Misra–Gries (`q_heavy_hitters`):
+    * percentile_approx's mergeable Greenwald–Khanna-style summary at
+    * accuracy 1000 (rank error ε = 1/1000), with the realized rank
+    * INTERVAL of each returned value measured in-query. Because the
+    * sketch returns an actual data value and this column carries heavy
+    * point masses (2-dp values), the honest check is interval coverage —
+    * count(< v)/n … count(≤ v)/n must straddle the target rank within ε
+    * — not distance to a single rank. Merge order makes the sketch
+    * result partitioning-dependent, so the query is declared rows-only;
+    * the ε guarantee itself (which holds under ANY merge order) is
+    * spec-asserted. One sketch pass + one audit pass over the fact
+    * table with the 5-row sketch result broadcast back.
+    */
+  def approxPercentileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(1000)).as("ap"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        col("ap").getItem(0).as("p50"), col("ap").getItem(1).as("p90"))
+    def rankOf(bound: org.apache.spark.sql.Column) =
+      round(sum(when(bound, 1L).otherwise(0L)) / max(col("n")).cast("double"), 6)
+    e.join(broadcast(sk), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("p50")).as("p50_approx"),
+        rankOf(col("value") < col("p50")).as("p50_rank_lo"),
+        rankOf(col("value") <= col("p50")).as("p50_rank_hi"),
+        max(col("p90")).as("p90_approx"),
+        rankOf(col("value") < col("p90")).as("p90_rank_lo"),
+        rankOf(col("value") <= col("p90")).as("p90_rank_hi"),
+      )
+      .orderBy(col("event_type"))
+  }
+
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     ev(spark, dir)
       .groupBy(col("event_type"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CorpusOps, GraphOps, MlOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{AdvancedOps, CorpusOps, GraphOps, MlOps, SimilarityOps, TextAnalysisOps}
 
 /** Behavioral invariants for the round-5 training-data-pipeline tier —
   * properties the DuckDB oracle can't state directly (determinism,
@@ -97,6 +97,20 @@ class Round5OpsSpec extends AnyFunSuite {
     // cv0 is the unnormalized projection: loading * eigval reproduces it
     rows.foreach { r =>
       assert(math.abs(r.getDouble(1) - r.getDouble(2) * r.getDouble(3)) < 1e-4)
+    }
+  }
+
+  test("approx percentile rank interval covers its target within the sketch bound") {
+    // Greenwald–Khanna guarantee at accuracy 1000: the returned value's
+    // realized rank interval [count(<v), count(<=v)]/n must straddle the
+    // target rank within eps = 1/1000 — under ANY partial merge order,
+    // which is exactly what the DuckDB oracle cannot pin (rows-only).
+    val eps = 0.0015 // 1/accuracy + rounding slack
+    AdvancedOps.approxPercentileAudit(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(3) - eps <= 0.5 && 0.5 <= r.getDouble(4) + eps,
+        s"p50 interval misses: $r")
+      assert(r.getDouble(6) - eps <= 0.9 && 0.9 <= r.getDouble(7) + eps,
+        s"p90 interval misses: $r")
     }
   }
 
