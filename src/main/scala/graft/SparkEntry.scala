@@ -143,6 +143,9 @@ object SparkEntry {
     "q_pca_step"        -> ((s, d) => SimilarityOps.pcaStep(s, d)),
     "q_simhash_radius"  -> ((s, d) => DedupOps.simhashRadius(s, d)),
     "q_approx_percentiles" -> ((s, d) => AdvancedOps.approxPercentileAudit(s, d)),
+    "q_contamination_by_source" -> ((s, d) => graft.operators.CorpusOps.contaminationBySource(s, d)),
+    "q_filter_funnel"   -> ((s, d) => graft.operators.CorpusOps.filterFunnel(s, d)),
+    "q_idf_drift"       -> ((s, d) => MlOps.idfDrift(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1640,5 +1643,87 @@ object SparkEntry {
               substring(a_sim, CAST(j AS INTEGER), 1)
                 <> substring(b_sim, CAST(j AS INTEGER), 1))) <= 3
           ORDER BY a_id, b_id""",
+    "q_contamination_by_source" ->
+      """WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, greatest(1, len(toks) - 1)),
+              i -> array_to_string(list_slice(toks, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER)), ' '))) AS grams
+            FROM t),
+          x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+          bench AS (SELECT DISTINCT gram FROM x WHERE doc_id < 5),
+          hit AS (
+            SELECT DISTINCT x.doc_id FROM x JOIN bench USING (gram)
+            WHERE x.doc_id >= 5),
+          d AS (SELECT doc_id, source FROM documents WHERE doc_id >= 5)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_contaminated,
+            round(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+              / count(*), 6) AS contamination_rate
+          FROM d LEFT JOIN hit USING (doc_id)
+          GROUP BY source ORDER BY source""",
+    "q_filter_funnel" ->
+      """WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          m AS (
+            SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_types, max(tf) AS max_tf,
+              sum(CASE WHEN term IN ('a', 'the') THEN tf ELSE 0 END) AS stop_hits
+            FROM tf GROUP BY doc_id),
+          s AS (
+            SELECT count(*) AS s0,
+              sum(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS s1,
+              sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 400 THEN 1 ELSE 0 END) AS s2,
+              sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 400
+                        AND n_types * 10 >= n_tokens * 3 THEN 1 ELSE 0 END) AS s3,
+              sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 400
+                        AND n_types * 10 >= n_tokens * 3
+                        AND max_tf * 10 <= n_tokens * 2 THEN 1 ELSE 0 END) AS s4,
+              sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 400
+                        AND n_types * 10 >= n_tokens * 3
+                        AND max_tf * 10 <= n_tokens * 2
+                        AND stop_hits >= 1 THEN 1 ELSE 0 END) AS s5
+            FROM m)
+          SELECT stage, CAST(n AS BIGINT) AS n_surviving,
+            round(n * 1.0 / s0, 6) AS survival_rate
+          FROM (
+            SELECT '0_all' AS stage, s0 AS n, s0 FROM s
+            UNION ALL SELECT '1_minlen', s1, s0 FROM s
+            UNION ALL SELECT '2_maxlen', s2, s0 FROM s
+            UNION ALL SELECT '3_diversity', s3, s0 FROM s
+            UNION ALL SELECT '4_repetition', s4, s0 FROM s
+            UNION ALL SELECT '5_stopwords', s5, s0 FROM s)
+          ORDER BY stage""",
+    "q_idf_drift" ->
+      """WITH d AS (
+            SELECT doc_id, text,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+                   ELSE 'test' END AS part
+            FROM documents),
+          x AS (
+            SELECT part, doc_id,
+              unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS term
+            FROM d WHERE part <> 'test'),
+          f AS (
+            SELECT term,
+              sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS df_train,
+              sum(CASE WHEN part = 'val' THEN 1 ELSE 0 END) AS df_val
+            FROM x GROUP BY term),
+          n AS (
+            SELECT sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS nt,
+              sum(CASE WHEN part = 'val' THEN 1 ELSE 0 END) AS nv
+            FROM d WHERE part <> 'test')
+          SELECT term, CAST(df_train AS BIGINT) AS df_train,
+            CAST(df_val AS BIGINT) AS df_val,
+            round(ln((df_train + 1.0) / (nt + 1.0))
+              - ln((df_val + 1.0) / (nv + 1.0)), 6) AS drift
+          FROM f CROSS JOIN n
+          ORDER BY abs(round(ln((df_train + 1.0) / (nt + 1.0))
+            - ln((df_val + 1.0) / (nv + 1.0)), 6)) DESC, term
+          LIMIT 50""",
   )
 }

@@ -228,6 +228,81 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source contamination pressure: [[decontaminate]]'s per-doc
+    * verdicts rolled up to the table a data owner acts on — which
+    * sources leak benchmark text, at what rate. The hit set joins back
+    * to the doc→source map on the doc key (plain equi-join; the hit set
+    * is unbounded at scale, so no broadcast), then one hash agg per
+    * source. */
+  def contaminationBySource(spark: SparkSession, dir: String,
+      benchMax: Int = 5): DataFrame = {
+    val hits = decontaminate(spark, dir, benchMax)
+      .select(col("doc_id"), lit(1L).as("hit"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= benchMax)
+      .select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        round(sum(when(col("hit").isNotNull, 1L).otherwise(0L)) * lit(1.0)
+          / count(lit(1)), 6).as("contamination_rate"),
+      )
+      .orderBy(col("source"))
+  }
+
+  /** The quality-filter funnel: how many documents survive each rule of
+    * a Gopher-style cleaning cascade, cumulatively — the attrition
+    * report a pipeline owner reads before committing to a filter config.
+    * Rules (min length, max length, lexical diversity, max-term
+    * dominance, function-word presence) are all computed from ONE
+    * (doc, term) count pass; the thresholds are integer cross-products
+    * (n_types·10 ≥ n_tokens·3, not a float ratio) so every engine
+    * agrees exactly. One per-doc aggregate, one global 6-counter
+    * aggregate, then a 6-row stack — nothing in the plan retains
+    * documents. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(toksCol).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("tf")).as("max_tf"),
+        sum(when(col("term").isin("a", "the"), col("tf")).otherwise(0L))
+          .as("stop_hits"),
+      )
+    val r1 = col("n_tokens") >= 20
+    val r2 = col("n_tokens") <= 400
+    val r3 = col("n_types") * 10 >= col("n_tokens") * 3
+    val r4 = col("max_tf") * 10 <= col("n_tokens") * 2
+    val r5 = col("stop_hits") >= 1
+    m.agg(
+        count(lit(1)).as("s0"),
+        sum(when(r1, 1L).otherwise(0L)).as("s1"),
+        sum(when(r1 && r2, 1L).otherwise(0L)).as("s2"),
+        sum(when(r1 && r2 && r3, 1L).otherwise(0L)).as("s3"),
+        sum(when(r1 && r2 && r3 && r4, 1L).otherwise(0L)).as("s4"),
+        sum(when(r1 && r2 && r3 && r4 && r5, 1L).otherwise(0L)).as("s5"),
+      )
+      .select(expr(
+        // SQL-literal 1.0 is DECIMAL — divide via a double cast so the
+        // rate column is DOUBLE like the oracle's
+        """stack(6,
+             '0_all',        s0, round(s0 / CAST(s0 AS DOUBLE), 6),
+             '1_minlen',     s1, round(s1 / CAST(s0 AS DOUBLE), 6),
+             '2_maxlen',     s2, round(s2 / CAST(s0 AS DOUBLE), 6),
+             '3_diversity',  s3, round(s3 / CAST(s0 AS DOUBLE), 6),
+             '4_repetition', s4, round(s4 / CAST(s0 AS DOUBLE), 6),
+             '5_stopwords',  s5, round(s5 / CAST(s0 AS DOUBLE), 6))
+           AS (stage, n_surviving, survival_rate)"""))
+      .orderBy(col("stage"))
+  }
+
   /** Exact-N stratified sampling: precisely `perSource` documents from
     * every source, chosen content-addressed (ranked by md5(doc_id)) so
     * the sample is a deterministic pseudo-random draw — stable under

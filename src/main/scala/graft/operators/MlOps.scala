@@ -194,6 +194,44 @@ object MlOps {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** Train/validation distribution-shift audit: per-term document
+    * frequency in the train split vs the val split (the deterministic
+    * md5 buckets of `q_hash_split`), scored by the smoothed log-odds
+    * drift ln((df_t+1)/(N_t+1)) − ln((df_v+1)/(N_v+1)) and ranked by
+    * |drift| on the ROUNDED value. Terms far from 0 mark vocabulary the
+    * split did not balance — the check that catches a skewed split
+    * before training does. One distinct-terms fan-out, one (split, term)
+    * hash agg folded to a term-keyed row; the two split sizes are
+    * bounded driver scalars inlined as literals (the documented TF-IDF
+    * pattern). The term cap bounds the output at scale.
+    */
+  def idfDrift(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val hex = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val part = when(hex <= "b", "train").when(hex.isin("c", "d"), "val")
+      .otherwise("test")
+    val docs = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("part", part)
+      .filter(col("part") =!= "test")
+    val counts = docs.groupBy(col("part")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nt, nv) = (counts.getOrElse("train", 0L), counts.getOrElse("val", 0L))
+    val drift = round(
+      log((col("df_train") + lit(1.0)) / lit(nt + 1.0)) -
+        log((col("df_val") + lit(1.0)) / lit(nv + 1.0)), 6)
+    docs
+      .select(col("part"),
+        explode(array_distinct(array_remove(split(col("text"), " "), ""))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("part") === "train", 1L).otherwise(0L)).as("df_train"),
+        sum(when(col("part") === "val", 1L).otherwise(0L)).as("df_val"),
+      )
+      .withColumn("drift", drift)
+      .orderBy(abs(col("drift")).desc, col("term"))
+      .limit(topK)
+  }
+
   /** ML-2 extension: BM25 top-3 terms per document — TF-IDF's saturating
     * big sibling (Okapi BM25, k1=1.2, b=0.75):
     * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
