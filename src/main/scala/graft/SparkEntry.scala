@@ -146,6 +146,7 @@ object SparkEntry {
     "q_contamination_by_source" -> ((s, d) => graft.operators.CorpusOps.contaminationBySource(s, d)),
     "q_filter_funnel"   -> ((s, d) => graft.operators.CorpusOps.filterFunnel(s, d)),
     "q_idf_drift"       -> ((s, d) => MlOps.idfDrift(s, d)),
+    "q_containment"     -> ((s, d) => DedupOps.containment(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1725,5 +1726,46 @@ object SparkEntry {
           ORDER BY abs(round(ln((df_train + 1.0) / (nt + 1.0))
             - ln((df_val + 1.0) / (nv + 1.0)), 6)) DESC, term
           LIMIT 50""",
+    "q_containment" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+          SELECT a_id, b_id, containment_a, containment_b FROM (
+            SELECT a_id, b_id,
+              round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                CASE WHEN len(ga.grams) = 0 THEN 1 ELSE len(ga.grams) END, 6)
+                AS containment_a,
+              round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                CASE WHEN len(gb.grams) = 0 THEN 1 ELSE len(gb.grams) END, 6)
+                AS containment_b
+            FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+          WHERE greatest(containment_a, containment_b) >= 0.8
+          ORDER BY a_id, b_id""",
   )
 }

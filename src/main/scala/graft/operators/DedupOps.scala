@@ -250,6 +250,35 @@ object DedupOps {
     scoreJaccard(spark, dir, cappedBandCandidates(spark, dir, cap),
       threshold = Some(threshold))
 
+  /** Asymmetric containment over the capped band-collision candidates:
+    * |A∩B|/|A| and |A∩B|/|B| on the word-bigram sets. Symmetric Jaccard
+    * under-scores SUBSET duplicates (a short document quoted whole
+    * inside a long one: intersection ≈ |A| but union ≈ |B| ≫ |A|);
+    * containment is the standard fix — a pair with high max-containment
+    * and middling Jaccard is a quote/expansion, not noise. Same plan
+    * skeleton as [[bucketedJaccard]] (capped candidates → feature-table
+    * joins → sorted-merge intersect kernel), so the 100-TB shape is
+    * identical; only the score algebra differs.
+    */
+  def containment(spark: SparkSession, dir: String,
+      cap: Int = 20, threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val g = bigrams(spark, dir).localCheckpoint()
+    def denom(s: org.apache.spark.sql.Column) = when(s === 0, 1).otherwise(s)
+    cappedBandCandidates(spark, dir, cap)
+      .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
+      .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
+      .withColumn("inter",
+        call_function("intersect_size_sorted", col("a_grams"), col("b_grams")))
+      .withColumn("containment_a",
+        round(col("inter") / denom(size(col("a_grams"))), 6))
+      .withColumn("containment_b",
+        round(col("inter") / denom(size(col("b_grams"))), 6))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment_a"), col("containment_b"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Distinct (a_id, b_id) candidate pairs from MinHash band collisions,
     * with the first `cap` doc_ids per (band, bucket) kept (row_number →
     * WindowGroupLimit, so each side holds ≤ cap rows per bucket in
