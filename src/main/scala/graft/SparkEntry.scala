@@ -147,6 +147,8 @@ object SparkEntry {
     "q_filter_funnel"   -> ((s, d) => graft.operators.CorpusOps.filterFunnel(s, d)),
     "q_idf_drift"       -> ((s, d) => MlOps.idfDrift(s, d)),
     "q_containment"     -> ((s, d) => DedupOps.containment(s, d)),
+    "q_lsh_curve"       -> ((s, d) => DedupOps.lshCurve(s, d)),
+    "q_dedup_savings"   -> ((s, d) => MlOps.dedupSavings(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1767,5 +1769,86 @@ object SparkEntry {
             FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
           WHERE greatest(containment_a, containment_b) >= 0.8
           ORDER BY a_id, b_id""",
+    "q_lsh_curve" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(h ORDER BY i) AS parts FROM mh GROUP BY doc_id),
+          pbs AS (
+            SELECT doc_id, parts,
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pb
+            FROM sig),
+          p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.parts AS am, b.parts AS bm
+            FROM pbs a JOIN pbs b ON a.pb = b.pb AND a.doc_id < b.doc_id),
+          sc AS (
+            SELECT a_id, b_id,
+              len(list_filter(range(1, 9),
+                i -> am[CAST(i AS INTEGER)] = bm[CAST(i AS INTEGER)])) AS n_match,
+              len(list_filter(range(0, 4), k ->
+                am[CAST(k * 2 + 1 AS INTEGER)] = bm[CAST(k * 2 + 1 AS INTEGER)]
+                AND am[CAST(k * 2 + 2 AS INTEGER)] = bm[CAST(k * 2 + 2 AS INTEGER)])) > 0
+                AS c_b4r2,
+              len(list_filter(range(0, 2), k ->
+                len(list_filter(range(1, 5), i ->
+                  am[CAST(k * 4 + i AS INTEGER)] = bm[CAST(k * 4 + i AS INTEGER)])) = 4)) > 0
+                AS c_b2r4
+            FROM p)
+          SELECT CAST(n_match AS INTEGER) AS n_match,
+            CAST(count(*) AS BIGINT) AS n_pairs,
+            round(sum(CASE WHEN n_match >= 1 THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE), 6) AS rate_b8r1,
+            round(sum(CASE WHEN c_b4r2 THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE), 6) AS rate_b4r2,
+            round(sum(CASE WHEN c_b2r4 THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE), 6) AS rate_b2r4
+          FROM sc GROUP BY n_match ORDER BY n_match""",
+    "q_dedup_savings" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          bits AS (
+            SELECT doc_id, j,
+              CASE WHEN sum(CASE WHEN substring(md5(t), CAST(j + 1 AS INTEGER), 1)
+                                  IN ('8','9','a','b','c','d','e','f')
+                            THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b
+            FROM tok CROSS JOIN range(32) r(j) WHERE t <> '' GROUP BY doc_id, j),
+          sh AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS k FROM bits GROUP BY doc_id),
+          keyed AS (
+            SELECT d.doc_id, d.n_chars,
+              md5(d.text) AS k_exact,
+              md5(array_to_string(list_sort(list_distinct(
+                list_filter(string_split(d.text, ' '), x -> x <> ''))), ' ')) AS k_tokenset,
+              coalesce(sh.k, repeat('0', 32)) AS k_simhash
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id),
+          t AS (
+            SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(n_chars) AS DOUBLE) AS nc
+            FROM keyed),
+          m1 AS (
+            SELECT '1_exact_text' AS method,
+              CAST(sum(cnt - 1) AS BIGINT) AS docs_dropped,
+              CAST(sum(chars - kept) AS BIGINT) AS chars_dropped
+            FROM (SELECT count(*) AS cnt, sum(n_chars) AS chars,
+                    arg_min(n_chars, doc_id) AS kept
+                  FROM keyed GROUP BY k_exact)),
+          m2 AS (
+            SELECT '2_token_set' AS method,
+              CAST(sum(cnt - 1) AS BIGINT), CAST(sum(chars - kept) AS BIGINT)
+            FROM (SELECT count(*) AS cnt, sum(n_chars) AS chars,
+                    arg_min(n_chars, doc_id) AS kept
+                  FROM keyed GROUP BY k_tokenset)),
+          m3 AS (
+            SELECT '3_simhash' AS method,
+              CAST(sum(cnt - 1) AS BIGINT), CAST(sum(chars - kept) AS BIGINT)
+            FROM (SELECT count(*) AS cnt, sum(n_chars) AS chars,
+                    arg_min(n_chars, doc_id) AS kept
+                  FROM keyed GROUP BY k_simhash))
+          SELECT method, docs_dropped, chars_dropped,
+            round(docs_dropped / nd, 6) AS docs_pct,
+            round(chars_dropped / nc, 6) AS chars_pct
+          FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+          CROSS JOIN t ORDER BY method""",
   )
 }

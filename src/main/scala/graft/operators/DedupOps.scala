@@ -340,6 +340,53 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The LSH b×r tuning curve, measured on real pairs: for a
+    * content-addressed RANDOM pair sample (docs grouped by an md5 bucket
+    * of their id and paired within groups — a keyed join, so the sample
+    * spans the whole similarity spectrum without any pairwise scan over
+    * the corpus), count how many of the 8 signature components agree and
+    * whether the pair would collide under each band layout: 8 bands of 1
+    * (recall-greedy), 4 bands of 2 (the production config every
+    * candidate generator here uses), 2 bands of 4 (precision-greedy).
+    * Grouping by the component-match count renders the S-curve
+    * steepening as r grows — the empirical version of the 1−(1−s^r)^b
+    * analysis, which is how the 4×2 config gets justified rather than
+    * assumed. The signature table feeds both pair sides (one minhash
+    * pass); everything downstream is integer algebra.
+    */
+  def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+      .withColumn("pb", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .localCheckpoint()
+    val a = sigs.select(col("pb"), col("doc_id").as("a_id"), col("signature").as("a_sig"))
+    val b = sigs.select(col("pb"), col("doc_id").as("b_id"), col("signature").as("b_sig"))
+    a.join(b, Seq("pb"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("am", split(col("a_sig"), ","))
+      .withColumn("bm", split(col("b_sig"), ","))
+      .withColumn("n_match", expr(
+        "size(filter(sequence(1, 8), i -> element_at(am, i) = element_at(bm, i)))"))
+      .withColumn("c_b4r2", expr(
+        """exists(sequence(0, 3), k ->
+             element_at(am, k * 2 + 1) = element_at(bm, k * 2 + 1)
+             AND element_at(am, k * 2 + 2) = element_at(bm, k * 2 + 2))"""))
+      .withColumn("c_b2r4", expr(
+        """exists(sequence(0, 1), k ->
+             size(filter(sequence(1, 4),
+               i -> element_at(am, k * 4 + i) = element_at(bm, k * 4 + i))) = 4)"""))
+      .groupBy(col("n_match"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(when(col("n_match") >= 1, 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("rate_b8r1"),
+        round(sum(when(col("c_b4r2"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("rate_b4r2"),
+        round(sum(when(col("c_b2r4"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("rate_b2r4"),
+      )
+      .orderBy(col("n_match"))
+  }
+
   /** MinHash estimator quality: for the capped band-collision pairs, the
     * ESTIMATED Jaccard (fraction of the 8 signature components that
     * agree — the quantity LSH actually thresholds on) side by side with

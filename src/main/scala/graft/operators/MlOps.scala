@@ -322,8 +322,59 @@ object MlOps {
         round((col("n_docs") - col("n_unique")) / col("n_docs"), 6))
       .orderBy(col("source"))
 
-  /** Incremental dedup — the daily 100-TB job: a NEW shard (doc_id % 10
-    * == 0 stands in for today's arrivals) deduped against the HISTORICAL
+  /** What each dedup method would actually save — the decision table
+    * comparing exact-text, canonical token-set, and simhash-value
+    * dedup on the same corpus: documents dropped and characters
+    * reclaimed (keeping the min-id representative per group), as counts
+    * and corpus fractions. Each method is one hash agg on its 16-byte /
+    * 32-bit key — documents never pairwise-compare — and the keyed
+    * frame is materialized once for all three. The corpus totals are
+    * bounded driver scalars inlined as literals.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array_remove(array_distinct(split(col("text"), " ")), "")
+    val keyed = Tables.fanOut(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("n_chars")))
+      .withColumn("tokens", toks)
+      .select(
+        col("doc_id"), col("n_chars"),
+        md5(col("text")).as("k_exact"),
+        md5(concat_ws(" ", array_sort(col("tokens")))).as("k_tokenset"),
+        expr(
+          """aggregate(
+               transform(tokens, t -> md5(t)),
+               array_repeat(0, 32),
+               (acc, d) -> zip_with(acc,
+                 transform(sequence(0, 31), j ->
+                   CASE WHEN substring(d, j + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                        THEN 1 ELSE -1 END),
+                 (x, y) -> x + y),
+               acc -> concat_ws('', transform(acc, s ->
+                 CASE WHEN s > 0 THEN '1' ELSE '0' END)))""").as("k_simhash"),
+      )
+      .localCheckpoint() // three method aggregates read this one pass
+    val totals = keyed.agg(count(lit(1)), sum(col("n_chars"))).head()
+    val (nDocs, nChars) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+    def savings(key: String, label: String) =
+      keyed.groupBy(col(key))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"),
+          min_by(col("n_chars"), col("doc_id")).as("kept_chars"))
+        .agg(
+          sum(col("cnt") - 1).as("docs_dropped"),
+          sum(col("chars") - col("kept_chars")).as("chars_dropped"))
+        .select(lit(label).as("method"), col("docs_dropped"), col("chars_dropped"))
+    savings("k_exact", "1_exact_text")
+      .unionByName(savings("k_tokenset", "2_token_set"))
+      .unionByName(savings("k_simhash", "3_simhash"))
+      .withColumn("docs_pct", round(col("docs_dropped") / lit(nDocs), 6))
+      .withColumn("chars_pct", round(col("chars_dropped") / lit(nChars), 6))
+      .orderBy(col("method"))
+  }
+
+  /** Incremental dedup — the daily 100-TB job: a NEW shard (documents
+    * with doc_id divisible by 10 stand in for today's arrivals) deduped
+    * against the HISTORICAL
     * manifest (the rest of the corpus) without ever touching historical
     * documents — history participates only as its distinct 16-byte
     * fingerprint set, exactly what a dedup manifest table stores. Per
