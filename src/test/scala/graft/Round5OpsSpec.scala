@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AdvancedOps, CorpusOps, GraphOps, MlOps, SimilarityOps, TextAnalysisOps}
+import graft.operators.{AdvancedOps, CorpusOps, DedupOps, GraphOps, MlOps, SimilarityOps, TextAnalysisOps}
 
 /** Behavioral invariants for the round-5 training-data-pipeline tier —
   * properties the DuckDB oracle can't state directly (determinism,
@@ -111,6 +111,43 @@ class Round5OpsSpec extends AnyFunSuite {
         s"p50 interval misses: $r")
       assert(r.getDouble(6) - eps <= 0.9 && 0.9 <= r.getDouble(7) + eps,
         s"p90 interval misses: $r")
+    }
+  }
+
+  test("lshCurve collision rates are monotone in band width") {
+    // fewer rows per band => more selective: at every match level,
+    // P(collide | 2 bands of 4) <= P(collide | 4 bands of 2) <= P(any of
+    // 8 singles). And a full 8/8 match must collide under every layout.
+    val rows = DedupOps.lshCurve(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b8, b4, b2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(b2 <= b4 + 1e-9 && b4 <= b8 + 1e-9, s"not monotone: $r")
+      assert(b8 >= 0.0 && b8 <= 1.0)
+    }
+    rows.find(_.getInt(0) == 8).foreach { r =>
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    }
+  }
+
+  test("containment dominates Jaccard on every scored pair") {
+    // J = |I|/|U| <= |I|/min(|A|,|B|) = max-containment, and both
+    // containments live in [0, 1]
+    val c = DedupOps.containment(spark, dir, cap = 20, threshold = 0.0)
+      .collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      val (ca, cb) = (r.getDouble(2), r.getDouble(3))
+      assert(ca >= 0.0 && ca <= 1.0 + 1e-9 && cb >= 0.0 && cb <= 1.0 + 1e-9)
+    }
+    val j = DedupOps.bucketedJaccard(spark, dir, cap = 20, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    c.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      j.get(key).foreach { jac =>
+        assert(jac <= math.max(r.getDouble(2), r.getDouble(3)) + 1e-6,
+          s"jaccard exceeds max containment for $key")
+      }
     }
   }
 
