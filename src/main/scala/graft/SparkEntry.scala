@@ -149,6 +149,7 @@ object SparkEntry {
     "q_containment"     -> ((s, d) => DedupOps.containment(s, d)),
     "q_lsh_curve"       -> ((s, d) => DedupOps.lshCurve(s, d)),
     "q_dedup_savings"   -> ((s, d) => MlOps.dedupSavings(s, d)),
+    "q_kmeans_iters"    -> ((s, d) => SimilarityOps.kmeansIters(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1850,5 +1851,69 @@ object SparkEntry {
             round(chars_dropped / nc, 6) AS chars_pct
           FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
           CROSS JOIN t ORDER BY method""",
+    // three unrolled Lloyd iterations; centroids quantized to 6 dp between
+    // steps exactly like the engine does, so both sides iterate on
+    // IDENTICAL doubles and summation-order drift cannot compound
+    "q_kmeans_iters" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nv2
+            FROM embeddings),
+          c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+          d1 AS (
+            SELECT e.vec_id, e.v, c.c_id,
+              round(e.nv2 + list_sum(list_transform(c.cv, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+                    i -> e.v[CAST(i AS INTEGER)] * c.cv[CAST(i AS INTEGER)])), 6) AS dist2
+            FROM e CROSS JOIN c0 c),
+          a1 AS (
+            SELECT vec_id, v, c_id AS cell, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, c_id) AS rn FROM d1) WHERE rn = 1),
+          s1 AS (
+            SELECT CAST(1 AS INTEGER) AS iter, cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              round(sum(dist2), 6) AS inertia
+            FROM a1 GROUP BY cell),
+          c1 AS (
+            SELECT cell AS c_id, list(mu ORDER BY dim) AS cv FROM (
+              SELECT cell, dim, round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS mu
+              FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a1)
+              GROUP BY cell, dim) GROUP BY cell),
+          d2 AS (
+            SELECT e.vec_id, e.v, c.c_id,
+              round(e.nv2 + list_sum(list_transform(c.cv, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+                    i -> e.v[CAST(i AS INTEGER)] * c.cv[CAST(i AS INTEGER)])), 6) AS dist2
+            FROM e CROSS JOIN c1 c),
+          a2 AS (
+            SELECT vec_id, v, c_id AS cell, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, c_id) AS rn FROM d2) WHERE rn = 1),
+          s2 AS (
+            SELECT CAST(2 AS INTEGER) AS iter, cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              round(sum(dist2), 6) AS inertia
+            FROM a2 GROUP BY cell),
+          c2 AS (
+            SELECT cell AS c_id, list(mu ORDER BY dim) AS cv FROM (
+              SELECT cell, dim, round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS mu
+              FROM (SELECT cell, v, unnest(range(0, len(v))) AS dim FROM a2)
+              GROUP BY cell, dim) GROUP BY cell),
+          d3 AS (
+            SELECT e.vec_id, e.v, c.c_id,
+              round(e.nv2 + list_sum(list_transform(c.cv, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+                    i -> e.v[CAST(i AS INTEGER)] * c.cv[CAST(i AS INTEGER)])), 6) AS dist2
+            FROM e CROSS JOIN c2 c),
+          a3 AS (
+            SELECT vec_id, v, c_id AS cell, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2, c_id) AS rn FROM d3) WHERE rn = 1),
+          s3 AS (
+            SELECT CAST(3 AS INTEGER) AS iter, cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              round(sum(dist2), 6) AS inertia
+            FROM a3 GROUP BY cell)
+          SELECT iter, cell, n_vectors, inertia
+          FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+          ORDER BY iter, cell""",
   )
 }

@@ -406,6 +406,66 @@ object SimilarityOps {
       .orderBy(col("cell"))
   }
 
+  /** Multi-iteration Lloyd k-means — [[kmeansStep]] run to (near)
+    * convergence, reporting per-iteration cell sizes and inertia so the
+    * monotone descent is visible in the result itself. The iteration
+    * protocol is built for cross-engine exactness AND scale: after each
+    * update the centroids are QUANTIZED to 6 dp — the same
+    * round-before-rank discipline every scorer here uses, applied
+    * between iterations so floating-point summation-order drift can
+    * never compound across steps — and fetched to the driver as a
+    * bounded k×d scalar block (512 doubles; the documented TF-IDF
+    * pattern, NOT an O(data) collect) to be re-broadcast as the next
+    * step's constant side. Per iteration: one broadcast-join assignment
+    * pass over a localCheckpoint'ed vector table (lineage cut like the
+    * connected-components loop), one posexplode hash agg for the
+    * update. Inertia is strictly non-increasing across iterations —
+    * spec-pinned.
+    */
+  def kmeansIters(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = embDouble(spark, dir)
+      .withColumn("nv2", dot(col("v"), col("v")))
+      .localCheckpoint() // scanned once, assigned every iteration
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    var out: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      val cdf = broadcast(cents.toDF("c_id", "cv")
+        .withColumn("nc2", dot(col("cv"), col("cv"))))
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
+      val assigned = e.join(cdf, lit(true))
+        .withColumn("dist2", round(
+          col("nv2") + col("nc2") - lit(2.0) * dot(col("v"), col("cv")), 6))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("dist2"))
+        .localCheckpoint() // feeds the iteration report AND the update
+      val report = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), round(sum(col("dist2")), 6).as("inertia"))
+        .withColumn("iter", lit(it))
+      out = Some(out.fold(report)(_.unionByName(report)))
+      if (it < iters) {
+        val mus = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("mu"))
+          .collect() // bounded: k×d cells
+          .groupBy(_.getLong(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+        // an emptied cell keeps its previous centroid
+        cents = cents.map { case (c, old) => c -> mus.getOrElse(c, old) }
+      }
+    }
+    out.get
+      .select(col("iter"), col("cell"), col("n_vectors"), col("inertia"))
+      .orderBy(col("iter"), col("cell"))
+  }
+
   /** LSH-bucketed near-neighbor candidates: bucket every vector by the
     * sign pattern of its first 8 dimensions (a fixed coarse random-
     * hyperplane surrogate), then count collisions per bucket. At scale

@@ -113,6 +113,7 @@ class PlanSpec extends AnyFunSuite {
       "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
       "q_ivf_nprobe", // same constant sides, swept over 3 nprobe literals
       "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
+      "q_kmeans_iters", // same k=8 constant centroid side, re-broadcast per iter
     )
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if constantSideBnl(name) => None

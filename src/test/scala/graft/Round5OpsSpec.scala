@@ -151,6 +151,23 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansIters descends: total inertia is non-increasing per iteration") {
+    val rows = SimilarityOps.kmeansIters(spark, dir).collect()
+    val byIter = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (it, rs) => it -> rs.map(_.getDouble(3)).sum }
+    assert(byIter.map(_._1) === Seq(1, 2, 3))
+    byIter.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      // 6-dp quantization between steps can wiggle the last decimals;
+      // Lloyd's descent must still hold beyond that noise
+      assert(b <= a + 1e-3, s"inertia rose: $byIter")
+    }
+    // every iteration accounts for the full vector set
+    val n = graft.model.Tables.embeddings(spark, dir).count()
+    byIter.foreach { case (it, _) =>
+      assert(rows.filter(_.getInt(0) == it).map(_.getLong(2)).sum === n)
+    }
+  }
+
   test("kmeansStep assigns every vector to exactly one cell") {
     val cells = SimilarityOps.kmeansStep(spark, dir).localCheckpoint()
     assert(cells.count() <= 8L)
