@@ -150,6 +150,7 @@ object SparkEntry {
     "q_lsh_curve"       -> ((s, d) => DedupOps.lshCurve(s, d)),
     "q_dedup_savings"   -> ((s, d) => MlOps.dedupSavings(s, d)),
     "q_kmeans_iters"    -> ((s, d) => SimilarityOps.kmeansIters(s, d)),
+    "q_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1915,5 +1916,21 @@ object SparkEntry {
           SELECT iter, cell, n_vectors, inertia
           FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
           ORDER BY iter, cell""",
+    // the corpus is ASCII, so byte offsets == char offsets and DuckDB can
+    // frame the VARCHAR where Spark frames the BINARY payload
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          f AS (
+            SELECT doc_id, text,
+              CAST(ceil(n / 64.0) AS BIGINT) AS n_frames
+            FROM d),
+          s AS (
+            SELECT doc_id, n_frames,
+              list_transform(range(0, (n_frames - 1) // 4 + 1),
+                k -> md5(substring(text, CAST(k * 256 + 1 AS INTEGER), 64))) AS hs
+            FROM f)
+          SELECT doc_id, n_frames, CAST(len(hs) AS BIGINT) AS n_sampled,
+            md5(array_to_string(hs, '')) AS sample_digest
+          FROM s ORDER BY doc_id""",
   )
 }

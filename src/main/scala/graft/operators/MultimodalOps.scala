@@ -58,6 +58,31 @@ object MultimodalOps {
       }
   }
 
+  /** Deterministic frame sampling over the opaque payload — the
+    * video-style access pattern done entirely in Column algebra: treat
+    * the payload as fixed 64-byte frames, keep every 4th frame, digest
+    * each sampled frame, and fold the digests (in frame order) into one
+    * per-payload sample fingerprint. Map-only: the per-row transform
+    * slices the binary in place, no explode, no shuffle until the final
+    * presentation sort — at 100 TB the payload bytes never leave their
+    * scan task, exactly like [[extractFeatures]]; a real codec would
+    * decode the sampled frames where this digests them. Frame math is
+    * integer (byte offsets), so any engine agrees exactly.
+    */
+  def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    withPayload(Tables.fanOut(Tables.documents(spark, dir)))
+      .withColumn("n_frames",
+        ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("long"))
+      .withColumn("hs", expr(
+        s"""transform(sequence(0, CAST((n_frames - 1) / $stride AS BIGINT)),
+              k -> md5(substring(payload, CAST(k * ${stride * frameBytes} + 1 AS INT),
+                $frameBytes)))"""))
+      .select(col("doc_id"), col("n_frames"),
+        size(col("hs")).cast("long").as("n_sampled"),
+        md5(concat_ws("", col("hs")).cast("binary")).as("sample_digest"))
+      .orderBy(col("doc_id"))
+
   /** Oracle-facing projection (mean rounded like every other float). */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir)
