@@ -151,6 +151,8 @@ object SparkEntry {
     "q_dedup_savings"   -> ((s, d) => MlOps.dedupSavings(s, d)),
     "q_kmeans_iters"    -> ((s, d) => SimilarityOps.kmeansIters(s, d)),
     "q_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
+    "q_cluster_sizes"   -> ((s, d) => graft.operators.GraphOps.nearDupClusterSizes(s, d)),
+    "q_temperature_mix" -> ((s, d) => graft.operators.CorpusOps.temperatureMix(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1932,5 +1934,47 @@ object SparkEntry {
           SELECT doc_id, n_frames, CAST(len(hs) AS BIGINT) AS n_sampled,
             md5(array_to_string(hs, '')) AS sample_digest
           FROM s ORDER BY doc_id""",
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE
+          e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+                (a.nv * b.nv), 6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          pairs AS (SELECT a_id, b_id FROM p WHERE cosine >= 0.3),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+          comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+          cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+          SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+            CAST(count(*) AS BIGINT) AS n_clusters
+          FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+    "q_temperature_mix" ->
+      """WITH s AS (
+            SELECT source,
+              CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+                AS tokens
+            FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS tot FROM s),
+          z AS (SELECT sum(pow(tokens / tot, 0.3)) AS z FROM s CROSS JOIN t)
+          SELECT source, tokens,
+            round(tokens / tot, 6) AS raw_share,
+            round(pow(tokens / tot, 0.3) / z, 6) AS temp_share,
+            round((pow(tokens / tot, 0.3) / z) / (tokens / tot), 6) AS upsample
+          FROM s CROSS JOIN t CROSS JOIN z ORDER BY source""",
   )
 }

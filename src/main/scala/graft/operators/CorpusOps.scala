@@ -228,6 +228,35 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-LM sampling
+    * recipe: raw source shares p_s are flattened to q_s ∝ p_s^α
+    * (α = 0.3, the published low-resource-upsampling setting), and each
+    * source reports its raw share, its temperature share, and the
+    * implied upsample factor q_s/p_s (> 1 for small sources, < 1 for
+    * dominant ones). One token-count aggregate; the corpus total and the
+    * partition constant Σ p^α are bounded driver scalars inlined as
+    * literals. All ratios are computed from UNROUNDED intermediates and
+    * rounded once at the end.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+      alpha: Double = 0.3): DataFrame = {
+    val s = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), size(toksCol).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("tokens"))
+      .localCheckpoint() // feeds the two scalars AND the output projection
+    val tot = s.agg(sum(col("tokens"))).head().getLong(0).toDouble
+    val z = s.agg(sum(pow(col("tokens") / lit(tot), lit(alpha))))
+      .head().getDouble(0)
+    val p = col("tokens") / lit(tot)
+    val q = pow(p, lit(alpha)) / lit(z)
+    s.withColumn("raw_share", round(p, 6))
+      .withColumn("temp_share", round(q, 6))
+      .withColumn("upsample", round(q / p, 6))
+      .orderBy(col("source"))
+  }
+
   /** Per-source contamination pressure: [[decontaminate]]'s per-doc
     * verdicts rolled up to the table a data owner acts on — which
     * sources leak benchmark text, at what rate. The hit set joins back

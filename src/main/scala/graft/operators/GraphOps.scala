@@ -157,6 +157,20 @@ object GraphOps {
       .orderBy(col("node"))
   }
 
+  /** Cluster-size histogram of the near-dup graph — the third dedup
+    * health check next to degrees and triangles: a healthy corpus shows
+    * many small clusters and a thin tail; one giant component means the
+    * pair threshold (or a hub) is gluing unrelated documents and a
+    * transitive merge would over-delete. Two cheap keyed aggregates on
+    * top of the connected-components output. */
+  def nearDupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    nearDupComponents(spark, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** Triangle census of the near-dup graph: per-node triangle count and
     * local clustering coefficient 2T/(d(d−1)). High clustering says the
     * candidate pairs form tight cliques (true duplicate clusters); low
