@@ -153,6 +153,7 @@ object SparkEntry {
     "q_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
     "q_cluster_sizes"   -> ((s, d) => graft.operators.GraphOps.nearDupClusterSizes(s, d)),
     "q_temperature_mix" -> ((s, d) => graft.operators.CorpusOps.temperatureMix(s, d)),
+    "q_bpe_pairs"       -> ((s, d) => MlOps.bpePairStats(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1976,5 +1977,18 @@ object SparkEntry {
             round(pow(tokens / tot, 0.3) / z, 6) AS temp_share,
             round((pow(tokens / tot, 0.3) / z) / (tokens / tot), 6) AS upsample
           FROM s CROSS JOIN t CROSS JOIN z ORDER BY source""",
+    "q_bpe_pairs" ->
+      """WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tc AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+          p AS (
+            SELECT term, n,
+              unnest(list_transform(range(1, length(term)),
+                i -> substring(term, CAST(i AS INTEGER), 2))) AS pair
+            FROM tc WHERE length(term) >= 2)
+          SELECT pair, CAST(sum(n) AS BIGINT) AS corpus_count,
+            CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+          FROM p GROUP BY pair ORDER BY corpus_count DESC, pair LIMIT 30""",
   )
 }

@@ -194,6 +194,30 @@ object MlOps {
       .orderBy(col("source"), col("bucket"))
   }
 
+  /** The first step of BPE tokenizer training, as a corpus query:
+    * adjacent character-pair frequencies over the vocabulary, weighted
+    * by word frequency — the merge-candidate table a byte-pair-encoding
+    * trainer ranks before its first merge. The corpus collapses to
+    * (term, count) first, so the expensive character fan-out runs once
+    * per DISTINCT term (vocabulary-sized), not once per token
+    * occurrence — at 100 TB this is the difference between a
+    * vocabulary-bounded job and a full-corpus reshuffle. Reports both
+    * the occurrence-weighted count (what BPE ranks on) and the distinct
+    * term coverage per pair.
+    */
+  def bpePairStats(spark: SparkSession, dir: String, topK: Int = 30): DataFrame =
+    docTerms(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(length(col("term")) >= 2)
+      .select(col("term"), col("n"), explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("corpus_count"),
+        countDistinct(col("term")).as("n_terms"))
+      .orderBy(col("corpus_count").desc, col("pair"))
+      .limit(topK)
+
   /** Train/validation distribution-shift audit: per-term document
     * frequency in the train split vs the val split (the deterministic
     * md5 buckets of `q_hash_split`), scored by the smoothed log-odds
