@@ -37,6 +37,15 @@ class RobustnessSpec extends AnyFunSuite {
       "q_simhash",           // md5 digest folds, per-row
       "q_funnel",            // min-µs stage chaining, integer counts
       "q_distinct_users",    // exact distinct count
+      // round-5 exact-arithmetic additions
+      "q_seq_pack",          // cumulative integer offsets, integer bins
+      "q_dup_ngram_spans",   // gram counts; dup_fraction is row-local int/int
+      "q_simhash_radius",    // capped band join + integer hamming
+      "q_filter_funnel",     // integer cross-product thresholds
+      "q_zorder_layout",     // pure bit algebra
+      "q_frame_sample",      // byte-offset framing + md5 digests
+      "q_cluster_sizes",     // component sizes, integer histogram
+      "q_bpe_pairs",         // vocabulary pair counts
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
