@@ -154,6 +154,8 @@ object SparkEntry {
     "q_cluster_sizes"   -> ((s, d) => graft.operators.GraphOps.nearDupClusterSizes(s, d)),
     "q_temperature_mix" -> ((s, d) => graft.operators.CorpusOps.temperatureMix(s, d)),
     "q_bpe_pairs"       -> ((s, d) => MlOps.bpePairStats(s, d)),
+    "q_ngram_diversity" -> ((s, d) => TextAnalysisOps.ngramDiversity(s, d)),
+    "q_zipf_fit"        -> ((s, d) => TextAnalysisOps.zipfFit(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -1990,5 +1992,44 @@ object SparkEntry {
           SELECT pair, CAST(sum(n) AS BIGINT) AS corpus_count,
             CAST(count(DISTINCT term) AS BIGINT) AS n_terms
           FROM p GROUP BY pair ORDER BY corpus_count DESC, pair LIMIT 30""",
+    "q_ngram_diversity" ->
+      """WITH t AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g1 AS (SELECT unnest(toks) AS gram FROM t WHERE len(toks) >= 1),
+          g2 AS (
+            SELECT array_to_string(list_slice(toks, CAST(i AS INTEGER),
+              CAST(i + 1 AS INTEGER)), ' ') AS gram
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)),
+          g3 AS (
+            SELECT array_to_string(list_slice(toks, CAST(i AS INTEGER),
+              CAST(i + 2 AS INTEGER)), ' ') AS gram
+            FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 3))
+          SELECT n, total_grams, distinct_grams,
+            round(distinct_grams / CAST(total_grams AS DOUBLE), 6) AS diversity
+          FROM (
+            SELECT CAST(1 AS INTEGER) AS n, CAST(count(*) AS BIGINT) AS total_grams,
+              CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams FROM g1
+            UNION ALL SELECT CAST(2 AS INTEGER), CAST(count(*) AS BIGINT),
+              CAST(count(DISTINCT gram) AS BIGINT) FROM g2
+            UNION ALL SELECT CAST(3 AS INTEGER), CAST(count(*) AS BIGINT),
+              CAST(count(DISTINCT gram) AS BIGINT) FROM g3)
+          ORDER BY n""",
+    "q_zipf_fit" ->
+      """WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tc AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+          r AS (
+            SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+              ln(CAST(n AS DOUBLE)) AS y
+            FROM tc)
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+            round(regr_slope(y, x), 4) AS zipf_slope,
+            round(regr_intercept(y, x), 4) AS intercept,
+            round(regr_r2(y, x), 4) AS r2
+          FROM r""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -91,6 +92,55 @@ object TextAnalysisOps {
         round(count(lit(1)) / sum(col("tf")).cast("double"), 6).as("ttr"),
       )
       .orderBy(col("doc_id"))
+
+  /** Corpus n-gram diversity report — the Self-BLEU-style repetition
+    * summary at corpus grain: for n = 1..3, total positional word
+    * n-grams vs distinct n-grams and their ratio. Collapsing diversity
+    * across n is the first symptom of a template-generated or
+    * over-duplicated corpus. Each n level is a map-only expansion into
+    * one count + count-distinct aggregate; the three levels union into
+    * a 3-row report.
+    */
+  def ngramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.model.Tables.fanOut(
+        graft.model.Tables.documents(spark, dir).select(col("text")))
+      .withColumn("toks", array_remove(split(col("text"), " "), ""))
+    def level(n: Int) = base
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+              i -> concat_ws(' ', slice(toks, i, $n)))""")).as("gram"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("gram")).as("distinct_grams"))
+      .select(lit(n).as("n"), col("total_grams"), col("distinct_grams"),
+        round(col("distinct_grams") / col("total_grams").cast("double"), 6)
+          .as("diversity"))
+    level(1).unionByName(level(2)).unionByName(level(3)).orderBy(col("n"))
+  }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: regress
+    * ln(frequency) on ln(rank) and report the slope (the Zipf exponent,
+    * ≈ −1 for natural language — a flat slope means a synthetic or
+    * truncated vocabulary), intercept, and R². The vocabulary is
+    * aggregated first, so the regression runs over vocabulary-sized
+    * input (the unpartitioned rank window is bounded by |V|, not data);
+    * `regr_*` aggregates are moment-based and mergeable, identical
+    * algebra in any engine at 4 dp.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("term"))
+    MlOps.docTerms(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(y, x)"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(y, x)"), 4).as("intercept"),
+        round(expr("regr_r2(y, x)"), 4).as("r2"),
+      )
+  }
 
   /** Per-language heavy-hitter tokens via the Misra–Gries sketch
     * ([[graft.expr.FreqItemsAgg]]): constant memory per group no matter
