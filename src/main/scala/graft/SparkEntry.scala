@@ -156,6 +156,16 @@ object SparkEntry {
     "q_bpe_pairs"       -> ((s, d) => MlOps.bpePairStats(s, d)),
     "q_ngram_diversity" -> ((s, d) => TextAnalysisOps.ngramDiversity(s, d)),
     "q_zipf_fit"        -> ((s, d) => TextAnalysisOps.zipfFit(s, d)),
+    // ---- round-6 tier: graph ranking, robust stats, entity-resolution
+    //      blocking, split drift, CDC merge, mixture concentration
+    "q_pagerank"        -> ((s, d) => graft.operators.GraphOps.nearDupPagerank(s, d)),
+    "q_edit_blocked"    -> ((s, d) => DedupOps.editBlocked(s, d)),
+    "q_heaps_fit"       -> ((s, d) => TextAnalysisOps.heapsFit(s, d)),
+    "q_mad_outliers"    -> ((s, d) => AdvancedOps.madOutliers(s, d)),
+    "q_merge_upsert"    -> ((s, d) => BehaviorOps.mergeUpsert(s, d)),
+    "q_ks_drift"        -> ((s, d) => graft.operators.CorpusOps.ksSplitDrift(s, d)),
+    "q_source_hhi"      -> ((s, d) => graft.operators.CorpusOps.sourceConcentration(s, d)),
+    "q_shard_skew"      -> ((s, d) => graft.operators.ScaleOps.shardSkew(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2031,5 +2041,216 @@ object SparkEntry {
             round(regr_intercept(y, x), 4) AS intercept,
             round(regr_r2(y, x), 4) AS r2
           FROM r""",
+    // three unrolled fixed-point iterations; every step is integer floor
+    // arithmetic (// in DuckDB, div in Spark — identical for positives)
+    // so ranks are bit-exact BIGINTs on both engines, no quantization
+    "q_pagerank" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+              array_to_string(list_transform(
+                list_slice(CAST(embedding AS DOUBLE[]), 1, 8),
+                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+                (a.nv * b.nv), 6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          pairs AS (SELECT a_id, b_id FROM p WHERE cosine >= 0.3),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+                  FROM edges GROUP BY a),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+          r0 AS (SELECT node, 1000000000 // n AS r FROM deg CROSS JOIN nn),
+          f1 AS (SELECT ed.a AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+                 FROM edges ed JOIN r0 r ON ed.b = r.node
+                 JOIN deg d ON ed.b = d.node GROUP BY ed.a),
+          r1 AS (SELECT deg.node,
+                   ((1000000000 // nn.n) * 15) // 100
+                     + (85 * coalesce(f1.inflow, 0)) // 100 AS r
+                 FROM deg CROSS JOIN nn LEFT JOIN f1 ON f1.node = deg.node),
+          f2 AS (SELECT ed.a AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+                 FROM edges ed JOIN r1 r ON ed.b = r.node
+                 JOIN deg d ON ed.b = d.node GROUP BY ed.a),
+          r2 AS (SELECT deg.node,
+                   ((1000000000 // nn.n) * 15) // 100
+                     + (85 * coalesce(f2.inflow, 0)) // 100 AS r
+                 FROM deg CROSS JOIN nn LEFT JOIN f2 ON f2.node = deg.node),
+          f3 AS (SELECT ed.a AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+                 FROM edges ed JOIN r2 r ON ed.b = r.node
+                 JOIN deg d ON ed.b = d.node GROUP BY ed.a),
+          r3 AS (SELECT deg.node,
+                   ((1000000000 // nn.n) * 15) // 100
+                     + (85 * coalesce(f3.inflow, 0)) // 100 AS r
+                 FROM deg CROSS JOIN nn LEFT JOIN f3 ON f3.node = deg.node)
+          SELECT deg.node, deg.deg AS degree, CAST(r3.r AS BIGINT) AS rank_ppb
+          FROM deg JOIN r3 ON r3.node = deg.node
+          ORDER BY deg.node""",
+    // ASCII corpus: Spark's codepoint levenshtein == DuckDB's
+    "q_edit_blocked" ->
+      """WITH d AS (
+            SELECT doc_id, text, substring(text, 1, 32) AS blk, n_chars
+            FROM documents)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+            round(1.0 - levenshtein(a.text, b.text)
+              / CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE), 6) AS similarity
+          FROM d a JOIN d b
+            ON a.blk = b.blk AND a.doc_id < b.doc_id
+            AND abs(a.n_chars - b.n_chars) <= 16
+          ORDER BY a_id, b_id""",
+    // first-occurrence trick: cumulative vocabulary = running sum of
+    // per-doc new-term counts; regr_* moments are engine-identical at 4 dp
+    "q_heaps_fit" ->
+      """WITH d AS (
+            SELECT source, doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          t AS (SELECT source, doc_id, unnest(toks) AS term FROM d),
+          fo AS (SELECT source, term, min(doc_id) AS doc_id
+                 FROM t GROUP BY source, term),
+          nt AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS new_terms
+                 FROM fo GROUP BY source, doc_id),
+          pts AS (
+            SELECT d.source,
+              ln(CAST(sum(len(d.toks)) OVER (PARTITION BY d.source
+                ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)) AS x,
+              ln(CAST(sum(coalesce(nt.new_terms, 0)) OVER (PARTITION BY d.source
+                ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)) AS y
+            FROM d LEFT JOIN nt ON nt.source = d.source AND nt.doc_id = d.doc_id)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            round(regr_slope(y, x), 4) AS heaps_beta,
+            round(exp(regr_intercept(y, x)), 4) AS heaps_k,
+            round(regr_r2(y, x), 4) AS r2
+          FROM pts GROUP BY source ORDER BY source""",
+    // exact lower-median order statistics (the q_iqr_outliers rank trick);
+    // the 2.5*1.4826 factor is the single literal 3.7065 on both engines
+    "q_mad_outliers" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+          r AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM e),
+          med AS (SELECT event_type,
+              min(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+            FROM r GROUP BY event_type),
+          dv AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+            FROM e JOIN med m USING (event_type)),
+          rr AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM dv),
+          mad AS (SELECT event_type,
+              min(CASE WHEN rn = (n - 1) // 2 + 1 THEN dev END) AS mad
+            FROM rr GROUP BY event_type)
+          SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+            round(min(d.med), 6) AS med, round(min(m.mad), 6) AS mad,
+            CAST(sum(CASE WHEN d.dev > 3.7065 * m.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+          FROM dv d JOIN mad m USING (event_type)
+          GROUP BY d.event_type ORDER BY d.event_type""",
+    // MERGE INTO semantics: latest-per-key base FULL OUTER latest-per-key
+    // delta; checksum sums exact centi-value BIGINTs
+    "q_merge_upsert" ->
+      """WITH e AS (
+            SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us
+            FROM events WHERE event_type = 'purchase'),
+          base AS (SELECT user_id, value AS base_value FROM (
+              SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rn
+              FROM e WHERE ts_us < 1704412800000000) WHERE rn = 1),
+          delta AS (SELECT user_id, value AS delta_value FROM (
+              SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts_us DESC, event_id DESC) AS rn
+              FROM e WHERE ts_us >= 1704412800000000
+                AND ts_us < 1704758400000000) WHERE rn = 1),
+          m AS (SELECT
+              CASE WHEN b.base_value IS NULL THEN 'insert'
+                   WHEN d.delta_value IS NULL THEN 'retain'
+                   ELSE 'update' END AS action,
+              CAST(round(coalesce(d.delta_value, b.base_value) * 100, 0)
+                AS BIGINT) AS final_cents
+            FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
+          SELECT action, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(final_cents) AS BIGINT) AS sum_cents
+          FROM m GROUP BY action ORDER BY action""",
+    // D maximized in cross-multiplied integer space (exact BIGINTs);
+    // one division on the final row only
+    "q_ks_drift" ->
+      """WITH s AS (SELECT n_chars AS len,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                     THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+                     THEN 'val' END AS split
+            FROM documents),
+          c AS (SELECT len,
+              CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+              CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS c_val
+            FROM s WHERE split IS NOT NULL GROUP BY len),
+          w AS (SELECT len,
+              sum(c_train) OVER (ORDER BY len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t,
+              sum(c_val) OVER (ORDER BY len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+              sum(c_train) OVER () AS n_train,
+              sum(c_val) OVER () AS n_val
+            FROM c),
+          dd AS (SELECT *,
+              abs(cum_t * n_val - cum_v * n_train) AS d_num,
+              max(abs(cum_t * n_val - cum_v * n_train)) OVER () AS max_d
+            FROM w)
+          SELECT CAST(n_train AS BIGINT) AS n_train,
+            CAST(n_val AS BIGINT) AS n_val,
+            CAST(min(len) AS BIGINT) AS at_len,
+            round(CAST(max_d AS DOUBLE) / CAST(n_train * n_val AS DOUBLE), 6)
+              AS ks_stat
+          FROM dd WHERE d_num = max_d
+          GROUP BY n_train, n_val, max_d ORDER BY at_len""",
+    // HHI/effective-count from exact BIGINT Σt and Σt² with one final
+    // division each; entropy via H = ln T − Σ t·ln t / T
+    "q_source_hhi" ->
+      """WITH s AS (
+            SELECT source,
+              CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                AS BIGINT) AS tokens
+            FROM documents GROUP BY source),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+              CAST(sum(tokens) AS BIGINT) AS total_tokens,
+              CAST(sum(tokens * tokens) AS BIGINT) AS sum_sq,
+              CAST(max(tokens) AS BIGINT) AS max_tokens,
+              sum(tokens * ln(CAST(tokens AS DOUBLE))) AS t_lnt
+            FROM s)
+          SELECT n_sources, total_tokens,
+            round(sum_sq / CAST(total_tokens * total_tokens AS DOUBLE), 6) AS hhi,
+            round(CAST(total_tokens * total_tokens AS DOUBLE) / sum_sq, 4)
+              AS effective_sources,
+            round(max_tokens / CAST(total_tokens AS DOUBLE), 6) AS top_share,
+            round(ln(CAST(total_tokens AS DOUBLE)) - t_lnt / total_tokens, 6)
+              AS entropy
+          FROM a""",
+    // two md5 hex digits mod 32 — the q_weighted_sample strpos expansion
+    "q_shard_skew" ->
+      """WITH d AS (SELECT
+              ((strpos('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 32 AS shard,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+            FROM documents),
+          g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS n_tokens
+            FROM d GROUP BY shard),
+          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+              CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+          SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+            round(CAST(n_docs * 32 AS DOUBLE) / td, 6) AS docs_skew,
+            round(CAST(n_tokens * 32 AS DOUBLE) / tt, 6) AS tokens_skew
+          FROM g CROSS JOIN t ORDER BY shard""",
   )
 }

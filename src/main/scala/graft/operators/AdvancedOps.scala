@@ -261,6 +261,44 @@ object AdvancedOps {
       .orderBy(col("event_type"))
   }
 
+  /** Robust outlier census via the median absolute deviation — the
+    * heavy-tail-safe twin of [[iqrOutliers]]: MAD's 50% breakdown point
+    * survives contamination that drags IQR fences (25%) or z-scores
+    * (0%). Both medians are EXACT lower-median order statistics chosen
+    * by rank (row_number == (n−1) div 2 + 1), the [[iqrOutliers]]
+    * pattern — no interpolation, so the fence values are actual input
+    * doubles and the cross-engine comparison can't drift on an
+    * interpolation ulp. Two keyed window+aggregate passes (one per
+    * median: deviations need the first median joined back) plus the
+    * final broadcast of per-type fences — every shuffle keys on
+    * event_type. The 2.5 × 1.4826 scale factor (≈2.5σ under normality)
+    * is written as the single literal 3.7065 so both engines threshold
+    * with the same double. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, c: String, out: String): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col(c))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === expr("(n - 1) div 2 + 1"), col(c))).as(out))
+    val med = lowerMedian(e, "value", "med")
+    val devs = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(devs.select(col("event_type"), col("dev")), "dev", "mad")
+    devs.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(col("dev") > lit(3.7065) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+      )
+      .orderBy(col("event_type"))
+  }
+
   /** Quantile-sketch audit — the third member of the sketch tier next to
     * HLL++ ([[approxDistinctUsers]]) and Misra–Gries (`q_heavy_hitters`):
     * percentile_approx's mergeable Greenwald–Khanna-style summary at

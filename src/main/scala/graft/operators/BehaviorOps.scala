@@ -147,4 +147,52 @@ object BehaviorOps {
         col("valid_from_us"), col("valid_to_us"), col("n_events"))
       .orderBy(col("user_id"), col("seq"))
   }
+
+  /** MERGE-INTO semantics as a batch plan — the upsert a CDC consumer
+    * applies: the base snapshot (latest state per user before the
+    * cutoff) merged with the delta (latest change per user after it),
+    * classified per key as insert (delta only), update (both sides) or
+    * retain (base only), with per-action row counts and a value
+    * checksum over the post-merge table. Both "latest" reductions are
+    * WindowGroupLimit N=1 keyed on user_id (the [[statusIntervals]] /
+    * q_latest_per_key shape), the merge itself is ONE full outer
+    * equi-join on user_id — at scale both sides arrive hash-partitioned
+    * on the join key, so the merge is a single co-partitioned exchange,
+    * exactly how a MERGE INTO plans on any warehouse engine. The
+    * checksum sums centi-value BIGINTs (the q_argmax scaling trick) so
+    * it is order-independent and exact cross-engine. The merged state
+    * is each user's last PURCHASE value: base = state as of
+    * 2024-01-05T00:00:00Z, delta = the [Jan-05, Jan-09) CDC window —
+    * a boundary early enough that all three actions occur (users whose
+    * first purchase lands in the window → insert).
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutoffUs = 1704412800000000L // 2024-01-05T00:00:00Z in epoch-µs
+    val deltaEndUs = 1704758400000000L // 2024-01-09T00:00:00Z
+    val byRecency = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    def latest(df: DataFrame, valueAs: String): DataFrame = df
+      .withColumn("rn", row_number().over(byRecency))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as(valueAs))
+    val events = Tables.fanOut(Tables.events(spark, dir))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+    val base = latest(events.filter(col("ts_us") < cutoffUs), "base_value")
+    val delta = latest(events.filter(
+      col("ts_us") >= cutoffUs && col("ts_us") < deltaEndUs), "delta_value")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("base_value").isNull, "insert")
+          .when(col("delta_value").isNull, "retain")
+          .otherwise("update"))
+      .withColumn("final_cents",
+        round(coalesce(col("delta_value"), col("base_value")) * 100, 0)
+          .cast("long"))
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n_users"), sum(col("final_cents")).as("sum_cents"))
+      .orderBy(col("action"))
+  }
 }

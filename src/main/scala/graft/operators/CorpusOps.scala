@@ -472,4 +472,84 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("split"), col("lang"))
   }
+
+  /** Kolmogorov–Smirnov drift statistic between the train and val
+    * document-length distributions under the deterministic md5 split
+    * (the [[hashSplit]] assignment) — the distribution-level companion
+    * to `q_idf_drift`'s per-term check: a content-addressed split
+    * SHOULD leave every marginal identical, so a large D flags a
+    * corrupted split or a length-correlated id scheme. The empirical
+    * CDFs never materialize per-document: one hash aggregate reduces
+    * the corpus to per-(length, split) counts — hundreds of rows
+    * regardless of corpus size — and only THAT reduced table flows
+    * through the ordered window (the same aggregate-then-window shape
+    * as the token-budget cumulative). D is maximized in CROSS-MULTIPLIED
+    * integer space (|cum_t·n_val − cum_v·n_train|, exact BIGINTs — the
+    * q_filter_funnel trick) so engines agree on the argmax bit-for-bit;
+    * the single division happens once, on the final row. */
+  def ksSplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val counts = Tables.documents(spark, dir)
+      .select(col("n_chars").as("len"),
+        when(h <= "b", "train").when(h.isin("c", "d"), "val").as("split"))
+      .filter(col("split").isNotNull)
+      .groupBy(col("len"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_val"),
+      )
+    val wCum = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("cum_t", sum(col("c_train")).over(wCum))
+      .withColumn("cum_v", sum(col("c_val")).over(wCum))
+      .withColumn("n_train", sum(col("c_train")).over(wAll))
+      .withColumn("n_val", sum(col("c_val")).over(wAll))
+      .withColumn("d_num",
+        abs(col("cum_t") * col("n_val") - col("cum_v") * col("n_train")))
+      .withColumn("max_d", max(col("d_num")).over(wAll))
+      .filter(col("d_num") === col("max_d"))
+      .groupBy(col("n_train"), col("n_val"), col("max_d"))
+      .agg(min(col("len")).as("at_len"))
+      .select(col("n_train"), col("n_val"), col("at_len"),
+        round(col("max_d") / (col("n_train") * col("n_val")).cast("double"), 6)
+          .as("ks_stat"))
+      .orderBy(col("at_len"))
+  }
+
+  /** Source-concentration audit of the token mixture: Herfindahl–
+    * Hirschman index, effective source count (1/HHI, the "how many
+    * sources is this really" number), top-source share, and Shannon
+    * entropy over per-source token shares — the one-row summary a
+    * mixture designer reads before setting sampling weights (HHI near 1
+    * = one source dominates and temperature flattening will upsample
+    * aggressively). One partial+final hash aggregate to per-source
+    * token counts (20 rows), then scalar algebra: HHI and the effective
+    * count are computed from Σt² and (Σt)² as exact BIGINT sums with
+    * ONE final division each, so no float accumulates across rows. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"),
+        size(array_remove(split(col("text"), " "), "")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("tokens"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(col("tokens") * col("tokens")).as("sum_sq"),
+        max(col("tokens")).as("max_tokens"),
+        sum(col("tokens") * log(col("tokens").cast("double"))).as("t_lnt"),
+      )
+      .select(
+        col("n_sources"), col("total_tokens"),
+        round(col("sum_sq") / (col("total_tokens") * col("total_tokens"))
+          .cast("double"), 6).as("hhi"),
+        round((col("total_tokens") * col("total_tokens")).cast("double")
+          / col("sum_sq"), 4).as("effective_sources"),
+        round(col("max_tokens") / col("total_tokens").cast("double"), 6)
+          .as("top_share"),
+        round(log(col("total_tokens").cast("double"))
+          - col("t_lnt") / col("total_tokens"), 6).as("entropy"),
+      )
 }

@@ -420,4 +420,36 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("est_jaccard"), col("exact_jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Edit-distance near-dup pairs via prefix+length blocking — the
+    * entity-resolution member of the near-dup family (set overlap:
+    * minhash; embedding angle: cosine; weighted drift: simhash; EDIT
+    * operations: this). Candidate generation is the classic blocking
+    * scheme: documents sharing a 32-char prefix AND within `maxLenDiff`
+    * characters of each other pair up through an EQUI-join on the prefix
+    * key (length is a residual filter), so the O(n²) pair space never
+    * materializes — only same-block pairs shuffle, keyed by prefix.
+    * Levenshtein is O(len²) per pair, which is why it runs LAST, on the
+    * blocked candidates only, never as a similarity scan. Similarity
+    * normalizes by the longer document (1 − d/max_len), the standard
+    * edit-similarity form; the corpus is ASCII so Spark's
+    * codepoint-counting levenshtein and DuckDB's agree exactly. */
+  def editBlocked(spark: SparkSession, dir: String,
+      maxLenDiff: Int = 16): DataFrame = {
+    val d = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("n_chars")))
+      .withColumn("blk", substring(col("text"), 1, 32))
+    val a = d.select(col("blk"), col("doc_id").as("a_id"),
+      col("text").as("a_text"), col("n_chars").as("a_len"))
+    val b = d.select(col("blk"), col("doc_id").as("b_id"),
+      col("text").as("b_text"), col("n_chars").as("b_len"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id")
+        && abs(col("a_len") - col("b_len")) <= maxLenDiff)
+      .withColumn("edit_dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .withColumn("similarity", round(lit(1.0) -
+        col("edit_dist") / greatest(col("a_len"), col("b_len")).cast("double"), 6))
+      .select(col("a_id"), col("b_id"), col("edit_dist"), col("similarity"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -189,6 +189,68 @@ object GraphOps {
       SimilarityOps.bucketedNearDup(spark, dir).select(col("a_id"), col("b_id")),
       "a_id", "b_id")
 
+  /** PageRank over the near-dup graph — the fourth dedup health check:
+    * a node whose rank is far above the teleport floor is a hub that
+    * near-duplicates "everything" (boilerplate, templates) and would
+    * glue unrelated clusters in a transitive merge; ranking the graph
+    * surfaces those hubs ordered by how much of the corpus flows into
+    * them, where raw degree ([[nearDupDegrees]]) cannot distinguish one
+    * hub from a clique member. */
+  def nearDupPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerank(SimilarityOps.bucketedNearDup(spark, dir)
+      .select(col("a_id"), col("b_id")), "a_id", "b_id")
+
+  /** Fixed-iteration PageRank (damping 0.85) over an undirected edge
+    * list, in EXACT fixed-point arithmetic: ranks live as BIGINT parts
+    * per billion and every update is integer floor arithmetic
+    * (`rank div degree`, `(85 * inflow) div 100`), so the result is
+    * bit-identical under any partitioning, summation order, or engine —
+    * no float drift to quantize away between iterations (the k-means
+    * loop needs 6-dp centroid quantization for the same guarantee; the
+    * integer formulation gets it for free). Each iteration is one
+    * equi-join of ranks onto edges plus one hash aggregate keyed on the
+    * destination node — two shuffles per round regardless of graph
+    * size, the standard scale shape — with a localCheckpoint to cut the
+    * iterative lineage. The node count is a single bounded driver
+    * scalar (same documented pattern as the CC convergence aggregate).
+    * Teleport mass uses the symmetric-graph fact that every node has
+    * degree >= 1 (no dangling-node redistribution needed). */
+  def pagerank(pairs: DataFrame, src: String, dst: String,
+      iters: Int = 3): DataFrame = {
+    val fwd = pairs.select(col(src).as("a"), col(dst).as("b"))
+    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .select(col("a").as("node"), col("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    if (n == 0) {
+      return deg.select(col("node"), col("deg").as("degree"),
+        lit(0L).as("rank_ppb"))
+    }
+    val teleport = (1000000000L / n) * 15L / 100L
+    var ranks = deg.select(col("node"), lit(1000000000L / n).as("rank_ppb"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, Seq("node"))
+        .select(col("node"), expr("rank_ppb div deg").as("share"))
+      val inflow = edges.join(contrib, edges("b") === contrib("node"))
+        .groupBy(edges("a"))
+        .agg(sum(col("share")).as("inflow"))
+        .select(col("a").as("node"), col("inflow"))
+      ranks = deg.select(col("node"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("rank_ppb"))
+        .localCheckpoint()
+    }
+    ranks.join(deg, Seq("node"))
+      .select(col("node"), col("deg").as("degree"), col("rank_ppb"))
+      .orderBy(col("node"))
+  }
+
   /** Triangle count + local clustering coefficient for an edge list with
     * canonical orientation src < dst (each undirected edge exactly once).
     * See [[nearDupTriangles]] for the shape discussion. */

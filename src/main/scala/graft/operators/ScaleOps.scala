@@ -61,4 +61,34 @@ object ScaleOps {
       )
       .orderBy(col("zbucket"))
   }
+
+  /** Shard-assignment skew audit: hash every document into 32
+    * content-addressed shards (two md5 hex digits mod 32 — the same
+    * deterministic addressing as the train/val split) and report each
+    * shard's document and token load against the uniform expectation.
+    * This is the pre-flight check before any "repartition by hash and
+    * write N files" job: docs_skew/tokens_skew near 1.0 everywhere says
+    * the key hashes uniformly; a hot shard here becomes a straggler
+    * task at 100 TB. Exact integer skew numerators (n·32) with one
+    * final division per row; one partial+final hash aggregate on a
+    * 32-value key. */
+  def shardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long") % 32).as("shard")
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(shard,
+        size(array_remove(split(col("text"), " "), "")).cast("long").as("n"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .withColumn("total_docs",
+        sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("total_tokens",
+        sum(col("n_tokens")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round((col("n_docs") * 32).cast("double") / col("total_docs"), 6)
+          .as("docs_skew"),
+        round((col("n_tokens") * 32).cast("double") / col("total_tokens"), 6)
+          .as("tokens_skew"))
+      .orderBy(col("shard"))
+  }
 }

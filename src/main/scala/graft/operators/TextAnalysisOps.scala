@@ -142,6 +142,50 @@ object TextAnalysisOps {
       )
   }
 
+  /** Heaps'-law fit per source: vocabulary growth V(n) ≈ k·n^β as the
+    * corpus streams in — the companion shape fingerprint to the Zipf
+    * rank-frequency fit ([[zipfFit]]): natural text grows vocabulary
+    * sublinearly (β ≈ 0.4–0.6); β near 0 flags a template corpus, β
+    * near 1 flags noise/unique-ID pollution. The expanding-window
+    * distinct count that makes this expensive naively is rewritten with
+    * the FIRST-OCCURRENCE trick: one hash aggregate finds each term's
+    * first document (min doc_id), a second counts new terms per
+    * document, and the cumulative vocabulary is then a plain running
+    * sum — every window is PARTITIONED BY source (keyed, never global)
+    * and the regression over (ln n, ln V) is the mergeable moment-based
+    * `regr_*` family, identical algebra in any engine at 4 dp. */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("doc_id"), col("text")))
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .select(col("source"), col("doc_id"), col("toks"))
+    val newTerms = docs
+      .select(col("source"), col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(newTerms, Seq("source", "doc_id"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+      .filter(col("cum_tokens") > 0)
+      .select(col("source"),
+        log(col("cum_tokens").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("regr_slope(y, x)"), 4).as("heaps_beta"),
+        round(exp(expr("regr_intercept(y, x)")), 4).as("heaps_k"),
+        round(expr("regr_r2(y, x)"), 4).as("r2"),
+      )
+      .orderBy(col("source"))
+  }
+
   /** Per-language heavy-hitter tokens via the Misra–Gries sketch
     * ([[graft.expr.FreqItemsAgg]]): constant memory per group no matter
     * the vocabulary size — the sketch answer to "what dominates this

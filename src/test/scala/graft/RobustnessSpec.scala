@@ -46,6 +46,13 @@ class RobustnessSpec extends AnyFunSuite {
       "q_frame_sample",      // byte-offset framing + md5 digests
       "q_cluster_sizes",     // component sizes, integer histogram
       "q_bpe_pairs",         // vocabulary pair counts
+      // round-6 exact-arithmetic additions
+      "q_pagerank",          // fixed-point integer rank updates
+      "q_edit_blocked",      // integer levenshtein on blocked pairs
+      "q_ks_drift",          // cross-multiplied integer CDF gap
+      "q_merge_upsert",      // rank-1 merge + integer centi-value sums
+      "q_shard_skew",        // md5 shards, integer loads
+      "q_mad_outliers",      // exact order-statistic medians, count compare
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
