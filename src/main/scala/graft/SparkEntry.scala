@@ -166,6 +166,9 @@ object SparkEntry {
     "q_ks_drift"        -> ((s, d) => graft.operators.CorpusOps.ksSplitDrift(s, d)),
     "q_source_hhi"      -> ((s, d) => graft.operators.CorpusOps.sourceConcentration(s, d)),
     "q_shard_skew"      -> ((s, d) => graft.operators.ScaleOps.shardSkew(s, d)),
+    "q_winsorized"      -> ((s, d) => AdvancedOps.winsorizedStats(s, d)),
+    "q_centroid_outliers" -> ((s, d) => SimilarityOps.centroidOutliers(s, d)),
+    "q_hapax_docs"      -> ((s, d) => MlOps.hapaxDocs(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2252,5 +2255,83 @@ object SparkEntry {
             round(CAST(n_docs * 32 AS DOUBLE) / td, 6) AS docs_skew,
             round(CAST(n_tokens * 32 AS DOUBLE) / tt, 6) AS tokens_skew
           FROM g CROSS JOIN t ORDER BY shard""",
+    // exact rank-selected p05/p95 fences; values clamp against exact
+    // doubles, only the final means round
+    "q_winsorized" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+          r AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM e),
+          f AS (SELECT event_type,
+              min(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN value END) AS lo,
+              min(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN value END) AS hi
+            FROM r GROUP BY event_type)
+          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+            round(min(f.lo), 6) AS p05, round(min(f.hi), 6) AS p95,
+            round(avg(e.value), 6) AS mean_raw,
+            round(avg(least(greatest(e.value, f.lo), f.hi)), 6) AS mean_winsorized,
+            CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+          FROM e JOIN f USING (event_type)
+          GROUP BY e.event_type ORDER BY e.event_type""",
+    // centroids quantized to 6 dp before the distance pass (the k-means
+    // handoff discipline); fence is an exact per-label order statistic
+    "q_centroid_outliers" ->
+      """WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+              list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nv2
+            FROM embeddings),
+          c AS (
+            SELECT label, list(mu ORDER BY dim) AS cv FROM (
+              SELECT label, dim, round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS mu
+              FROM (SELECT label, v, unnest(range(0, len(v))) AS dim FROM e)
+              GROUP BY label, dim) GROUP BY label),
+          d AS (
+            SELECT e.label,
+              round(e.nv2 + list_sum(list_transform(c.cv, x -> x * x))
+                - 2.0 * list_sum(list_transform(range(1, len(e.v) + 1),
+                    i -> e.v[CAST(i AS INTEGER)] * c.cv[CAST(i AS INTEGER)])), 6) AS dist2
+            FROM e JOIN c USING (label)),
+          r AS (SELECT label, dist2,
+              row_number() OVER (PARTITION BY label ORDER BY dist2) AS rn,
+              count(*) OVER (PARTITION BY label) AS n
+            FROM d),
+          f AS (SELECT label,
+              min(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN dist2 END) AS fence
+            FROM r GROUP BY label)
+          SELECT d.label, CAST(count(*) AS BIGINT) AS n_vectors,
+            round(min(f.fence), 6) AS p95_dist2,
+            CAST(sum(CASE WHEN d.dist2 > f.fence THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_outliers,
+            round(max(d.dist2), 6) AS max_dist2
+          FROM d JOIN f USING (label)
+          GROUP BY d.label ORDER BY d.label""",
+    // hapax set via the global term spectrum; rates are exact BIGINT
+    // ratios with one division per source row
+    "q_hapax_docs" ->
+      """WITH t AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          h AS (SELECT term FROM t GROUP BY term HAVING count(*) = 1),
+          pd AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+            FROM t WHERE term IN (SELECT term FROM h) GROUP BY doc_id),
+          d AS (
+            SELECT doc_id, source,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+            FROM documents)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(coalesce(pd.n_hapax, 0)) AS BIGINT) AS total_hapax,
+            round(sum(coalesce(pd.n_hapax, 0))
+              / CAST(sum(d.n_tokens) AS DOUBLE), 6) AS hapax_rate,
+            CAST(sum(CASE WHEN coalesce(pd.n_hapax, 0) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS docs_with_hapax,
+            CAST(max(coalesce(pd.n_hapax, 0)) AS BIGINT) AS max_hapax
+          FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id
+          GROUP BY d.source ORDER BY d.source""",
   )
 }

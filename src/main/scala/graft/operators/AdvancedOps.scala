@@ -299,6 +299,41 @@ object AdvancedOps {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized statistics per group — the third robust-stats member
+    * next to IQR fences and MAD: instead of DROPPING tail values
+    * (trimming) the tails are CLAMPED to the exact p05/p95 order
+    * statistics, preserving n while bounding any single value's
+    * leverage — the standard pre-aggregation guard for metrics fed by
+    * user-controlled numbers. Fences are rank-selected actual input
+    * values (the [[iqrOutliers]] trick: row_number == (n−1)·k div 100
+    * + 1), so clamping compares exact doubles and only the final means
+    * round. One keyed window pass + one broadcast of 2 fences per key. */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("event_type"), col("value"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val fences = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("rn") === expr("(n - 1) * 5 div 100 + 1"), col("value"))).as("lo"),
+        min(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"), col("value"))).as("hi"),
+      )
+    e.join(broadcast(fences), Seq("event_type"))
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("lo")), 6).as("p05"),
+        round(min(col("hi")), 6).as("p95"),
+        round(avg(col("value")), 6).as("mean_raw"),
+        round(avg(col("w")), 6).as("mean_winsorized"),
+        sum(when(col("value") =!= col("w"), 1L).otherwise(0L)).as("n_clamped"),
+      )
+      .orderBy(col("event_type"))
+  }
+
   /** Quantile-sketch audit — the third member of the sketch tier next to
     * HLL++ ([[approxDistinctUsers]]) and Misra–Gries (`q_heavy_hitters`):
     * percentile_approx's mergeable Greenwald–Khanna-style summary at

@@ -453,4 +453,41 @@ object MlOps {
       .groupBy(col("tokenset_md5"))
       .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("tokenset_md5"))
+
+  /** Hapax-legomena audit per source: how much of each source's text is
+    * once-in-the-corpus vocabulary — the unique-ID/serial-number/noise
+    * pollution detector (the same failure a Heaps β near 1 flags at the
+    * growth-curve level, here localized to sources and documents).
+    * One hash aggregate builds the global term spectrum, the hapax set
+    * filters it, and a LEFT SEMI equi-join on term marks the hapax
+    * occurrences — the join key is a term string, never a document, and
+    * the semi-join shrinks the stream instead of widening it. Rates are
+    * exact BIGINT ratios with one final division per source row. */
+  def hapaxDocs(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docTerms(spark, dir).localCheckpoint() // spectrum + probe side
+    val hapax = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1)
+      .select(col("term"))
+    val perDoc = terms.join(hapax, Seq("term"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hapax"))
+    Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_hapax", coalesce(col("n_hapax"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_hapax")).as("total_hapax"),
+        round(sum(col("n_hapax")) / sum(col("n_tokens")).cast("double"), 6)
+          .as("hapax_rate"),
+        sum(when(col("n_hapax") > 0, 1L).otherwise(0L)).as("docs_with_hapax"),
+        max(col("n_hapax")).as("max_hapax"),
+      )
+      .orderBy(col("source"))
+  }
 }

@@ -272,6 +272,47 @@ object SimilarityOps {
       .agg(round(avg(col("x")), 6).as("centroid"), count(lit(1)).as("n_vectors"))
       .orderBy(col("label"), col("dim"))
 
+  /** Embedding-space anomaly audit: every vector's squared distance to
+    * its own label's centroid, fenced at the rank-selected p95 per
+    * label — the mislabeled/garbage-embedding detector run before
+    * clustering or ANN-index builds trust the labels. Centroids are the
+    * [[labelCentroids]] aggregate QUANTIZED to 6 dp and reassembled
+    * into k bounded arrays (the k-means handoff discipline), so the
+    * distance pass is one equi-join on label against k rows; the fence
+    * is an exact order statistic (row_number rank, no interpolation)
+    * from one keyed window. Nothing pairwise, nothing unkeyed. */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv2", dot(col("v"), col("v")))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mu"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("cv"))
+    val dists = e.join(broadcast(cent), Seq("label"))
+      .withColumn("dist2", round(
+        col("nv2") + dot(col("cv"), col("cv"))
+          - lit(2.0) * dot(col("v"), col("cv")), 6))
+      .select(col("label"), col("dist2"))
+    val fences = dists
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("dist2"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .groupBy(col("label"))
+      .agg(min(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"),
+        col("dist2"))).as("fence"))
+    dists.join(broadcast(fences), Seq("label"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(min(col("fence")), 6).as("p95_dist2"),
+        sum(when(col("dist2") > col("fence"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("dist2")), 6).as("max_dist2"),
+      )
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension embedding profile (mean/std/min/max for each of the
     * d dimensions) — the statistics pass behind feature normalization /
     * whitening and the first sanity check on a new embedding dump

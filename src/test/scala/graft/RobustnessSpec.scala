@@ -53,6 +53,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_merge_upsert",      // rank-1 merge + integer centi-value sums
       "q_shard_skew",        // md5 shards, integer loads
       "q_mad_outliers",      // exact order-statistic medians, count compare
+      "q_hapax_docs",        // term-spectrum semi-join, integer ratios
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

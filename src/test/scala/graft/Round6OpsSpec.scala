@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.Tables
-import graft.operators.{AdvancedOps, BehaviorOps, CorpusOps, DedupOps, GraphOps, ScaleOps, TextAnalysisOps}
+import graft.operators.{AdvancedOps, BehaviorOps, CorpusOps, DedupOps, GraphOps, MlOps, ScaleOps, SimilarityOps, TextAnalysisOps}
 
 /** Behavioral invariants for the round-6 tier (graph ranking, robust
   * stats, entity-resolution blocking, split drift, CDC merge, mixture
@@ -111,6 +111,41 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
     assert(eff >= 1.0 - 1e-9 && eff <= n + 1e-9)
     assert(ent >= -1e-9 && ent <= math.log(n) + 1e-9)
+  }
+
+  test("winsorizedStats: clamped mean sits inside the fences, clamps bounded by 10%") {
+    val rows = AdvancedOps.winsorizedStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p05, p95) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val meanW = r.getDouble(5)
+      assert(meanW >= p05 - 1e-9 && meanW <= p95 + 1e-9,
+        "winsorized mean escaped its own fences")
+      // at most ~5% clamp on each side (rank fences) plus tie slack
+      assert(r.getLong(6) <= n / 5 + 2)
+    }
+  }
+
+  test("centroidOutliers: fence respected by construction, outliers under 5% plus ties") {
+    val rows = SimilarityOps.centroidOutliers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, fence, out, maxD) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(maxD >= fence - 1e-9) // the max can never undershoot the p95
+      assert(out <= n / 10 + 2, s"label ${r.getInt(0)}: $out outliers of $n")
+    }
+  }
+
+  test("hapaxDocs: hapax tokens are a subset of each source's tokens") {
+    val rows = MlOps.hapaxDocs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, total, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax >= 0L && hapax <= total)
+      assert(r.getLong(5) <= nDocs) // docs_with_hapax bounded by docs
+      assert(r.getLong(6) <= hapax) // single-doc max bounded by the total
+    }
   }
 
   test("shardSkew: shard loads conserve the corpus and hover around uniform") {
