@@ -169,6 +169,15 @@ object SparkEntry {
     "q_winsorized"      -> ((s, d) => AdvancedOps.winsorizedStats(s, d)),
     "q_centroid_outliers" -> ((s, d) => SimilarityOps.centroidOutliers(s, d)),
     "q_hapax_docs"      -> ((s, d) => MlOps.hapaxDocs(s, d)),
+    // ---- round-5 tier: source-mixture divergence audits, embedding
+    //      geometry/projection, bucketed co-located join
+    "q_unigram_kl"      -> ((s, d) => graft.operators.DivergenceOps.unigramKl(s, d)),
+    "q_keyness_g2"      -> ((s, d) => graft.operators.DivergenceOps.keynessG2(s, d)),
+    "q_source_js"       -> ((s, d) => graft.operators.DivergenceOps.sourceJs(s, d)),
+    "q_lm_classify"     -> ((s, d) => graft.operators.DivergenceOps.lmSourceClassify(s, d)),
+    "q_centroid_dist"   -> ((s, d) => SimilarityOps.centroidDistances(s, d)),
+    "q_jl_project"      -> ((s, d) => SimilarityOps.jlProjection(s, d)),
+    "q_bucketed_join"   -> ((s, d) => graft.operators.ScaleOps.bucketedJoin(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2333,5 +2342,173 @@ object SparkEntry {
             CAST(max(coalesce(pd.n_hapax, 0)) AS BIGINT) AS max_hapax
           FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id
           GROUP BY d.source ORDER BY d.source""",
+    // ---- round-5 divergence tier: identical smoothing grid (capped
+    // vocabulary, add-one) and identical double arithmetic on both
+    // engines; sums rounded at 6 dp
+    "q_unigram_kl" ->
+      """WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          vocab AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term
+            ORDER BY ct DESC, term LIMIT 4096),
+          stv AS (SELECT st.source, st.term, st.c FROM st JOIN vocab USING (term)),
+          stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                   FROM stv GROUP BY source),
+          tv AS (SELECT CAST(sum(ct) AS DOUBLE) AS t,
+                   CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          grid AS (
+            SELECT s.source, s.ts, vb.term, vb.ct, coalesce(c.c, 0) AS c0
+            FROM stot s CROSS JOIN vocab vb
+            LEFT JOIN stv c ON c.source = s.source AND c.term = vb.term)
+          SELECT g.source, g.ts AS n_tokens,
+            round(sum(((g.c0 + 1.0) / (g.ts + tv.v)) *
+              log2(((g.c0 + 1.0) / (g.ts + tv.v)) /
+                   ((g.ct + 1.0) / (tv.t + tv.v)))), 6) AS kl_bits
+          FROM grid g CROSS JOIN tv
+          GROUP BY g.source, g.ts ORDER BY g.source""",
+    "q_keyness_g2" ->
+      """WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          vocab AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term
+            ORDER BY ct DESC, term LIMIT 4096),
+          stv AS (SELECT st.source, st.term, st.c FROM st JOIN vocab USING (term)),
+          stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                   FROM stv GROUP BY source),
+          tv AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM vocab),
+          grid AS (
+            SELECT s.source, s.ts, vb.term, vb.ct, coalesce(c.c, 0) AS c0
+            FROM stot s CROSS JOIN vocab vb
+            LEFT JOIN stv c ON c.source = s.source AND c.term = vb.term)
+          SELECT g.source, g.term, g.c0 AS n_src,
+            round(2.0 * (
+              CASE WHEN g.c0 > 0 THEN CAST(g.c0 AS DOUBLE) *
+                ln(CAST(g.c0 AS DOUBLE) /
+                   (CAST(g.ts AS DOUBLE) * g.ct / tv.t)) ELSE 0.0 END +
+              CASE WHEN g.ct - g.c0 > 0 THEN CAST(g.ct - g.c0 AS DOUBLE) *
+                ln(CAST(g.ct - g.c0 AS DOUBLE) /
+                   ((tv.t - g.ts) * g.ct / tv.t)) ELSE 0.0 END), 6) AS g2,
+            CASE WHEN CAST(g.c0 AS DOUBLE) / CAST(g.ts AS DOUBLE) >
+              g.ct / tv.t THEN 'over' ELSE 'under' END AS direction
+          FROM grid g CROSS JOIN tv
+          ORDER BY g.source, g.term""",
+    "q_source_js" ->
+      """WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          vocab AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term
+            ORDER BY ct DESC, term LIMIT 4096),
+          stv AS (SELECT st.source, st.term, st.c FROM st JOIN vocab USING (term)),
+          stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                   FROM stv GROUP BY source),
+          tv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          gp AS (
+            SELECT s.source, vb.term,
+              (coalesce(c.c, 0) + 1.0) / (s.ts + tv.v) AS p
+            FROM stot s CROSS JOIN vocab vb CROSS JOIN tv
+            LEFT JOIN stv c ON c.source = s.source AND c.term = vb.term)
+          SELECT a.source AS src_a, b.source AS src_b,
+            round(sum(
+              0.5 * a.p * log2(a.p / ((a.p + b.p) / 2.0)) +
+              0.5 * b.p * log2(b.p / ((a.p + b.p) / 2.0))), 6) AS js_bits
+          FROM gp a JOIN gp b ON a.term = b.term AND a.source < b.source
+          GROUP BY a.source, b.source ORDER BY src_a, src_b""",
+    "q_lm_classify" ->
+      """WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          vocab AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term
+            ORDER BY ct DESC, term LIMIT 4096),
+          stv AS (SELECT st.source, st.term, st.c FROM st JOIN vocab USING (term)),
+          stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                   FROM stv GROUP BY source),
+          tv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          lm AS (
+            SELECT s.source AS cand, vb.term,
+              ln((coalesce(c.c, 0) + 1.0) / (s.ts + tv.v)) AS lp
+            FROM stot s CROSS JOIN vocab vb CROSS JOIN tv
+            LEFT JOIN stv c ON c.source = s.source AND c.term = vb.term),
+          dtok AS (
+            SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          dtf AS (SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM dtok GROUP BY 1, 2, 3),
+          sc AS (
+            SELECT d.doc_id, d.source, l.cand,
+              round(sum(d.tf * l.lp), 6) AS score
+            FROM dtf d JOIN lm l USING (term) GROUP BY 1, 2, 3),
+          pred AS (
+            SELECT doc_id, source, cand FROM (
+              SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, cand) AS rn FROM sc)
+            WHERE rn = 1)
+          SELECT source AS actual_source, cand AS predicted_source,
+            CAST(count(*) AS BIGINT) AS n_docs
+          FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+    // centroids quantized at 6 dp before the distance (the k-means
+    // handoff discipline) so both engines square identical doubles
+    "q_centroid_dist" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT label, unnest(range(0, len(v))) AS dim, v FROM e),
+          cent AS (
+            SELECT label, CAST(dim AS INTEGER) AS dim,
+              round(avg(v[CAST(dim + 1 AS INTEGER)]), 6) AS mu
+            FROM x GROUP BY label, dim)
+          SELECT a.label AS label_a, b.label AS label_b,
+            round(sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))), 6) AS l2_dist,
+            round(sum(a.mu * b.mu) /
+              (sqrt(sum(a.mu * a.mu)) * sqrt(sum(b.mu * b.mu))), 6) AS cosine
+          FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+          GROUP BY a.label, b.label ORDER BY label_a, label_b""",
+    // ±1 sign from the parity of the 4th hex digit of md5("i:j") —
+    // exactly the Spark-side character test; projected coordinates
+    // quantized at 6 dp before the norm
+    "q_jl_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT vec_id, unnest(range(0, len(v))) AS i, v FROM e),
+          xi AS (SELECT vec_id, i, v[CAST(i + 1 AS INTEGER)] AS xv FROM x),
+          norms AS (
+            SELECT vec_id, sum(xv * xv) AS n2raw FROM xi GROUP BY vec_id),
+          dd AS (SELECT CAST(max(len(v)) AS BIGINT) AS dmax FROM e),
+          ii AS (SELECT unnest(range(0, dmax)) AS i FROM dd),
+          jj AS (SELECT unnest(range(0, 16)) AS j),
+          pm AS (
+            SELECT ii.i, jj.j,
+              CASE WHEN substr(md5(ii.i || ':' || jj.j), 4, 1) IN
+                ('1','3','5','7','9','b','d','f') THEN -1.0 ELSE 1.0 END AS s
+            FROM ii CROSS JOIN jj),
+          proj AS (
+            SELECT vec_id, sum(y * y) AS p2raw FROM (
+              SELECT xi.vec_id, pm.j, round(sum(xi.xv * pm.s), 6) AS y
+              FROM xi JOIN pm USING (i) GROUP BY xi.vec_id, pm.j)
+            GROUP BY vec_id)
+          SELECT n.vec_id, round(n.n2raw, 6) AS norm2,
+            round(p.p2raw, 6) AS proj_norm2,
+            round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
+          FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // the bucketed co-located join must equal the plain join — the
+    // layout changes the plan, never the result
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Corpus-divergence analytics: the source-mixture audits a training-data
+  * pipeline runs before blending corpora — per-source KL divergence
+  * against the corpus, pairwise Jensen–Shannon distances between
+  * sources, log-likelihood (G²) keyness per term, and LM-score domain
+  * classification. All four share one scale shape: a single corpus-wide
+  * tokenize+count pass whose partial-aggregate keyspace is bounded by
+  * sources × capped vocabulary, after which every distribution table is
+  * vocabulary-sized and broadcastable. Nothing downstream of the first
+  * aggregate ever touches document text again.
+  */
+object DivergenceOps {
+
+  /** Frequency cap on the modeled vocabulary. At corpus scale the raw
+    * vocabulary is unbounded (typos, IDs); every distribution below is
+    * computed over the top-`VocabCap` terms by corpus frequency so the
+    * smoothing grid stays S×`VocabCap` no matter the data. The oracle
+    * applies the same cap (deterministic tie-break on the term). */
+  val VocabCap = 4096
+
+  /** The shared statistics: per-(source, term) counts over the capped
+    * vocabulary, the smoothing grid (every source × every vocab term,
+    * zero-filled), and the corpus scalars T (total tokens) and V (vocab
+    * size). The grid is built by exploding the collected vocabulary
+    * (bounded by [[VocabCap]] — the documented literal-inlining pattern)
+    * over the per-source totals frame: map-side explode + two broadcast
+    * joins, no cartesian product in the plan. */
+  private final case class Corpus(grid: DataFrame, t: Double, v: Double)
+
+  private def corpus(spark: SparkSession, dir: String): Corpus = {
+    // the one corpus-scale pass: tokenize + (source, term) partial agg
+    val st = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("term")).limit(VocabCap)
+      .localCheckpoint()
+    val stv = st.join(broadcast(vocab.select(col("term"))), Seq("term"))
+      .select(col("source"), col("term"), col("c"))
+    val stot = stv.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val vocabTerms = vocab.select(col("term")).collect().map(_.getString(0)).toSeq
+    val agg = vocab.agg(sum(col("ct")).as("t"), count(lit(1)).as("v")).head()
+    val grid = stot
+      .select(col("source"), col("ts"), explode(typedlit(vocabTerms)).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .join(broadcast(stv), Seq("source", "term"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumnRenamed("c", "c0")
+    Corpus(grid, agg.getLong(0).toDouble, agg.getLong(1).toDouble)
+  }
+
+  /** Per-source KL divergence D(P_src ‖ P_corpus) over add-one-smoothed
+    * unigram distributions, in bits — the "how far does this source sit
+    * from the blend" number that decides mixture weights and flags a
+    * polluted source before it trains. Smoothing needs the zero-count
+    * cells, hence the grid; the sum per source runs over ≤ |V| rows. */
+  def unigramKl(spark: SparkSession, dir: String): DataFrame = {
+    val cp = corpus(spark, dir)
+    val p = (col("c0") + lit(1.0)) / (col("ts") + lit(cp.v))
+    val q = (col("ct") + lit(1.0)) / (lit(cp.t) + lit(cp.v))
+    cp.grid
+      .groupBy(col("source"), col("ts"))
+      .agg(round(sum(p * log2(p / q)), 6).as("kl_bits"))
+      .select(col("source"), col("ts").as("n_tokens"), col("kl_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** Dunning log-likelihood (G²) keyness of every (source, term) cell
+    * against the rest of the corpus: which terms are over- or
+    * under-represented in a source, with the significance-style score
+    * corpus linguistics uses instead of raw frequency ratios. Expected
+    * counts come from the marginals; zero cells contribute nothing to
+    * their term (the 0·ln 0 = 0 convention). Output is the full S×V
+    * keyness table — rank-free, so no cross-engine tie instability. */
+  def keynessG2(spark: SparkSession, dir: String): DataFrame = {
+    val cp = corpus(spark, dir)
+    val a  = col("c0").cast("double")
+    val b  = (col("ct") - col("c0")).cast("double")
+    val cs = col("ts").cast("double")
+    val ds = lit(cp.t) - col("ts")
+    val e1 = cs * col("ct") / lit(cp.t)
+    val e2 = ds * col("ct") / lit(cp.t)
+    val g2 = lit(2.0) * (
+      when(a > 0, a * log(a / e1)).otherwise(lit(0.0)) +
+      when(b > 0, b * log(b / e2)).otherwise(lit(0.0)))
+    cp.grid.select(
+        col("source"), col("term"), col("c0").as("n_src"),
+        round(g2, 6).as("g2"),
+        when(a / cs > col("ct") / lit(cp.t), lit("over"))
+          .otherwise(lit("under")).as("direction"))
+      .orderBy(col("source"), col("term"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions, in bits (bounded by 1) — the symmetric source-
+    * similarity matrix behind "which corpora are interchangeable".
+    * The self-join runs on the vocabulary-sized distribution table
+    * (equi-key on term, broadcast right side), so the pair fan-out is
+    * S²·V grid cells, never documents². */
+  def sourceJs(spark: SparkSession, dir: String): DataFrame = {
+    val cp = corpus(spark, dir)
+    val withP = cp.grid.select(col("source"), col("term"),
+      ((col("c0") + lit(1.0)) / (col("ts") + lit(cp.v))).as("p"))
+    val l = withP.select(col("source").as("src_a"), col("term"), col("p").as("pa"))
+    val r = withP.select(col("source").as("src_b"), col("term"), col("p").as("pb"))
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    l.join(broadcast(r), Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(
+        lit(0.5) * col("pa") * log2(col("pa") / m) +
+        lit(0.5) * col("pb") * log2(col("pb") / m)), 6).as("js_bits"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** LM-score domain classification: score every document under every
+    * source's add-one unigram LM and tag it with the argmax source —
+    * the cheap domain-tagger (CCNet's per-domain LM filter, order-0)
+    * whose confusion matrix against the true source labels is the
+    * "are my sources actually distinguishable" audit. The LM table is
+    * the broadcastable S×V grid; the big side is one tokenize + per-doc
+    * tf aggregate; scoring is an equi-join on term followed by a keyed
+    * window (argmax by rounded score, candidate-name tie-break — ranks
+    * on 6-dp-quantized scores so cross-engine float noise cannot flip
+    * the winner unless two LMs genuinely tie). */
+  def lmSourceClassify(spark: SparkSession, dir: String): DataFrame = {
+    val cp = corpus(spark, dir)
+    val lm = cp.grid.select(col("source").as("cand"), col("term"),
+      log((col("c0") + lit(1.0)) / (col("ts") + lit(cp.v))).as("lp"))
+    val dtf = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = dtf.join(broadcast(lm), Seq("term"))
+      .groupBy(col("doc_id"), col("source"), col("cand"))
+      .agg(round(sum(col("tf") * col("lp")), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("source"), col("cand"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source").as("actual_source"),
+        col("cand").as("predicted_source"), col("n_docs"))
+      .orderBy(col("actual_source"), col("predicted_source"))
+  }
+}

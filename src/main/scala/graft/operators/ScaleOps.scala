@@ -91,4 +91,45 @@ object ScaleOps {
           .as("tokens_skew"))
       .orderBy(col("shard"))
   }
+
+  /** Bucketed co-located join: write both join sides bucketed AND
+    * sorted on the join key (8 buckets, parquet, external tables under
+    * java.io.tmpdir), then join the bucketed reads. Because both scans
+    * report the same hash-partitioning on the key, the sort-merge join
+    * needs NO shuffle — the plan's only exchange is the tiny final
+    * group-by. This is the shuffle-elimination discipline for the 100-TB
+    * fact⋈fact case where neither side broadcasts: pay the partitioned
+    * write once, join for free forever after. The `merge` hint keeps
+    * Catalyst from demoting the demo to a broadcast join at toy scale;
+    * the oracle checks the result equals the plain join. Bucket count 8
+    * stands in for the production number (chosen so bucket ≈ task ≈
+    * 128 MB at real scale); idempotent (drop + overwrite) per run.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bucketed").getPath
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite")
+      .saveAsTable("graft_orders_b")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite")
+      .saveAsTable("graft_lineitem_b")
+    spark.table("graft_orders_b").hint("merge")
+      .join(spark.table("graft_lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -519,4 +519,75 @@ object SimilarityOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
+
+  /** Pairwise L2 and cosine distances between the k label centroids —
+    * the cluster-geometry audit (which classes are confusable, is the
+    * embedding space collapsing) read after every clustering or
+    * fine-tune run. One corpus-scale centroid aggregate (posexplode +
+    * partial/final hash agg, the [[labelCentroids]] pass), QUANTIZED to
+    * 6 dp (the k-means handoff discipline, so both engines take the
+    * distance of identical doubles), then a k²-row self-join on dim —
+    * everything after the first aggregate is k·dims-bounded. */
+  def centroidDistances(spark: SparkSession, dir: String): DataFrame = {
+    val cent = embDouble(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mu"))
+      .localCheckpoint()
+    val a = cent.select(col("label").as("label_a"), col("dim"), col("mu").as("mua"))
+    val b = cent.select(col("label").as("label_b"), col("dim"), col("mu").as("mub"))
+    a.join(broadcast(b), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(
+        round(sqrt(sum((col("mua") - col("mub")) * (col("mua") - col("mub")))), 6)
+          .as("l2_dist"),
+        round(sum(col("mua") * col("mub")) /
+          (sqrt(sum(col("mua") * col("mua"))) * sqrt(sum(col("mub") * col("mub")))), 6)
+          .as("cosine"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** Johnson–Lindenstrauss random projection to k = 16 dimensions with a
+    * deterministic ±1 matrix (md5-parity of "i:j" — reproducible on any
+    * engine, no stored matrix), plus the distortion audit: each vector's
+    * projected squared norm over k·‖x‖² (E[yⱼ²] = ‖x‖² for ±1 signs, so
+    * the expectation is exactly 1), which JL says concentrates near 1. This is the dimensionality-reduction step run
+    * before clustering/ANN at scale — the projection is one broadcast
+    * join (d·k sign rows) + a keyed partial aggregate, map-side
+    * everywhere; projected coordinates are quantized at 6 dp before the
+    * norm so both engines square identical doubles. */
+  def jlProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    // embedding width from one row (bounded single-row fetch) so the
+    // sign matrix covers every dimension whatever the dataset
+    val d = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    // ±1 from the parity of the 4th hex digit of md5("i:j") — equals the
+    // parity of the integer value of the first 4 digits, but is exactly
+    // portable as a character test
+    val signs = spark.range(d.toLong * k)
+      .selectExpr(s"id DIV $k AS i", s"id % $k AS j")
+      .withColumn("s",
+        when(substring(md5(concat_ws(":", col("i"), col("j"))), 4, 1)
+          .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(-1.0))
+          .otherwise(lit(1.0)))
+    val xi = embDouble(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xv")))
+    // the ratio divides the RAW sums: a quotient of two 6-dp-quantized
+    // values can land exactly on a decimal half, where engine rounding
+    // modes diverge — raw double sums make exact halves measure-zero
+    val norms = xi.groupBy(col("vec_id"))
+      .agg(sum(col("xv") * col("xv")).as("n2raw"))
+    val proj = xi.join(broadcast(signs), Seq("i"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("xv") * col("s")), 6).as("y"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("y") * col("y")).as("p2raw"))
+    norms.join(proj, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(col("n2raw"), 6).as("norm2"),
+        round(col("p2raw"), 6).as("proj_norm2"),
+        round(col("p2raw") / (lit(k.toDouble) * col("n2raw")), 6).as("ratio"))
+      .orderBy(col("vec_id"))
+  }
 }

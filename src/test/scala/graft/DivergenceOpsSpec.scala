@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DivergenceOps, ScaleOps, SimilarityOps}
+
+/** Behavioral invariants for the divergence/geometry tier — the
+  * mathematical bounds and accounting identities the row-hash oracle
+  * can't state. */
+class DivergenceOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("KL divergence is non-negative for every source") {
+    val rows = DivergenceOps.unigramKl(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"negative KL for ${r.getString(0)}")
+    }
+  }
+
+  test("JS divergence is symmetric-triangular, bounded by 1 bit") {
+    val df = DivergenceOps.sourceJs(spark, dir).localCheckpoint()
+    val nSrc = graft.model.Tables.documents(spark, dir)
+      .select(col("source")).distinct().count()
+    assert(df.count() === nSrc * (nSrc - 1) / 2)
+    df.collect().foreach { r =>
+      val js = r.getDouble(2)
+      assert(js >= 0.0 && js <= 1.0, s"JS out of [0,1]: $js")
+      assert(r.getString(0) < r.getString(1), "pair not canonicalized")
+    }
+  }
+
+  test("G2 keyness is non-negative and zero-count cells read 'under'") {
+    DivergenceOps.keynessG2(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(3) >= -1e-9, s"negative G2: $r")
+      if (r.getLong(2) == 0L)
+        assert(r.getString(4) === "under", s"zero cell not under: $r")
+    }
+  }
+
+  test("LM classification conserves documents and stays inside the source set") {
+    val docs = graft.model.Tables.documents(spark, dir)
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val cm = DivergenceOps.lmSourceClassify(spark, dir).collect()
+    assert(cm.map(_.getLong(2)).sum === docs.count())
+    cm.foreach { r =>
+      assert(sources.contains(r.getString(0)) && sources.contains(r.getString(1)))
+    }
+  }
+
+  test("centroid distances: cosine within [-1,1], L2 positive, full triangle") {
+    val k = graft.model.Tables.embeddings(spark, dir)
+      .select(col("label")).distinct().count()
+    val rows = SimilarityOps.centroidDistances(spark, dir).collect()
+    assert(rows.length === k * (k - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0, s"non-positive centroid L2: $r")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, s"cosine out of range: $r")
+    }
+  }
+
+  test("JL projection concentrates the scaled norm ratio near 1") {
+    val rows = SimilarityOps.jlProjection(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0, s"non-positive JL ratio: $r")
+    }
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    // E[ratio] = 1 exactly under JL; the sample mean over all vectors
+    // should sit well inside (0.7, 1.3) for k = 16
+    assert(mean > 0.7 && mean < 1.3, s"JL mean ratio off: $mean")
+  }
+
+  test("bucketed co-located join equals the plain join") {
+    val bucketed = ScaleOps.bucketedJoin(spark, dir).collect()
+    val plain = graft.model.Tables.orders(spark, dir)
+      .join(graft.model.Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(bucketed.toSeq === plain.toSeq)
+  }
+}

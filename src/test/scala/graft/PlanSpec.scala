@@ -101,6 +101,19 @@ class PlanSpec extends AnyFunSuite {
       s"non-equi pair stage:\n$p")
   }
 
+  test("bucketed co-located join: sort-merge join with no exchange beneath it") {
+    // Both sides are written bucketed+sorted on the join key, so the
+    // scans already satisfy the join's distribution requirement — the
+    // shuffle-free fact⋈fact shape. Any Exchange under the join means
+    // the bucketing metadata was lost and the 100-TB write-once
+    // join-for-free contract is broken.
+    val p = plan(graft.operators.ScaleOps.bucketedJoin(spark, dir))
+    val at = p.indexOf("SortMergeJoin")
+    assert(at >= 0, s"join did not plan as sort-merge:\n$p")
+    assert(!p.substring(at).contains("Exchange"),
+      s"shuffle under the bucketed join:\n$p")
+  }
+
   test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     // The registry-wide scale invariant: every pairwise stage must be
     // keyed (equi-join) so its cost is bounded by collisions, never by
