@@ -178,6 +178,8 @@ object SparkEntry {
     "q_centroid_dist"   -> ((s, d) => SimilarityOps.centroidDistances(s, d)),
     "q_jl_project"      -> ((s, d) => SimilarityOps.jlProjection(s, d)),
     "q_bucketed_join"   -> ((s, d) => graft.operators.ScaleOps.bucketedJoin(s, d)),
+    "q_props_variant"   -> ((s, d) => propsVariant(s, d)),
+    "q_partitioned_scan" -> ((s, d) => graft.operators.ScaleOps.partitionedScan(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -227,6 +229,25 @@ object SparkEntry {
       .filter(col("event_id") < 50)
       .orderBy(col("event_id"))
   }
+
+  /** The Spark-4 VariantType path for the same semi-structured props
+    * column: `parse_json` once into the binary variant encoding, then
+    * typed `variant_get` extraction — at scale this is the open-schema
+    * answer (one parse, many typed reads, shredding-ready) where the
+    * JSON-string twins (`q_props_json`/`q_props_map`) re-parse text per
+    * access. Output columns are plain longs so every engine reads the
+    * result; the oracle extracts the same path with json_extract. */
+  private def propsVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.events(spark, dir).select(col("event_type"), col("props")))
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
 
   /** U-1 clean_text over the corpus, truncated to 200 chars like the
     * persisted snapshot (reference: kafka_consumer_simple.py:138). */
@@ -2510,5 +2531,18 @@ object SparkEntry {
             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_props_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+            CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+            CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the partitioned layout must equal the plain filtered aggregate —
+    // pruning changes the scan, never the result
+    "q_partitioned_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+            round(sum(value), 2) AS total_value
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -70,20 +70,23 @@ object BehaviorOps {
       .orderBy(col("hour"))
 
   /** Retention cohorts: users bucketed by their first-active day, then
-    * distinct active users per (cohort day, day offset). Two shuffles —
-    * one on user_id for the cohort assignment, one on the (cohort,
-    * offset) cell for the distinct count — both on bounded keys; the
-    * per-user day set is deduped BEFORE the join so the join input is
-    * user-days, not raw events.
+    * active users per (cohort day, day offset). The raw event stream is
+    * deduped to user-days first; the cohort day is a min() window over
+    * user_id on that deduped frame (no self-join), and because (user,
+    * day) is distinct — so each user hits a (cohort, offset) cell at
+    * most once — the final cell count is a plain count(*), not a
+    * countDistinct: no distinct-expand shuffle. Three bounded-key
+    * exchanges total at any scale.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val days = ev(spark, dir)
       .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
       .distinct()
-    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    days.join(cohorts, Seq("user_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    days
+      .withColumn("cohort_day", min(col("day")).over(w))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 

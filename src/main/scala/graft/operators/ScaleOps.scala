@@ -105,6 +105,30 @@ object ScaleOps {
     * stands in for the production number (chosen so bucket ≈ task ≈
     * 128 MB at real scale); idempotent (drop + overwrite) per run.
     */
+  /** Partition-pruned scan: write the fact partitioned by its hot
+    * filter column (`partitionBy` — one directory per value, the
+    * standard lake layout), then read back with an IN filter. The scan
+    * plans PartitionFilters and touches ONLY the matching directories —
+    * at 100 TB the difference between reading 2/5 of the data and all
+    * of it before the first filter runs. Complements [[bucketedJoin]]:
+    * bucketing co-locates joins, partitioning prunes scans; a real
+    * table does both. Idempotent overwrite per run; the oracle is the
+    * plain filtered aggregate.
+    */
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_partitioned/events").getPath
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val wh = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bucketed").getPath

@@ -114,6 +114,18 @@ class PlanSpec extends AnyFunSuite {
       s"shuffle under the bucketed join:\n$p")
   }
 
+  test("partitioned layout prunes the scan to the matching directories") {
+    // The partitionBy(event_type) write puts each value in its own
+    // directory; the IN filter must surface as PartitionFilters on the
+    // scan (directory pruning before any row is read), not a post-scan
+    // Filter over all five partitions.
+    val p = plan(graft.operators.ScaleOps.partitionedScan(spark, dir))
+    val scanAt = p.indexOf("PartitionFilters")
+    assert(scanAt >= 0, s"no partition filters on the scan:\n$p")
+    assert(p.substring(scanAt, p.indexOf(']', scanAt) + 1).contains("click"),
+      s"IN values not pushed to partition pruning:\n$p")
+  }
+
   test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     // The registry-wide scale invariant: every pairwise stage must be
     // keyed (equi-join) so its cost is bounded by collisions, never by
