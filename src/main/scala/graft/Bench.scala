@@ -34,7 +34,12 @@ object Bench {
     // n=2 per query, min reported: a single shot confounds first-touch
     // codegen/JIT with the plan's real cost (round-2 saw 4.5× run-order
     // noise on q_minhash_bands).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration;
+    // the driver never sets it, so round benches always cover everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.view.filterKeys(f).toMap)
+    val results = selected.map { case (name, fn) =>
       val (t1, e1) = once(fn)
       val (t2, e2) = once(fn)
       name -> (math.min(t1, t2), e1.orElse(e2))

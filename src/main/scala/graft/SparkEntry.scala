@@ -180,6 +180,7 @@ object SparkEntry {
     "q_bucketed_join"   -> ((s, d) => graft.operators.ScaleOps.bucketedJoin(s, d)),
     "q_props_variant"   -> ((s, d) => propsVariant(s, d)),
     "q_partitioned_scan" -> ((s, d) => graft.operators.ScaleOps.partitionedScan(s, d)),
+    "q_dpp_join"        -> ((s, d) => graft.operators.ScaleOps.dppJoin(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2544,5 +2545,15 @@ object SparkEntry {
             round(sum(value), 2) AS total_value
           FROM events WHERE event_type IN ('click', 'purchase')
           GROUP BY event_type ORDER BY event_type""",
+    // runtime-pruned star join must equal the plain filtered join
+    "q_dpp_join" ->
+      """WITH w AS (
+            SELECT * FROM (VALUES ('view', 1), ('click', 3), ('purchase', 10),
+              ('signup', 5), ('error', 0)) AS t(event_type, weight)
+            WHERE weight >= 3)
+          SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+            round(sum(e.value * w.weight), 2) AS weighted_value
+          FROM events e JOIN w USING (event_type)
+          GROUP BY e.event_type ORDER BY e.event_type""",
   )
 }

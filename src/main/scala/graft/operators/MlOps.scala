@@ -275,16 +275,20 @@ object MlOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val stats = tf.agg(count_distinct(col("doc_id")).as("n"),
+      sum(col("tf")).as("tot")).head()
     val nDocs = stats.getLong(0)
     // exact int64 sum / int64 count → the identical IEEE double on any
     // engine that evaluates the same division
     val avgdl = stats.getLong(1).toDouble / nDocs
+    // dl as a window sum over doc_id, NOT a groupBy+self-join: the rank
+    // window below already shuffles on doc_id, so the document length
+    // rides the same exchange for free (exact integer sum either way)
     val scored = tf
       .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("score", round(

@@ -129,6 +129,42 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Dynamic partition pruning: join the partitioned fact against a
+    * FILTERED dimension — Catalyst turns the dim's filter result into a
+    * runtime partition filter on the fact scan (the broadcast is reused
+    * as the pruning subquery), so only the dimension-selected
+    * directories are ever read even though the fact itself carries no
+    * literal predicate. The star-schema companion of the static IN
+    * pruning in [[partitionedScan]]: there the query names the
+    * partitions, here the dim join discovers them at runtime. The
+    * weighted aggregate makes the pruning observable in the result.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_partitioned").getPath
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(s"$base/events")
+    // the dim must be a SCAN with a pushable predicate (a constant-
+    // folded local relation carries no selective filter, so the DPP
+    // rule would skip it); integer weights keep the weighted sum on
+    // 2-dp decimals, never at a round-half boundary
+    Seq(("view", 1L), ("click", 3L), ("purchase", 10L), ("signup", 5L),
+        ("error", 0L))
+      .toDF("event_type", "weight")
+      .write.mode("overwrite").parquet(s"$base/weights")
+    val weights = spark.read.parquet(s"$base/weights")
+      .filter(col("weight") >= lit(3L))
+    spark.read.parquet(s"$base/events")
+      .join(broadcast(weights), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val wh = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bucketed").getPath

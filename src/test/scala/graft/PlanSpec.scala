@@ -126,6 +126,16 @@ class PlanSpec extends AnyFunSuite {
       s"IN values not pushed to partition pruning:\n$p")
   }
 
+  test("dim-filtered star join prunes fact partitions at runtime (DPP)") {
+    // The dimension's weight filter must reach the fact scan as a
+    // dynamicpruningexpression in PartitionFilters: the runtime list of
+    // surviving event_type directories, discovered from the broadcast —
+    // no literal predicate on the fact anywhere in the query.
+    val p = plan(graft.operators.ScaleOps.dppJoin(spark, dir))
+    assert(p.contains("dynamicpruningexpression"),
+      s"no runtime partition pruning on the fact scan:\n$p")
+  }
+
   test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     // The registry-wide scale invariant: every pairwise stage must be
     // keyed (equi-join) so its cost is bounded by collisions, never by
