@@ -33,6 +33,42 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState on RocksDB matches the fMGWS totals") {
+    implicit val sc = spark.sqlContext
+    // transformWithState requires the RocksDB provider (the off-heap
+    // store a 100-TB keyspace runs); restore the default after so the
+    // shared session's other suites keep their store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ScoredPost]
+      val out = StatefulOps.runningSubredditStatsTws(spark, input.toDS())
+      val q = out.writeStream.format("memory").queryName("substats_tws")
+        .outputMode("update").start()
+      try {
+        input.addData(ScoredPost("depression", 40), ScoredPost("depression", 20),
+          ScoredPost("anxiety", 0))
+        q.processAllAvailable()
+        input.addData(ScoredPost("depression", 100))
+        q.processAllAvailable()
+        val rows = spark.table("substats_tws")
+          .groupBy("subreddit").max("posts", "total_risk", "high_risk")
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        // identical to the flatMapGroupsWithState totals above: the API
+        // migration is wiring, not semantics
+        assert(rows("depression") === ((3L, 160L, 2L)))
+        assert(rows("anxiety") === ((1L, 0L, 0L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("update function is pure: fold semantics without a stream") {
     // GroupState is stream-bound; exercise the arithmetic via the typed
     // API on a one-key batch instead.
