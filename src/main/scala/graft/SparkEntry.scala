@@ -181,6 +181,8 @@ object SparkEntry {
     "q_props_variant"   -> ((s, d) => propsVariant(s, d)),
     "q_partitioned_scan" -> ((s, d) => graft.operators.ScaleOps.partitionedScan(s, d)),
     "q_dpp_join"        -> ((s, d) => graft.operators.ScaleOps.dppJoin(s, d)),
+    "q_join_skew"       -> ((s, d) => graft.operators.ScaleOps.joinSkew(s, d)),
+    "q_reagg_rollup"    -> ((s, d) => graft.operators.ScaleOps.reaggRollup(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2545,6 +2547,32 @@ object SparkEntry {
             round(sum(value), 2) AS total_value
           FROM events WHERE event_type IN ('click', 'purchase')
           GROUP BY event_type ORDER BY event_type""",
+    // join-key fan-out histogram with cumulative key share; integer-
+    // exact counts, one final division per row
+    "q_join_skew" ->
+      """WITH k AS (
+            SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout
+            FROM lineitem GROUP BY l_orderkey),
+          h AS (SELECT fanout, CAST(count(*) AS BIGINT) AS n_keys
+                FROM k GROUP BY fanout)
+          SELECT fanout, n_keys,
+            round(CAST(sum(n_keys) OVER (ORDER BY fanout
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(sum(n_keys) OVER () AS DOUBLE), 6) AS cum_key_share
+          FROM h ORDER BY fanout""",
+    // weekly-from-daily-partials must equal weekly-from-raw — the
+    // mergeable-aggregate contract itself
+    "q_reagg_rollup" ->
+      """WITH e AS (
+            SELECT event_type,
+              ((epoch_ns(ts) // 1000) // 86400000000) AS day, value
+            FROM events)
+          SELECT event_type, day - (day % 7) AS week_start,
+            CAST(count(*) AS BIGINT) AS n_events,
+            round(sum(value), 2) AS total_value,
+            round(sum(value) / count(*), 6) AS avg_value
+          FROM e GROUP BY event_type, week_start
+          ORDER BY event_type, week_start""",
     // runtime-pruned star join must equal the plain filtered join
     "q_dpp_join" ->
       """WITH w AS (

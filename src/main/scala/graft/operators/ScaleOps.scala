@@ -92,6 +92,56 @@ object ScaleOps {
       .orderBy(col("shard"))
   }
 
+  /** Join-key fan-out audit: the distribution of fact rows per join key
+    * (lineitem per orderkey), as an exact histogram with cumulative key
+    * share — the pre-flight read before any fact⋈fact join. A fat tail
+    * here is the reducer straggler at 100 TB and the input to the
+    * salting / AQE-skew-join decision ([[saltedEventStats]] is the
+    * remedy this audit triggers). One keyed count, one histogram
+    * aggregate on the bounded fan-out domain, a vocabulary-sized
+    * running-share window. */
+  def joinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fanout"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.fanOut(Tables.lineitem(spark, dir).select(col("l_orderkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("fanout"))
+      .groupBy(col("fanout"))
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("cum_keys", sum(col("n_keys")).over(w))
+      .withColumn("total_keys",
+        sum(col("n_keys")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("fanout"), col("n_keys"),
+        round(col("cum_keys").cast("double") / col("total_keys"), 6)
+          .as("cum_key_share"))
+      .orderBy(col("fanout"))
+  }
+
+  /** Incremental reaggregation: fold raw events into DAILY partial
+    * aggregates (sum, count), then roll the partials up to weeks —
+    * sum-of-sums and sum-of-counts, with the average derived from the
+    * merged partials. This is the mergeable-aggregate discipline behind
+    * every incremental 100-TB ETL: yesterday's partials never get
+    * recomputed, and the weekly answer from partials must equal the
+    * weekly answer from raw — which is exactly what the oracle (raw
+    * aggregation in DuckDB) checks. */
+  def reaggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"), col("value")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value")).as("pv"), count(lit(1)).as("pn"))
+    daily
+      .groupBy(col("event_type"), (col("day") - (col("day") % 7)).as("week_start"))
+      .agg(
+        sum(col("pn")).as("n_events"),
+        round(sum(col("pv")), 2).as("total_value"),
+        round(sum(col("pv")) / sum(col("pn")), 6).as("avg_value"))
+      .orderBy(col("event_type"), col("week_start"))
+  }
+
   /** Bucketed co-located join: write both join sides bucketed AND
     * sorted on the join key (8 buckets, parquet, external tables under
     * java.io.tmpdir), then join the bucketed reads. Because both scans
