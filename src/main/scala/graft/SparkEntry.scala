@@ -183,6 +183,7 @@ object SparkEntry {
     "q_dpp_join"        -> ((s, d) => graft.operators.ScaleOps.dppJoin(s, d)),
     "q_join_skew"       -> ((s, d) => graft.operators.ScaleOps.joinSkew(s, d)),
     "q_reagg_rollup"    -> ((s, d) => graft.operators.ScaleOps.reaggRollup(s, d)),
+    "q_pq_assign"       -> ((s, d) => SimilarityOps.pqAssign(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2527,6 +2528,28 @@ object SparkEntry {
             round(p.p2raw, 6) AS proj_norm2,
             round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
           FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // PQ assignment: codebook = first-8 subvectors, round-before-rank
+    // with codeword tie-break (the kmeans_step discipline)
+    "q_pq_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          dd AS (SELECT CAST(max(len(v)) AS BIGINT) AS dmax FROM e),
+          xi AS (
+            SELECT vec_id, i, i // (dd.dmax // 8) AS sub,
+              v[CAST(i + 1 AS INTEGER)] AS x
+            FROM (SELECT vec_id, unnest(range(0, len(v))) AS i, v FROM e)
+            CROSS JOIN dd),
+          cb AS (SELECT vec_id AS code, sub, i, x AS cx FROM xi WHERE vec_id < 8),
+          dist AS (
+            SELECT xi.vec_id, xi.sub, cb.code,
+              round(sum((xi.x - cb.cx) * (xi.x - cb.cx)), 6) AS d2
+            FROM xi JOIN cb ON xi.sub = cb.sub AND xi.i = cb.i
+            GROUP BY 1, 2, 3),
+          a AS (SELECT vec_id, sub, code, d2 FROM (
+              SELECT dist.*, row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY d2, code) AS rn FROM dist) WHERE rn = 1)
+          SELECT sub, code, CAST(count(*) AS BIGINT) AS n_vectors,
+            round(sum(d2), 6) AS sq_err
+          FROM a GROUP BY sub, code ORDER BY sub, code""",
     // the bucketed co-located join must equal the plain join — the
     // layout changes the plan, never the result
     "q_bucketed_join" ->

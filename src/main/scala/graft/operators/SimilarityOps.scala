@@ -520,6 +520,40 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
 
+  /** Product-quantization assignment — the compression half of the
+    * IVF-PQ index ([[ivfTopK]] is the cell half): split each vector
+    * into m = 8 contiguous subvectors and assign every subvector to its
+    * nearest codeword from a per-subspace codebook (the first 8
+    * vectors' subvectors — the same deterministic constant-bounded init
+    * as [[kmeansStep]]). Output is the per-(subspace, codeword)
+    * population and quantization error: the audit that says whether 64
+    * floats compress to 8 code bytes without collapsing. The codebook
+    * join is an EQUI join on (subspace, dim) against a constant-bounded
+    * exploded codebook — no pairwise stage anywhere; assignment ranks
+    * on the 6-dp-rounded distance with a codeword tie-break (the
+    * round-before-rank discipline). */
+  def pqAssign(spark: SparkSession, dir: String, m: Int = 8): DataFrame = {
+    val d = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head().getInt(0)
+    val xi = embDouble(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .withColumn("sub", expr(s"i div ${d / m}"))
+    val cb = xi.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"), col("sub"), col("i"), col("x").as("cx"))
+      .localCheckpoint()
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    xi.join(broadcast(cb), Seq("sub", "i"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"), round(sum(col("d2")), 6).as("sq_err"))
+      .orderBy(col("sub"), col("code"))
+  }
+
   /** Pairwise L2 and cosine distances between the k label centroids —
     * the cluster-geometry audit (which classes are confusable, is the
     * embedding space collapsing) read after every clustering or
