@@ -74,6 +74,42 @@ class DivergenceOpsSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, s"JL mean ratio off: $mean")
   }
 
+  test("join-skew histogram conserves keys and rows; share reaches 1") {
+    val rows = ScaleOps.joinSkew(spark, dir).collect()
+    val nRows = graft.model.Tables.lineitem(spark, dir).count()
+    val nKeys = graft.model.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey")).distinct().count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nRows)
+    assert(rows.map(_.getLong(1)).sum === nKeys)
+    assert(rows.last.getDouble(2) === 1.0)
+  }
+
+  test("reaggregated weekly equals the direct weekly aggregate") {
+    val fromPartials = ScaleOps.reaggRollup(spark, dir).collect()
+    val direct = graft.model.Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("value"))
+      .groupBy(col("event_type"), (col("day") - (col("day") % 7)).as("week_start"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(sum(col("value")) / count(lit(1)), 6).as("avg_value"))
+      .orderBy(col("event_type"), col("week_start"))
+      .collect()
+    assert(fromPartials.toSeq === direct.toSeq)
+  }
+
+  test("PQ assignment conserves vectors per subspace, codes in codebook range") {
+    val rows = SimilarityOps.pqAssign(spark, dir).collect()
+    val nVecs = graft.model.Tables.embeddings(spark, dir).count()
+    rows.groupBy(_.getLong(0)).foreach { case (_, sub) =>
+      assert(sub.map(_.getLong(2)).sum === nVecs, "subspace lost vectors")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < 8L)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("bucketed co-located join equals the plain join") {
     val bucketed = ScaleOps.bucketedJoin(spark, dir).collect()
     val plain = graft.model.Tables.orders(spark, dir)

@@ -54,6 +54,10 @@ class RobustnessSpec extends AnyFunSuite {
       "q_shard_skew",        // md5 shards, integer loads
       "q_mad_outliers",      // exact order-statistic medians, count compare
       "q_hapax_docs",        // term-spectrum semi-join, integer ratios
+      // round-7 exact-arithmetic additions
+      "q_join_skew",         // integer fan-out histogram; share is int/int
+      "q_partitioned_scan",  // partition-pruned integer counts (+2-dp sums)
+      "q_keyness_g2",        // integer grid counts; g2 from exact marginals
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
