@@ -184,6 +184,7 @@ object SparkEntry {
     "q_join_skew"       -> ((s, d) => graft.operators.ScaleOps.joinSkew(s, d)),
     "q_reagg_rollup"    -> ((s, d) => graft.operators.ScaleOps.reaggRollup(s, d)),
     "q_pq_assign"       -> ((s, d) => SimilarityOps.pqAssign(s, d)),
+    "q_domain_reweight" -> ((s, d) => graft.operators.DivergenceOps.domainReweight(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2528,6 +2529,41 @@ object SparkEntry {
             round(p.p2raw, 6) AS proj_norm2,
             round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
           FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // one EG step of loss-proportional domain reweighting over the
+    // shared smoothing grid; window algebra on the source-bounded frame
+    "q_domain_reweight" ->
+      """WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          vocab AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term
+            ORDER BY ct DESC, term LIMIT 4096),
+          stv AS (SELECT st.source, st.term, st.c FROM st JOIN vocab USING (term)),
+          stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                   FROM stv GROUP BY source),
+          tv AS (SELECT CAST(sum(ct) AS DOUBLE) AS t,
+                   CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          grid AS (
+            SELECT s.source, s.ts, vb.term, vb.ct, coalesce(c.c, 0) AS c0
+            FROM stot s CROSS JOIN vocab vb
+            LEFT JOIN stv c ON c.source = s.source AND c.term = vb.term),
+          ps AS (
+            SELECT g.source, g.ts,
+              -sum(g.c0 * ln((g.ct + 1.0) / (tv.t + tv.v))) / g.ts AS nll,
+              max(tv.t) AS t
+            FROM grid g CROSS JOIN tv GROUP BY g.source, g.ts),
+          w1 AS (SELECT ps.*, sum(ts * nll) OVER () / t AS nll_corpus FROM ps),
+          w2 AS (SELECT *, nll - nll_corpus AS excess,
+                   (ts / t) * exp(1.0 * (nll - nll_corpus)) AS unnorm
+                 FROM w1),
+          w3 AS (SELECT *, sum(unnorm) OVER () AS z FROM w2)
+          SELECT source, ts AS n_tokens, round(nll, 6) AS avg_nll,
+            round(excess, 6) AS excess_nll, round(ts / t, 6) AS raw_weight,
+            round(unnorm / z, 6) AS doremi_weight
+          FROM w3 ORDER BY source""",
     // PQ assignment: codebook = first-8 subvectors, round-before-rank
     // with codeword tie-break (the kmeans_step discipline)
     "q_pq_assign" ->

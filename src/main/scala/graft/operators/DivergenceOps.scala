@@ -124,6 +124,38 @@ object DivergenceOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** One exponentiated-gradient step of domain reweighting (the DoReMi
+    * recipe (Xie et al., 2023) with an order-0 proxy loss): each
+    * source's average NLL under the corpus unigram LM stands in for the
+    * excess loss, and the mixture weight moves as
+    * w′ ∝ w·exp(η·excess) — sources the blend models WORSE than average
+    * get upsampled. Alongside [[graft.operators.CorpusOps.temperatureMix]]
+    * this gives both published mixture policies: temperature flattening
+    * (size-based) and loss-proportional reweighting. The corpus reduces
+    * to the S×V grid in one pass; everything after — per-source NLL,
+    * the corpus baseline, the partition constant Z — is source-bounded
+    * window algebra, rounded once at the end. */
+  def domainReweight(spark: SparkSession, dir: String,
+      eta: Double = 1.0): DataFrame = {
+    val cp = corpus(spark, dir)
+    val wAll = Window.partitionBy()
+    val tD = lit(cp.t)
+    val lp = log((col("ct") + lit(1.0)) / (lit(cp.t) + lit(cp.v)))
+    cp.grid
+      .groupBy(col("source"), col("ts"))
+      .agg((-sum(col("c0") * lp) / col("ts")).as("nll"))
+      .withColumn("nll_corpus", sum(col("ts") * col("nll")).over(wAll) / tD)
+      .withColumn("excess", col("nll") - col("nll_corpus"))
+      .withColumn("unnorm", (col("ts") / tD) * exp(lit(eta) * col("excess")))
+      .withColumn("z", sum(col("unnorm")).over(wAll))
+      .select(col("source"), col("ts").as("n_tokens"),
+        round(col("nll"), 6).as("avg_nll"),
+        round(col("excess"), 6).as("excess_nll"),
+        round(col("ts") / tD, 6).as("raw_weight"),
+        round(col("unnorm") / col("z"), 6).as("doremi_weight"))
+      .orderBy(col("source"))
+  }
+
   /** LM-score domain classification: score every document under every
     * source's add-one unigram LM and tag it with the argmax source —
     * the cheap domain-tagger (CCNet's per-domain LM filter, order-0)

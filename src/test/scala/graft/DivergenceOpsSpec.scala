@@ -51,6 +51,21 @@ class DivergenceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("domain reweighting: both weight columns are distributions, EG-monotone") {
+    val rows = DivergenceOps.domainReweight(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-3)
+    // exp(η·excess)/Z is increasing in excess, so the upsample ratio
+    // must order exactly like the excess loss
+    val byExcess = rows.sortBy(_.getDouble(3))
+      .map(r => r.getDouble(5) / r.getDouble(4))
+    byExcess.sliding(2).foreach {
+      case Array(lo, hi) => assert(lo <= hi + 1e-9, "EG step not monotone")
+      case _             =>
+    }
+  }
+
   test("centroid distances: cosine within [-1,1], L2 positive, full triangle") {
     val k = graft.model.Tables.embeddings(spark, dir)
       .select(col("label")).distinct().count()
