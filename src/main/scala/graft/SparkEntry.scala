@@ -185,6 +185,7 @@ object SparkEntry {
     "q_reagg_rollup"    -> ((s, d) => graft.operators.ScaleOps.reaggRollup(s, d)),
     "q_pq_assign"       -> ((s, d) => SimilarityOps.pqAssign(s, d)),
     "q_domain_reweight" -> ((s, d) => graft.operators.DivergenceOps.domainReweight(s, d)),
+    "q_write_files_audit" -> ((s, d) => graft.operators.ScaleOps.writeFilesAudit(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2529,6 +2530,12 @@ object SparkEntry {
             round(p.p2raw, 6) AS proj_norm2,
             round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
           FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // the oracle computes the writer contract from row counts alone:
+    // one source = one writer task => files = ceil(rows/100)
+    "q_write_files_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
+          FROM documents GROUP BY source ORDER BY source""",
     // one EG step of loss-proportional domain reweighting over the
     // shared smoothing grid; window algebra on the source-bounded frame
     "q_domain_reweight" ->

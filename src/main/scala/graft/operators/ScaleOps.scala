@@ -92,6 +92,35 @@ object ScaleOps {
       .orderBy(col("shard"))
   }
 
+  /** Output-file hygiene audit — the writer-side discipline that decides
+    * whether a 100-TB table is readable tomorrow: repartition by the
+    * layout key so each source lands in exactly ONE task (hash can merge
+    * sources into a task but never splits one), write `partitionBy`
+    * directories with `maxRecordsPerFile`, then measure the files that
+    * actually materialized per directory. Because one source = one
+    * writer task, the file count per source is exactly
+    * ceil(rows/maxRecordsPerFile) — which is what the oracle computes
+    * from row counts alone: the hash check verifies the WRITER's
+    * splitting behavior, not just a query result. Small-files problem
+    * and its fix, as an oracle-checked operator. */
+  def writeFilesAudit(spark: SparkSession, dir: String,
+      maxPerFile: Int = 100): DataFrame = {
+    val out = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_filesaudit/docs").getPath
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .repartition(col("source"))
+      .write.option("maxRecordsPerFile", maxPerFile.toLong)
+      .partitionBy("source").mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(col("source"), input_file_name().as("f"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"))
+      .orderBy(col("source"))
+  }
+
   /** Join-key fan-out audit: the distribution of fact rows per join key
     * (lineitem per orderkey), as an exact histogram with cumulative key
     * share — the pre-flight read before any fact⋈fact join. A fat tail
