@@ -186,6 +186,7 @@ object SparkEntry {
     "q_pq_assign"       -> ((s, d) => SimilarityOps.pqAssign(s, d)),
     "q_domain_reweight" -> ((s, d) => graft.operators.DivergenceOps.domainReweight(s, d)),
     "q_write_files_audit" -> ((s, d) => graft.operators.ScaleOps.writeFilesAudit(s, d)),
+    "q_cms_counts"      -> ((s, d) => cmsCountsQuery(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -211,7 +212,31 @@ object SparkEntry {
   /** Queries with no DuckDB oracle (estimates are implementation-
     * specific); the driver records a rows-only check for these. */
   val oracleFreeQueries: Set[String] =
-    Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles")
+    Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles",
+      "q_cms_counts")
+
+  /** Count-Min point-count estimates per source over a fixed probe
+    * list — the 4th sketch (cardinality/HLL++, heavy hitters/Misra–
+    * Gries, quantiles/GK, point counts/CMS). Oracle-free: the seeded
+    * row hashes have no SQL twin; `CountMinAggSpec` pins the
+    * never-undercount bound against exact counts and the sketch is in
+    * the partition-invariance family (counter addition commutes). */
+  private def cmsCountsQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val probes = array(
+      Seq("a", "data", "fast", "query", "row", "table", "the", "value")
+        .map(lit): _*)
+    Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"))
+      .agg(call_function("cms_counts", col("term"), probes).as("ests"))
+      .select(col("source"), explode(col("ests")).as("pair"))
+      .select(col("source"),
+        split(col("pair"), ":").getItem(0).as("term"),
+        split(col("pair"), ":").getItem(1).cast("long").as("cms_est"))
+      .orderBy(col("source"), col("term"))
+  }
 
   /** J-4 explicit broadcast-hint join: fact⋈broadcast(dim) rollup. */
   private def joinPartBroadcast(spark: SparkSession, dir: String): DataFrame =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
+import graft.expr.{CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -40,6 +40,20 @@ object GraftFunctions {
         s"freq_items k must be an integer literal, got $other")
     }
     FreqItemsAgg(exprs.head, k)
+  }
+
+  private[functions] val cmsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "cms_counts expects (value, array(probe_terms))")
+    require(exprs(1).foldable, "cms_counts probe list must be a literal array")
+    val probes = exprs(1).eval() match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        arr.toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+      case other => throw new IllegalArgumentException(
+        s"cms_counts probe list must be an array of strings, got $other")
+    }
+    CountMinAgg(exprs.head, probes)
   }
 
   private[functions] val intersectSizeBuilder: Seq[Expression] => Expression = { exprs =>
@@ -96,6 +110,8 @@ object GraftFunctions {
       "bloom_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_counts", cmsBuilder, "built-in")
   }
 }
 
@@ -155,6 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "might_contain"),
       GraftFunctions.mightContainBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("cms_counts"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_counts"),
+      GraftFunctions.cmsBuilder,
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.

@@ -58,6 +58,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_join_skew",         // integer fan-out histogram; share is int/int
       "q_partitioned_scan",  // partition-pruned integer counts (+2-dp sums)
       "q_keyness_g2",        // integer grid counts; g2 from exact marginals
+      "q_cms_counts",        // CMS counters: long addition commutes
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
