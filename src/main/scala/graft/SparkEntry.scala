@@ -187,6 +187,7 @@ object SparkEntry {
     "q_domain_reweight" -> ((s, d) => graft.operators.DivergenceOps.domainReweight(s, d)),
     "q_write_files_audit" -> ((s, d) => graft.operators.ScaleOps.writeFilesAudit(s, d)),
     "q_cms_counts"      -> ((s, d) => cmsCountsQuery(s, d)),
+    "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnion(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -213,7 +214,7 @@ object SparkEntry {
     * specific); the driver records a rows-only check for these. */
   val oracleFreeQueries: Set[String] =
     Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles",
-      "q_cms_counts")
+      "q_cms_counts", "q_hll_union")
 
   /** Count-Min point-count estimates per source over a fixed probe
     * list — the 4th sketch (cardinality/HLL++, heavy hitters/Misra–

@@ -148,6 +148,38 @@ object ScaleOps {
       .orderBy(col("fanout"))
   }
 
+  /** Sketch reaggregation — the incremental-distinct pattern plain
+    * counts cannot express: build an HLL sketch per (event_type, hour)
+    * (Spark's DataSketches `hll_sketch_agg`), then UNION the hourly
+    * sketches up to days and estimate. Register-max union is
+    * order-insensitive, so union-of-hourly is bit-identical to a direct
+    * daily sketch (spec-pinned) — yesterday's hourly sketches never get
+    * rebuilt, which is how a 100-TB pipeline serves "distinct users per
+    * day/week/month" from one stored sketch column. The exact distinct
+    * rides along for the observable error. Declared oracle-free (no
+    * DuckDB HLL twin); the spec bounds the relative error and pins
+    * reagg-consistency. */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 3600000000").as("hour"), col("user_id")))
+    val hourly = e.groupBy(col("event_type"), col("hour"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    hourly
+      .groupBy(col("event_type"), (col("hour") - (col("hour") % 24) as "day_h"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+      .select(col("event_type"), (col("day_h") / 24).cast("long").as("day"),
+        col("est_distinct"))
+      .join(
+        e.groupBy(col("event_type"), expr("hour div 24").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")),
+        Seq("event_type", "day"))
+      .withColumn("rel_err", round(
+        abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"), 6))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Incremental reaggregation: fold raw events into DAILY partial
     * aggregates (sum, count), then roll the partials up to weeks —
     * sum-of-sums and sum-of-counts, with the average derived from the

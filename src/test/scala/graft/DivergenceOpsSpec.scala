@@ -125,6 +125,25 @@ class DivergenceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL union of hourly sketches equals the direct daily sketch") {
+    val viaHourly = ScaleOps.hllUnion(spark, dir).localCheckpoint()
+    val direct = graft.model.Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("((ts div 1000) div 3600000000) div 24").as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("direct_est"))
+    // register-max union is order-insensitive: merging hourly partials
+    // must land on exactly the registers a one-shot daily sketch builds
+    val joined = viaHourly.join(direct, Seq("event_type", "day")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est_distinct") === r.getAs[Long]("direct_est"),
+        s"union-of-hourly diverged from direct sketch: $r")
+      assert(r.getAs[Double]("rel_err") < 0.05,
+        s"HLL error above 5%: $r")
+    }
+  }
+
   test("bucketed co-located join equals the plain join") {
     val bucketed = ScaleOps.bucketedJoin(spark, dir).collect()
     val plain = graft.model.Tables.orders(spark, dir)
