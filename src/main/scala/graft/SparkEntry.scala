@@ -188,6 +188,7 @@ object SparkEntry {
     "q_write_files_audit" -> ((s, d) => graft.operators.ScaleOps.writeFilesAudit(s, d)),
     "q_cms_counts"      -> ((s, d) => cmsCountsQuery(s, d)),
     "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnion(s, d)),
+    "q_consistent_sample" -> ((s, d) => graft.operators.ScaleOps.consistentSample(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2556,6 +2557,38 @@ object SparkEntry {
             round(p.p2raw, 6) AS proj_norm2,
             round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
           FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // consistent hash-of-key sampling applied identically on both
+    // tables (4-nibble md5 prefix mod 100), so the joined sample keeps
+    // referential integrity
+    "q_consistent_sample" ->
+      """WITH ev AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            WHERE (((strpos('0123456789abcdef',
+                  substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 5
+            GROUP BY user_id),
+          cu AS (
+            SELECT c_custkey AS user_id, c_acctbal
+            FROM customer
+            WHERE (((strpos('0123456789abcdef',
+                  substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(c_custkey AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                  substring(md5(CAST(c_custkey AS VARCHAR)), 4, 1)) - 1)) % 100) < 5)
+          SELECT coalesce(ev.user_id, cu.user_id) AS user_id,
+            CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+            round(coalesce(cu.c_acctbal, 0.0), 2) AS acctbal
+          FROM ev FULL OUTER JOIN cu ON ev.user_id = cu.user_id
+          ORDER BY user_id""",
     // the oracle computes the writer contract from row counts alone:
     // one source = one writer task => files = ceil(rows/100)
     "q_write_files_audit" ->

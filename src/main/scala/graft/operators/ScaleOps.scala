@@ -148,6 +148,31 @@ object ScaleOps {
       .orderBy(col("fanout"))
   }
 
+  /** Consistent cross-table sampling: draw the SAME ~5% of users from
+    * two independent fact tables by content-addressing the shared key
+    * (md5 mod 100 < 5) — the debugging/dev-corpus pattern where a
+    * random sample per table would destroy referential integrity, but a
+    * hash-of-key sample keeps every sampled user's COMPLETE event and
+    * order history joinable. Map-side filter on both scans (no
+    * coordination, no broadcast of a sampled-ID list), then a keyed
+    * join that only ever sees the sample. The oracle applies the same
+    * hash arithmetic in DuckDB. */
+  def consistentSample(spark: SparkSession, dir: String): DataFrame = {
+    def keep(c: org.apache.spark.sql.Column) =
+      (conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100) < 5
+    val ev = Tables.events(spark, dir)
+      .filter(keep(col("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val ord = Tables.customer(spark, dir)
+      .filter(keep(col("c_custkey")))
+      .select(col("c_custkey").as("user_id"), col("c_acctbal"))
+    ev.join(ord, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"))
+      .orderBy(col("user_id"))
+  }
+
   /** Sketch reaggregation — the incremental-distinct pattern plain
     * counts cannot express: build an HLL sketch per (event_type, hour)
     * (Spark's DataSketches `hll_sketch_agg`), then UNION the hourly

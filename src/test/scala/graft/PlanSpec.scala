@@ -136,6 +136,19 @@ class PlanSpec extends AnyFunSuite {
       s"no runtime partition pruning on the fact scan:\n$p")
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // The configured shuffle width (a 1000-executor number) must not
+    // dictate tiny-stage task counts: after execution the adaptive plan
+    // reads the shuffle through a coalesced AQEShuffleRead. This is the
+    // runtime half of the partition story — static width for the big
+    // stages, adaptive narrowing for the small ones.
+    val df = graft.operators.DashboardOps.statsByGroup(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"no adaptive partition coalescing after execution:\n$p")
+  }
+
   test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     // The registry-wide scale invariant: every pairwise stage must be
     // keyed (equi-join) so its cost is bounded by collisions, never by
