@@ -189,6 +189,7 @@ object SparkEntry {
     "q_cms_counts"      -> ((s, d) => cmsCountsQuery(s, d)),
     "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnion(s, d)),
     "q_consistent_sample" -> ((s, d) => graft.operators.ScaleOps.consistentSample(s, d)),
+    "q_volume_trend"    -> ((s, d) => graft.operators.ScaleOps.volumeTrend(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2557,6 +2558,18 @@ object SparkEntry {
             round(p.p2raw, 6) AS proj_norm2,
             round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
           FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // grouped OLS trend over integer day counts; regr_* moments are
+    // identical algebra on both engines at 4 dp
+    "q_volume_trend" ->
+      """WITH d AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day
+            FROM events),
+          c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY 1, 2)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+            round(regr_slope(n, day), 4) AS slope_per_day,
+            round(regr_r2(n, day), 4) AS r2
+          FROM c GROUP BY event_type ORDER BY event_type""",
     // consistent hash-of-key sampling applied identically on both
     // tables (4-nibble md5 prefix mod 100), so the joined sample keeps
     // referential integrity

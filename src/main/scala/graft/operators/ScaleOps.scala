@@ -148,6 +148,26 @@ object ScaleOps {
       .orderBy(col("fanout"))
   }
 
+  /** Per-group volume trend: ordinary-least-squares slope of daily event
+    * volume against the day index, per event type — the "is this stream
+    * growing, shrinking, or flat" monitor a pipeline reads before
+    * capacity and sampling decisions. The corpus reduces to one
+    * (type, day) count table; `regr_*` aggregates are moment-based and
+    * mergeable (partial+final, like any sum), so the regression runs as
+    * one hash aggregate over day-bounded input — the grouped sibling of
+    * the global Zipf/Heaps fits. */
+  def volumeTrend(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(expr("regr_slope(n, day)"), 4).as("slope_per_day"),
+        round(expr("regr_r2(n, day)"), 4).as("r2"))
+      .orderBy(col("event_type"))
+
   /** Consistent cross-table sampling: draw the SAME ~5% of users from
     * two independent fact tables by content-addressing the shared key
     * (md5 mod 100 < 5) — the debugging/dev-corpus pattern where a
