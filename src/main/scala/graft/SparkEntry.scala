@@ -190,6 +190,7 @@ object SparkEntry {
     "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnion(s, d)),
     "q_consistent_sample" -> ((s, d) => graft.operators.ScaleOps.consistentSample(s, d)),
     "q_volume_trend"    -> ((s, d) => graft.operators.ScaleOps.volumeTrend(s, d)),
+    "q_sparse_cosine"   -> ((s, d) => DedupOps.sparseCosine(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -2558,6 +2559,58 @@ object SparkEntry {
             round(p.p2raw, 6) AS proj_norm2,
             round(p.p2raw / (16.0 * n.n2raw), 6) AS ratio
           FROM norms n JOIN proj p USING (vec_id) ORDER BY n.vec_id""",
+    // tf-idf weighted cosine on the same capped band-collision
+    // candidates as q_bucketed_jaccard; smooth idf keeps norms nonzero;
+    // the cosine divides RAW weight sums (rounding-halves rule)
+    "q_sparse_cosine" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          tok2 AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok2 GROUP BY 1, 2),
+          dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          wt AS (
+            SELECT tf.doc_id, tf.term,
+              tf.tf * (ln((nn.n + 1.0) / (dft.df + 1.0)) + 1.0) AS w
+            FROM tf JOIN dft USING (term) CROSS JOIN nn),
+          nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM wt GROUP BY doc_id),
+          dots AS (
+            SELECT c.a_id, c.b_id, sum(wa.w * wb.w) AS dot
+            FROM cand c
+            JOIN wt wa ON wa.doc_id = c.a_id
+            JOIN wt wb ON wb.doc_id = c.b_id AND wb.term = wa.term
+            GROUP BY 1, 2)
+          SELECT d.a_id, d.b_id, round(d.dot, 6) AS dot,
+            round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+          FROM dots d JOIN nrm na ON na.doc_id = d.a_id
+          JOIN nrm nb ON nb.doc_id = d.b_id
+          ORDER BY d.a_id, d.b_id""",
     // grouped OLS trend over integer day counts; regr_* moments are
     // identical algebra on both engines at 4 dp
     "q_volume_trend" ->

@@ -304,6 +304,47 @@ object DedupOps {
       .distinct()
   }
 
+  /** Sparse tf-idf cosine over the capped band-collision candidates —
+    * the WEIGHTED text-similarity scorer that completes the near-dup
+    * family (set overlap/Jaccard, subset/containment, bit drift/
+    * simhash, char edits/levenshtein, dense angle/embedding cosine):
+    * rare shared terms count for more, so boilerplate overlap scores
+    * low where Jaccard scores high. Smooth idf (ln((N+1)/(df+1))+1,
+    * strictly positive) keeps norms nonzero on a flat vocabulary. The
+    * plan is the [[bucketedJaccard]] skeleton: capped candidates, then
+    * per-pair dot via two keyed joins on (doc, term) — candidate-
+    * bounded fan-out, nothing pairwise; norms divide RAW sums (the
+    * rounding-halves rule). Pairs sharing no term drop out (cosine 0).
+    */
+  def sparseCosine(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val tf = MlOps.docTerms(spark, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).count().toDouble
+    val w = tf.join(broadcast(dft), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+          .as("w"))
+      .localCheckpoint()
+    val nrm = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dot = cappedBandCandidates(spark, dir, cap)
+      .join(w.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa")),
+        Seq("a_id"))
+      .join(w.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")),
+        Seq("b_id", "term"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("a_id"), col("n2").as("n2a")), Seq("a_id"))
+      .join(nrm.select(col("doc_id").as("b_id"), col("n2").as("n2b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(col("dot"), 6).as("dot"),
+        round(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b"))), 6).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Substring-level duplication census (the signal behind exact
     * substring dedup à la "Deduplicating Training Data Makes Language
     * Models Better"): every POSITIONAL word 5-gram — occurrences, not
