@@ -67,6 +67,17 @@ object Bench {
     // recorded "parsed": null) — the file is the machine-readable channel.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    // The driver captures only the LAST ~2000 chars of output; with 150+
+    // queries the full line above never fits, so every BENCH_r*.json so
+    // far recorded "parsed": null. Print a compact summary LAST — total,
+    // ok/errors, and the slowest queries at 3 dp — sized to sit entirely
+    // inside that tail window (full per-query detail stays in bench.json
+    // and the long line above).
+    val slowN = math.min(25, results.size)
+    val slowest = results.toSeq.sortBy(-_._2._1).take(slowN)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errors,"queries_n":${results.size},"queries":$slowest,"queries_note":"slowest $slowN of ${results.size}; all in bench.json","sf":"$sfDir","cpus":$cpus,"runs_per_query":2,"sink":"noop","timing":"min_of_runs"}""")
     spark.stop()
   }
 }
