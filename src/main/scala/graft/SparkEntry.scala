@@ -76,6 +76,7 @@ object SparkEntry {
     "q_simhash"         -> ((s, d) => DedupOps.simhash(s, d)),
     "q_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "q_bucketed_jaccard" -> ((s, d) => DedupOps.bucketedJaccard(s, d)),
+    "q_incremental_neardup" -> ((s, d) => DedupOps.incrementalNearDup(s, d)),
     "q_knn_cosine"      -> ((s, d) => SimilarityOps.knnCosine(s, d)),
     "q_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
     "q_bucketed_neardup" -> ((s, d) => SimilarityOps.bucketedNearDup(s, d)),
@@ -811,6 +812,57 @@ object SparkEntry {
                 6) AS jaccard
             FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
           WHERE jaccard >= 0.1 ORDER BY a_id, b_id""",
+    "q_incremental_neardup" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          hist AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands WHERE doc_id % 10 <> 0)
+            WHERE rn <= 20),
+          fresh AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands WHERE doc_id % 10 = 0)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT f.doc_id AS a_id, h.doc_id AS b_id
+            FROM fresh f JOIN hist h ON f.b = h.b AND f.bucket = h.bucket),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          scored AS (
+            SELECT a_id, b_id,
+              round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
+                     THEN 1
+                     ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
+                6) AS jaccard
+            FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id),
+          ranked AS (
+            SELECT a_id, b_id, jaccard,
+              row_number() OVER (PARTITION BY a_id ORDER BY jaccard DESC, b_id) AS rn,
+              count(*) OVER (PARTITION BY a_id) AS nc
+            FROM scored)
+          SELECT a_id AS new_id, b_id AS best_old_id, jaccard AS best_jaccard,
+            CAST(nc AS BIGINT) AS n_candidates, jaccard >= 0.5 AS is_neardup
+          FROM ranked WHERE rn = 1 ORDER BY new_id""",
     "q_knn_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

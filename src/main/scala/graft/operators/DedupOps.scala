@@ -179,6 +179,14 @@ object DedupOps {
     * score so boundary pairs cannot flip between engines on ulp drift.
     */
   private def scoreJaccard(spark: SparkSession, dir: String,
+      candidates: DataFrame, threshold: Option[Double]): DataFrame =
+    scoreJaccardRaw(spark, dir, candidates, threshold)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** [[scoreJaccard]] without the presentation sort — for callers that
+    * aggregate the scored pairs further (a sort feeding an aggregation
+    * would be a wasted exchange). */
+  private def scoreJaccardRaw(spark: SparkSession, dir: String,
       candidates: DataFrame, threshold: Option[Double]): DataFrame = {
     // localCheckpoint: the gram table feeds BOTH sides of the pair join
     // and Catalyst does not reuse the subtree across the two aliases —
@@ -203,7 +211,6 @@ object DedupOps {
         round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
     threshold.fold(scored)(t => scored.filter(col("jaccard") >= t))
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Word-bigram Jaccard for a sampled probe set (every-50th doc),
@@ -460,6 +467,65 @@ object DedupOps {
         round(col("inter") / when(col("uni") === 0, 1).otherwise(col("uni")), 6))
       .select(col("a_id"), col("b_id"), col("est_jaccard"), col("exact_jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The daily NEAR-dup job: a fresh shard (doc_id % 10 == 0, the same
+    * content-addressed split [[graft.operators.MlOps.incrementalDedup]]
+    * uses) screened against the historical corpus without ever pairing
+    * history with itself. Exact incremental dedup answers "seen this
+    * byte-identical/reordered doc before?"; this answers the question
+    * that actually gates corpus growth — "is this NEW document a near
+    * copy of ANYTHING already ingested?" — at incremental cost:
+    *
+    *   - one signature pass over the corpus (at 100 TB the historical
+    *     band table is a stored artifact; only the fresh shard's bands
+    *     are computed per run),
+    *   - fresh bands equi-join historical bands on (band, bucket) — the
+    *     shuffle key is the bucket, so candidate volume tracks fresh-
+    *     shard collisions, never |history|²,
+    *   - per-bucket caps on BOTH sides (row_number → WindowGroupLimit)
+    *     bound the fan-out at cap² per bucket even when a degenerate
+    *     signature cluster spans history and shard,
+    *   - exact bigram Jaccard confirms candidates only, and a per-fresh-
+    *     doc verdict row comes back: candidate count, best historical
+    *     match (highest rounded score, oldest doc breaking ties), and
+    *     the ≥ `threshold` near-dup flag the ingest decision reads.
+    *
+    * Fresh docs colliding with nothing are clean admits and do not
+    * appear (their absence IS the verdict; the left-join presentation
+    * belongs to the serving layer).
+    */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+      cap: Int = 20, threshold: Double = 0.5): DataFrame = {
+    // one minhash+band pass feeds both split sides
+    val bands = bandBuckets(spark, dir).localCheckpoint()
+    def cappedSide(side: DataFrame, as: String) = {
+      val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+      side.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .select(col("band"), col("bucket"), col("doc_id").as(as))
+    }
+    val hist = cappedSide(bands.filter(col("doc_id") % 10 =!= 0), "b_id")
+    val fresh = cappedSide(bands.filter(col("doc_id") % 10 === 0), "a_id")
+    val candidates = fresh.join(hist, Seq("band", "bucket"))
+      .select(col("a_id"), col("b_id"))
+      .distinct() // a pair can collide in several bands
+    val scored = scoreJaccardRaw(spark, dir, candidates, threshold = None)
+    val byDoc = Window.partitionBy(col("a_id"))
+    val best = Window.partitionBy(col("a_id"))
+      .orderBy(col("jaccard").desc, col("b_id"))
+    scored
+      .withColumn("n_candidates", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(
+        col("a_id").as("new_id"),
+        col("b_id").as("best_old_id"),
+        col("jaccard").as("best_jaccard"),
+        col("n_candidates"),
+        (col("jaccard") >= threshold).as("is_neardup"),
+      )
+      .orderBy(col("new_id"))
   }
 
   /** Edit-distance near-dup pairs via prefix+length blocking — the

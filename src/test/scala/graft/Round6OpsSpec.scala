@@ -155,4 +155,20 @@ class Round6OpsSpec extends AnyFunSuite {
     val meanSkew = rows.agg(avg(col("docs_skew"))).head().getDouble(0)
     assert(math.abs(meanSkew - 1.0) < 0.5) // 32 shards of a uniform hash
   }
+
+  test("incrementalNearDup: verdicts are fresh-side only, matched to history, bounded") {
+    val rows = DedupOps.incrementalNearDup(spark, dir).collect()
+    assert(rows.nonEmpty) // the corpus plants cross-split duplicates
+    rows.foreach { r =>
+      val (newId, oldId, best, nc) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(newId % 10 === 0L, s"$newId is not in the fresh shard")
+      assert(oldId % 10 != 0L, s"best match $oldId is not historical")
+      assert(best >= 0.0 && best <= 1.0)
+      assert(nc >= 1L) // a verdict row exists only for colliding docs
+      assert(r.getBoolean(4) === (best >= 0.5))
+    }
+    // one verdict per fresh doc
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
 }
