@@ -155,6 +155,7 @@ object SparkEntry {
     "q_cluster_sizes"   -> ((s, d) => graft.operators.GraphOps.nearDupClusterSizes(s, d)),
     "q_temperature_mix" -> ((s, d) => graft.operators.CorpusOps.temperatureMix(s, d)),
     "q_bpe_pairs"       -> ((s, d) => MlOps.bpePairStats(s, d)),
+    "q_bpe_merges"      -> ((s, d) => MlOps.bpeMerges(s, d)),
     "q_ngram_diversity" -> ((s, d) => TextAnalysisOps.ngramDiversity(s, d)),
     "q_zipf_fit"        -> ((s, d) => TextAnalysisOps.zipfFit(s, d)),
     // ---- round-6 tier: graph ranking, robust stats, entity-resolution
@@ -2122,6 +2123,76 @@ object SparkEntry {
           SELECT pair, CAST(sum(n) AS BIGINT) AS corpus_count,
             CAST(count(DISTINCT term) AS BIGINT) AS n_terms
           FROM p GROUP BY pair ORDER BY corpus_count DESC, pair LIMIT 30""",
+    // the first 3 BPE merges, unrolled (the iterative-loop oracle
+    // pattern q_kmeans_iters uses): each step counts weighted adjacent
+    // symbol pairs, picks the (count DESC, pair ASC) winner, and applies
+    // the double-spaced padded replace so adjacent occurrences sharing a
+    // boundary space all merge; totals are recomputed on the merged vocab
+    "q_bpe_merges" ->
+      """WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tc AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+          v0 AS (
+            SELECT n, array_to_string(list_transform(range(1, length(term) + 1),
+              i -> substring(term, CAST(i AS INTEGER), 1)), ' ') AS repr
+            FROM tc),
+          p1 AS (
+            SELECT syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i + 1 AS INTEGER)] AS pair, n
+            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT n, string_split(repr, ' ') AS syms FROM v0)
+                  WHERE len(syms) >= 2)),
+          m1 AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt
+            FROM (SELECT pair, sum(n) AS cnt FROM p1 GROUP BY pair
+                  ORDER BY cnt DESC, pair LIMIT 1)),
+          v1 AS (
+            SELECT v.n, trim(replace(replace(
+                ' ' || replace(v.repr, ' ', '  ') || ' ',
+                ' ' || m.a || '  ' || m.b || ' ',
+                ' ' || m.a || m.b || ' '), '  ', ' ')) AS repr
+            FROM v0 v CROSS JOIN m1 m),
+          p2 AS (
+            SELECT syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i + 1 AS INTEGER)] AS pair, n
+            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT n, string_split(repr, ' ') AS syms FROM v1)
+                  WHERE len(syms) >= 2)),
+          m2 AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt
+            FROM (SELECT pair, sum(n) AS cnt FROM p2 GROUP BY pair
+                  ORDER BY cnt DESC, pair LIMIT 1)),
+          v2 AS (
+            SELECT v.n, trim(replace(replace(
+                ' ' || replace(v.repr, ' ', '  ') || ' ',
+                ' ' || m.a || '  ' || m.b || ' ',
+                ' ' || m.a || m.b || ' '), '  ', ' ')) AS repr
+            FROM v1 v CROSS JOIN m2 m),
+          p3 AS (
+            SELECT syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i + 1 AS INTEGER)] AS pair, n
+            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT n, string_split(repr, ' ') AS syms FROM v2)
+                  WHERE len(syms) >= 2)),
+          m3 AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, cnt
+            FROM (SELECT pair, sum(n) AS cnt FROM p3 GROUP BY pair
+                  ORDER BY cnt DESC, pair LIMIT 1)),
+          v3 AS (
+            SELECT v.n, trim(replace(replace(
+                ' ' || replace(v.repr, ' ', '  ') || ' ',
+                ' ' || m.a || '  ' || m.b || ' ',
+                ' ' || m.a || m.b || ' '), '  ', ' ')) AS repr
+            FROM v2 v CROSS JOIN m3 m),
+          t1 AS (SELECT CAST(sum(n * len(string_split(repr, ' '))) AS BIGINT) AS ts FROM v1),
+          t2 AS (SELECT CAST(sum(n * len(string_split(repr, ' '))) AS BIGINT) AS ts FROM v2),
+          t3 AS (SELECT CAST(sum(n * len(string_split(repr, ' '))) AS BIGINT) AS ts FROM v3)
+          SELECT CAST(1 AS INTEGER) AS step, a || ' ' || b AS merged_pair,
+            CAST(cnt AS BIGINT) AS pair_count,
+            (SELECT ts FROM t1) AS total_symbols_after FROM m1
+          UNION ALL SELECT CAST(2 AS INTEGER), a || ' ' || b, CAST(cnt AS BIGINT),
+            (SELECT ts FROM t2) FROM m2
+          UNION ALL SELECT CAST(3 AS INTEGER), a || ' ' || b, CAST(cnt AS BIGINT),
+            (SELECT ts FROM t3) FROM m3
+          ORDER BY step""",
     "q_ngram_diversity" ->
       """WITH t AS (
             SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks

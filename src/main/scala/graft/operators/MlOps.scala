@@ -218,6 +218,71 @@ object MlOps {
       .orderBy(col("corpus_count").desc, col("pair"))
       .limit(topK)
 
+  /** The first `steps` merges of BPE tokenizer training actually
+    * APPLIED — where [[bpePairStats]] ranks the step-1 merge candidates,
+    * this runs the trainer loop: count frequency-weighted adjacent
+    * symbol pairs over the vocabulary, merge the winner (count desc,
+    * pair asc — the deterministic tie-break), recount on the updated
+    * symbol sequences, repeat. The iterative-text twin of the k-means
+    * and PageRank loops, with the same discipline: vocabulary-bounded
+    * work per round (never corpus-bounded), a ONE-row driver fetch per
+    * round for the winning pair (the bounded-scalar handoff pattern the
+    * k-means centroid block documents), and `localCheckpoint` per round
+    * so lineage cannot snowball.
+    *
+    * The merge itself is pure string algebra both engines share: the
+    * symbol sequence is space-joined, separators are doubled so every
+    * occurrence of the winning pair is surrounded by its own padding
+    * (adjacent occurrences of a pair share a boundary space — a plain
+    * single-space replace would silently skip every second occurrence
+    * in an `a b a b` run), the padded pair is replaced left-to-right,
+    * and separators collapse back. Greedy left-to-right overlap
+    * handling (`a a a` merges once) matches the reference BPE
+    * formulation. Reports per step: the merged pair, its pre-merge
+    * weighted count, and the corpus symbol total after the merge — the
+    * compression-progress curve a tokenizer trainer watches.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import spark.implicits._
+    var vocab = docTerms(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("repr", concat_ws(" ", expr(
+        "transform(sequence(1, length(term)), i -> substring(term, i, 1))")))
+      .select(col("n"), col("repr"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, Long, Long)]
+    for (step <- 1 to steps) {
+      val top = vocab
+        .withColumn("syms", split(col("repr"), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), i ->
+               concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"""))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()(0) // the round's ONE winning pair
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      val Array(a, b) = pair.split(" ", 2)
+      // symbols are space-free by construction, so lit() carries them
+      // verbatim — no pattern language, no injection surface
+      val padded = concat(lit(" "),
+        replace(col("repr"), lit(" "), lit("  ")), lit(" "))
+      vocab = vocab
+        .withColumn("repr", trim(replace(
+          replace(padded, lit(s" $a  $b "), lit(s" $a$b ")),
+          lit("  "), lit(" "))))
+        .localCheckpoint()
+      val totalSyms = vocab
+        .agg(sum(col("n") * size(split(col("repr"), " "))))
+        .head().getLong(0)
+      out += ((step, pair, cnt, totalSyms))
+    }
+    out.result()
+      .toDF("step", "merged_pair", "pair_count", "total_symbols_after")
+      .orderBy(col("step"))
+  }
+
   /** Train/validation distribution-shift audit: per-term document
     * frequency in the train split vs the val split (the deterministic
     * md5 buckets of `q_hash_split`), scored by the smoothed log-odds

@@ -156,6 +156,24 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(math.abs(meanSkew - 1.0) < 0.5) // 32 shards of a uniform hash
   }
 
+  test("bpeMerges: step-1 winner matches the candidate table; compression is monotone") {
+    val merges = MlOps.bpeMerges(spark, dir).collect()
+    assert(merges.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // step 1 must merge exactly the pair bpePairStats ranks first
+    val top = MlOps.bpePairStats(spark, dir, topK = 1).head()
+    assert(merges(0).getString(1).replace(" ", "") === top.getString(0))
+    assert(merges(0).getLong(2) === top.getLong(1))
+    // every merge strictly shrinks the weighted symbol total, by at most
+    // its own pair count (greedy overlap can only reduce applied merges)
+    val totals = merges.map(_.getLong(3))
+    val counts = merges.map(_.getLong(2))
+    totals.indices.drop(1).foreach { i =>
+      assert(totals(i) < totals(i - 1))
+      assert(totals(i - 1) - totals(i) <= counts(i))
+    }
+    assert(counts.forall(_ > 0))
+  }
+
   test("incrementalNearDup: verdicts are fresh-side only, matched to history, bounded") {
     val rows = DedupOps.incrementalNearDup(spark, dir).collect()
     assert(rows.nonEmpty) // the corpus plants cross-split duplicates
