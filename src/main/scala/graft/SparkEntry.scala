@@ -166,6 +166,7 @@ object SparkEntry {
     "q_mad_outliers"    -> ((s, d) => AdvancedOps.madOutliers(s, d)),
     "q_merge_upsert"    -> ((s, d) => BehaviorOps.mergeUpsert(s, d)),
     "q_ks_drift"        -> ((s, d) => graft.operators.CorpusOps.ksSplitDrift(s, d)),
+    "q_psi_drift"       -> ((s, d) => graft.operators.CorpusOps.psiSplitDrift(s, d)),
     "q_source_hhi"      -> ((s, d) => graft.operators.CorpusOps.sourceConcentration(s, d)),
     "q_shard_skew"      -> ((s, d) => graft.operators.ScaleOps.shardSkew(s, d)),
     "q_winsorized"      -> ((s, d) => AdvancedOps.winsorizedStats(s, d)),
@@ -2403,6 +2404,30 @@ object SparkEntry {
               AS ks_stat
           FROM dd WHERE d_num = max_d
           GROUP BY n_train, n_val, max_d ORDER BY at_len""",
+    // PSI over exact integer length bins; p and q keep the same
+    // expression tree as the engine (quotients first, then the ratio)
+    "q_psi_drift" ->
+      """WITH s AS (SELECT n_chars // 100 AS bin,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                     THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+                     THEN 'val' END AS split
+            FROM documents),
+          b AS (SELECT bin,
+              CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+            FROM s WHERE split IS NOT NULL GROUP BY bin),
+          w AS (SELECT bin, n_train, n_val,
+              sum(n_train) OVER () AS nt, sum(n_val) OVER () AS nv,
+              count(*) OVER () AS nb
+            FROM b)
+          SELECT bin, n_train, n_val,
+            round((n_train + 1.0) / (nt + nb), 6) AS p_train,
+            round((n_val + 1.0) / (nv + nb), 6) AS p_val,
+            round(((n_train + 1.0) / (nt + nb) - (n_val + 1.0) / (nv + nb))
+              * ln(((n_train + 1.0) / (nt + nb)) / ((n_val + 1.0) / (nv + nb))), 6)
+              AS psi_term
+          FROM w ORDER BY bin""",
     // HHI/effective-count from exact BIGINT Σt and Σt² with one final
     // division each; entropy via H = ln T − Σ t·ln t / T
     "q_source_hhi" ->

@@ -518,6 +518,45 @@ object CorpusOps {
       .orderBy(col("at_len"))
   }
 
+  /** Population Stability Index between the train and val document-
+    * length distributions under the md5 split — [[ksSplitDrift]]'s
+    * industry-standard companion: KS reports the single worst CDF gap,
+    * PSI integrates log-odds drift over the whole histogram (the score
+    * model-monitoring systems threshold at 0.1/0.25). Lengths collapse
+    * to fixed-width integer bins (`n_chars DIV binWidth` — exact
+    * integer floor division, no float boundary can disagree between
+    * engines), one hash aggregate reduces the corpus to per-bin split
+    * counts, and the totals the shares divide by come from an
+    * unpartitioned window over that bin table (hundreds of rows
+    * regardless of corpus size — the aggregate-then-window shape).
+    * Laplace smoothing (+1 per bin over the OBSERVED bin set) keeps
+    * empty-side bins finite; each per-bin term (p−q)·ln(p/q) is ≥ 0 by
+    * construction, so the report is a per-bin attribution table whose
+    * sum IS the PSI. */
+  def psiSplitDrift(spark: SparkSession, dir: String, binWidth: Int = 100): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val counts = Tables.documents(spark, dir)
+      .select(expr(s"n_chars DIV $binWidth").as("bin"),
+        when(h <= "b", "train").when(h.isin("c", "d"), "val").as("split"))
+      .filter(col("split").isNotNull)
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      )
+    val wAll = Window.partitionBy()
+    val p = (col("n_train") + lit(1.0)) / (col("nt") + col("nb"))
+    val q = (col("n_val") + lit(1.0)) / (col("nv") + col("nb"))
+    counts
+      .withColumn("nt", sum(col("n_train")).over(wAll))
+      .withColumn("nv", sum(col("n_val")).over(wAll))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .select(col("bin"), col("n_train"), col("n_val"),
+        round(p, 6).as("p_train"), round(q, 6).as("p_val"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** Source-concentration audit of the token mixture: Herfindahl–
     * Hirschman index, effective source count (1/HHI, the "how many
     * sources is this really" number), top-source share, and Shannon

@@ -156,6 +156,20 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(math.abs(meanSkew - 1.0) < 0.5) // 32 shards of a uniform hash
   }
 
+  test("psiSplitDrift: every term nonnegative, bins conserve the non-test corpus") {
+    val rows = CorpusOps.psiSplitDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // (p-q) and ln(p/q) share sign, so each attribution term is >= 0
+    rows.foreach(r => assert(r.getDouble(5) >= 0.0))
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val nonTest = Tables.documents(spark, dir)
+      .filter(h <= "b" || h.isin("c", "d")).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nonTest)
+    // a content-addressed split of one corpus should be nearly stable:
+    // the PSI of a healthy split sits well under the 0.1 alert line
+    assert(rows.map(_.getDouble(5)).sum < 0.1)
+  }
+
   test("bpeMerges: step-1 winner matches the candidate table; compression is monotone") {
     val merges = MlOps.bpeMerges(spark, dir).collect()
     assert(merges.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
