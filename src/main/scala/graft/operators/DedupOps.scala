@@ -158,6 +158,22 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The distinct doc ids a candidate pair frame touches — the semi-join
+    * key set that keeps per-doc feature tables CANDIDATE-sized. Every
+    * pairwise scorer here fetches features (bigrams, token sets,
+    * signatures, tf-idf weights) by equi-join; without a prefilter the
+    * feature pass tokenizes the WHOLE corpus even though only colliding
+    * docs are ever looked up. A left-semi join on this set pushes below
+    * the feature Project (PushDownLeftSemiAntiJoin), so at 100 TB the
+    * expensive per-doc compute runs on the colliding sliver only —
+    * mostly-unique corpora skip almost everything. Callers pass an
+    * already-checkpointed candidate frame so the id scan doesn't re-run
+    * the candidate generator. */
+  private def candidateIds(cand: DataFrame): DataFrame =
+    cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id")))
+      .distinct()
+
   /** Distinct word bigrams per document, SORTED — the exact-similarity
     * unit the Jaccard scorers share. The sort is paid once per document
     * here so the per-PAIR intersection downstream can be the zero-alloc
@@ -195,8 +211,11 @@ object DedupOps {
     // once, join it many times. (Blocks are freed by the context cleaner
     // once the query's result is materialized and dereferenced.)
     graft.functions.GraftFunctions.register(spark)
-    val g = bigrams(spark, dir).localCheckpoint()
-    val scored = candidates
+    val cand = candidates.localCheckpoint()
+    val g = bigrams(spark, dir)
+      .join(candidateIds(cand), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val scored = cand
       .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
       // native sorted-merge intersect: same value as
@@ -270,9 +289,12 @@ object DedupOps {
   def containment(spark: SparkSession, dir: String,
       cap: Int = 20, threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val g = bigrams(spark, dir).localCheckpoint()
+    val cand = cappedBandCandidates(spark, dir, cap).localCheckpoint()
+    val g = bigrams(spark, dir)
+      .join(candidateIds(cand), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     def denom(s: org.apache.spark.sql.Column) = when(s === 0, 1).otherwise(s)
-    cappedBandCandidates(spark, dir, cap)
+    cand
       .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
       .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
       .withColumn("inter",
@@ -324,19 +346,23 @@ object DedupOps {
     * rounding-halves rule). Pairs sharing no term drop out (cosine 0).
     */
   def sparseCosine(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val cand = cappedBandCandidates(spark, dir, cap).localCheckpoint()
     val tf = MlOps.docTerms(spark, dir)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // idf statistics stay CORPUS-wide (df must count every document);
+    // only the per-pair weight fetch narrows to candidate docs
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).count().toDouble
-    val w = tf.join(broadcast(dft), Seq("term"))
+    val w = tf.join(candidateIds(cand), Seq("doc_id"), "left_semi")
+      .join(broadcast(dft), Seq("term"))
       .select(col("doc_id"), col("term"),
         (col("tf") * (log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
           .as("w"))
       .localCheckpoint()
     val nrm = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
-    val dot = cappedBandCandidates(spark, dir, cap)
+    val dot = cand
       .join(w.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa")),
         Seq("a_id"))
       .join(w.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")),
@@ -446,13 +472,17 @@ object DedupOps {
   def minhashEstVsExact(spark: SparkSession, dir: String,
       cap: Int = 20): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val cand = cappedBandCandidates(spark, dir, cap).localCheckpoint()
+    val ids = candidateIds(cand).localCheckpoint() // keys both feature fetches
     val sig = signatures(spark, dir)
+      .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("signature"), ",").as("parts"))
       .localCheckpoint() // joined for both pair sides — one minhash pass
     val toks = Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_sort(tokensCol).as("toks"))
       .localCheckpoint() // ditto for the token sets (sorted once for the merge kernel)
-    cappedBandCandidates(spark, dir, cap)
+    cand
       .join(sig.select(col("doc_id").as("a_id"), col("parts").as("a_parts")), Seq("a_id"))
       .join(sig.select(col("doc_id").as("b_id"), col("parts").as("b_parts")), Seq("b_id"))
       .join(toks.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), Seq("a_id"))
