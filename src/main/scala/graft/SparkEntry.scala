@@ -89,6 +89,7 @@ object SparkEntry {
     "q_minhash_est_exact" -> ((s, d) => DedupOps.minhashEstVsExact(s, d)),
     // ---- behavioral analytics over the event log
     "q_funnel"          -> ((s, d) => BehaviorOps.funnel(s, d)),
+    "q_ab_ztest"        -> ((s, d) => BehaviorOps.abTestZ(s, d)),
     "q_retention_cohorts" -> ((s, d) => BehaviorOps.retentionCohorts(s, d)),
     "q_ctr_by_hour"     -> ((s, d) => BehaviorOps.ctrByHour(s, d)),
     "q_rolling_1h"      -> ((s, d) => BehaviorOps.rollingHour(s, d)),
@@ -1296,6 +1297,35 @@ object SparkEntry {
             UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM fc
             UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM fp)
           ORDER BY stage""",
+    // the z expression tree mirrors the engine exactly (rates and pooled
+    // variance as quotients of the four BIGINT cells); significance reads
+    // the ROUNDED z so a boundary value cannot flip between engines
+    "q_ab_ztest" ->
+      """WITH u AS (
+            SELECT user_id,
+              CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                        > count(*) THEN 1 ELSE 0 END AS converted,
+              substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS in_a
+            FROM events GROUP BY user_id),
+          c AS (
+            SELECT
+              CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN in_a THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+              CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN NOT in_a THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+            FROM u)
+          SELECT n_a, conv_a, n_b, conv_b,
+            round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+            round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+            round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+              / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+            abs(round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+              / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / n_a + 1.0 / n_b)), 6)) >= 1.96 AS significant
+          FROM c""",
     "q_ctr_by_hour" ->
       """SELECT hour, CAST(views AS BIGINT) AS views, CAST(clicks AS BIGINT) AS clicks,
             round(clicks / CAST(nullif(views, 0) AS DOUBLE), 6) AS ctr

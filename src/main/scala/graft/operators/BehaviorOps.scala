@@ -198,4 +198,56 @@ object BehaviorOps {
       .agg(count(lit(1)).as("n_users"), sum(col("final_cents")).as("sum_cents"))
       .orderBy(col("action"))
   }
+
+  /** Experimentation readout: the two-proportion z-test between two
+    * content-addressed experiment arms (md5 of user_id, A = first hex
+    * digit ≤ '7') — the statistic an A/B platform computes per metric
+    * per experiment. The binary metric is "purchase-heavy": a user
+    * whose purchases exceed 1/5 of their events, decided by exact
+    * integer cross-multiplication (5·purchases > events) so it is
+    * scale-invariant and non-degenerate at any SF (plain "ever
+    * purchased" saturates to 100% on this event log — a zero pooled
+    * variance and a divide-by-zero z). One aggregate keyed on user
+    * collapses the event log to the flag, one global conditional
+    * aggregate yields the four exact BIGINT cells, and the z-score is
+    * scalar algebra on those cells (pooled variance, identical
+    * expression trees on both engines, significance read off the
+    * 6-dp-ROUNDED z so a boundary value cannot flip cross-engine).
+    * At 100 TB both aggregates are partial+final hash aggs keyed on
+    * user_id then a single row — no shuffle wider than the user set.
+    */
+  def abTestZ(spark: SparkSession, dir: String): DataFrame = {
+    val isA = substring(md5(col("user_id").cast("string")), 1, 1) <= "7"
+    val perUser = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_pur"),
+      )
+      .withColumn("converted",
+        when(col("n_pur") * 5 > col("n_ev"), 1L).otherwise(0L))
+      .withColumn("in_a", isA)
+    val cells = perUser.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_a"), col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("in_a"), col("converted")).otherwise(0L)).as("conv_b"),
+    )
+    // explicit double casts: under ANSI semantics a BIGINT/BIGINT
+    // quotient is integral division, which floors the rates to 0
+    val rateA = col("conv_a").cast("double") / col("n_a")
+    val rateB = col("conv_b").cast("double") / col("n_b")
+    val pooled =
+      (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val z = (rateA - rateB) /
+      sqrt(pooled * (lit(1.0) - pooled) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    cells.select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(rateA, 6).as("rate_a"),
+      round(rateB, 6).as("rate_b"),
+      round(z, 6).as("z_score"),
+      (abs(round(z, 6)) >= 1.96).as("significant"),
+    )
+  }
 }

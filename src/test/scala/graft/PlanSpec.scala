@@ -149,6 +149,41 @@ class PlanSpec extends AnyFunSuite {
       s"no adaptive partition coalescing after execution:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The modern answer to reducer stragglers, next to the manual salting
+    // remedy q_salted_agg demonstrates: when one join key owns most of a
+    // side, AQE's skew-join splits the hot shuffle partition into
+    // advisory-sized slices and replicates the matching other side —
+    // turning the one straggler task into many balanced ones with no
+    // query rewrite. Thresholds are lowered here so toy-scale bytes
+    // trip the same machinery a 100-TB hot key would.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "102400")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "102400")
+      // 90% of the fact lands on key 0; the dim is uniform
+      val fact = spark.range(300000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("pad-pad-pad-pad-pad-pad-"), col("id")).as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+      val joined = fact.join(dim, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"hot key did not trigger an adaptive skew split:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     // The registry-wide scale invariant: every pairwise stage must be
     // keyed (equi-join) so its cost is bounded by collisions, never by
