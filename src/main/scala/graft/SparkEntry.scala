@@ -83,6 +83,7 @@ object SparkEntry {
     "q_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     "q_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     "q_ivf_nprobe"      -> ((s, d) => SimilarityOps.ivfNprobeRecall(s, d)),
+    "q_ivf_ndcg"        -> ((s, d) => SimilarityOps.ivfNdcg(s, d)),
     "q_label_norms"     -> ((s, d) => SimilarityOps.labelNorms(s, d)),
     "q_sign_buckets"    -> ((s, d) => SimilarityOps.signBuckets(s, d)),
     "q_label_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
@@ -967,6 +968,60 @@ object SparkEntry {
             round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
           FROM exact LEFT JOIN ivf ON exact.q_id = ivf.q_id AND exact.vec_id = ivf.vec_id
           GROUP BY exact.q_id ORDER BY exact.q_id""",
+    // NDCG@3 of the IVF list vs the exact ordering; ideal DCG derived
+    // from the exact ranks, binary relevance, both rankings on the
+    // rounded cosine with the vec_id tie-break
+    "q_ivf_ndcg" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv AS nc FROM e WHERE vec_id < 8),
+          scoredc AS (
+            SELECT vec_id, v, nv, c_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) / (nv * nc), 6) AS c_cos
+            FROM e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, v, nv, c_id AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY c_cos DESC, c_id) AS rn FROM scoredc)
+            WHERE rn = 1),
+          q AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS nq, cell AS q_cell
+            FROM assigned WHERE vec_id >= 10 AND vec_id < 15),
+          ivf AS (
+            SELECT q_id, vec_id, rn FROM (
+              SELECT q_id, a.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  a.vec_id) AS rn
+              FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+            WHERE rn <= 3),
+          exact AS (
+            SELECT q_id, vec_id, rn AS ern FROM (
+              SELECT q_id, e.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  e.vec_id) AS rn
+              FROM e JOIN q ON e.vec_id <> q.q_id)
+            WHERE rn <= 3),
+          dcg AS (
+            SELECT ivf.q_id,
+              sum((CASE WHEN exact.vec_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                / log2(ivf.rn + 1)) AS dcg
+            FROM ivf LEFT JOIN exact
+              ON ivf.q_id = exact.q_id AND ivf.vec_id = exact.vec_id
+            GROUP BY ivf.q_id),
+          idcg AS (
+            SELECT q_id, sum(1.0 / log2(ern + 1)) AS idcg FROM exact GROUP BY q_id)
+          SELECT idcg.q_id, round(coalesce(dcg.dcg, 0.0), 6) AS dcg,
+            round(idcg.idcg, 6) AS idcg,
+            round(coalesce(dcg.dcg, 0.0) / idcg.idcg, 6) AS ndcg
+          FROM idcg LEFT JOIN dcg ON idcg.q_id = dcg.q_id
+          ORDER BY idcg.q_id""",
     "q_ivf_nprobe" ->
       """WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -165,6 +165,47 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** NDCG@k of the IVF answer against the exact top-k ordering — the
+    * position-weighted companion to [[ivfRecall]]: recall says how MANY
+    * true neighbors survived the cell probe, NDCG says WHERE they
+    * landed (a hit demoted to rank k is worth 1/log₂(k+1) of a rank-1
+    * hit). Binary relevance — an IVF result is relevant iff it is in
+    * the exact top-k — with the ideal DCG derived from the exact ranks
+    * themselves, so the denominator needs no closed form. Same
+    * constant-bounded broadcast shape as every ANN audit here; both
+    * rankings reuse the rounded-cosine/vec_id tie-break so the sets are
+    * deterministic cross-engine, and a query whose probed cell held no
+    * true neighbor still reports (NDCG 0).
+    */
+  def ivfNdcg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ivf = ivfTopK(spark, dir, k).select(col("q_id"), col("vec_id"), col("rn"))
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("ern", row_number().over(wRank))
+      .filter(col("ern") <= k)
+      .select(col("q_id"), col("vec_id"), col("ern"))
+      .localCheckpoint() // feeds both the relevance join and the ideal DCG
+    val dcg = ivf
+      .join(exact.select(col("q_id"), col("vec_id"), lit(1L).as("rel")),
+        Seq("q_id", "vec_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("rel"), lit(0L)).cast("double") / log2(col("rn") + 1))
+        .as("dcg"))
+    val idcg = exact.groupBy(col("q_id"))
+      .agg(sum(lit(1.0) / log2(col("ern") + 1)).as("idcg"))
+    idcg.join(dcg, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
   /** The IVF tuning curve: recall@k at nprobe ∈ {1, 2, 4} in ONE plan —
     * the accuracy/cost knob every inverted-file index exposes. Queries
     * keep their `nprobe` nearest cells (centroid rank ≤ nprobe), the

@@ -194,6 +194,7 @@ class PlanSpec extends AnyFunSuite {
       "q_knn_cosine", // broadcast side = 5 fixed query vectors (vec_id < 5)
       "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
       "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
+      "q_ivf_ndcg",   // same composition, position-weighted scoring
       "q_ivf_nprobe", // same constant sides, swept over 3 nprobe literals
       "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
       "q_kmeans_iters", // same k=8 constant centroid side, re-broadcast per iter
