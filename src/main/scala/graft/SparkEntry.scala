@@ -195,6 +195,7 @@ object SparkEntry {
     "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnion(s, d)),
     "q_consistent_sample" -> ((s, d) => graft.operators.ScaleOps.consistentSample(s, d)),
     "q_volume_trend"    -> ((s, d) => graft.operators.ScaleOps.volumeTrend(s, d)),
+    "q_changepoint"     -> ((s, d) => graft.operators.ScaleOps.changepoint(s, d)),
     "q_sparse_cosine"   -> ((s, d) => DedupOps.sparseCosine(s, d)),
   )
 
@@ -2856,6 +2857,35 @@ object SparkEntry {
             round(regr_slope(n, day), 4) AS slope_per_day,
             round(regr_r2(n, day), 4) AS r2
           FROM c GROUP BY event_type ORDER BY event_type""",
+    // binary-segmentation changepoint: prefix sums give every candidate
+    // split in one window pass; argmax on the ROUNDED gap, earliest-day
+    // tie-break
+    "q_changepoint" ->
+      """WITH d AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day
+            FROM events),
+          c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY 1, 2),
+          w AS (SELECT event_type, day, n,
+              row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+              sum(n) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+              sum(n) OVER (PARTITION BY event_type) AS t,
+              count(*) OVER (PARTITION BY event_type) AS nd
+            FROM c),
+          s AS (SELECT *,
+              round(abs(CAST(p AS DOUBLE) / i
+                - CAST(t - p AS DOUBLE) / (nd - i)), 6) AS gap
+            FROM w WHERE i < nd),
+          r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY gap DESC, day) AS rn FROM s)
+          SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+            CAST(day AS BIGINT) AS split_day,
+            round(CAST(p AS DOUBLE) / i, 6) AS mean_before,
+            round(CAST(t - p AS DOUBLE) / (nd - i), 6) AS mean_after,
+            round(CAST(t - p AS DOUBLE) / (nd - i) - CAST(p AS DOUBLE) / i, 6)
+              AS level_shift
+          FROM r WHERE rn = 1 ORDER BY event_type""",
     // consistent hash-of-key sampling applied identically on both
     // tables (4-nibble md5 prefix mod 100), so the joined sample keeps
     // referential integrity

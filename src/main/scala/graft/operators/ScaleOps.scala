@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -167,6 +168,45 @@ object ScaleOps {
         round(expr("regr_slope(n, day)"), 4).as("slope_per_day"),
         round(expr("regr_r2(n, day)"), 4).as("r2"))
       .orderBy(col("event_type"))
+
+  /** Changepoint detection over daily volume, per event type — the
+    * first binary-segmentation step (the core of every "when did the
+    * stream shift" monitor, and the discrete cousin of CUSUM): among
+    * all prefix/suffix splits of the day series, report the one
+    * maximizing |mean(before) − mean(after)|. Complements
+    * [[volumeTrend]]: a regression slope smears an abrupt level shift
+    * across the whole range; the split point localizes it. Same
+    * aggregate-then-window scale shape — the corpus reduces to a
+    * (type, day) count table before any window, prefix sums give every
+    * candidate split in one pass, and the argmax ranks on the ROUNDED
+    * gap with the earliest-day tie-break so engines agree exactly.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val meanL = col("p").cast("double") / col("i")
+    val meanR = (col("t") - col("p")).cast("double") / (col("nd") - col("i"))
+    val scored = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(wIdx))
+      .withColumn("p", sum(col("n")).over(wCum))
+      .withColumn("t", sum(col("n")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .filter(col("i") < col("nd")) // both segments nonempty
+      .withColumn("gap", round(abs(meanL - meanR), 6))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap").desc, col("day"))
+    scored
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("nd").as("n_days"), col("day").as("split_day"),
+        round(meanL, 6).as("mean_before"), round(meanR, 6).as("mean_after"),
+        round(meanR - meanL, 6).as("level_shift"))
+      .orderBy(col("event_type"))
+  }
 
   /** Consistent cross-table sampling: draw the SAME ~5% of users from
     * two independent fact tables by content-addressing the shared key
