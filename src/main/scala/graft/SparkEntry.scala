@@ -154,6 +154,7 @@ object SparkEntry {
     "q_dedup_savings"   -> ((s, d) => MlOps.dedupSavings(s, d)),
     "q_kmeans_iters"    -> ((s, d) => SimilarityOps.kmeansIters(s, d)),
     "q_frame_sample"    -> ((s, d) => MultimodalOps.frameSample(s, d)),
+    "q_cdc_chunks"      -> ((s, d) => MultimodalOps.cdcChunks(s, d)),
     "q_cluster_sizes"   -> ((s, d) => graft.operators.GraphOps.nearDupClusterSizes(s, d)),
     "q_temperature_mix" -> ((s, d) => graft.operators.CorpusOps.temperatureMix(s, d)),
     "q_bpe_pairs"       -> ((s, d) => MlOps.bpePairStats(s, d)),
@@ -2141,6 +2142,39 @@ object SparkEntry {
           ORDER BY iter, cell""",
     // the corpus is ASCII, so byte offsets == char offsets and DuckDB can
     // frame the VARCHAR where Spark frames the BINARY payload
+    // content-defined chunking: cut after 1-based position i (4 <= i < n)
+    // when the last-4-byte rolling sum is 0 mod 64 — the exact contract
+    // of the native chunk_split kernel; chunks never empty
+    "q_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          b AS (
+            SELECT doc_id, text, n,
+              list_filter(range(4, n), i ->
+                (ord(substring(text, CAST(i AS INTEGER), 1))
+                 + ord(substring(text, CAST(i - 1 AS INTEGER), 1))
+                 + ord(substring(text, CAST(i - 2 AS INTEGER), 1))
+                 + ord(substring(text, CAST(i - 3 AS INTEGER), 1))) % 64 = 0) AS bnds
+            FROM d WHERE n > 0),
+          seg AS (
+            SELECT doc_id, text,
+              list_prepend(CAST(1 AS BIGINT), list_transform(bnds, x -> x + 1)) AS starts,
+              list_append(bnds, CAST(n AS BIGINT)) AS ends
+            FROM b),
+          ch AS (
+            SELECT doc_id,
+              md5(substring(text, CAST(starts[CAST(j AS INTEGER)] AS INTEGER),
+                CAST(ends[CAST(j AS INTEGER)] - starts[CAST(j AS INTEGER)] + 1 AS INTEGER)))
+                AS chunk
+            FROM (SELECT doc_id, text, starts, ends,
+                    unnest(range(1, len(starts) + 1)) AS j
+                  FROM seg)),
+          census AS (SELECT chunk, count(*) AS n_occ FROM ch GROUP BY chunk)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+            round(CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS dup_fraction
+          FROM ch JOIN census USING (chunk)
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_frame_sample" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
           f AS (

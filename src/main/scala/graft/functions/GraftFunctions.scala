@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
+import graft.expr.{ChunkSplit, CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -71,6 +71,11 @@ object GraftFunctions {
     IntersectSizeSorted(exprs.head, exprs(1))
   }
 
+  private[functions] val chunkSplitBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "chunk_split expects exactly one argument")
+    ChunkSplit(exprs.head)
+  }
+
   // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
   // runtime-filter rewrite but keeps them off the SQL search path;
   // expose both so the Bloom prefilter pattern is writable as plain
@@ -112,6 +117,8 @@ object GraftFunctions {
       "might_contain", mightContainBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_counts", cmsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chunk_split", chunkSplitBuilder, "built-in")
   }
 }
 
@@ -147,6 +154,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("intersect_size_sorted"),
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "intersect_size_sorted"),
       GraftFunctions.intersectSortedBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_split"),
+      new ExpressionInfo(classOf[ChunkSplit].getName, "chunk_split"),
+      GraftFunctions.chunkSplitBuilder,
     ))
     ext.injectFunction((
       FunctionIdentifier("top_k_values"),

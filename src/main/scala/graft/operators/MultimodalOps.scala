@@ -83,6 +83,39 @@ object MultimodalOps {
         md5(concat_ws("", col("hs")).cast("binary")).as("sample_digest"))
       .orderBy(col("doc_id"))
 
+  /** Chunk-level dedup census over content-defined chunks (the
+    * [[graft.expr.ChunkSplit]] kernel): every payload splits at
+    * content-local rolling-hash boundaries, the corpus counts each
+    * chunk digest, and each document reports how much of it is made of
+    * chunks seen elsewhere — the binary-payload twin of the
+    * positional-n-gram span census, and the reason CDC beats the
+    * fixed-stride frames for dedup: an insertion re-chunks only its
+    * neighborhood, so shared content keeps its digests. Scale shape:
+    * map-only chunking (one O(n) kernel pass per payload), partial+
+    * final hash agg on the 16-byte digest, one equi-join back — digests
+    * shuffle, payload bytes never do.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // the chunk table feeds the census AND the join back — one kernel
+    // pass (feature-store pattern)
+    val chunks = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(call_function("chunk_split", col("text"))).as("chunk"))
+      .localCheckpoint()
+    val census = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(census, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        round(sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("dup_fraction"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle-facing projection (mean rounded like every other float). */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir)
