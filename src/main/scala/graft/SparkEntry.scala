@@ -197,6 +197,7 @@ object SparkEntry {
     "q_consistent_sample" -> ((s, d) => graft.operators.ScaleOps.consistentSample(s, d)),
     "q_volume_trend"    -> ((s, d) => graft.operators.ScaleOps.volumeTrend(s, d)),
     "q_changepoint"     -> ((s, d) => graft.operators.ScaleOps.changepoint(s, d)),
+    "q_theilsen"        -> ((s, d) => graft.operators.ScaleOps.theilSen(s, d)),
     "q_sparse_cosine"   -> ((s, d) => DedupOps.sparseCosine(s, d)),
   )
 
@@ -2891,6 +2892,29 @@ object SparkEntry {
             round(regr_slope(n, day), 4) AS slope_per_day,
             round(regr_r2(n, day), 4) AS r2
           FROM c GROUP BY event_type ORDER BY event_type""",
+    // Theil-Sen: median of pairwise slopes on the reduced day table;
+    // exact lower median by rank on the rounded slope, (day, day)
+    // tie-break
+    "q_theilsen" ->
+      """WITH d AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day
+            FROM events),
+          c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY 1, 2),
+          p AS (
+            SELECT a.event_type,
+              round(CAST(b.n - a.n AS DOUBLE) / (b.day - a.day), 6) AS slope,
+              a.day AS a_day, b.day AS b_day
+            FROM c a JOIN c b
+              ON a.event_type = b.event_type AND a.day < b.day),
+          r AS (
+            SELECT event_type, slope,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY slope, a_day, b_day) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS np
+            FROM p)
+          SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope AS ts_slope
+          FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""",
     // binary-segmentation changepoint: prefix sums give every candidate
     // split in one window pass; argmax on the ROUNDED gap, earliest-day
     // tie-break

@@ -169,6 +169,40 @@ object ScaleOps {
         round(expr("regr_r2(n, day)"), 4).as("r2"))
       .orderBy(col("event_type"))
 
+  /** Theil–Sen robust trend: the MEDIAN of all pairwise slopes of daily
+    * volume per event type, beside the OLS slope [[volumeTrend]]
+    * reports — the 29%-breakdown estimator that shrugs off the outlier
+    * days that drag a least-squares fit (the trend member of the robust
+    * tier: IQR fences, MAD, winsorized means). The pairwise stage runs
+    * on the REDUCED (type, day) count table — tens of rows per type, so
+    * the keyed self-join is days²/2 per type, never corpus-bounded —
+    * and the median is an exact order statistic: rank on the ROUNDED
+    * slope with a (day, day) tie-break, pick the lower median by rank.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both sides of the pair join — one count pass
+    val a = daily.select(col("event_type"), col("day").as("a_day"), col("n").as("a_n"))
+    val b = daily.select(col("event_type"), col("day").as("b_day"), col("n").as("b_n"))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("a_day") < col("b_day"))
+      .withColumn("slope", round(
+        (col("b_n") - col("a_n")).cast("double") / (col("b_day") - col("a_day")), 6))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("a_day"), col("b_day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(np + 1) DIV 2")) // exact lower median
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("slope").as("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
   /** Changepoint detection over daily volume, per event type — the
     * first binary-segmentation step (the core of every "when did the
     * stream shift" monitor, and the discrete cousin of CUSUM): among

@@ -128,4 +128,82 @@ class StorageSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
       s"columns not pruned at the ORC scan:\n$plan")
   }
+
+  test("corrupt JSON records quarantine under PERMISSIVE and abort under FAILFAST") {
+    // Real feeds ship malformed lines; at 100 TB the ingest job must
+    // split them into a quarantine table and keep going, not die at row
+    // three — and a schema-contract job must be able to demand FAILFAST.
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("quarantine").toString
+    Files.writeString(java.nio.file.Paths.get(s"$base/feed.json"),
+      """{"id": 1, "lang": "en"}
+        |{"id": 2 "lang": "de"}
+        |{"id": 3, "lang": "fr"}
+        |not json at all
+        |{"id": 5, "lang": "es"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$base/feed.json")
+      .localCheckpoint() // corrupt-column queries need the materialized frame
+    val good = read.filter(col("_corrupt_record").isNull)
+    val quarantine = read.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 3)
+    assert(good.select(sum(col("id"))).head().getLong(0) === 1L + 3L + 5L)
+    assert(quarantine.count() === 2)
+    // the quarantine row carries the raw line for replay/debugging
+    assert(quarantine.select(col("_corrupt_record")).collect()
+      .exists(_.getString(0).contains("not json at all")))
+    val failfast = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST")
+      .json(s"$base/feed.json")
+    val err = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(err.getMessage.contains("MALFORMED_RECORD_IN_PARSING")
+      || String.valueOf(err.getCause).contains("Malformed"),
+      s"FAILFAST did not surface the malformed record: ${err.getMessage}")
+  }
+
+  test("parquet schema evolution: mergeSchema unions column sets across file generations") {
+    // A long-lived lake table gains columns over time; readers must see
+    // the union with nulls backfilled, without rewriting old files.
+    val base = Files.createTempDirectory("evolve").toString
+    Seq((1L, "en")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$base/t/gen=1")
+    Seq((2L, "de", 0.9)).toDF("doc_id", "lang", "quality")
+      .write.mode("overwrite").parquet(s"$base/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    assert(merged.columns.toSet === Set("doc_id", "lang", "quality", "gen"))
+    val rows = merged.orderBy(col("doc_id")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality"))) // backfilled null
+    assert(rows(1).getDouble(rows(1).fieldIndex("quality")) === 0.9)
+  }
+
+  test("a medium dim joins via shuffled-hash when hinted, skipping both sorts") {
+    // The third join strategy beside broadcast (tiny side) and sort-merge
+    // (both huge): when one side fits a per-task hash map but is too big
+    // to broadcast, SHUFFLE_HASH exchanges both sides yet builds a hash
+    // map instead of sorting 2 × 100 TB — the sorts ARE the cost at
+    // scale. The hint is how a pipeline pins it; the plan assert is what
+    // keeps it pinned.
+    val dir = SparkTestSession.sf0001
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val customer = spark.read.parquet(s"$dir/customer.parquet")
+      val joined = orders.join(customer.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"shuffle_hash hint did not select a hash join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
