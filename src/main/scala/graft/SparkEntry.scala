@@ -159,6 +159,8 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, d) => graft.operators.CorpusOps.temperatureMix(s, d)),
     "q_bpe_pairs"       -> ((s, d) => MlOps.bpePairStats(s, d)),
     "q_bpe_merges"      -> ((s, d) => MlOps.bpeMerges(s, d)),
+    "q_skipgram_pairs"  -> ((s, d) => MlOps.skipGramPairs(s, d)),
+    "q_corpus_card"     -> ((s, d) => MlOps.corpusCard(s, d)),
     "q_ngram_diversity" -> ((s, d) => TextAnalysisOps.ngramDiversity(s, d)),
     "q_zipf_fit"        -> ((s, d) => TextAnalysisOps.zipfFit(s, d)),
     // ---- round-6 tier: graph ranking, robust stats, entity-resolution
@@ -2245,6 +2247,62 @@ object SparkEntry {
           SELECT pair, CAST(sum(n) AS BIGINT) AS corpus_count,
             CAST(count(DISTINCT term) AS BIGINT) AS n_terms
           FROM p GROUP BY pair ORDER BY corpus_count DESC, pair LIMIT 30""",
+    "q_corpus_card" ->
+      """WITH d AS (
+            SELECT doc_id, source, lang, n_chars,
+              CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+              md5(text) AS h
+            FROM documents),
+          a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts
+            FROM d)
+          SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+            n_unique_texts,
+            round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens_per_doc,
+            round(1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs, 6) AS exact_dup_rate
+          FROM a""",
+    // skip-gram window pairs: map-only forward expansion, canonical
+    // least/greatest orientation, exact integer distance cells, GloVe
+    // weight from those cells (no float accumulation)
+    "q_skipgram_pairs" ->
+      """WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          top AS (
+            SELECT term FROM (SELECT term, count(*) AS n FROM tok GROUP BY term
+              ORDER BY n DESC, term LIMIT 50)),
+          t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          p AS (
+            SELECT least(toks[CAST(i AS INTEGER)], toks[CAST(i + d AS INTEGER)]) AS a,
+              greatest(toks[CAST(i AS INTEGER)], toks[CAST(i + d AS INTEGER)]) AS b,
+              d
+            FROM (
+              SELECT toks, i, unnest(range(1, least(3, len(toks) - i) + 1)) AS d
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                    FROM t WHERE len(toks) >= 2))),
+          f AS (
+            SELECT a, b, d FROM p
+            WHERE a <> b AND a IN (SELECT term FROM top)
+              AND b IN (SELECT term FROM top)),
+          g AS (
+            SELECT a, b,
+              CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+              CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+              CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+              CAST(count(*) AS BIGINT) AS n_total
+            FROM f GROUP BY a, b)
+          SELECT a, b, n_d1, n_d2, n_d3, n_total,
+            round(CAST(n_d1 * 6 + n_d2 * 3 + n_d3 * 2 AS DOUBLE) / 6.0, 6)
+              AS glove_weight
+          FROM g WHERE n_total >= 5 ORDER BY a, b""",
     // the first 3 BPE merges, unrolled (the iterative-loop oracle
     // pattern q_kmeans_iters uses): each step counts weighted adjacent
     // symbol pairs, picks the (count DESC, pair ASC) winner, and applies

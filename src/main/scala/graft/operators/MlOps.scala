@@ -93,6 +93,86 @@ object MlOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** The dataset card in one row — the header block of a "datasheets
+    * for datasets" writeup, assembled in ONE job the way the dashboard
+    * payload assembles its page: corpus size (docs/chars/tokens),
+    * diversity (sources, languages, distinct texts), and the exact-dup
+    * pressure number a consumer reads first. One tokenize pass; the
+    * distinct counts run in the same aggregate (Catalyst plans the
+    * multi-distinct expand); every ratio divides RAW counts once at the
+    * end. At 100 TB the md5 distinct is the only wide piece and it
+    * shuffles 16-byte digests.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("h")).as("n_unique_texts"),
+      )
+      .select(
+        col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars"), col("total_tokens"), col("n_unique_texts"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_tokens_per_doc"),
+        round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_rate"),
+      )
+
+  /** Skip-gram window co-occurrence — the (center, context) pair table
+    * word2vec/GloVe trainers actually consume, beside the document-level
+    * PMI of [[termCooccurrence]]: pairs of vocabulary terms within a
+    * ±3-token window, with per-distance counts and the GloVe 1/distance
+    * weighting computed EXACTLY from the integer distance cells
+    * ((6·n₁ + 3·n₂ + 2·n₃)/6 — no float accumulates across rows, so no
+    * summation-order drift). The window expansion is MAP-ONLY (each
+    * position emits ≤ 3 forward pairs — O(3n) per document, never a
+    * per-document position self-join, which would be quadratic in
+    * vocab-dense documents); the vocabulary cap is applied by two
+    * broadcast joins against the top-`topN` term table, so the
+    * aggregate keyspace is bounded at topN²/2 regardless of corpus
+    * size.
+    */
+  def skipGramPairs(spark: SparkSession, dir: String,
+      topN: Int = 50, window: Int = 3, minSupport: Int = 5): DataFrame = {
+    val top = docTerms(spark, dir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topN)
+      .select(col("term"))
+    val pairs = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("toks", array_remove(split(col("text"), " "), ""))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(toks) - 1), i ->
+              transform(sequence(1, least($window, size(toks) - i)), d ->
+                struct(least(element_at(toks, i), element_at(toks, i + d)) AS a,
+                       greatest(element_at(toks, i), element_at(toks, i + d)) AS b,
+                       d AS d))))""")).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.d"))
+      .filter(col("a") =!= col("b"))
+    pairs
+      .join(broadcast(top.select(col("term").as("a"))), Seq("a"))
+      .join(broadcast(top.select(col("term").as("b"))), Seq("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"),
+        sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_d2"),
+        sum(when(col("d") === 3, 1L).otherwise(0L)).as("n_d3"),
+        count(lit(1)).as("n_total"),
+      )
+      .filter(col("n_total") >= minSupport)
+      .withColumn("glove_weight", round(
+        (col("n_d1") * 6 + col("n_d2") * 3 + col("n_d3") * 2).cast("double") / 6.0, 6))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Unigram language-model quality score (the CCNet-style perplexity
     * filter, reduced to its order-0 form): train a unigram LM on the
     * corpus itself — add-one smoothed, P(t) = (c(t)+1)/(T+V) — and score
