@@ -201,6 +201,12 @@ object SparkEntry {
     "q_changepoint"     -> ((s, d) => graft.operators.ScaleOps.changepoint(s, d)),
     "q_theilsen"        -> ((s, d) => graft.operators.ScaleOps.theilSen(s, d)),
     "q_sparse_cosine"   -> ((s, d) => DedupOps.sparseCosine(s, d)),
+    "q_auc"             -> ((s, d) => BehaviorOps.aucClicksToPurchase(s, d)),
+    "q_decayed_daily"   -> ((s, d) => BehaviorOps.decayedDailyCounts(s, d)),
+    "q_kmv_distinct"    -> ((s, d) => AdvancedOps.kmvDistinctUsers(s, d)),
+    "q_source_overlap"  -> ((s, d) => graft.operators.DivergenceOps.sourceOverlap(s, d)),
+    "q_prefix_join"     -> ((s, d) => DedupOps.prefixJaccardJoin(s, d)),
+    "q_als_step"        -> ((s, d) => MlOps.alsRank1Step(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3153,5 +3159,136 @@ object SparkEntry {
             round(sum(e.value * w.weight), 2) AS weighted_value
           FROM events e JOIN w USING (event_type)
           GROUP BY e.event_type ORDER BY e.event_type""",
+    // histogram rank-sum AUC: ranks come from the distinct-score table,
+    // every rank term an exact multiple of 0.5 (no float drift)
+    "q_auc" ->
+      """WITH u AS (
+            SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+              CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+                        > count(*) THEN 1 ELSE 0 END AS pos
+            FROM events GROUP BY user_id),
+          s AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(pos) AS BIGINT) AS n_pos
+                FROM u GROUP BY score),
+          r AS (SELECT *, coalesce(sum(n) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM s),
+          c AS (SELECT
+                  sum(n_pos * (cum_before + (n + 1) / 2.0)) AS rank_pos,
+                  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                  CAST(sum(n - n_pos) AS BIGINT) AS n_neg
+                FROM r)
+          SELECT n_pos, n_neg,
+            round((rank_pos - n_pos * (n_pos + 1) / 2.0)
+              / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc
+          FROM c""",
+    // power-of-two decay weights keep the weighted sums exact integers;
+    // the 7-day fan-out is the same Expand shape as the Spark plan
+    "q_decayed_daily" ->
+      """WITH daily AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          contrib AS (
+            SELECT event_type, day + age AS day,
+              n * (CAST(1 AS BIGINT) << CAST(6 - age AS INTEGER)) AS w
+            FROM daily CROSS JOIN range(7) r(age)),
+          dec AS (
+            SELECT event_type, day, CAST(sum(w) AS BIGINT) AS decayed
+            FROM contrib GROUP BY 1, 2)
+          SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n, dec.decayed
+          FROM daily d JOIN dec ON d.event_type = dec.event_type AND d.day = dec.day
+          ORDER BY d.event_type, day""",
+    // KMV bottom-k: both engines keep the same 64 md5-derived hashes,
+    // so the ESTIMATOR itself is hash-checked, not just the rows
+    "q_kmv_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+          h AS (
+            SELECT event_type, CAST(list_sum(list_transform(range(8),
+                i -> (strpos('0123456789abcdef', substring(
+                  md5(CAST(user_id AS VARCHAR)), CAST(i + 1 AS INTEGER), 1)) - 1)
+                  * 16 ** (7 - i))) AS BIGINT) AS h
+            FROM du),
+          r AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM h),
+          sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_kept,
+                   CAST(max(h) AS BIGINT) AS kth_hash
+                 FROM r WHERE rn <= 64 GROUP BY event_type),
+          ex AS (SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+                 FROM events GROUP BY event_type)
+          SELECT sk.event_type, k_kept, kth_hash, exact_users,
+            round((k_kept - 1) * 4294967296.0 / kth_hash, 2) AS kmv_estimate,
+            round(abs((k_kept - 1) * 4294967296.0 / kth_hash - exact_users)
+              / exact_users, 4) AS rel_err
+          FROM sk JOIN ex USING (event_type) ORDER BY event_type""",
+    // corpus-level exact-content overlap: distinct (source, digest)
+    // pairs, then an equi-join on digest — S² output rows
+    "q_source_overlap" ->
+      """WITH sd AS (SELECT DISTINCT source,
+                  md5(substring(text, 1, 64)) AS digest FROM documents),
+          ps AS (SELECT source, CAST(count(*) AS BIGINT) AS nd
+                 FROM sd GROUP BY source),
+          b AS (SELECT l.source AS src_a, r.source AS src_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM sd l JOIN sd r ON l.digest = r.digest AND l.source < r.source
+                GROUP BY 1, 2)
+          SELECT src_a, src_b, pa.nd AS n_a, pb.nd AS n_b, n_shared,
+            round(n_shared / CAST(least(pa.nd, pb.nd) AS DOUBLE), 6) AS containment,
+            round(n_shared / CAST(pa.nd + pb.nd - n_shared AS DOUBLE), 6) AS jaccard
+          FROM b JOIN ps pa ON pa.source = src_a JOIN ps pb ON pb.source = src_b
+          ORDER BY src_a, src_b""",
+    // prefix-filter join: ceil(0.3·n) in INTEGER form ((3n+9)//10) on
+    // both engines — float ceil overshoots on decimal-exact products
+    "q_prefix_join" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, t FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+            WHERE t <> ''),
+          dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+          sized AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+          ranked AS (
+            SELECT tok.doc_id, tok.t,
+              row_number() OVER (PARTITION BY tok.doc_id ORDER BY df, tok.t) AS pos,
+              n
+            FROM tok JOIN dfq USING (t) JOIN sized USING (doc_id)),
+          pre AS (SELECT doc_id, t FROM ranked
+                  WHERE pos <= n - (3 * n + 9) // 10 + 1),
+          capped AS (SELECT doc_id, t FROM (
+              SELECT doc_id, t,
+                row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+              FROM pre)
+            WHERE rn <= 20),
+          cand AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+                   FROM capped l JOIN capped r
+                     ON l.t = r.t AND l.doc_id < r.doc_id),
+          sets AS (SELECT doc_id, list_sort(list(t)) AS toks, count(*) AS n
+                   FROM tok GROUP BY doc_id)
+          SELECT a_id, b_id, jaccard FROM (
+            SELECT a_id, b_id,
+              round(len(list_intersect(sa.toks, sb.toks)) * 1.0 /
+                (sa.n + sb.n - len(list_intersect(sa.toks, sb.toks))), 6) AS jaccard
+            FROM cand JOIN sets sa ON sa.doc_id = a_id
+                      JOIN sets sb ON sb.doc_id = b_id)
+          WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
+    // rank-1 ALS half-sweep; the top-20 rank key is the ROUNDED factor
+    // so the rank cliff cannot flip on ulp drift
+    "q_als_step" ->
+      """WITH rat AS (
+            SELECT o_custkey AS usr, l_partkey AS item,
+              CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          u AS (SELECT usr, sum(q) / (count(*) + 1.0) AS u FROM rat GROUP BY usr),
+          i AS (SELECT item, CAST(count(*) AS BIGINT) AS n_ratings,
+                  CAST(sum(rat.q) AS BIGINT) AS sum_r,
+                  sum(rat.q * u.u) / (1.0 + sum(u.u * u.u)) AS v
+                FROM rat JOIN u USING (usr) GROUP BY item),
+          ranked AS (SELECT item, n_ratings, sum_r, round(v, 6) AS v_factor,
+                  row_number() OVER (ORDER BY round(v, 6) DESC, item) AS rk
+                FROM i)
+          SELECT rk, item, n_ratings, sum_r, v_factor
+          FROM ranked WHERE rk <= 20 ORDER BY rk""",
   )
 }

@@ -386,4 +386,45 @@ object AdvancedOps {
         countDistinct(col("user_id")).as("exact_users"),
       )
       .orderBy(col("event_type"))
+
+  /** KMV (k-minimum-values) distinct sketch per event type, k=64: keep
+    * the k smallest values of a uniform content hash over the distinct
+    * keys; the k-th smallest order statistic U_(k) estimates the
+    * cardinality as (k-1)/U_(k) (Bar-Yossef et al., 2002). Unlike
+    * HLL++ this sketch is fully ORACLE-CHECKABLE — md5 is deterministic
+    * and both engines keep the same 64 hashes — which makes it the
+    * auditable member of the sketch family (HLL/CMS/Misra–Gries/GK are
+    * seeded or order-dependent). Shape: distinct (type, key) pairs,
+    * hash to a 32-bit integer via the first 8 md5 hex digits, per-group
+    * bottom-k via row_number (WindowGroupLimit pushes the k-cap below
+    * the sort), then one row per group. Mergeable by construction:
+    * bottom-k of a union is the bottom-k of pooled bottom-k sets.
+    */
+  def kmvDistinctUsers(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = ev(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"),
+        col("user_id"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          .as("h"))
+    val byH = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sketch = hashed
+      .withColumn("rn", row_number().over(byH))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k_kept"), max(col("h")).as("kth_hash"))
+    val exact = ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // U_(k) = kth_hash / 2^32 (the hash is uniform on [0, 2^32))
+    val est = (col("k_kept") - 1).cast("double") * lit(4294967296.0) / col("kth_hash")
+    sketch.join(exact, Seq("event_type"))
+      .select(
+        col("event_type"), col("k_kept"), col("kth_hash"), col("exact_users"),
+        round(est, 2).as("kmv_estimate"),
+        round(abs(est - col("exact_users")) / col("exact_users"), 4).as("rel_err"),
+      )
+      .orderBy(col("event_type"))
+  }
 }

@@ -216,6 +216,81 @@ object BehaviorOps {
     * At 100 TB both aggregates are partial+final hash aggs keyed on
     * user_id then a single row — no shuffle wider than the user set.
     */
+  /** AUC of "click count predicts heavy purchaser" via the rank-sum
+    * (Mann–Whitney) identity, computed on the SCORE HISTOGRAM rather
+    * than per-row ranks: users reduce to one (score, label) row, scores
+    * reduce to (score, n, n_pos) cells, and the tie-corrected average
+    * rank per cell is cum_before + (n+1)/2. The only ordered pass runs
+    * over the distinct-score table — thousands of cells at 100 TB, not
+    * billions of rows — which is how AUC is actually evaluated at scale
+    * (a per-row global sort would be the bottleneck; the histogram form
+    * makes the sort free). Every rank term is an exact multiple of 0.5
+    * far below 2^52, so the double sums are exact and the final AUC is
+    * one deterministic division. The label is [[abTestZ]]'s `converted`
+    * (purchase-heavy user) — plain "ever purchased" saturates to
+    * all-positive on this corpus, which would leave n_neg = 0 and the
+    * AUC undefined.
+    */
+  def aucClicksToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("score"),
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5 >
+          count(lit(1)), 1L).otherwise(0L).as("pos"),
+      )
+    val perScore = perUser
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    // global window over the tiny per-score histogram (score domain ≪ users)
+    val before = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("cum_before",
+      coalesce(sum(col("n")).over(before), lit(0L)))
+    val cells = ranked.agg(
+      sum(col("n_pos") * (col("cum_before") + (col("n") + 1) / lit(2.0))).as("rank_pos"),
+      sum(col("n_pos")).as("n_pos"),
+      sum(col("n") - col("n_pos")).as("n_neg"),
+    )
+    cells.select(
+      col("n_pos"), col("n_neg"),
+      round((col("rank_pos") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+        (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"),
+    )
+  }
+
+  /** Time-decayed daily event counts: each day's count contributes to
+    * the next 7 days with weight 2^(6-age) — an exponentially decayed
+    * "recent volume" signal with EXACT integer arithmetic (weights are
+    * powers of two, no float pow whose libm could differ cross-engine).
+    * The decay is an Expand: each (type, day, n) cell emits 7 (type,
+    * day+age) contributions, then one hash aggregate re-groups — the
+    * same map-side fan-out shape as skip-gram windows, shuffling day
+    * CELLS (types × days × 7), never events. Target days are restricted
+    * to days that actually occur so sparse calendars don't invent rows.
+    */
+  def decayedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("event_type"), expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val contrib = daily
+      .select(col("event_type"), col("day"), col("n"),
+        explode(sequence(lit(0), lit(6))).as("age"))
+      // SQL shiftleft accepts a column shift amount (the Scala wrapper
+      // only takes a literal); 1L << (6-age) keeps the weight integral
+      .select(col("event_type"), (col("day") + col("age")).as("day"),
+        expr("n * shiftleft(CAST(1 AS BIGINT), CAST(6 - age AS INT))").as("w"))
+    val decayed = contrib
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("w")).as("decayed"))
+    daily.select(col("event_type"), col("day"), col("n"))
+      .join(decayed, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n"), col("decayed"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def abTestZ(spark: SparkSession, dir: String): DataFrame = {
     val isA = substring(md5(col("user_id").cast("string")), 1, 1) <= "7"
     val perUser = Tables.fanOut(Tables.events(spark, dir))

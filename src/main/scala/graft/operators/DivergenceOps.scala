@@ -189,4 +189,44 @@ object DivergenceOps {
         col("cand").as("predicted_source"), col("n_docs"))
       .orderBy(col("actual_source"), col("predicted_source"))
   }
+
+  /** Cross-source content overlap matrix: for every ordered source pair,
+    * how many document HEAD fingerprints (md5 of the first 64 chars —
+    * the canonicalization that catches re-crawls whose tails drifted;
+    * full-text digests find zero cross-source hits on this corpus)
+    * appear in both, with containment (share of the smaller corpus the
+    * other source already has) and fingerprint-level Jaccard. This is
+    * the corpus-level twin of per-document dedup: it answers "is source
+    * B a re-crawl of source A" before any pairwise document work is
+    * spent. Shape: documents reduce to distinct (source, digest) pairs
+    * — the only corpus-scale pass — then the pair matrix is an
+    * equi-join on digest between two projections of that reduced table,
+    * so the shuffle key is the digest and the output is S² rows, never
+    * docs².
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sd = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), md5(substring(col("text"), 1, 64)).as("digest"))
+      .distinct()
+    val perSource = sd.groupBy(col("source")).agg(count(lit(1)).as("n_digests"))
+    val both = sd.select(col("source").as("src_a"), col("digest"))
+      .join(sd.select(col("source").as("src_b"), col("digest")), Seq("digest"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    both
+      .join(Tables.maybeBroadcast(perSource.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n_digests", "n_a")), Seq("src_a"))
+      .join(Tables.maybeBroadcast(perSource.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n_digests", "n_b")), Seq("src_b"))
+      .select(
+        col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"),
+      )
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -639,4 +639,48 @@ object MlOps {
       )
       .orderBy(col("source"))
   }
+
+  /** One rank-1 ALS half-sweep over the implicit (customer, part,
+    * quantity) rating matrix derived from order lines — the training
+    * STEP of a matrix-factorization recommender expressed as relational
+    * algebra. With item factors initialized to 1, the ridge-regularized
+    * user solve collapses to u_c = Σr / (n_c + λ): exact integer sums
+    * over one hash aggregate. The item half-sweep then solves
+    * v_p = Σ(r·u) / (λ + Σu²) — ratings keyed by user join the (already
+    * user-sized) factor table, then one hash aggregate keyed by part.
+    * At 100 TB both halves are single shuffles on the natural keys
+    * (user, then item); nothing iterates driver-side, and a full ALS
+    * run is this step under the repo's localCheckpoint loop discipline.
+    * Output: the top 20 items by learned factor (rank window), with the
+    * support counts that explain them.
+    */
+  def alsRank1Step(spark: SparkSession, dir: String,
+      lambda: Double = 1.0): DataFrame = {
+    val ratings = Tables.fanOut(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user"), col("l_partkey").as("item"),
+        col("l_quantity").cast("long").as("r"))
+    val users = ratings.groupBy(col("user"))
+      .agg((sum(col("r")) / (count(lit(1)) + lit(lambda))).as("u"))
+    val items = ratings.join(users, Seq("user"))
+      .groupBy(col("item"))
+      .agg(
+        count(lit(1)).as("n_ratings"),
+        sum(col("r")).as("sum_r"),
+        (sum(col("r") * col("u")) / (lit(lambda) + sum(col("u") * col("u"))))
+          .as("v"),
+      )
+    // rank on the ROUNDED factor (item tie-break): raw double sums can
+    // differ at ulp level cross-engine, and a rank cliff on an unrounded
+    // key would flip membership of the top-20 between engines
+    val byFactor = Window.orderBy(col("v_factor").desc, col("item"))
+    items
+      .withColumn("v_factor", round(col("v"), 6))
+      .withColumn("rk", row_number().over(byFactor))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("item"), col("n_ratings"), col("sum_r"), col("v_factor"))
+      .orderBy(col("rk"))
+  }
 }
