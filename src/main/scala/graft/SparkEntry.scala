@@ -207,6 +207,10 @@ object SparkEntry {
     "q_source_overlap"  -> ((s, d) => graft.operators.DivergenceOps.sourceOverlap(s, d)),
     "q_prefix_join"     -> ((s, d) => DedupOps.prefixJaccardJoin(s, d)),
     "q_als_step"        -> ((s, d) => MlOps.alsRank1Step(s, d)),
+    "q_assoc_rules"     -> ((s, d) => MlOps.assocRules(s, d)),
+    "q_weekday_anomaly" -> ((s, d) => BehaviorOps.weekdayAnomaly(s, d)),
+    "q_gini"            -> ((s, d) => BehaviorOps.giniActivity(s, d)),
+    "q_cust_order_dist" -> ((s, d) => RelationalOps.custOrderDist(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3290,5 +3294,80 @@ object SparkEntry {
                 FROM i)
           SELECT rk, item, n_ratings, sum_r, v_factor
           FROM ranked WHERE rk <= 20 ORDER BY rk""",
+    // market-basket rules: pairs form through the order key (bounded
+    // basket fan-out), counts integral until the three divisions
+    "q_assoc_rules" ->
+      """WITH basket AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+          n AS (SELECT count(DISTINCT o) AS n_orders FROM basket),
+          sup AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+                  FROM basket GROUP BY item),
+          p AS (SELECT l.item AS a_item, r.item AS b_item,
+                  CAST(count(*) AS BIGINT) AS c_ab
+                FROM basket l JOIN basket r ON l.o = r.o AND l.item < r.item
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+          s AS (SELECT a_item, b_item, c_ab, sa.c AS c_a, sb.c AS c_b,
+                  round(c_ab / CAST(sa.c AS DOUBLE), 6) AS conf_ab,
+                  round(c_ab / CAST(sb.c AS DOUBLE), 6) AS conf_ba,
+                  round(c_ab * (SELECT n_orders FROM n)
+                    / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift
+                FROM p JOIN sup sa ON sa.item = a_item
+                       JOIN sup sb ON sb.item = b_item),
+          ranked AS (SELECT *, row_number()
+                  OVER (ORDER BY lift DESC, a_item, b_item) AS rk FROM s)
+          SELECT rk, a_item, b_item, c_ab, c_a, c_b, conf_ab, conf_ba, lift
+          FROM ranked WHERE rk <= 50 ORDER BY rk""",
+    // same-weekday z-score: moments from exact integer sums, the
+    // degenerate-variance guard and the outlier filter both on exact /
+    // rounded values so no boundary can flip cross-engine
+    "q_weekday_anomaly" ->
+      """WITH daily AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          d2 AS (SELECT *, day % 7 AS dow FROM daily),
+          base AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+                     CAST(sum(n) AS BIGINT) AS sx,
+                     CAST(sum(n * n) AS BIGINT) AS sxx
+                   FROM d2 GROUP BY 1, 2)
+          SELECT event_type, day, dow, n, dow_mean, z,
+            abs(z) >= 1.5 AS is_anomaly
+          FROM (
+            SELECT d2.event_type, CAST(d2.day AS BIGINT) AS day,
+              CAST(d2.dow AS BIGINT) AS dow, d2.n,
+              round(CAST(sx AS DOUBLE) / nd, 4) AS dow_mean,
+              round((d2.n - CAST(sx AS DOUBLE) / nd)
+                / sqrt(CAST(sxx AS DOUBLE) / nd
+                  - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)), 4) AS z
+            FROM d2 JOIN base ON d2.event_type = base.event_type
+                             AND d2.dow = base.dow
+            WHERE sxx * nd <> sx * sx)
+          ORDER BY event_type, day""",
+    // Gini from the activity histogram: the tie-group rank sum
+    // c·(cum·m + m(m+1)/2) keeps everything BIGINT until the final G
+    "q_gini" ->
+      """WITH pu AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1, 2),
+          h AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS m
+                FROM pu GROUP BY 1, 2),
+          w AS (SELECT *, coalesce(sum(m) OVER (PARTITION BY event_type
+                  ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum
+                FROM h),
+          g AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+                  CAST(sum(c * m) AS BIGINT) AS total,
+                  CAST(sum(c * (cum * m + (m * (m + 1)) // 2)) AS BIGINT) AS rix
+                FROM w GROUP BY event_type)
+          SELECT event_type, n_users, total,
+            round(2.0 * rix / CAST(n_users * total AS DOUBLE)
+              - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini
+          FROM g ORDER BY event_type""",
+    // TPC-H Q13 shape: LEFT join keeps the zero-order bucket
+    "q_cust_order_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+          GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
   )
 }

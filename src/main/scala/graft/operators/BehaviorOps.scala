@@ -291,6 +291,77 @@ object BehaviorOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Seasonal-naive anomaly detection on daily volume: each (type, day)
+    * count is z-scored against the SAME-WEEKDAY population (mean and
+    * population stddev over all days with that weekday), so weekly
+    * seasonality never trips the alarm the way a global mean would.
+    * Two hash aggregates (daily cells, then 7 weekday baselines per
+    * type) and one broadcast join back — the baseline table is types×7
+    * rows no matter the data. Moments come from exact integer sums
+    * (Σx, Σx², n), one deterministic float expression per row at the
+    * end; days with a degenerate (zero-variance) weekday population are
+    * excluded rather than scored against a zero sigma. Every day is
+    * emitted with its score (a population z over nd same-weekday days
+    * is bounded by √(nd−1), so a fixed cliff could legitimately select
+    * nothing); the anomaly FLAG uses 1.5 sigmas.
+    */
+  def weekdayAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("event_type"), expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+    val mean = col("sx").cast("double") / col("nd")
+    val variance = col("sxx").cast("double") / col("nd") - mean * mean
+    val z = (col("n") - mean) / sqrt(variance)
+    daily.join(Tables.maybeBroadcast(base), Seq("event_type", "dow"))
+      .filter(col("sxx") * col("nd") =!= col("sx") * col("sx")) // var > 0, in exact ints
+      .withColumn("z", round(z, 4))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        round(mean, 4).as("dow_mean"), col("z"),
+        (abs(col("z")) >= 1.5).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Gini coefficient of per-user activity, one per event type — the
+    * inequality audit behind "is this stream a few power users or a
+    * broad base". Computed on the ACTIVITY HISTOGRAM (count value →
+    * number of users), the same collapse that makes [[aucClicksToPurchase]]
+    * scale: the rank-weighted sum Σ i·x_i over a tie group of m users
+    * with count c is c·(cum·m + m(m+1)/2), so the only ordered pass
+    * runs over distinct activity levels, and every term stays an exact
+    * integer until the final G = 2Σi·x_i/(n·Σx) − (n+1)/n.
+    */
+  def giniActivity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = ev(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    val before = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = hist
+      .withColumn("cum", coalesce(sum(col("m")).over(before), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("m")).as("n_users"),
+        sum(col("c") * col("m")).as("total"),
+        // Σ i·x_i for the tie group: ranks cum+1 .. cum+m, all with value
+        // c. Integer `div`, NOT `/`: Column./ is double division, and
+        // the whole sum must stay in exact BIGINT arithmetic
+        sum(expr("c * (cum * m + (m * (m + 1)) div 2)")).as("rix"),
+      )
+    cells.select(
+      col("event_type"), col("n_users"), col("total"),
+      round(lit(2.0) * col("rix") / (col("n_users") * col("total")).cast("double")
+        - (col("n_users") + 1).cast("double") / col("n_users"), 6).as("gini"),
+    ).orderBy(col("event_type"))
+  }
+
   def abTestZ(spark: SparkSession, dir: String): DataFrame = {
     val isA = substring(md5(col("user_id").cast("string")), 1, 1) <= "7"
     val perUser = Tables.fanOut(Tables.events(spark, dir))

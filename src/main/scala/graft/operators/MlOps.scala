@@ -654,6 +654,48 @@ object MlOps {
     * Output: the top 20 items by learned factor (rank window), with the
     * support counts that explain them.
     */
+  /** Market-basket association rules over co-ordered parts: support,
+    * directional confidence, and lift for every part pair appearing in
+    * ≥ `minPairs` orders. The pair space never materializes globally —
+    * baskets self-join on the ORDER key, so fan-out is bounded by
+    * basket size squared (TPC-H orders hold ~4 lines), and the pair
+    * aggregate shuffles (a, b) count cells. Item supports join back by
+    * broadcast (item dimension ≪ pair table). Counts stay integral
+    * until the three final divisions; the top-50 cliff ranks on the
+    * ROUNDED lift with the pair as tie-break.
+    */
+  def assocRules(spark: SparkSession, dir: String,
+      minPairs: Int = 3): DataFrame = {
+    val basket = Tables.fanOut(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint() // feeds supports AND both sides of the pair join
+    val nOrders = basket.select(col("o")).distinct().count()
+    val support = basket.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = basket.select(col("o"), col("item").as("a_item"))
+      .join(basket.select(col("o"), col("item").as("b_item")), Seq("o"))
+      .filter(col("a_item") < col("b_item"))
+      .groupBy(col("a_item"), col("b_item"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairs)
+    val scored = pairs
+      .join(Tables.maybeBroadcast(support.select(col("item").as("a_item"),
+        col("c").as("c_a"))), Seq("a_item"))
+      .join(Tables.maybeBroadcast(support.select(col("item").as("b_item"),
+        col("c").as("c_b"))), Seq("b_item"))
+      .withColumn("conf_ab", round(col("c_ab") / col("c_a").cast("double"), 6))
+      .withColumn("conf_ba", round(col("c_ab") / col("c_b").cast("double"), 6))
+      .withColumn("lift", round(col("c_ab") * lit(nOrders) /
+        (col("c_a") * col("c_b")).cast("double"), 6))
+    val byLift = Window.orderBy(col("lift").desc, col("a_item"), col("b_item"))
+    scored.withColumn("rk", row_number().over(byLift))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("a_item"), col("b_item"), col("c_ab"),
+        col("c_a"), col("c_b"), col("conf_ab"), col("conf_ba"), col("lift"))
+      .orderBy(col("rk"))
+  }
+
   def alsRank1Step(spark: SparkSession, dir: String,
       lambda: Double = 1.0): DataFrame = {
     val ratings = Tables.fanOut(Tables.lineitem(spark, dir)

@@ -292,4 +292,22 @@ object RelationalOps {
       .groupBy((col("k") % 10).as("k_mod10"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("k_mod10"))
+
+  /** Customer-by-order-count distribution (the TPC-H Q13 shape): LEFT
+    * join so zero-order customers survive into the histogram — the
+    * double aggregation (per-customer count, then count-of-counts) is
+    * the canonical "distribution of engagement" query, and the
+    * zero-bucket is exactly what an inner join silently loses.
+    * count(o_orderkey) counts MATCHES (null-padded rows contribute 0),
+    * which is what makes the outer join and the aggregate compose.
+    */
+  def custOrderDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
 }
