@@ -211,6 +211,8 @@ object SparkEntry {
     "q_weekday_anomaly" -> ((s, d) => BehaviorOps.weekdayAnomaly(s, d)),
     "q_gini"            -> ((s, d) => BehaviorOps.giniActivity(s, d)),
     "q_cust_order_dist" -> ((s, d) => RelationalOps.custOrderDist(s, d)),
+    "q_ivf_mrr"         -> ((s, d) => SimilarityOps.ivfMrr(s, d)),
+    "q_cluster_canonical" -> ((s, d) => graft.operators.GraphOps.clusterCanonical(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3369,5 +3371,124 @@ object SparkEntry {
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey)
           GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    // MRR@3: first exact-top-k hit in the IVF list, 0 on a total miss —
+    // same IVF/exact scaffold as q_ivf_ndcg
+    "q_ivf_mrr" ->
+      """WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv AS nc FROM e WHERE vec_id < 8),
+          scoredc AS (
+            SELECT vec_id, v, nv, c_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])) / (nv * nc), 6) AS c_cos
+            FROM e CROSS JOIN c),
+          assigned AS (
+            SELECT vec_id, v, nv, c_id AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY c_cos DESC, c_id) AS rn FROM scoredc)
+            WHERE rn = 1),
+          q AS (
+            SELECT vec_id AS q_id, v AS qv, nv AS nq, cell AS q_cell
+            FROM assigned WHERE vec_id >= 10 AND vec_id < 15),
+          ivf AS (
+            SELECT q_id, vec_id, rn FROM (
+              SELECT q_id, a.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  a.vec_id) AS rn
+              FROM assigned a JOIN q ON a.cell = q.q_cell AND a.vec_id <> q.q_id)
+            WHERE rn <= 3),
+          exact AS (
+            SELECT q_id, vec_id FROM (
+              SELECT q_id, e.vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) DESC,
+                  e.vec_id) AS rn
+              FROM e JOIN q ON e.vec_id <> q.q_id)
+            WHERE rn <= 3),
+          fh AS (
+            SELECT ivf.q_id, min(ivf.rn) AS first_hit_rank
+            FROM ivf JOIN exact
+              ON ivf.q_id = exact.q_id AND ivf.vec_id = exact.vec_id
+            GROUP BY ivf.q_id)
+          SELECT q.q_id,
+            CAST(coalesce(fh.first_hit_rank, 0) AS BIGINT) AS first_hit_rank,
+            round(coalesce(1.0 / fh.first_hit_rank, 0.0), 6) AS reciprocal_rank
+          FROM q LEFT JOIN fh ON q.q_id = fh.q_id ORDER BY q.q_id""",
+    // dedup decision stage: text near-dup pairs -> connected components
+    // (recursive CTE) -> keep the highest-quality member per cluster
+    "q_cluster_canonical" ->
+      """WITH RECURSIVE
+          tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          pairs AS (
+            SELECT a_id, b_id FROM (
+              SELECT a_id, b_id,
+                round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                  CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
+                       THEN 1
+                       ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
+                  6) AS jaccard
+              FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+            WHERE jaccard >= 0.1),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+          comp AS (
+            SELECT node, min(label) AS component FROM reach GROUP BY node),
+          qual AS (
+            SELECT doc_id,
+              round(least(1.0, len(toks2) / 100.0) * 0.5
+                + (1.0 - len(list_filter(toks2, s -> s = 'the' OR s = 'a'))
+                    * 1.0 / len(toks2)) * 0.5, 6) AS quality
+            FROM (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS toks2
+                  FROM documents)),
+          ranked AS (
+            SELECT comp.component, comp.node, qual.quality,
+              row_number() OVER (PARTITION BY comp.component
+                ORDER BY qual.quality DESC, comp.node) AS rn
+            FROM comp JOIN qual ON qual.doc_id = comp.node)
+          SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(min(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_id,
+            min(CASE WHEN rn = 1 THEN quality END) AS keep_quality,
+            CAST(count(*) - 1 AS BIGINT) AS n_dropped
+          FROM ranked GROUP BY component ORDER BY component""",
   )
 }

@@ -279,4 +279,39 @@ object GraphOps {
       .select(col("node"), col("degree"), col("n_triangles"), col("clustering"))
       .orderBy(col("node"))
   }
+
+  /** Canonical-document selection — the step that turns near-dup
+    * CLUSTERS into a dedup DECISION: for every connected component of
+    * the text near-dup graph (band-collision candidates → exact bigram
+    * Jaccard ≥ 0.1 → components), keep the member with the highest
+    * quality score (doc_id as tie-break) and count what gets dropped.
+    * This is the terminal stage of the dedup pipeline: candidates →
+    * verify → cluster → CHOOSE, with quality (length/stopword algebra)
+    * deciding the survivor rather than arbitrary min-id. Shapes: the
+    * quality table joins the (already tiny) component labeling on
+    * doc_id, the survivor is one row_number per component — shuffle
+    * keys are doc_id then component, nothing pairwise.
+    */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponentsStar(
+      DedupOps.bucketedJaccard(spark, dir).select(col("a_id"), col("b_id")),
+      "a_id", "b_id")
+    val quality = TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val labeled = comp.join(quality, comp("node") === quality("doc_id"))
+      .select(col("component"), col("node"), col("quality"))
+    val byQuality = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("node"))
+    labeled
+      .withColumn("rn", row_number().over(byQuality))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(when(col("rn") === 1, col("node"))).as("keep_id"),
+        min(when(col("rn") === 1, col("quality"))).as("keep_quality"),
+        (count(lit(1)) - 1).as("n_dropped"),
+      )
+      .orderBy(col("component"))
+  }
 }

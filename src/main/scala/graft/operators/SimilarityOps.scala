@@ -206,6 +206,40 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** MRR@k of the IVF list — the third retrieval-quality audit beside
+    * recall ([[ivfRecall]]) and NDCG ([[ivfNdcg]]): the reciprocal rank
+    * of the FIRST exact-top-k hit in each query's IVF answer, 0 when the
+    * probed cells miss entirely. MRR is the metric single-answer
+    * retrieval (RAG lookup, entity search) actually optimizes — recall
+    * says "a right answer is somewhere in the list", MRR says "how far
+    * the user scrolls". Same constant-bounded plan skeleton as NDCG:
+    * the exact neighborhood comes from the one brute-force pass over
+    * the 5-query broadcast, the first-hit rank is a min per query.
+    */
+  def ivfMrr(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ivf = ivfTopK(spark, dir, k).select(col("q_id"), col("vec_id"), col("rn"))
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("ern", row_number().over(wRank))
+      .filter(col("ern") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val firstHit = ivf.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(min(col("rn")).as("first_hit_rank"))
+    q.select(col("q_id"))
+      .join(firstHit, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+        round(coalesce(lit(1.0) / col("first_hit_rank"), lit(0.0)), 6)
+          .as("reciprocal_rank"))
+      .orderBy(col("q_id"))
+  }
+
   /** The IVF tuning curve: recall@k at nprobe ∈ {1, 2, 4} in ONE plan —
     * the accuracy/cost knob every inverted-file index exposes. Queries
     * keep their `nprobe` nearest cells (centroid rank ≤ nprobe), the
