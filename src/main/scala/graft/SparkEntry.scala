@@ -213,6 +213,8 @@ object SparkEntry {
     "q_cust_order_dist" -> ((s, d) => RelationalOps.custOrderDist(s, d)),
     "q_ivf_mrr"         -> ((s, d) => SimilarityOps.ivfMrr(s, d)),
     "q_cluster_canonical" -> ((s, d) => graft.operators.GraphOps.clusterCanonical(s, d)),
+    "q_readability"     -> ((s, d) => TextAnalysisOps.readability(s, d)),
+    "q_type_hour_mi"    -> ((s, d) => BehaviorOps.typeHourMi(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3490,5 +3492,50 @@ object SparkEntry {
             min(CASE WHEN rn = 1 THEN quality END) AS keep_quality,
             CAST(count(*) - 1 AS BIGINT) AS n_dropped
           FROM ranked GROUP BY component ORDER BY component""",
+    // Flesch reading ease on per-source EXACT aggregate counts; vowel
+    // runs as the deterministic syllable surrogate
+    "q_readability" ->
+      """WITH d AS (
+            SELECT source,
+              greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+              len(list_filter(string_split(text, ' '), x -> x <> '')) AS words,
+              len(regexp_extract_all(text, '[aeiou]+')) AS sylls
+            FROM documents),
+          s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(sents) AS BIGINT) AS sentences,
+              CAST(sum(words) AS BIGINT) AS words,
+              CAST(sum(sylls) AS BIGINT) AS syllables
+            FROM d GROUP BY source)
+          SELECT source, n_docs, sentences, words, syllables,
+            round(CAST(words AS DOUBLE) / sentences, 4) AS words_per_sentence,
+            round(CAST(syllables AS DOUBLE) / words, 4) AS syllables_per_word,
+            round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+              - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) AS flesch
+          FROM s ORDER BY source""",
+    // MI(type; hour) from the 5x24 contingency table; entropy identities
+    // as cell-row sums (sum_h c_th = c_t telescopes them)
+    "q_type_hour_mi" ->
+      """WITH cells AS (
+            SELECT event_type,
+              ((epoch_ns(ts) // 1000) // 3600000000) % 24 AS hour,
+              CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          e AS (
+            SELECT c,
+              sum(c) OVER (PARTITION BY event_type) AS ct,
+              sum(c) OVER (PARTITION BY hour) AS ch,
+              sum(c) OVER () AS n
+            FROM cells),
+          a AS (
+            SELECT CAST(max(n) AS BIGINT) AS n_events,
+              sum(CAST(c AS DOUBLE) / n * ln(c * n / CAST(ct * ch AS DOUBLE))) AS mi,
+              sum(CAST(c AS DOUBLE) / n * ln(n / CAST(ct AS DOUBLE))) AS h_type,
+              sum(CAST(c AS DOUBLE) / n * ln(n / CAST(ch AS DOUBLE))) AS h_hour
+            FROM e)
+          SELECT n_events, round(mi, 6) AS mi_nats, round(h_type, 6) AS h_type,
+            round(h_hour, 6) AS h_hour,
+            round(mi / sqrt(h_type * h_hour), 6) AS nmi
+          FROM a""",
   )
 }

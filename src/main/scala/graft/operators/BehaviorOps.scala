@@ -362,6 +362,41 @@ object BehaviorOps {
     ).orderBy(col("event_type"))
   }
 
+  /** Mutual information between event type and hour-of-day — the
+    * feature-dependence audit ("does WHEN predict WHAT"): MI(T;H) in
+    * nats from the 5×24 contingency table, with the marginal entropies
+    * and the normalized MI/√(H·H) coefficient. The corpus reduces to
+    * contingency CELLS in one hash aggregate; marginals and the grand
+    * total are window sums over that tiny cell table (types×24 rows no
+    * matter the data), and the entropy identities are computed as
+    * cell-row sums — Σ_cells (c/n)·ln(n/ct) telescopes to H(T) because
+    * Σ_h c_th = c_t. Counts stay integral into each log term.
+    */
+  def typeHourMi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = ev(spark, dir)
+      .select(col("event_type"), expr("(ts_us div 3600000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val enriched = cells
+      .withColumn("ct", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ch", sum(col("c")).over(Window.partitionBy(col("hour"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val p = col("c").cast("double") / col("n")
+    enriched.agg(
+      max(col("n")).as("n_events"),
+      sum(p * log(col("c") * col("n") / (col("ct") * col("ch")))).as("mi"),
+      sum(p * log(col("n") / col("ct"))).as("h_type"),
+      sum(p * log(col("n") / col("ch"))).as("h_hour"),
+    ).select(
+      col("n_events"),
+      round(col("mi"), 6).as("mi_nats"),
+      round(col("h_type"), 6).as("h_type"),
+      round(col("h_hour"), 6).as("h_hour"),
+      round(col("mi") / sqrt(col("h_type") * col("h_hour")), 6).as("nmi"),
+    )
+  }
+
   def abTestZ(spark: SparkSession, dir: String): DataFrame = {
     val isA = substring(md5(col("user_id").cast("string")), 1, 1) <= "7"
     val perUser = Tables.fanOut(Tables.events(spark, dir))

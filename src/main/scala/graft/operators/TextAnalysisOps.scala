@@ -224,4 +224,42 @@ object TextAnalysisOps {
       .select(col("doc_id"), col("fingerprint"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source readability profile — the Flesch reading-ease family of
+    * corpus-quality filters: sentences from punctuation runs, words from
+    * whitespace tokens, syllables approximated by vowel GROUPS per word
+    * (the standard regex surrogate — exact syllabification needs a
+    * dictionary; vowel runs are deterministic and engine-portable).
+    * Everything is a per-row regexp_count (map-only, codegen'd), the
+    * corpus reduces to per-source integer sums, and the Flesch formula
+    * 206.835 − 1.015·(W/S) − 84.6·(Sy/W) is applied once per source on
+    * exact aggregate counts — never per document, so per-doc rounding
+    * can't accumulate.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(
+        col("source"),
+        // a trailing sentence without closing punctuation still counts:
+        // segments = punctuation runs + 1 when text ends unpunctuated
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("sents"),
+        size(array_remove(split(col("text"), " "), "")).as("words"),
+        regexp_count(col("text"), lit("[aeiou]+")).as("sylls"),
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sents")).cast("bigint").as("sentences"),
+        sum(col("words")).cast("bigint").as("words"),
+        sum(col("sylls")).cast("bigint").as("syllables"),
+      )
+      .withColumn("words_per_sentence",
+        round(col("words").cast("double") / col("sentences"), 4))
+      .withColumn("syllables_per_word",
+        round(col("syllables").cast("double") / col("words"), 4))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("words").cast("double") / col("sentences"))
+          - lit(84.6) * (col("syllables").cast("double") / col("words")), 4))
+      .orderBy(col("source"))
 }
