@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AdvancedOps, BehaviorOps, DedupOps, DivergenceOps, MlOps}
+import graft.operators.{AdvancedOps, BehaviorOps, DedupOps, DivergenceOps, GraphOps, MlOps, RelationalOps, SimilarityOps, TextAnalysisOps}
 
 /** Behavioral invariants for the round-9 tier (AUC, decayed counts, KMV,
   * source overlap, prefix join, ALS step) — properties the DuckDB oracle
@@ -96,6 +96,78 @@ class Round9OpsSpec extends AnyFunSuite {
     val capped = DedupOps.prefixJaccardJoin(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(got))
+  }
+
+  test("association rules: confidences in (0,1], pair support bounded") {
+    val rows = MlOps.assocRules(spark, dir, minPairs = 2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cab, ca, cb) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val (confAb, confBa, lift) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      assert(cab <= math.min(ca, cb)) // a pair can't out-count its items
+      assert(confAb > 0.0 && confAb <= 1.0 && confBa > 0.0 && confBa <= 1.0)
+      assert(lift > 0.0)
+    }
+  }
+
+  test("conservation: Q13 histogram accounts for every customer and order") {
+    val rows = RelationalOps.custOrderDist(spark, dir).collect()
+    val customers = graft.model.Tables.customer(spark, dir).count()
+    val orders = graft.model.Tables.orders(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum === customers)
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === orders)
+  }
+
+  test("MI is bounded by both marginal entropies; NMI in [0,1]") {
+    val r = BehaviorOps.typeHourMi(spark, dir).collect().head
+    val (mi, hT, hH, nmi) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(mi >= -1e-9)
+    assert(mi <= math.min(hT, hH) + 1e-9)
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+  }
+
+  test("Gini stays in [0,1) and n_users/total match the raw aggregates") {
+    val rows = BehaviorOps.giniActivity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  test("weekday anomaly: flag is exactly the 1.5-sigma predicate on z") {
+    val rows = BehaviorOps.weekdayAnomaly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(6) === (math.abs(r.getDouble(5)) >= 1.5))
+    }
+  }
+
+  test("MRR: reciprocal rank is 0 on a miss, else 1/first_hit_rank in [1/k,1]") {
+    val rows = SimilarityOps.ivfMrr(spark, dir).collect()
+    assert(rows.length === 5) // one row per probe query, hit or miss
+    rows.foreach { r =>
+      val (rank, rr) = (r.getLong(1), r.getDouble(2))
+      if (rank == 0L) assert(rr === 0.0)
+      else {
+        assert(rank >= 1L && rank <= 3L)
+        assert(math.abs(rr - math.rint(1e6 / rank) / 1e6) < 1e-9)
+      }
+    }
+  }
+
+  test("canonical selection keeps the max-quality member of every cluster") {
+    val out = GraphOps.clusterCanonical(spark, dir).collect()
+    val quality = TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val (nDocs, keepId, keepQ, dropped) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(nDocs >= 2L) // every clustered node has at least one edge
+      assert(dropped === nDocs - 1)
+      assert(math.abs(quality(keepId) - keepQ) < 1e-9)
+    }
   }
 
   test("ALS half-sweep: solved user factors satisfy the ridge identity") {
