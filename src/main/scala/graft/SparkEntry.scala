@@ -215,6 +215,8 @@ object SparkEntry {
     "q_cluster_canonical" -> ((s, d) => graft.operators.GraphOps.clusterCanonical(s, d)),
     "q_readability"     -> ((s, d) => TextAnalysisOps.readability(s, d)),
     "q_type_hour_mi"    -> ((s, d) => BehaviorOps.typeHourMi(s, d)),
+    "q_unpivot"         -> ((s, d) => RelationalOps.statsUnpivot(s, d)),
+    "q_lateral_topk"    -> ((s, d) => RelationalOps.lateralTopNations(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3537,5 +3539,28 @@ object SparkEntry {
             round(h_hour, 6) AS h_hour,
             round(mi / sqrt(h_type * h_hour), 6) AS nmi
           FROM a""",
+    // wide->long melt of the per-type stat row; one Expand either engine
+    "q_unpivot" ->
+      """WITH s AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS n_events,
+              round(sum(value), 2) AS total_value,
+              round(max(value), 2) AS max_value
+            FROM events GROUP BY event_type)
+          SELECT event_type, metric, value
+          FROM s UNPIVOT (value FOR metric IN (n_events, total_value, max_value))
+          ORDER BY event_type, metric""",
+    // correlated LATERAL top-2-per-region; both engines decorrelate it
+    "q_lateral_topk" ->
+      """SELECT r.r_name AS region, t.n_name AS nation, t.n_customers
+          FROM region r,
+          LATERAL (
+            SELECT n.n_name, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n.n_name
+            LIMIT 2
+          ) t
+          ORDER BY region, n_customers DESC, nation""",
   )
 }

@@ -293,6 +293,53 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("k_mod10"))
 
+  /** UNPIVOT (wide→long melt): the per-type stat row flips into
+    * (event_type, metric, value) triples via the native `unpivot`
+    * operator — Catalyst plans one Expand, the exact inverse of
+    * `q_pivot`'s wide rotation, and the long form is what metric stores
+    * and plotting layers ingest. Values are normalized to one DOUBLE
+    * column (unpivot requires a common type); counts convert exactly.
+    */
+  def statsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        round(max(col("value")), 2).as("max_value"),
+      )
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("total_value"), col("max_value")),
+        "metric", "value")
+      .orderBy(col("event_type"), col("metric"))
+
+  /** LATERAL correlated subquery (Spark 4 SQL surface): for every
+    * region, the top-2 nations by customer count — the "per-row top-k
+    * lookup" join SQL writers reach for before they know window
+    * functions. Catalyst decorrelates the LATERAL into a ranked window
+    * over the grouped nation counts (no per-region re-execution), so
+    * the plan is the same shuffle-once shape as `q_topn_per_group` —
+    * asserting the API, not inventing a new execution path.
+    */
+  def lateralTopNations(spark: SparkSession, dir: String): DataFrame = {
+    Tables.region(spark, dir).createOrReplaceTempView("graft_region")
+    Tables.nation(spark, dir).createOrReplaceTempView("graft_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT r.r_name AS region, t.n_name AS nation, t.n_customers
+         FROM graft_region r,
+         LATERAL (
+           SELECT n.n_name, count(c.c_custkey) AS n_customers
+           FROM graft_nation n JOIN graft_customer c ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_regionkey = r.r_regionkey
+           GROUP BY n.n_name
+           ORDER BY n_customers DESC, n.n_name
+           LIMIT 2
+         ) t
+         ORDER BY region, n_customers DESC, nation""")
+  }
+
   /** Customer-by-order-count distribution (the TPC-H Q13 shape): LEFT
     * join so zero-order customers survive into the histogram — the
     * double aggregation (per-customer count, then count-of-counts) is
