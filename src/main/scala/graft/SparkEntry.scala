@@ -217,6 +217,7 @@ object SparkEntry {
     "q_type_hour_mi"    -> ((s, d) => BehaviorOps.typeHourMi(s, d)),
     "q_unpivot"         -> ((s, d) => RelationalOps.statsUnpivot(s, d)),
     "q_lateral_topk"    -> ((s, d) => RelationalOps.lateralTopNations(s, d)),
+    "q_session_funnel"  -> ((s, d) => BehaviorOps.sessionFunnel(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3562,5 +3563,45 @@ object SparkEntry {
             LIMIT 2
           ) t
           ORDER BY region, n_customers DESC, nation""",
+    // gap-and-cumsum sessionization, then the ordered funnel as three
+    // chained conditional window minima over (user, session)
+    "q_session_funnel" ->
+      """WITH e AS (
+            SELECT user_id, event_type, event_id,
+              (epoch_ns(ts) // 1000) AS ts_us
+            FROM events),
+          s AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS prev_ts FROM e)),
+          s2 AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+            FROM s),
+          f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                   OVER (PARTITION BY user_id, session) AS fv FROM s2),
+          f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > fv
+                   THEN ts_us END)
+                   OVER (PARTITION BY user_id, session) AS fc FROM f1),
+          f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > fc
+                   THEN ts_us END)
+                   OVER (PARTITION BY user_id, session) AS fp FROM f2),
+          sess AS (SELECT DISTINCT user_id, session, fv, fc, fp FROM f3),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                  CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS with_view,
+                  CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS view_then_click,
+                  CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS full_funnel
+                FROM sess)
+          SELECT n_sessions, with_view, view_then_click, full_funnel,
+            round(view_then_click / CAST(nullif(with_view, 0) AS DOUBLE), 6)
+              AS click_rate,
+            round(full_funnel / CAST(nullif(view_then_click, 0) AS DOUBLE), 6)
+              AS purchase_rate
+          FROM a""",
   )
 }

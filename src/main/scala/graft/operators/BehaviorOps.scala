@@ -362,6 +362,54 @@ object BehaviorOps {
     ).orderBy(col("event_type"))
   }
 
+  /** Sessionized conversion funnel: events sessionize per user by the
+    * classic gap-and-cumsum window (a 30-minute silence starts a new
+    * session — the PER-EVENT session assignment that complements
+    * `q_window_session`'s session_window AGGREGATE), then each session
+    * runs the strictly-ordered view→click→purchase funnel via three
+    * chained conditional window minima over the SAME (user, session)
+    * partitioning — one shuffle, three window passes, no self-joins.
+    * Output is the corpus-level funnel: session counts and stage
+    * conversion rates. Ordering ties break on event_id (timestamps
+    * compare at microseconds cross-engine; nanos don't survive DuckDB).
+    */
+  def sessionFunnel(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val sessioned = e
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > gapMinutes * 60000000L, 1L).otherwise(0L))
+      .withColumn("session",
+        sum(col("new_session")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySession = Window.partitionBy(col("user_id"), col("session"))
+    val staged = sessioned
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts_us"))).over(bySession))
+      .withColumn("fc", min(when(col("event_type") === "click"
+        && col("ts_us") > col("fv"), col("ts_us"))).over(bySession))
+      .withColumn("fp", min(when(col("event_type") === "purchase"
+        && col("ts_us") > col("fc"), col("ts_us"))).over(bySession))
+      .select(col("user_id"), col("session"), col("fv"), col("fc"), col("fp"))
+      .distinct()
+    staged.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("fv").isNotNull, 1L).otherwise(0L)).as("with_view"),
+      sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("view_then_click"),
+      sum(when(col("fp").isNotNull, 1L).otherwise(0L)).as("full_funnel"),
+    ).select(
+      col("n_sessions"), col("with_view"), col("view_then_click"), col("full_funnel"),
+      round(col("view_then_click") / nullif(col("with_view"), lit(0)).cast("double"), 6)
+        .as("click_rate"),
+      round(col("full_funnel") / nullif(col("view_then_click"), lit(0)).cast("double"), 6)
+        .as("purchase_rate"),
+    )
+  }
+
   /** Mutual information between event type and hour-of-day — the
     * feature-dependence audit ("does WHEN predict WHAT"): MI(T;H) in
     * nats from the 5×24 contingency table, with the marginal entropies
