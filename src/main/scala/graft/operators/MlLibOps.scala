@@ -39,4 +39,29 @@ object MlLibOps {
       .filter(col("a_id") < col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** MLlib FP-Growth over the per-order part baskets — the library
+    * scale path for association mining, beside [[graft.operators.MlOps.assocRules]]'
+    * oracle-checked pair-join formulation the way [[minhashLshPairs]]
+    * sits beside the md5 MinHash: FP-Growth mines ALL frequent itemsets
+    * (not just pairs) from a compressed prefix tree, the right tool
+    * once itemsets beyond size 2 matter. Deterministic (counts are
+    * exact), but the itemset enumeration order is implementation-
+    * specific, so this is test-verified against the exact pair counts
+    * rather than DuckDB-oracle'd.
+    */
+  def fpGrowthItemsets(baskets: DataFrame, minSupport: Double): DataFrame = {
+    val grouped = baskets
+      .groupBy(col("o"))
+      .agg(collect_set(col("item")).as("items"))
+    val model = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(minSupport).setMinConfidence(0.0)
+      .fit(grouped)
+    model.freqItemsets
+      .select(
+        concat_ws(",",
+          transform(sort_array(col("items")), x => x.cast("string"))).as("itemset"),
+        size(col("items")).as("n_items"), col("freq"))
+      .orderBy(col("freq").desc, col("itemset"))
+  }
 }

@@ -59,6 +59,20 @@ class RobustnessSpec extends AnyFunSuite {
       "q_partitioned_scan",  // partition-pruned integer counts (+2-dp sums)
       "q_keyness_g2",        // integer grid counts; g2 from exact marginals
       "q_cms_counts",        // CMS counters: long addition commutes
+      // round-9 exact-arithmetic additions
+      "q_auc",               // rank terms are exact 0.5-multiples < 2^52
+      "q_gini",              // BIGINT rank sums, one final division
+      "q_decayed_daily",     // power-of-two integer weights
+      "q_cust_order_dist",   // integer double aggregation
+      "q_kmv_distinct",      // md5 order statistics + integer counts
+      "q_prefix_join",       // df-ranked prefixes, integer intersects
+      "q_source_overlap",    // digest counts, row-local divisions
+      "q_session_funnel",    // µs minima + integer session counts
+      "q_assoc_rules",       // integer supports; lift rank on rounded key
+      "q_weekday_anomaly",   // integer moments, row-local z
+      "q_readability",       // integer regexp counts, row-local ratios
+      "q_lateral_topk",      // integer counts through the lateral
+      "q_cluster_canonical", // integer CC labels, row-local quality
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

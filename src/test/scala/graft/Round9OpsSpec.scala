@@ -170,6 +170,27 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("FP-Growth pair itemsets match the exact self-join pair counts") {
+    import graft.operators.MlLibOps
+    val baskets = graft.model.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+      .distinct().localCheckpoint()
+    val n = baskets.select(col("o")).distinct().count()
+    // 1.5/n: MLlib's minCount = ceil(minSupport·n) lands exactly on 2
+    // regardless of float rounding (2.0/n·n could tip to 2.0000…004)
+    val fp = MlLibOps.fpGrowthItemsets(baskets, minSupport = 1.5 / n)
+      .filter(col("n_items") === 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = baskets.select(col("o"), col("item").as("a"))
+      .join(baskets.select(col("o"), col("item").as("b")), Seq("o"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .collect().map(r => s"${r.getLong(0)},${r.getLong(1)}" -> r.getLong(2)).toMap
+    assert(fp === exact) // same pairs, same exact supports
+    assert(fp.nonEmpty)
+  }
+
   test("ALS half-sweep: solved user factors satisfy the ridge identity") {
     val out = MlOps.alsRank1Step(spark, dir).collect()
     assert(out.length <= 20 && out.nonEmpty)
