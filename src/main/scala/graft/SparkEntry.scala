@@ -218,6 +218,7 @@ object SparkEntry {
     "q_unpivot"         -> ((s, d) => RelationalOps.statsUnpivot(s, d)),
     "q_lateral_topk"    -> ((s, d) => RelationalOps.lateralTopNations(s, d)),
     "q_session_funnel"  -> ((s, d) => BehaviorOps.sessionFunnel(s, d)),
+    "q_acf1"            -> ((s, d) => graft.operators.ScaleOps.acf1(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3603,5 +3604,30 @@ object SparkEntry {
             round(full_funnel / CAST(nullif(view_then_click, 0) AS DOUBLE), 6)
               AS purchase_rate
           FROM a""",
+    // lag-1 autocorrelation from exact integer sums; the mean divides
+    // once in the assembled estimator
+    "q_acf1" ->
+      """WITH daily AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT *, lead(n) OVER (PARTITION BY event_type ORDER BY day) AS next_n
+            FROM daily),
+          s AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(n) AS BIGINT) AS sx,
+              CAST(sum(n * n) AS BIGINT) AS sxx,
+              CAST(sum(CASE WHEN next_n IS NOT NULL THEN n * next_n ELSE 0 END) AS BIGINT) AS sxy,
+              CAST(sum(CASE WHEN next_n IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS sx_head,
+              CAST(sum(coalesce(next_n, 0)) AS BIGINT) AS sx_tail
+            FROM lagged GROUP BY event_type)
+          SELECT event_type, nd AS n_days,
+            round((sxy - (CAST(sx AS DOUBLE) / nd) * (sx_head + sx_tail)
+                + (nd - 1) * (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd))
+              / (sxx - 2.0 * (CAST(sx AS DOUBLE) / nd) * sx
+                + nd * (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)), 4)
+              AS acf1
+          FROM s ORDER BY event_type""",
   )
 }

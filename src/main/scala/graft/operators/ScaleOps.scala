@@ -422,4 +422,44 @@ object ScaleOps {
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Lag-1 autocorrelation of daily volume per event type — the
+    * persistence check completing the trend family (OLS slope:
+    * [[volumeTrend]]; robust slope: [[theilSen]]; level shift:
+    * [[changepoint]]): r1 near 0 says day-to-day volume is memoryless,
+    * r1 near 1 says shocks persist (and the weekly-seasonality twin is
+    * the weekday z-score). Computed from EXACT integer sums over the
+    * reduced (type, day) table — Σx, Σx², n from one aggregate; the
+    * lagged cross term Σ x_d·x_{d+1} via a per-type lead window on days
+    * — with the textbook estimator r1 = Σ(x_d−m)(x_{d+1}−m) / Σ(x−m)²
+    * expanded so every sum is integral and m = Σx/n divides once at the
+    * end.
+    */
+  def acf1(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily.withColumn("next_n", lead(col("n"), 1).over(byDay))
+    val sums = lagged.groupBy(col("event_type")).agg(
+      count(lit(1)).as("nd"),
+      sum(col("n")).as("sx"),
+      sum(col("n") * col("n")).as("sxx"),
+      sum(when(col("next_n").isNotNull, col("n") * col("next_n"))
+        .otherwise(0L)).as("sxy"),
+      sum(when(col("next_n").isNotNull, col("n")).otherwise(0L)).as("sx_head"),
+      sum(coalesce(col("next_n"), lit(0L))).as("sx_tail"),
+    )
+    // r1 = (Σxy − m(Σhead + Σtail) + (nd−1)m²) / (Σx² − 2mΣx + nd·m²)
+    val m = col("sx").cast("double") / col("nd")
+    val num = col("sxy") - m * (col("sx_head") + col("sx_tail")) +
+      (col("nd") - 1) * m * m
+    val den = col("sxx") - lit(2.0) * m * col("sx") + col("nd") * m * m
+    sums.select(
+      col("event_type"), col("nd").as("n_days"),
+      round(num / den, 4).as("acf1"),
+    ).orderBy(col("event_type"))
+  }
 }

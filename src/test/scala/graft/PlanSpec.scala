@@ -195,6 +195,7 @@ class PlanSpec extends AnyFunSuite {
       "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
       "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
       "q_ivf_ndcg",   // same composition, position-weighted scoring
+      "q_ivf_mrr",    // same composition, first-hit reciprocal rank
       "q_ivf_nprobe", // same constant sides, swept over 3 nprobe literals
       "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
       "q_kmeans_iters", // same k=8 constant centroid side, re-broadcast per iter
@@ -259,5 +260,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(RelationalOps.propsExtract(spark, dir))
     assert(p.contains("Exchange RoundRobinPartitioning"),
       s"no fan-out before JSON parse:\n$p")
+  }
+
+  test("KMV bottom-k cap pushes through WindowGroupLimit") {
+    // the rank-then-filter k-cap must plan the two-phase group limit —
+    // the k smallest hashes are selected partially BEFORE the shuffle,
+    // so the sort never sees the full distinct-key set. (The prefix
+    // join's per-token cap has the same spelling but sits behind a
+    // localCheckpoint, so its fragment isn't visible from the result
+    // plan; its cap semantics are pinned by Round9OpsSpec's capped ⊆
+    // uncapped assertion instead.)
+    val kmv = plan(graft.operators.AdvancedOps.kmvDistinctUsers(spark, dir))
+    assert(kmv.contains("WindowGroupLimit"), s"KMV k-cap not pushed:\n$kmv")
+  }
+
+  test("sessionized funnel reuses one user-keyed exchange across all windows") {
+    // sessionization partitions by user; the three funnel windows
+    // partition by (user, session). HashPartitioning(user) satisfies
+    // clustering on the superset, so the whole chain must run on a
+    // SINGLE data exchange (plus the round-robin fan-out and the final
+    // single-row aggregate's exchange).
+    val p = plan(graft.operators.BehaviorOps.sessionFunnel(spark, dir))
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(dataExchanges == 1,
+      s"expected exactly 1 hash exchange under the window chain, got $dataExchanges:\n$p")
   }
 }
