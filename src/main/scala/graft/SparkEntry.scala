@@ -219,6 +219,8 @@ object SparkEntry {
     "q_lateral_topk"    -> ((s, d) => RelationalOps.lateralTopNations(s, d)),
     "q_session_funnel"  -> ((s, d) => BehaviorOps.sessionFunnel(s, d)),
     "q_acf1"            -> ((s, d) => graft.operators.ScaleOps.acf1(s, d)),
+    "q_mean_ci"         -> ((s, d) => AdvancedOps.meanValueCi(s, d)),
+    "q_equidepth_hist"  -> ((s, d) => AdvancedOps.equidepthHist(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3629,5 +3631,31 @@ object SparkEntry {
                 + nd * (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)), 4)
               AS acf1
           FROM s ORDER BY event_type""",
+    // t-interval from mergeable moments; identical expression order
+    "q_mean_ci" ->
+      """WITH s AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              sum(value) AS sx, sum(value * value) AS sxx
+            FROM events GROUP BY event_type),
+          m AS (
+            SELECT event_type, n, sx / n AS mean,
+              sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+            FROM s)
+          SELECT event_type, n, round(mean, 4) AS mean_value,
+            round(sd, 4) AS sd,
+            round(mean - 1.96 * sd / sqrt(CAST(n AS DOUBLE)), 4) AS ci_lo,
+            round(mean + 1.96 * sd / sqrt(CAST(n AS DOUBLE)), 4) AS ci_hi
+          FROM m ORDER BY event_type""",
+    // equal-frequency deciles; ntile ties broken by event_id on both
+    // engines so the bucketing is a total order
+    "q_equidepth_hist" ->
+      """SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+            round(min(value), 2) AS lo, round(max(value), 2) AS hi
+          FROM (
+            SELECT event_type, value,
+              ntile(10) OVER (PARTITION BY event_type
+                ORDER BY value, event_id) AS decile
+            FROM events)
+          GROUP BY event_type, decile ORDER BY event_type, decile""",
   )
 }

@@ -387,6 +387,59 @@ object AdvancedOps {
       )
       .orderBy(col("event_type"))
 
+  /** 95% confidence interval for the mean value per event type, from
+    * exact integer-free moments (n, Σx, Σx² in one hash aggregate —
+    * the same mergeable-moment discipline as the weekday z-scores):
+    * half-width = 1.96·s/√n with the sample (n−1) variance. At 100 TB
+    * a CI is the difference between "the dashboard number moved" and
+    * "the dashboard number moved SIGNIFICANTLY"; computing it from
+    * mergeable sums means the same statistic falls out of incremental
+    * partials for free. Values are 2-dp currency-like doubles whose
+    * sums are stable to far beyond the rounded output precision.
+    */
+  def meanValueCi(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
+        sum(col("value") * col("value")).as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1)))
+      .withColumn("half", lit(1.96) * col("sd") / sqrt(col("n").cast("double")))
+      .select(
+        col("event_type"), col("n"),
+        round(col("mean"), 4).as("mean_value"),
+        round(col("sd"), 4).as("sd"),
+        round(col("mean") - col("half"), 4).as("ci_lo"),
+        round(col("mean") + col("half"), 4).as("ci_hi"),
+      )
+      .orderBy(col("event_type"))
+
+  /** Equi-depth (equal-frequency) histogram of value per event type:
+    * ntile(10) assigns every row to a decile — ties broken by event_id
+    * so the bucketing is total-ordered and deterministic — then one
+    * hash aggregate per (type, decile) emits count and the exact value
+    * boundaries. Equi-depth is the histogram query optimizers and
+    * drift monitors actually want (equal-width buckets starve on
+    * skewed data); the per-group sort is the unavoidable cost and the
+    * only shuffle.
+    */
+  def equidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"),
+      )
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   /** KMV (k-minimum-values) distinct sketch per event type, k=64: keep
     * the k smallest values of a uniform content hash over the distinct
     * keys; the k-th smallest order statistic U_(k) estimates the
