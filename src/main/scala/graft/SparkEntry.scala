@@ -221,6 +221,8 @@ object SparkEntry {
     "q_acf1"            -> ((s, d) => graft.operators.ScaleOps.acf1(s, d)),
     "q_mean_ci"         -> ((s, d) => AdvancedOps.meanValueCi(s, d)),
     "q_equidepth_hist"  -> ((s, d) => AdvancedOps.equidepthHist(s, d)),
+    "q_hard_negatives"  -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
+    "q_leakage_split"   -> ((s, d) => graft.operators.GraphOps.leakageFreeSplit(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3657,5 +3659,100 @@ object SparkEntry {
                 ORDER BY value, event_id) AS decile
             FROM events)
           GROUP BY event_type, decile ORDER BY event_type, decile""",
+    // top-3 most-similar DIFFERENT-label vectors per probe — the
+    // contrastive hard-negative miner on the constant-probe skeleton
+    "q_hard_negatives" ->
+      """WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+              sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                x -> x * x))) AS nv
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nv AS nq
+                FROM e WHERE vec_id >= 10 AND vec_id < 15)
+          SELECT q_id, q_label, rn, neg_id, neg_label, cosine FROM (
+            SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]))
+                / (nv * nq), 6) AS cosine,
+              row_number() OVER (PARTITION BY q.q_id ORDER BY
+                round(list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)]))
+                  / (nv * nq), 6) DESC, e.vec_id) AS rn
+            FROM e JOIN q ON e.vec_id <> q.q_id AND e.label <> q.q_label)
+          WHERE rn <= 3 ORDER BY q_id, rn""",
+    // cluster-aware split: near-dup components inherit ONE group key so
+    // no cluster straddles a split; same thresholds as q_hash_split
+    "q_leakage_split" ->
+      """WITH RECURSIVE
+          tok AS (
+            SELECT DISTINCT doc_id, t FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+            WHERE t <> ''),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          pairs AS (
+            SELECT a_id, b_id FROM (
+              SELECT a_id, b_id,
+                round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                  CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
+                       THEN 1
+                       ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
+                  6) AS jaccard
+              FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+            WHERE jaccard >= 0.1),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+          comp AS (
+            SELECT node, min(label) AS component FROM reach GROUP BY node),
+          docs AS (
+            SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS group_key,
+              comp.node IS NOT NULL AS clustered
+            FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+          s AS (
+            SELECT CASE
+                WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1) <= 'b'
+                  THEN 'train'
+                WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1) IN ('c', 'd')
+                  THEN 'val'
+                ELSE 'test' END AS split,
+              clustered, group_key
+            FROM docs)
+          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+              AS clustered_docs,
+            CAST(count(DISTINCT CASE WHEN clustered THEN group_key END) AS BIGINT)
+              AS n_clusters
+          FROM s GROUP BY split ORDER BY split""",
   )
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.model.Tables
+
 /** Graph post-processing for dedup pipelines: candidate PAIRS (from
   * MinHash bands, cosine thresholds, …) become duplicate GROUPS via
   * connected components. Two interchangeable implementations, both
@@ -313,5 +315,40 @@ object GraphOps {
         (count(lit(1)) - 1).as("n_dropped"),
       )
       .orderBy(col("component"))
+  }
+
+  /** Leakage-free train/val/test split: hash-splitting DOCUMENTS leaks
+    * near-duplicate content across splits (a doc and its near-dup land
+    * in train and test, and the eval is contaminated); the fix is to
+    * split by near-dup CLUSTER — every document inherits its component
+    * label (its own id when unclustered) and the md5 split decision is
+    * content-addressed on that GROUP key, so a whole cluster moves as
+    * one unit. Same split thresholds as the per-doc `q_hash_split`
+    * (a..b → train, c..d → val, else test). Output is the per-split
+    * census with the leakage audit columns: because clusters are
+    * indivisible under the group key, Σ n_clusters across splits equals
+    * the total cluster count (spec-pinned) — the identity a per-doc
+    * split violates whenever a cluster straddles a boundary.
+    */
+  def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val comp = connectedComponentsStar(
+      DedupOps.bucketedJaccard(spark, dir).select(col("a_id"), col("b_id")),
+      "a_id", "b_id")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("group_key"),
+        col("component").isNotNull.as("clustered"))
+    val h = substring(md5(col("group_key").cast("string")), 1, 1)
+    docs
+      .withColumn("split",
+        when(h <= "b", "train").when(h.isin("c", "d"), "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("clustered"), 1L).otherwise(0L)).as("clustered_docs"),
+        countDistinct(when(col("clustered"), col("group_key"))).as("n_clusters"),
+      )
+      .orderBy(col("split"))
   }
 }

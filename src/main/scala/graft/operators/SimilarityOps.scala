@@ -206,6 +206,34 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
+  /** Hard-negative mining for metric learning: for each probe vector,
+    * the top-3 most-similar vectors with a DIFFERENT label — the
+    * near-miss impostors a contrastive/triplet objective needs (random
+    * negatives are trivially far; the hard ones sit just across the
+    * boundary). Same constant-probe skeleton as the ANN audits (5
+    * broadcast queries against the corpus scan, per-query rank window);
+    * the label inequality is a residual predicate on the broadcast
+    * join, not a new join shape. At 100 TB the probe side is the
+    * training batch — constant-bounded by construction.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = embDouble(spark, dir) // carries (vec_id, label, v)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nv").as("nq"), col("label").as("q_label"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cosine", round(
+        dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("q_label"), col("rn"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"), col("cosine"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** MRR@k of the IVF list — the third retrieval-quality audit beside
     * recall ([[ivfRecall]]) and NDCG ([[ivfNdcg]]): the reciprocal rank
     * of the FIRST exact-top-k hit in each query's IVF answer, 0 when the

@@ -170,6 +170,30 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-free split: clusters are indivisible and docs conserved") {
+    val rows = GraphOps.leakageFreeSplit(spark, dir).collect()
+    val totalDocs = graft.model.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum === totalDocs)
+    // a cluster lives in exactly one split: per-split distinct-cluster
+    // counts add up to the global cluster count (straddling would
+    // double-count)
+    val totalClusters = GraphOps.clusterCanonical(spark, dir).count()
+    assert(rows.map(_.getLong(3)).sum === totalClusters)
+  }
+
+  test("hard negatives never share the probe's label and rank by cosine") {
+    val rows = SimilarityOps.hardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, group) =>
+      val sorted = group.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to sorted.length))
+      // cosines non-increasing down the rank
+      val cos = sorted.map(_.getDouble(5)).toSeq
+      assert(cos === cos.sorted.reverse)
+      group.foreach(r => assert(r.getInt(1) !== r.getInt(4)))
+    }
+  }
+
   test("FP-Growth pair itemsets match the exact self-join pair counts") {
     import graft.operators.MlLibOps
     val baskets = graft.model.Tables.lineitem(spark, dir)
