@@ -223,6 +223,7 @@ object SparkEntry {
     "q_equidepth_hist"  -> ((s, d) => AdvancedOps.equidepthHist(s, d)),
     "q_hard_negatives"  -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "q_leakage_split"   -> ((s, d) => graft.operators.GraphOps.leakageFreeSplit(s, d)),
+    "q_inverted_index"  -> ((s, d) => MlOps.invertedIndex(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3754,5 +3755,27 @@ object SparkEntry {
             CAST(count(DISTINCT CASE WHEN clustered THEN group_key END) AS BIGINT)
               AS n_clusters
           FROM s GROUP BY split ORDER BY split""",
+    // index build: top-df terms, capped sorted posting lists as csv
+    "q_inverted_index" ->
+      """WITH dt AS (
+            SELECT DISTINCT doc_id, t AS term FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+            WHERE t <> ''),
+          top AS (
+            SELECT term, df FROM (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+              FROM dt GROUP BY term)
+            WHERE rk <= 20),
+          capped AS (
+            SELECT term, df, doc_id FROM (
+              SELECT dt.term, top.df, dt.doc_id,
+                row_number() OVER (PARTITION BY dt.term ORDER BY dt.doc_id) AS rn
+              FROM dt JOIN top USING (term))
+            WHERE rn <= 10)
+          SELECT term, df,
+            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          FROM capped GROUP BY term, df
+          ORDER BY df DESC, term""",
   )
 }

@@ -654,6 +654,34 @@ object MlOps {
     * Output: the top 20 items by learned factor (rank window), with the
     * support counts that explain them.
     */
+  /** Inverted-index construction: per-term posting lists for the top
+    * `topTerms` document-frequency terms, each list capped to its first
+    * `cap` doc ids — the index-build stage of a search/retrieval
+    * pipeline expressed as a query. Shape: the (doc, term) explode is
+    * the corpus pass; postings shuffle keyed by TERM (the index key,
+    * exactly how a distributed index partitions); the per-term cap is a
+    * rank-filter (WindowGroupLimit) so no reducer ever buffers a full
+    * stopword posting list — the skew guard an uncapped collect_list
+    * lacks. Lists render as csv of sorted ids (array cells don't
+    * hash-compare cross-engine).
+    */
+  def invertedIndex(spark: SparkSession, dir: String,
+      topTerms: Int = 20, cap: Int = 10): DataFrame = {
+    val dt = docTerms(spark, dir).distinct().localCheckpoint() // df + postings
+    val top = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val byDf = Window.orderBy(col("df").desc, col("term"))
+    val kept = top.withColumn("rk", row_number().over(byDf))
+      .filter(col("rk") <= topTerms)
+    val byDoc = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    dt.join(Tables.maybeBroadcast(kept), Seq("term"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= cap)
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
   /** Market-basket association rules over co-ordered parts: support,
     * directional confidence, and lift for every part pair appearing in
     * ≥ `minPairs` orders. The pair space never materializes globally —
