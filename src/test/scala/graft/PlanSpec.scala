@@ -196,6 +196,7 @@ class PlanSpec extends AnyFunSuite {
       "q_ivf_recall", // composes q_ivf_topk + the same 5-query exact rank
       "q_ivf_ndcg",   // same composition, position-weighted scoring
       "q_ivf_mrr",    // same composition, first-hit reciprocal rank
+      "q_hard_negatives", // same 5-probe broadcast, label-inequality residual
       "q_ivf_nprobe", // same constant sides, swept over 3 nprobe literals
       "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
       "q_kmeans_iters", // same k=8 constant centroid side, re-broadcast per iter
