@@ -224,6 +224,7 @@ object SparkEntry {
     "q_hard_negatives"  -> ((s, d) => SimilarityOps.hardNegatives(s, d)),
     "q_leakage_split"   -> ((s, d) => graft.operators.GraphOps.leakageFreeSplit(s, d)),
     "q_inverted_index"  -> ((s, d) => MlOps.invertedIndex(s, d)),
+    "q_dense_calendar"  -> ((s, d) => graft.operators.ScaleOps.denseCalendar(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3777,5 +3778,28 @@ object SparkEntry {
             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
           FROM capped GROUP BY term, df
           ORDER BY df DESC, term""",
+    // calendar spine gap fill: zeros materialize missing days, DoD
+    // deltas computed over the DENSE series
+    "q_dense_calendar" ->
+      """WITH daily AS (
+            SELECT event_type, ((epoch_ns(ts) // 1000) // 86400000000) AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          spine AS (
+            SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY event_type)),
+          dense AS (
+            SELECT s.event_type, s.day, coalesce(d.n, 0) AS n
+            FROM spine s LEFT JOIN daily d
+              ON s.event_type = d.event_type AND s.day = d.day),
+          lagged AS (
+            SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+            FROM dense)
+          SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+            CAST(n - prev_n AS BIGINT) AS dod_delta,
+            round(CASE WHEN prev_n > 0
+              THEN (n - prev_n) / CAST(prev_n AS DOUBLE) END, 4) AS dod_pct
+          FROM lagged ORDER BY event_type, day""",
   )
 }

@@ -423,6 +423,41 @@ object ScaleOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dense-calendar gap fill with day-over-day change: sparse daily
+    * counts joined onto the FULL calendar spine (sequence over each
+    * type's observed [min, max] day range, exploded) so missing days
+    * materialize as explicit zeros — the repair every time-series
+    * consumer (trend fits, changepoints, dashboards) silently assumes;
+    * a lag window over the dense series then yields day-over-day deltas
+    * that are correct ACROSS gaps (on the sparse table, lag() compares
+    * to the previous OBSERVED day and hides the outage the zero row
+    * exposes). The spine is types × days rows built from a 2-row-per-
+    * type aggregate — never event-scale; the join back is keyed on
+    * (type, day).
+    */
+  def denseCalendar(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the spine bounds AND the fill join
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("prev_n", lag(col("n"), 1).over(byDay))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("n") - col("prev_n")).as("dod_delta"),
+        round(when(col("prev_n") > 0,
+          (col("n") - col("prev_n")) / col("prev_n").cast("double")), 4)
+          .as("dod_pct"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Lag-1 autocorrelation of daily volume per event type — the
     * persistence check completing the trend family (OLS slope:
     * [[volumeTrend]]; robust slope: [[theilSen]]; level shift:

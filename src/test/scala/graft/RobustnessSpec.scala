@@ -73,6 +73,10 @@ class RobustnessSpec extends AnyFunSuite {
       "q_readability",       // integer regexp counts, row-local ratios
       "q_lateral_topk",      // integer counts through the lateral
       "q_cluster_canonical", // integer CC labels, row-local quality
+      "q_acf1",              // integer moments, row-local estimator
+      "q_dense_calendar",    // spine join + integer deltas
+      "q_equidepth_hist",    // total-ordered ntile, exact boundaries
+      "q_inverted_index",    // integer df ranks + sorted posting csv
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
