@@ -184,6 +184,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // The row-level sibling of DPP: when the dimension side of a shuffle
+    // join is selective, Spark builds a bloom filter over its join keys
+    // at runtime and pushes might_contain into the FACT side — fact rows
+    // whose key can't match die before the exchange. At 100 TB this is
+    // the difference between shuffling the whole fact table and
+    // shuffling the matching sliver; thresholds are lowered so toy-scale
+    // stats trip the same machinery.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    )
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join
+      val fact = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val dim = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective build side
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
     // The registry-wide scale invariant: every pairwise stage must be
     // keyed (equi-join) so its cost is bounded by collisions, never by
