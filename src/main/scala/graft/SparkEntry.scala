@@ -225,6 +225,7 @@ object SparkEntry {
     "q_leakage_split"   -> ((s, d) => graft.operators.GraphOps.leakageFreeSplit(s, d)),
     "q_inverted_index"  -> ((s, d) => MlOps.invertedIndex(s, d)),
     "q_dense_calendar"  -> ((s, d) => graft.operators.ScaleOps.denseCalendar(s, d)),
+    "q_rfm_segments"    -> ((s, d) => BehaviorOps.rfmSegments(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3801,5 +3802,24 @@ object SparkEntry {
             round(CASE WHEN prev_n > 0
               THEN (n - prev_n) / CAST(prev_n AS DOUBLE) END, 4) AS dod_pct
           FROM lagged ORDER BY event_type, day""",
+    // RFM quintiles on the per-user aggregate; monetary ranks on the
+    // ROUNDED sum so a quintile boundary can't flip on ulp drift
+    "q_rfm_segments" ->
+      """WITH pu AS (
+            SELECT user_id,
+              CAST(max((epoch_ns(ts) // 1000) // 86400000000) AS BIGINT) AS last_day,
+              CAST(count(*) AS BIGINT) AS freq,
+              CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+            FROM events GROUP BY user_id),
+          s AS (
+            SELECT *,
+              ntile(5) OVER (ORDER BY last_day DESC, user_id) AS r_score,
+              ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+              ntile(5) OVER (ORDER BY cents DESC, user_id) AS m_score
+            FROM pu)
+          SELECT r_score, f_score, m_score,
+            CAST(count(*) AS BIGINT) AS n_users,
+            round(sum(cents) / (count(*) * 100.0), 2) AS avg_monetary
+          FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
   )
 }

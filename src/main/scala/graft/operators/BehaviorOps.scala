@@ -362,6 +362,41 @@ object BehaviorOps {
     ).orderBy(col("event_type"))
   }
 
+  /** RFM segmentation — the classic CRM triple: per user, Recency (last
+    * active day), Frequency (event count) and Monetary (summed value),
+    * each quintile-scored 1..5 (1 = best) with deterministic total
+    * orders (user_id tie-break; the monetary rank keys on the ROUNDED
+    * sum so ulp drift can't flip a quintile boundary). Output is the
+    * segment census: one row per observed (r, f, m) cell with its
+    * population and average spend. The quintile windows run on the
+    * per-USER aggregate — the reduced table, users ≪ events — which is
+    * what makes the global ntile affordable; the event-scale work is
+    * one hash aggregate.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // monetary lives in exact integer CENTS from the first aggregate on:
+    // ranking and averaging 2-dp doubles would land on half-cent
+    // boundaries where the engines' double sums disagree by one ulp
+    val perUser = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+    val scored = perUser
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("last_day").desc, col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("cents")) / (count(lit(1)) * 100.0), 2).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** Sessionized conversion funnel: events sessionize per user by the
     * classic gap-and-cumsum window (a 30-minute silence starts a new
     * session — the PER-EVENT session assignment that complements
