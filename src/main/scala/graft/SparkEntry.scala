@@ -195,7 +195,7 @@ object SparkEntry {
     "q_domain_reweight" -> ((s, d) => graft.operators.DivergenceOps.domainReweight(s, d)),
     "q_write_files_audit" -> ((s, d) => graft.operators.ScaleOps.writeFilesAudit(s, d)),
     "q_cms_counts"      -> ((s, d) => cmsCountsQuery(s, d)),
-    "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnion(s, d)),
+    "q_hll_union"       -> ((s, d) => graft.operators.ScaleOps.hllUnionAudit(s, d)),
     "q_consistent_sample" -> ((s, d) => graft.operators.ScaleOps.consistentSample(s, d)),
     "q_volume_trend"    -> ((s, d) => graft.operators.ScaleOps.volumeTrend(s, d)),
     "q_changepoint"     -> ((s, d) => graft.operators.ScaleOps.changepoint(s, d)),
@@ -251,29 +251,69 @@ object SparkEntry {
   /** Queries with no DuckDB oracle (estimates are implementation-
     * specific); the driver records a rows-only check for these. */
   val oracleFreeQueries: Set[String] =
-    Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles",
-      "q_cms_counts", "q_hll_union")
+    Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles")
 
   /** Count-Min point-count estimates per source over a fixed probe
     * list — the 4th sketch (cardinality/HLL++, heavy hitters/Misra–
-    * Gries, quantiles/GK, point counts/CMS). Oracle-free: the seeded
-    * row hashes have no SQL twin; `CountMinAggSpec` pins the
-    * never-undercount bound against exact counts and the sketch is in
-    * the partition-invariance family (counter addition commutes). */
-  private def cmsCountsQuery(spark: SparkSession, dir: String): DataFrame = {
+    * Gries, quantiles/GK, point counts/CMS). The seeded row hashes have
+    * no SQL twin; `CountMinAggSpec` pins the never-undercount bound
+    * against exact counts and the sketch is in the partition-invariance
+    * family (counter addition commutes). Raw estimates — the
+    * oracle-facing audit is [[cmsCountsQuery]]. */
+  private[graft] def cmsCountsRaw(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val probes = array(
-      Seq("a", "data", "fast", "query", "row", "table", "the", "value")
-        .map(lit): _*)
+    val probes = array(cmsProbeTerms.map(lit): _*)
     Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("source"))
-      .agg(call_function("cms_counts", col("term"), probes).as("ests"))
-      .select(col("source"), explode(col("ests")).as("pair"))
+      .agg(call_function("cms_counts", col("term"), probes).as("ests"),
+        count(lit(1)).as("n_terms"))
+      .select(col("source"), col("n_terms"), explode(col("ests")).as("pair"))
       .select(col("source"),
         split(col("pair"), ":").getItem(0).as("term"),
+        split(col("pair"), ":").getItem(1).cast("long").as("cms_est"),
+        col("n_terms"))
+  }
+
+  private[graft] val cmsProbeTerms =
+    Seq("a", "data", "fast", "query", "row", "table", "the", "value")
+
+  /** Oracle-facing CMS audit: the exact per-(source, probe) count (the
+    * DuckDB-computable half) plus the REALIZED sketch guarantee as a
+    * boolean — est ≥ exact (CMS never undercounts) and est ≤ exact +
+    * ⌈εN⌉ with ε = 0.05 ≳ e/width for the 4×64 sketch. The estimate is
+    * deterministic over fixed data (seeded hashes), so the flag is too,
+    * and the driver hash-compares rows+schema instead of recording
+    * `no_oracle`. Raw estimates via [[cmsCountsRaw]] (spec-pinned).
+    */
+  private def cmsCountsQuery(spark: SparkSession, dir: String): DataFrame = {
+    // one tokenize+explode pass feeds both the sketch and the exact
+    // counts (the cached-feature discipline; the frame is the same one
+    // cmsCountsRaw aggregates)
+    val terms = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .localCheckpoint()
+    graft.functions.GraftFunctions.register(spark)
+    val probes = array(cmsProbeTerms.map(lit): _*)
+    val ests = terms.groupBy(col("source"))
+      .agg(call_function("cms_counts", col("term"), probes).as("ests"),
+        count(lit(1)).as("n_terms"))
+      .select(col("source"), col("n_terms"), explode(col("ests")).as("pair"))
+      .select(col("source"), col("n_terms"),
+        split(col("pair"), ":").getItem(0).as("term"),
         split(col("pair"), ":").getItem(1).cast("long").as("cms_est"))
+    val exact = terms.filter(col("term").isin(cmsProbeTerms: _*))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("exact_n"))
+    ests.join(exact, Seq("source", "term"), "left")
+      .withColumn("exact_n", coalesce(col("exact_n"), lit(0L)))
+      .withColumn("cms_ok",
+        col("cms_est") >= col("exact_n") &&
+          col("cms_est") <= col("exact_n")
+            + ceil(col("n_terms") * lit(0.05)).cast("long"))
+      .select(col("source"), col("term"), col("exact_n"), col("cms_ok"))
       .orderBy(col("source"), col("term"))
   }
 
@@ -2168,8 +2208,9 @@ object SparkEntry {
           SELECT iter, cell, n_vectors, inertia
           FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
           ORDER BY iter, cell""",
-    // the corpus is ASCII, so byte offsets == char offsets and DuckDB can
-    // frame the VARCHAR where Spark frames the BINARY payload
+    // the corpus is ASCII, so byte offsets == char offsets — here and in
+    // q_frame_sample below, DuckDB's ord()/substring over the VARCHAR
+    // sees exactly the bytes Spark's kernels see in the BINARY payload.
     // content-defined chunking: cut after 1-based position i (4 <= i < n)
     // when the last-4-byte rolling sum is 0 mod 64 — the exact contract
     // of the native chunk_split kernel; chunks never empty
@@ -3157,6 +3198,28 @@ object SparkEntry {
           FROM h ORDER BY fanout""",
     // weekly-from-daily-partials must equal weekly-from-raw — the
     // mergeable-aggregate contract itself
+    // sketch audits: DuckDB computes the exact half; the realized error
+    // bound is a deterministic boolean (seeded sketches, fixed data) and
+    // is asserted `true` by construction on the oracle side
+    "q_cms_counts" ->
+      """WITH t AS (
+            SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+          tt AS (SELECT source, term FROM t WHERE term <> ''),
+          src AS (SELECT DISTINCT source FROM tt),
+          probes AS (SELECT unnest(
+            ['a','data','fast','query','row','table','the','value']) AS term)
+          SELECT s.source, p.term,
+            CAST(coalesce(cnt.n, 0) AS BIGINT) AS exact_n, true AS cms_ok
+          FROM src s CROSS JOIN probes p
+          LEFT JOIN (SELECT source, term, count(*) AS n FROM tt GROUP BY 1, 2) cnt
+            ON cnt.source = s.source AND cnt.term = p.term
+          ORDER BY s.source, p.term""",
+    "q_hll_union" ->
+      """SELECT event_type,
+            CAST((epoch_ns(ts) // 1000) // 86400000000 AS BIGINT) AS day,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+            true AS hll_ok
+          FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
     "q_reagg_rollup" ->
       """WITH e AS (
             SELECT event_type,

@@ -60,7 +60,12 @@ case class ChunkSplit(child: Expression)
   }
 
   private def md5hex(b: Array[Byte], off: Int, len: Int): UTF8String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // one digest instance per thread, reset per chunk: mean chunk is
+    // ~64 bytes, so a getInstance() per chunk would dominate the O(n)
+    // byte walk with allocation (the expression object is shared across
+    // tasks via the codegen references array, hence thread-local)
+    val md = ChunkSplit.digests.get()
+    md.reset()
     md.update(b, off, len)
     val digest = md.digest()
     val hex = new java.lang.StringBuilder(32)
@@ -81,4 +86,9 @@ case class ChunkSplit(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): ChunkSplit =
     copy(child = newChild)
+}
+
+object ChunkSplit {
+  private[expr] val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }

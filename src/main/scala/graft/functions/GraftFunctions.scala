@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{ChunkSplit, CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
+import graft.expr.{ByteStats, ChunkSplit, CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -76,6 +76,11 @@ object GraftFunctions {
     ChunkSplit(exprs.head)
   }
 
+  private[functions] val byteStatsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "byte_stats expects exactly one argument")
+    ByteStats(exprs.head)
+  }
+
   // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
   // runtime-filter rewrite but keeps them off the SQL search path;
   // expose both so the Bloom prefilter pattern is writable as plain
@@ -119,6 +124,8 @@ object GraftFunctions {
       "cms_counts", cmsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "chunk_split", chunkSplitBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_stats", byteStatsBuilder, "built-in")
   }
 }
 
@@ -159,6 +166,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("chunk_split"),
       new ExpressionInfo(classOf[ChunkSplit].getName, "chunk_split"),
       GraftFunctions.chunkSplitBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("byte_stats"),
+      new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+      GraftFunctions.byteStatsBuilder,
     ))
     ext.injectFunction((
       FunctionIdentifier("top_k_values"),

@@ -362,19 +362,73 @@ object BehaviorOps {
     ).orderBy(col("event_type"))
   }
 
+  /** Exact distributed ntile(k): bit-identical to `ntile(k) OVER (ORDER
+    * BY order…)` but with NO unpartitioned window. The order must be a
+    * TOTAL order (distinct keys), which every caller guarantees with a
+    * unique-id tie-break. Mechanics: range-partition on the order keys
+    * (a parallel range shuffle — global sort order across partitions,
+    * no single-partition sink), count rows per range bucket (≤
+    * shuffle.partitions rows — cumulated by a triangular self-join over
+    * that bounded frame, so NO window in the plan lacks a partition
+    * spec), broadcast the cumulative offsets back, and
+    * reconstruct the exact global row number as offset +
+    * row_number-within-bucket. The tile is then pure arithmetic in
+    * (rn, n): ntile gives the first n%k tiles ⌈n/k⌉ rows and the rest
+    * ⌊n/k⌋, so the bucket boundary is a closed form, not a sort.
+    */
+  private def distributedNtile(df: DataFrame, k: Int, tileCol: String)(
+      order: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucketed = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val counts = bucketed.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    // cumulative offsets + grand total over the ≤`parts`-row counts
+    // frame with NO window node and NO non-equi join (both would trip
+    // the plan invariants — an unpartitioned Window or a BNLJ — even on
+    // a provably bounded frame): explode each bucket count to every
+    // bucket id (≤parts² tiny rows) and hash-aggregate the conditional
+    // sums. The only single-task structure left is the broadcast of
+    // `parts` rows back onto the ranged data.
+    val offsets = counts
+      .select(col("_pid").as("_q"), col("_cnt"))
+      .select(explode(sequence(lit(0), lit(parts - 1))).as("_pid"),
+        col("_q"), col("_cnt"))
+      .groupBy(col("_pid"))
+      .agg(
+        sum(when(col("_q") < col("_pid"), col("_cnt")).otherwise(lit(0L)))
+          .as("_off"),
+        sum(col("_cnt")).as("_n"))
+    // CASE is lazily evaluated, so the `div (_n div k)` in the ELSE arm
+    // can't divide by zero: when n < k every row satisfies the THEN
+    // branch (cut = n·1 ≥ rn)
+    val tileExpr =
+      s"""CAST(CASE
+            WHEN _rn <= (_n % $k) * (_n div $k + 1)
+              THEN (_rn - 1) div (_n div $k + 1) + 1
+            ELSE (_n % $k) + (_rn - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1
+          END AS INT)"""
+    bucketed.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_pid")).orderBy(order: _*))
+          + col("_off"))
+      .withColumn(tileCol, expr(tileExpr))
+      .drop("_pid", "_off", "_n", "_rn")
+  }
+
   /** RFM segmentation — the classic CRM triple: per user, Recency (last
     * active day), Frequency (event count) and Monetary (summed value),
     * each quintile-scored 1..5 (1 = best) with deterministic total
     * orders (user_id tie-break; the monetary rank keys on the ROUNDED
     * sum so ulp drift can't flip a quintile boundary). Output is the
     * segment census: one row per observed (r, f, m) cell with its
-    * population and average spend. The quintile windows run on the
-    * per-USER aggregate — the reduced table, users ≪ events — which is
-    * what makes the global ntile affordable; the event-scale work is
-    * one hash aggregate.
+    * population and average spend. The quintile scoring is
+    * [[distributedNtile]] — exactly `ntile(5)` semantics, but each
+    * metric costs one parallel range shuffle + one bucket-partitioned
+    * window instead of a single-partition global sort, so the per-user
+    * table (~10⁹ rows at 100 TB) never funnels through one task.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // monetary lives in exact integer CENTS from the first aggregate on:
     // ranking and averaging 2-dp doubles would land on half-cent
     // boundaries where the engines' double sums disagree by one ulp
@@ -384,13 +438,13 @@ object BehaviorOps {
       .groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
         round(sum(col("value")) * 100, 0).cast("long").as("cents"))
-    val scored = perUser
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("last_day").desc, col("user_id"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id"))))
+    val scored = Seq(
+      ("r_score", Seq(col("last_day").desc, col("user_id"))),
+      ("f_score", Seq(col("freq").desc, col("user_id"))),
+      ("m_score", Seq(col("cents").desc, col("user_id"))),
+    ).foldLeft(perUser) { case (df, (name, keys)) =>
+      distributedNtile(df, 5, name)(keys: _*)
+    }
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"),
         round(sum(col("cents")) / (count(lit(1)) * 100.0), 2).as("avg_monetary"))

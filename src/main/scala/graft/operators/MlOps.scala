@@ -669,9 +669,11 @@ object MlOps {
       topTerms: Int = 20, cap: Int = 10): DataFrame = {
     val dt = docTerms(spark, dir).distinct().localCheckpoint() // df + postings
     val top = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val byDf = Window.orderBy(col("df").desc, col("term"))
-    val kept = top.withColumn("rk", row_number().over(byDf))
-      .filter(col("rk") <= topTerms)
+    // top-terms cut as sort+limit (TakeOrderedAndProject — per-partition
+    // heaps + merge of ≤topTerms rows each), NOT a global rank window:
+    // the df table is vocab-sized, and a windowed rank would funnel all
+    // of it through one task before the cliff filter
+    val kept = top.orderBy(col("df").desc, col("term")).limit(topTerms)
     val byDoc = Window.partitionBy(col("term")).orderBy(col("doc_id"))
     dt.join(Tables.maybeBroadcast(kept), Seq("term"))
       .withColumn("rn", row_number().over(byDoc))
@@ -716,9 +718,12 @@ object MlOps {
       .withColumn("conf_ba", round(col("c_ab") / col("c_b").cast("double"), 6))
       .withColumn("lift", round(col("c_ab") * lit(nOrders) /
         (col("c_a") * col("c_b")).cast("double"), 6))
+    // the top-50 cliff is sort+limit FIRST (TakeOrderedAndProject, no
+    // global-rank funnel of the whole pair table through one task);
+    // only the ≤50 survivors see the rank window that materializes `rk`
     val byLift = Window.orderBy(col("lift").desc, col("a_item"), col("b_item"))
-    scored.withColumn("rk", row_number().over(byLift))
-      .filter(col("rk") <= 50)
+    scored.orderBy(col("lift").desc, col("a_item"), col("b_item")).limit(50)
+      .withColumn("rk", row_number().over(byLift))
       .select(col("rk"), col("a_item"), col("b_item"), col("c_ab"),
         col("c_a"), col("c_b"), col("conf_ab"), col("conf_ba"), col("lift"))
       .orderBy(col("rk"))
@@ -744,12 +749,15 @@ object MlOps {
       )
     // rank on the ROUNDED factor (item tie-break): raw double sums can
     // differ at ulp level cross-engine, and a rank cliff on an unrounded
-    // key would flip membership of the top-20 between engines
+    // key would flip membership of the top-20 between engines. The cliff
+    // itself is sort+limit (TakeOrderedAndProject) so the item-factor
+    // table never funnels through a single-partition rank window; only
+    // the ≤20 survivors get `rk` materialized
     val byFactor = Window.orderBy(col("v_factor").desc, col("item"))
     items
       .withColumn("v_factor", round(col("v"), 6))
+      .orderBy(col("v_factor").desc, col("item")).limit(20)
       .withColumn("rk", row_number().over(byFactor))
-      .filter(col("rk") <= 20)
       .select(col("rk"), col("item"), col("n_ratings"), col("sum_r"), col("v_factor"))
       .orderBy(col("rk"))
   }

@@ -33,11 +33,35 @@ object MultimodalOps {
       ).as("media_meta"),
     )
 
-  /** Batch "decode" over payload bytes: one pass per partition, rows
-    * processed as an iterator (never materialized wholesale), emitting a
-    * narrow typed feature row per payload.
+  /** "Decode" over payload bytes via the native [[graft.expr.ByteStats]]
+    * expression: one codegen'd O(n) byte walk per row, inside the scan's
+    * whole-stage-codegen span — no iterator bridge, no row
+    * deserialization, which is why this is the primary path (the
+    * expression preference the engine applies everywhere: native
+    * `Expression` > typed map). The feature struct is the only thing the
+    * operator emits; payload bytes never leave their scan task.
     */
   def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    withPayload(Tables.fanOut(Tables.documents(spark, dir)))
+      .select(col("doc_id"),
+        call_function("byte_stats", col("payload")).as("bs"))
+      .select(col("doc_id"), col("bs.n_bytes").as("n_bytes"),
+        col("bs.mean_byte").as("mean_byte"), col("bs.max_byte").as("max_byte"),
+        col("bs.min_byte").as("min_byte"))
+      .as[MediaFeatures]
+  }
+
+  /** The batched-iterator decoder contract, kept as the documented
+    * alternative for decoders that genuinely need imperative per-batch
+    * state (codec contexts, pinned buffers — what `mapInPandas` does for
+    * Python codecs): rows stream through as an iterator, never
+    * materialized wholesale. Bit-identical output to [[extractFeatures]]
+    * (spec-asserted); prefer the expression path when the kernel is a
+    * pure per-row function.
+    */
+  def extractFeaturesBatched(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     withPayload(Tables.fanOut(Tables.documents(spark, dir)))
       .select(col("doc_id"), col("payload"))

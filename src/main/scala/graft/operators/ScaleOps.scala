@@ -12,6 +12,19 @@ import graft.model.Tables
   */
 object ScaleOps {
 
+  /** Per-app scratch namespace for the side-effecting queries (write
+    * audit, partitioned/bucketed layouts): two drivers running
+    * concurrently — a bench alongside a verify, or two sessions — must
+    * not race each other's `mode(overwrite)` on a shared path or global
+    * table name, so every output path and table is suffixed with the
+    * Spark applicationId. */
+  private def scratchTag(spark: SparkSession): String =
+    spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def scratchPath(spark: SparkSession, name: String): String =
+    new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_${scratchTag(spark)}/$name").getPath
+
   /** Two-phase salted aggregation: when one group key dominates (skew),
     * pre-aggregate on (key, salt) so the hot key spreads over `salts`
     * reducers, then combine partials per key. Result is identical to the
@@ -106,8 +119,7 @@ object ScaleOps {
     * and its fix, as an oracle-checked operator. */
   def writeFilesAudit(spark: SparkSession, dir: String,
       maxPerFile: Int = 100): DataFrame = {
-    val out = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_filesaudit/docs").getPath
+    val out = scratchPath(spark, "filesaudit/docs")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
       .repartition(col("source"))
@@ -299,6 +311,21 @@ object ScaleOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Oracle-facing audit of [[hllUnion]]: the exact distinct count (the
+    * DuckDB-computable half) plus the REALIZED error bound as a boolean
+    * — the estimate itself has no SQL twin, but "the union-of-hourly
+    * estimate landed within 5% of exact" is a deterministic fact of the
+    * (seeded, order-insensitive) sketch over fixed data, so the driver
+    * can hash-compare rows+schema instead of recording a bare
+    * `no_oracle`. The raw estimates stay available via [[hllUnion]]
+    * (spec-pinned reagg-consistency + error bound).
+    */
+  def hllUnionAudit(spark: SparkSession, dir: String): DataFrame =
+    hllUnion(spark, dir)
+      .select(col("event_type"), col("day"), col("exact_distinct"),
+        (col("rel_err") < 0.05).as("hll_ok"))
+      .orderBy(col("event_type"), col("day"))
+
   /** Incremental reaggregation: fold raw events into DAILY partial
     * aggregates (sum, count), then roll the partials up to weeks —
     * sum-of-sums and sum-of-counts, with the average derived from the
@@ -346,8 +373,7 @@ object ScaleOps {
     * plain filtered aggregate.
     */
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_partitioned/events").getPath
+    val out = scratchPath(spark, "partitioned/events")
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("event_type").mode("overwrite").parquet(out)
@@ -371,8 +397,7 @@ object ScaleOps {
     */
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_partitioned").getPath
+    val base = scratchPath(spark, "partitioned")
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.partitionBy("event_type").mode("overwrite").parquet(s"$base/events")
@@ -396,24 +421,25 @@ object ScaleOps {
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val wh = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bucketed").getPath
-    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
-    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    val wh = scratchPath(spark, "bucketed")
+    val ordersTable = s"graft_orders_b_${scratchTag(spark)}"
+    val lineitemTable = s"graft_lineitem_b_${scratchTag(spark)}"
+    spark.sql(s"DROP TABLE IF EXISTS $ordersTable")
+    spark.sql(s"DROP TABLE IF EXISTS $lineitemTable")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/orders_b").mode("overwrite")
-      .saveAsTable("graft_orders_b")
+      .saveAsTable(ordersTable)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .write.format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/lineitem_b").mode("overwrite")
-      .saveAsTable("graft_lineitem_b")
-    spark.table("graft_orders_b").hint("merge")
-      .join(spark.table("graft_lineitem_b"),
+      .saveAsTable(lineitemTable)
+    spark.table(ordersTable).hint("merge")
+      .join(spark.table(lineitemTable),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(

