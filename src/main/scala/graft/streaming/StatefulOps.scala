@@ -140,6 +140,18 @@ object StatefulOps {
     * runs. Semantics are identical to [[runningSubredditStats]]
     * (the spec asserts both paths emit the same totals), so the
     * migration between the APIs is a wiring change, not a semantic one.
+    *
+    * DELIBERATELY TimeMode.None / TTLConfig.NONE: a TTL-evicting
+    * variant (ValueState + TTLConfig(duration), TimeMode.ProcessingTime)
+    * was attempted three times and cannot be tested in this environment.
+    * Under ProcessingTime time-mode the micro-batch engine schedules
+    * clock-advancing batches continuously, so `processAllAvailable`
+    * never quiesces — and `Trigger.AvailableNow` + `awaitTermination`
+    * does NOT escape it either: the drained query kept issuing empty
+    * epochs (observed epoch 99+ in 120 s) without terminating. On a
+    * real cluster TTL state is the right retention knob for unbounded
+    * keyspaces; in-process it is untestable, so it stays out rather
+    * than shipping an unverified path.
     */
   class RunningRiskProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
