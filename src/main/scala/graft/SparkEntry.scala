@@ -226,6 +226,12 @@ object SparkEntry {
     "q_inverted_index"  -> ((s, d) => MlOps.invertedIndex(s, d)),
     "q_dense_calendar"  -> ((s, d) => graft.operators.ScaleOps.denseCalendar(s, d)),
     "q_rfm_segments"    -> ((s, d) => BehaviorOps.rfmSegments(s, d)),
+    // ---- round-7 tier: semantic dedup, classifier calibration,
+    //      footer-stats metadata scan, curriculum sharding
+    "q_semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
+    "q_margin_calibration" -> ((s, d) => graft.operators.DivergenceOps.marginCalibration(s, d)),
+    "q_agg_pushdown"    -> ((s, d) => graft.operators.ScaleOps.aggPushdownStats(s, d)),
+    "q_curriculum_shards" -> ((s, d) => graft.operators.CorpusOps.curriculumShards(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -3884,5 +3890,135 @@ object SparkEntry {
             CAST(count(*) AS BIGINT) AS n_users,
             round(sum(cents) / (count(*) * 100.0), 2) AS avg_monetary
           FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // SemDeDup: nearest of the first-8 centroids, per-cell cap 250 by
+    // vec_id rank, within-cell cosine >= 0.3 pairs, min-label components,
+    // keep = least-centroid-similar member (diversity-preserving choice)
+    "q_semdedup" ->
+      """WITH RECURSIVE
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          n AS (SELECT vec_id, v,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM e),
+          c AS (SELECT vec_id AS c_id, v AS cv, nv AS nc FROM n WHERE vec_id < 8),
+          a0 AS (
+            SELECT n.vec_id, n.v, n.nv, c.c_id,
+              round(list_sum(list_transform(range(1, len(n.v) + 1),
+                  i -> n.v[CAST(i AS INTEGER)] * c.cv[CAST(i AS INTEGER)])) /
+                (n.nv * c.nc), 6) AS c_cos
+            FROM n CROSS JOIN c),
+          asg AS (
+            SELECT vec_id, v, nv, cell, cent_cos FROM (
+              SELECT vec_id, v, nv, c_id AS cell, c_cos AS cent_cos,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY c_cos DESC, c_id) AS rn
+              FROM a0) WHERE rn = 1),
+          capped AS (
+            SELECT vec_id, v, nv, cell, cent_cos FROM (
+              SELECT *, row_number() OVER (PARTITION BY cell
+                ORDER BY vec_id) AS crn
+              FROM asg) WHERE crn <= 250),
+          pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM capped a JOIN capped b
+              ON a.cell = b.cell AND b.vec_id > a.vec_id
+            WHERE round(list_sum(list_transform(range(1, len(a.v) + 1),
+                i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) /
+              (a.nv * b.nv), 6) >= 0.3),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+          comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+          mem AS (
+            SELECT comp.component, comp.node, capped.cell, capped.cent_cos
+            FROM comp JOIN capped ON capped.vec_id = comp.node)
+          SELECT component AS cluster, node AS vec_id, cell, cent_cos,
+            CAST(row_number() OVER (PARTITION BY component
+              ORDER BY cent_cos ASC, node) = 1 AS INTEGER) AS keep
+          FROM mem ORDER BY cluster, vec_id""",
+    // margin = s1 - s2 of the 6-dp LM scores; width-0.25 bins capped at 9
+    "q_margin_calibration" ->
+      """WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+                 FROM tok GROUP BY 1, 2),
+          vocab AS (
+            SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY term
+            ORDER BY ct DESC, term LIMIT 4096),
+          stv AS (SELECT st.source, st.term, st.c FROM st JOIN vocab USING (term)),
+          stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                   FROM stv GROUP BY source),
+          tv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          lm AS (
+            SELECT s.source AS cand, vb.term,
+              ln((coalesce(c.c, 0) + 1.0) / (s.ts + tv.v)) AS lp
+            FROM stot s CROSS JOIN vocab vb CROSS JOIN tv
+            LEFT JOIN stv c ON c.source = s.source AND c.term = vb.term),
+          dtok AS (
+            SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          dtf AS (SELECT doc_id, source, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM dtok GROUP BY 1, 2, 3),
+          sc AS (
+            SELECT d.doc_id, d.source, l.cand,
+              round(sum(d.tf * l.lp), 6) AS score
+            FROM dtf d JOIN lm l USING (term) GROUP BY 1, 2, 3),
+          top2 AS (
+            SELECT doc_id, source, cand, score, rn FROM (
+              SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, cand) AS rn FROM sc)
+            WHERE rn <= 2),
+          pd AS (
+            SELECT doc_id, source,
+              max(CASE WHEN rn = 1 THEN cand END) AS pred,
+              max(CASE WHEN rn = 1 THEN score END) AS s1,
+              max(CASE WHEN rn = 2 THEN score END) AS s2
+            FROM top2 GROUP BY doc_id, source),
+          pb AS (
+            SELECT CAST(least(floor((s1 - s2) / 0.25), 9) AS INTEGER) AS margin_bin,
+              CASE WHEN pred = source THEN 1 ELSE 0 END AS correct
+            FROM pd)
+          SELECT margin_bin, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(correct) AS BIGINT) AS n_correct,
+            round(sum(correct) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+          FROM pb GROUP BY margin_bin ORDER BY margin_bin""",
+    // footer-stats aggregate: DuckDB answers this from parquet metadata
+    // too — the cross-engine check IS the zero-data-page contract
+    "q_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+            min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+            min(l_linenumber) AS min_linenumber, max(l_linenumber) AS max_linenumber
+          FROM lineitem""",
+    // same quality formula as q_quality_score; ntile(8) on the rounded
+    // quality desc with doc_id tie-break = the distributed ntile's order
+    "q_curriculum_shards" ->
+      """WITH d AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          s AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+              len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS stop_hits
+            FROM d),
+          q AS (
+            SELECT doc_id, n_tokens,
+              round(least(1.0, n_tokens / 100.0) * 0.5
+                + (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)) * 0.5, 6) AS quality
+            FROM s),
+          t AS (
+            SELECT doc_id, n_tokens, quality,
+              ntile(8) OVER (ORDER BY quality DESC, doc_id) AS shard
+            FROM q)
+          SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+            round(max(quality), 6) AS max_quality,
+            round(min(quality), 6) AS min_quality
+          FROM t GROUP BY shard ORDER BY shard""",
   )
 }

@@ -46,14 +46,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's schema converter
-    * rejects; read it as a raw nanosecond long (legacy conf) and let
-    * callers derive epoch-second / TimestampType columns. The conf is a
-    * runtime SQL conf, safe to set per-session here.
+  /** events.ts arrives as epoch-NANOS LongType, whatever the parquet
+    * file declares — the engine-wide contract every downstream `ts div
+    * …` / RANGE-frame expression is written against. Two generations of
+    * driver testdata exist: TIMESTAMP(NANOS), which Spark's schema
+    * converter only accepts as a raw long under the legacy conf (set
+    * here — runtime SQL conf, safe per-session), and TIMESTAMP(MICROS,
+    * NTZ), which resolves as TIMESTAMP_NTZ and is converted to
+    * epoch-nanos (`unix_micros` × 1000; the NTZ→LTZ cast reads the wall
+    * clock in the session zone, UTC at every entry point — matching the
+    * oracle, whose `epoch_ns` treats the naive value as UTC).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -376,7 +376,7 @@ object BehaviorOps {
     * (rn, n): ntile gives the first n%k tiles ⌈n/k⌉ rows and the rest
     * ⌊n/k⌋, so the bucket boundary is a closed form, not a sort.
     */
-  private def distributedNtile(df: DataFrame, k: Int, tileCol: String)(
+  private[graft] def distributedNtile(df: DataFrame, k: Int, tileCol: String)(
       order: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

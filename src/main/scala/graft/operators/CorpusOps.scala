@@ -591,4 +591,28 @@ object CorpusOps {
         round(log(col("total_tokens").cast("double"))
           - col("t_lnt") / col("total_tokens"), 6).as("entropy"),
       )
+
+  /** Curriculum sharding: the corpus in a GLOBAL quality order, cut into
+    * k contiguous shards (shard 1 = highest quality) — the layout a
+    * quality-ordered curriculum or an annealed data schedule trains
+    * from. The global total order (rounded quality desc, doc_id) runs
+    * through [[BehaviorOps.distributedNtile]]: a parallel range
+    * shuffle + bucket-offset arithmetic, bit-identical to `ntile(k)`
+    * with NO single-partition sort — the one operation a naive global
+    * ORDER BY cannot survive at 100 TB. Output is the shard manifest:
+    * population, token mass, and the quality span per shard; spans must
+    * be non-overlapping and descending, which the audit makes visible
+    * (and the spec asserts). */
+  def curriculumShards(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val q = graft.operators.TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    BehaviorOps.distributedNtile(q, k, "shard")(col("quality").desc, col("doc_id"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        round(max(col("quality")), 6).as("max_quality"),
+        round(min(col("quality")), 6).as("min_quality"))
+      .orderBy(col("shard"))
+  }
 }

@@ -229,4 +229,54 @@ object DivergenceOps {
       )
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Score-margin reliability table for the unigram-LM domain classifier
+    * — the calibration audit read before [[lmSourceClassify]]'s labels
+    * are trusted for pseudo-labeling/routing: per document, the margin
+    * between the winning and runner-up LM scores (both already 6-dp
+    * sums, so the difference is the same double on every engine), binned
+    * in width-0.25 margin bands, with per-band document count, correct
+    * count and accuracy. A well-calibrated classifier shows accuracy
+    * rising monotonically with margin; the band where accuracy crosses
+    * the target threshold IS the pseudo-label admission rule. Same
+    * one-corpus-pass shape as the classifier itself: everything after
+    * the (doc, cand) score grid is doc-keyed window + hash aggregate.
+    * The bin is floor(margin/0.25) capped at 9 — floor of a double both
+    * engines computed identically, not a re-round of a rounded value.
+    */
+  def marginCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val cp = corpus(spark, dir)
+    val lm = cp.grid.select(col("source").as("cand"), col("term"),
+      log((col("c0") + lit(1.0)) / (col("ts") + lit(cp.v))).as("lp"))
+    val dtf = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = dtf.join(broadcast(lm), Seq("term"))
+      .groupBy(col("doc_id"), col("source"), col("cand"))
+      .agg(round(sum(col("tf") * col("lp")), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    val perDoc = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        max(when(col("rn") === 1, col("cand"))).as("pred"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 2, col("score"))).as("s2"))
+      .withColumn("margin", col("s1") - col("s2"))
+      .withColumn("margin_bin",
+        least(floor(col("margin") / 0.25), lit(9L)).cast("int"))
+      .withColumn("correct",
+        when(col("pred") === col("source"), 1L).otherwise(0L))
+    perDoc.groupBy(col("margin_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("correct")).as("n_correct"),
+        round(sum(col("correct")) / count(lit(1)).cast("double"), 6)
+          .as("accuracy"))
+      .orderBy(col("margin_bin"))
+  }
 }

@@ -25,6 +25,45 @@ object ScaleOps {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_${scratchTag(spark)}/$name").getPath
 
+  /** Parquet aggregate pushdown: global COUNT/MIN/MAX answered from the
+    * parquet FOOTER statistics — the scan materializes zero data pages,
+    * so at 100 TB the "how big is this table" query costs one metadata
+    * read per file instead of a full column scan. Requires the DSv2
+    * parquet path (`useV1SourceList` without parquet) plus
+    * `spark.sql.parquet.aggregatePushdown`; both confs are scoped to
+    * this query — set, the aggregate materialized eagerly
+    * (localCheckpoint) under them, then restored, so the other 190
+    * queries keep their pinned v1 plan shapes. Pushdown rules: no
+    * filters below the aggregate, no DISTINCT, group-by only on
+    * partition columns (none here — a single global row), and integer
+    * min/max (float stats interact with NaN ordering, so the audit
+    * sticks to the key columns). `PlanSpec` pins PushedAggregation on
+    * the lazy frame.
+    */
+  def aggPushdownStats(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.conf
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val aggKey = "spark.sql.parquet.aggregatePushdown"
+    val (prevV1, prevAgg) = (conf.get(v1Key), conf.get(aggKey))
+    conf.set(v1Key, prevV1.split(",").map(_.trim)
+      .filter(s => s.nonEmpty && s != "parquet").mkString(","))
+    conf.set(aggKey, "true")
+    try aggPushdownFrame(spark, dir).localCheckpoint()
+    finally { conf.set(v1Key, prevV1); conf.set(aggKey, prevAgg) }
+  }
+
+  /** The lazy footer-stats aggregate — separated so the plan-shape spec
+    * can assert PushedAggregation before materialization. Only valid
+    * under the confs [[aggPushdownStats]] scopes around it. */
+  private[graft] def aggPushdownFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(
+        expr("count(*)").as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_linenumber")).as("min_linenumber"),
+        max(col("l_linenumber")).as("max_linenumber"))
+
   /** Two-phase salted aggregation: when one group key dominates (skew),
     * pre-aggregate on (key, salt) so the hot key spreads over `salts`
     * reducers, then combine partials per key. Result is identical to the

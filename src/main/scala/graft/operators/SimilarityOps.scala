@@ -727,4 +727,66 @@ object SimilarityOps {
         round(col("p2raw") / (lit(k.toDouble) * col("n2raw")), 6).as("ratio"))
       .orderBy(col("vec_id"))
   }
+
+  /** SemDeDup-style semantic dedup over the embedding space (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster first, then search for
+    * near-duplicates ONLY within a cluster — the pairwise stage is
+    * cell-bounded instead of corpus-bounded, which is the whole reason
+    * the method exists at 100 TB. Stages: (1) assign every vector to
+    * its nearest centroid (deterministic first-8 init, the same
+    * convention as [[ivfTopK]]); (2) within each cell, rank members by
+    * vec_id and keep the first `cap` for the pairwise stage (the same
+    * per-bucket cap discipline as the LSH band candidates — a
+    * degenerate mega-cell costs at most cap²/2 pairs, and the cap is a
+    * deterministic rank so the oracle reproduces it exactly); (3) score
+    * within-cell pairs with exact cosine and keep those at or above the
+    * rounded threshold; (4) contract the pair graph to clusters with
+    * the O(log d)-round star algorithm; (5) per cluster keep ONE
+    * representative — the member LEAST similar to its centroid
+    * (SemDeDup's diversity-preserving choice: the most typical members
+    * are the redundant ones), ties on vec_id. Output is the verdict
+    * table for every vector that participates in a semantic-dup
+    * cluster. Shuffle keys: cell for the pair stage, component for the
+    * keep choice — nothing O(n) is broadcast (centroids are k rows).
+    */
+  def semDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, cap: Int = 250): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.join(broadcast(centroids), lit(true))
+      .withColumn("c_cos", round(
+        dot(col("v"), col("cv")) / (col("nv") * col("nc")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nv"),
+        col("c_id").as("cell"), col("c_cos").as("cent_cos"))
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    // localCheckpoint: the capped membership feeds both sides of the
+    // pair join AND the verdict join — materialize once
+    val capped = assigned.withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= cap).drop("crn")
+      .localCheckpoint()
+    val pairs = capped.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nv").as("na"))
+      .join(capped.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nv").as("nb")), Seq("cell"))
+      .filter(col("b_id") > col("a_id"))
+      .withColumn("cosine", round(
+        dot(col("av"), col("bv")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val comps = GraphOps.connectedComponentsStar(pairs, "a_id", "b_id")
+    val members = comps.join(
+      capped.select(col("vec_id").as("node"), col("cell"), col("cent_cos")),
+      Seq("node"))
+    val wKeep = Window.partitionBy(col("component"))
+      .orderBy(col("cent_cos").asc, col("node"))
+    members.withColumn("krn", row_number().over(wKeep))
+      .select(col("component").as("cluster"), col("node").as("vec_id"),
+        col("cell"), col("cent_cos"), (col("krn") === 1).cast("int").as("keep"))
+      .orderBy(col("cluster"), col("vec_id"))
+  }
 }
