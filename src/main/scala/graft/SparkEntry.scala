@@ -232,6 +232,7 @@ object SparkEntry {
     "q_margin_calibration" -> ((s, d) => graft.operators.DivergenceOps.marginCalibration(s, d)),
     "q_agg_pushdown"    -> ((s, d) => graft.operators.ScaleOps.aggPushdownStats(s, d)),
     "q_curriculum_shards" -> ((s, d) => graft.operators.CorpusOps.curriculumShards(s, d)),
+    "q_bpe_encode"      -> ((s, d) => MlOps.bpeEncode(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4020,5 +4021,80 @@ object SparkEntry {
             round(max(quality), 6) AS max_quality,
             round(min(quality), 6) AS min_quality
           FROM t GROUP BY shard ORDER BY shard""",
+    // the q_bpe_merges trainer chain carrying `term`, then the encode
+    // join: per-source token/char/symbol mass under the learned merges
+    "q_bpe_encode" ->
+      """WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents),
+          tc AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+          v0 AS (
+            SELECT term, n, array_to_string(list_transform(range(1, length(term) + 1),
+              i -> substring(term, CAST(i AS INTEGER), 1)), ' ') AS repr
+            FROM tc),
+          p1 AS (
+            SELECT syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i + 1 AS INTEGER)] AS pair, n
+            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT n, string_split(repr, ' ') AS syms FROM v0)
+                  WHERE len(syms) >= 2)),
+          m1 AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+            FROM (SELECT pair, sum(n) AS cnt FROM p1 GROUP BY pair
+                  ORDER BY cnt DESC, pair LIMIT 1)),
+          v1 AS (
+            SELECT v.term, v.n, trim(replace(replace(
+                ' ' || replace(v.repr, ' ', '  ') || ' ',
+                ' ' || m.a || '  ' || m.b || ' ',
+                ' ' || m.a || m.b || ' '), '  ', ' ')) AS repr
+            FROM v0 v CROSS JOIN m1 m),
+          p2 AS (
+            SELECT syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i + 1 AS INTEGER)] AS pair, n
+            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT n, string_split(repr, ' ') AS syms FROM v1)
+                  WHERE len(syms) >= 2)),
+          m2 AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+            FROM (SELECT pair, sum(n) AS cnt FROM p2 GROUP BY pair
+                  ORDER BY cnt DESC, pair LIMIT 1)),
+          v2 AS (
+            SELECT v.term, v.n, trim(replace(replace(
+                ' ' || replace(v.repr, ' ', '  ') || ' ',
+                ' ' || m.a || '  ' || m.b || ' ',
+                ' ' || m.a || m.b || ' '), '  ', ' ')) AS repr
+            FROM v1 v CROSS JOIN m2 m),
+          p3 AS (
+            SELECT syms[CAST(i AS INTEGER)] || ' ' || syms[CAST(i + 1 AS INTEGER)] AS pair, n
+            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                  FROM (SELECT n, string_split(repr, ' ') AS syms FROM v2)
+                  WHERE len(syms) >= 2)),
+          m3 AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+            FROM (SELECT pair, sum(n) AS cnt FROM p3 GROUP BY pair
+                  ORDER BY cnt DESC, pair LIMIT 1)),
+          v3 AS (
+            SELECT v.term, v.n, trim(replace(replace(
+                ' ' || replace(v.repr, ' ', '  ') || ' ',
+                ' ' || m.a || '  ' || m.b || ' ',
+                ' ' || m.a || m.b || ' '), '  ', ' ')) AS repr
+            FROM v2 v CROSS JOIN m3 m),
+          enc AS (
+            SELECT term, len(string_split(repr, ' ')) AS n_syms,
+              length(term) AS n_chars
+            FROM v3),
+          stok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS term
+            FROM documents),
+          stf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+                  FROM stok GROUP BY 1, 2)
+          SELECT s.source, CAST(sum(s.tf) AS BIGINT) AS n_tokens,
+            CAST(sum(s.tf * e.n_chars) AS BIGINT) AS total_chars,
+            CAST(sum(s.tf * e.n_syms) AS BIGINT) AS total_symbols,
+            round(sum(s.tf * e.n_syms) / CAST(sum(s.tf) AS DOUBLE), 6)
+              AS syms_per_token,
+            round(sum(s.tf * e.n_syms) / CAST(sum(s.tf * e.n_chars) AS DOUBLE), 6)
+              AS compression
+          FROM stf s JOIN enc e USING (term)
+          GROUP BY s.source ORDER BY s.source""",
   )
 }

@@ -363,6 +363,56 @@ object MlOps {
       .orderBy(col("step"))
   }
 
+  /** BPE ENCODER — the apply half of the trainer/encoder pair: take the
+    * merges [[bpeMerges]] learned (a bounded `steps`-row driver handoff,
+    * exactly the artifact a tokenizer ships) and segment the corpus with
+    * them, reporting the per-source encoding outcome: token/char/symbol
+    * mass, mean symbols per token, and the symbols-per-char compression.
+    * The expensive half runs VOCABULARY-bounded, not corpus-bounded: all
+    * `steps` merges compose into ONE lazy projection over the distinct
+    * terms (the same padded double-space replace as the trainer, chained
+    * — no per-step materialization needed because nothing iterates on
+    * the result), and the corpus only joins the finished (term →
+    * symbol-count) table by term. At 100 TB that is one broadcast-sized
+    * vocabulary pass plus one equi-join — per-occurrence string work
+    * never happens.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val merges = bpeMerges(spark, dir, steps).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val chars = concat_ws(" ", expr(
+      "transform(sequence(1, length(term)), i -> substring(term, i, 1))"))
+    val reprFinal = merges.foldLeft(chars) { (repr, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      trim(replace(replace(
+        concat(lit(" "), replace(repr, lit(" "), lit("  ")), lit(" ")),
+        lit(s" $a  $b "), lit(s" $a$b ")), lit("  "), lit(" ")))
+    }
+    val encoded = docTerms(spark, dir).select(col("term")).distinct()
+      .select(col("term"),
+        size(split(reprFinal, " ")).as("n_syms"),
+        length(col("term")).as("n_chars"))
+    val stf = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("source"), col("text")))
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    stf.join(Tables.maybeBroadcast(encoded), Seq("term"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("n_chars")).as("total_chars"),
+        sum(col("tf") * col("n_syms")).as("total_symbols"))
+      .select(col("source"), col("n_tokens"), col("total_chars"),
+        col("total_symbols"),
+        round(col("total_symbols") / col("n_tokens").cast("double"), 6)
+          .as("syms_per_token"),
+        round(col("total_symbols") / col("total_chars").cast("double"), 6)
+          .as("compression"))
+      .orderBy(col("source"))
+  }
+
   /** Train/validation distribution-shift audit: per-term document
     * frequency in the train split vs the val split (the deterministic
     * md5 buckets of `q_hash_split`), scored by the smoothed log-odds

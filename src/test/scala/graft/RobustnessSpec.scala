@@ -77,6 +77,11 @@ class RobustnessSpec extends AnyFunSuite {
       "q_dense_calendar",    // spine join + integer deltas
       "q_equidepth_hist",    // total-ordered ntile, exact boundaries
       "q_inverted_index",    // integer df ranks + sorted posting csv
+      // round-7 exact-arithmetic additions
+      "q_semdedup",          // row-local dots, ranks on rounded keys, CC labels
+      "q_curriculum_shards", // distributed ntile on rounded quality, int sums
+      "q_agg_pushdown",      // footer-stats count/min/max
+      "q_bpe_encode",        // vocabulary-bounded merges, integer masses
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -71,6 +71,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.getInt(4) === truth.getInt(4))
   }
 
+  test("bpeEncode: symbol mass between token and char mass, equals the trainer's total") {
+    import graft.operators.MlOps
+    val rows = MlOps.bpeEncode(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tokens, chars, syms) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every token is at least one symbol; merging never grows past chars
+      assert(syms >= tokens && syms <= chars,
+        s"source ${r.getString(0)}: symbol mass $syms outside [$tokens, $chars]")
+    }
+    // accounting identity: the encoder's corpus symbol total IS the
+    // trainer's post-step-3 compression-progress number
+    val encTotal = rows.map(_.getLong(3)).sum
+    val trainerTotal = MlOps.bpeMerges(spark, dir).collect()
+      .maxBy(_.getInt(0)).getLong(3)
+    assert(encTotal === trainerTotal,
+      s"encoder total $encTotal != trainer total_symbols_after $trainerTotal")
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
