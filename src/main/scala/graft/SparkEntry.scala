@@ -233,6 +233,7 @@ object SparkEntry {
     "q_agg_pushdown"    -> ((s, d) => graft.operators.ScaleOps.aggPushdownStats(s, d)),
     "q_curriculum_shards" -> ((s, d) => graft.operators.CorpusOps.curriculumShards(s, d)),
     "q_bpe_encode"      -> ((s, d) => MlOps.bpeEncode(s, d)),
+    "q_quality_schedule" -> ((s, d) => graft.operators.CorpusOps.qualitySchedule(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4096,5 +4097,43 @@ object SparkEntry {
               AS compression
           FROM stf s JOIN enc e USING (term)
           GROUP BY s.source ORDER BY s.source""",
+    // greedy top-down token-budget fill over quality deciles; all
+    // accounting in exact BIGINT (budget = total * 50 div 100)
+    "q_quality_schedule" ->
+      """WITH d AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          s AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+              len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS stop_hits
+            FROM d),
+          q AS (
+            SELECT doc_id, n_tokens,
+              round(least(1.0, n_tokens / 100.0) * 0.5
+                + (1.0 - stop_hits / CAST(n_tokens AS DOUBLE)) * 0.5, 6) AS quality
+            FROM s),
+          t AS (
+            SELECT doc_id, n_tokens,
+              ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+            FROM q),
+          dec AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
+            FROM t GROUP BY decile),
+          g AS (
+            SELECT decile, n_docs, decile_tokens,
+              CAST(coalesce(sum(decile_tokens) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS cum_before,
+              CAST(sum(decile_tokens) OVER () AS BIGINT) AS total_tokens
+            FROM dec)
+          SELECT decile, n_docs, decile_tokens,
+            CAST(greatest(0, least(decile_tokens,
+              total_tokens * 50 // 100 - cum_before)) AS BIGINT) AS kept_tokens,
+            round(greatest(0, least(decile_tokens,
+              total_tokens * 50 // 100 - cum_before))
+              / CAST(decile_tokens AS DOUBLE), 6) AS keep_rate
+          FROM g ORDER BY decile""",
   )
 }

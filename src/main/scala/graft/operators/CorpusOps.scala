@@ -615,4 +615,44 @@ object CorpusOps {
         round(min(col("quality")), 6).as("min_quality"))
       .orderBy(col("shard"))
   }
+
+  /** Token-budget quality schedule — the admission policy a quality-
+    * filtered pretraining mix runs: quality DECILES (the same exact
+    * distributed ntile as [[curriculumShards]], order rounded-quality
+    * desc with doc_id tie-break), then a greedy top-down fill against a
+    * `budgetPct`% corpus token budget. Whole deciles are admitted while
+    * they fit, the boundary decile keeps exactly the fractional
+    * remainder, lower deciles drop — per-decile keep rates ARE the
+    * sampling policy to ship. All accounting in exact BIGINT token
+    * masses (budget = total·pct div 100; kept = clamp(budget −
+    * cum_before, 0, decile)); the cumulative-before sums come from the
+    * explode-to-equi trick over the 10-row decile frame, so no window in
+    * the plan lacks a partition spec and nothing funnels one task.
+    */
+  def qualitySchedule(spark: SparkSession, dir: String,
+      budgetPct: Int = 50, deciles: Int = 10): DataFrame = {
+    val q = graft.operators.TextAnalysisOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val dec = BehaviorOps.distributedNtile(q, deciles, "decile")(
+        col("quality").desc, col("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("decile_tokens"))
+    val grid = dec.select(col("decile").as("_q"), col("decile_tokens").as("_t"))
+      .select(explode(sequence(lit(1), lit(deciles))).as("decile"),
+        col("_q"), col("_t"))
+      .groupBy(col("decile"))
+      .agg(
+        sum(when(col("_q") < col("decile"), col("_t")).otherwise(lit(0L)))
+          .as("cum_before"),
+        sum(col("_t")).as("total_tokens"))
+    dec.join(grid, Seq("decile"))
+      .withColumn("kept_tokens", greatest(lit(0L), least(col("decile_tokens"),
+        expr(s"total_tokens * $budgetPct div 100") - col("cum_before"))))
+      .select(col("decile"), col("n_docs"), col("decile_tokens"),
+        col("kept_tokens"),
+        round(col("kept_tokens") / col("decile_tokens").cast("double"), 6)
+          .as("keep_rate"))
+      .orderBy(col("decile"))
+  }
 }

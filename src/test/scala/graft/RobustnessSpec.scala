@@ -82,6 +82,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_curriculum_shards", // distributed ntile on rounded quality, int sums
       "q_agg_pushdown",      // footer-stats count/min/max
       "q_bpe_encode",        // vocabulary-bounded merges, integer masses
+      "q_quality_schedule",  // exact BIGINT budget fill over deciles
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

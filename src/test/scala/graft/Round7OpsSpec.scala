@@ -90,6 +90,23 @@ class Round7OpsSpec extends AnyFunSuite {
       s"encoder total $encTotal != trainer total_symbols_after $trainerTotal")
   }
 
+  test("qualitySchedule: greedy fill meets the budget exactly, rates fall monotonically") {
+    val rows = CorpusOps.qualitySchedule(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.length === 10)
+    val total = rows.map(_.getLong(2)).sum
+    val budget = total * 50 / 100
+    // the greedy fill admits exactly the budget (boundary decile fractional)
+    assert(rows.map(_.getLong(3)).sum === budget,
+      s"kept ${rows.map(_.getLong(3)).sum} != budget $budget")
+    // keep rates never rise as quality falls
+    rows.map(_.getDouble(4)).sliding(2).foreach {
+      case Array(hi, lo) => assert(lo <= hi + 1e-12, "keep_rate rose down-decile")
+      case _ =>
+    }
+    // per-decile kept tokens never exceed the decile's mass
+    rows.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(2)))
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
