@@ -234,6 +234,8 @@ object SparkEntry {
     "q_curriculum_shards" -> ((s, d) => graft.operators.CorpusOps.curriculumShards(s, d)),
     "q_bpe_encode"      -> ((s, d) => MlOps.bpeEncode(s, d)),
     "q_quality_schedule" -> ((s, d) => graft.operators.CorpusOps.qualitySchedule(s, d)),
+    "q_join_cardinality" -> ((s, d) => graft.operators.ScaleOps.joinCardinality(s, d)),
+    "q_cuped"           -> ((s, d) => BehaviorOps.cupedAdjust(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4135,5 +4137,74 @@ object SparkEntry {
               total_tokens * 50 // 100 - cum_before))
               / CAST(decile_tokens AS DOUBLE), 6) AS keep_rate
           FROM g ORDER BY decile""",
+    // predicted |views ⋈ purchases by user| from per-key counts; top-5
+    // contributing keys, totals carried on every row
+    "q_join_cardinality" ->
+      """WITH l AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_left FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          r AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_right FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+          k AS (
+            SELECT l.user_id, l.n_left, r.n_right,
+              l.n_left * r.n_right AS pairs
+            FROM l JOIN r USING (user_id)),
+          t AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+              CAST(count(*) AS BIGINT) AS n_keys FROM k)
+          SELECT k.user_id, k.n_left, k.n_right, CAST(k.pairs AS BIGINT) AS pairs,
+            t.total_pairs, t.n_keys,
+            round(k.pairs / CAST(t.total_pairs AS DOUBLE), 6) AS share
+          FROM k CROSS JOIN t
+          ORDER BY k.pairs DESC, k.user_id LIMIT 5""",
+    // CUPED: exact BIGINT moments, scalar double algebra, one round each
+    "q_cuped" ->
+      """WITH e AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+          pu AS (
+            SELECT user_id,
+              CAST(round(sum(CASE WHEN ts_us < 1704412800000000
+                THEN value ELSE 0 END) * 100, 0) AS BIGINT) AS x,
+              CAST(round(sum(CASE WHEN ts_us >= 1704412800000000
+                THEN value ELSE 0 END) * 100, 0) AS BIGINT) AS y,
+              substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS in_a
+            FROM e GROUP BY user_id),
+          m AS (
+            SELECT
+              CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+              CAST(sum(CASE WHEN in_a THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+              CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN NOT in_a THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+              CAST(sum(CASE WHEN NOT in_a THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pu),
+          d AS (
+            SELECT n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+              CAST(n_a + n_b AS DOUBLE) AS n,
+              CAST(sx_a + sx_b AS DOUBLE) AS sx,
+              CAST(sy_a + sy_b AS DOUBLE) AS sy,
+              CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy,
+              CAST(syy AS DOUBLE) AS dyy
+            FROM m),
+          f AS (
+            SELECT n_a, n_b,
+              CAST(sy_a AS DOUBLE) / n_a / 100.0 AS mya,
+              CAST(sy_b AS DOUBLE) / n_b / 100.0 AS myb,
+              CAST(sx_a AS DOUBLE) / n_a / 100.0 AS mxa,
+              CAST(sx_b AS DOUBLE) / n_b / 100.0 AS mxb,
+              dxy - sx * sy / n AS covxy,
+              dxx - sx * sx / n AS varx,
+              dyy - sy * sy / n AS vary
+            FROM d)
+          SELECT n_a, n_b,
+            round(mya, 6) AS mean_y_a, round(myb, 6) AS mean_y_b,
+            round(mya - myb, 6) AS diff_raw,
+            round(covxy / varx, 6) AS theta,
+            round((mya - myb) - covxy / varx * (mxa - mxb), 6) AS diff_adj,
+            round(covxy * covxy / (varx * vary), 6) AS var_reduction
+          FROM f""",
   )
 }

@@ -568,4 +568,62 @@ object BehaviorOps {
       (abs(round(z, 6)) >= 1.96).as("significant"),
     )
   }
+
+  /** CUPED variance reduction for the A/B readout ([[abTestZ]]'s
+    * continuous-metric companion): adjust each user's post-period spend
+    * by their PRE-period spend (the pre-experiment covariate) — y′ = y −
+    * θ(x − x̄) with θ = cov(x,y)/var(x) — so the arm difference keeps
+    * its expectation but sheds the variance the covariate explains
+    * (reduction factor = ρ²). Discipline: per-user pre/post spend in
+    * exact integer CENTS, every moment (Σx, Σy, Σxy, Σx², Σy², per-arm
+    * cells) an exact BIGINT from ONE user-keyed aggregate + ONE global
+    * conditional aggregate; θ / means / ρ² are then scalar double
+    * algebra on those exact integers (identical IEEE ops on identical
+    * inputs cross-engine — the Σx·Σy product is cast to double first,
+    * because a BIGINT product of two corpus sums overflows at scale).
+    * Same md5 arm assignment as the z-test; one final round per output.
+    */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffUs = 1704412800000000L // 2024-01-05T00:00:00Z, the CDC cutoff
+    val pu = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("ts_us") < cutoffUs, col("value")).otherwise(0.0))
+          * 100, 0).cast("long").as("x"),
+        round(sum(when(col("ts_us") >= cutoffUs, col("value")).otherwise(0.0))
+          * 100, 0).cast("long").as("y"))
+      .withColumn("in_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
+    val m = pu.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_a"), col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("in_a"), col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("in_a"), col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(!col("in_a"), col("y")).otherwise(0L)).as("sy_b"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val sx = (col("sx_a") + col("sx_b")).cast("double")
+    val sy = (col("sy_a") + col("sy_b")).cast("double")
+    val covXY = col("sxy") - sx * sy / n
+    val varX = col("sxx") - sx * sx / n
+    val varY = col("syy") - sy * sy / n
+    val theta = covXY / varX
+    // arm means in dollars; the adjusted difference subtracts the
+    // covariate imbalance scaled by theta (the global mean cancels)
+    val myA = col("sy_a").cast("double") / col("n_a") / 100.0
+    val myB = col("sy_b").cast("double") / col("n_b") / 100.0
+    val mxA = col("sx_a").cast("double") / col("n_a") / 100.0
+    val mxB = col("sx_b").cast("double") / col("n_b") / 100.0
+    m.select(
+      col("n_a"), col("n_b"),
+      round(myA, 6).as("mean_y_a"), round(myB, 6).as("mean_y_b"),
+      round(myA - myB, 6).as("diff_raw"),
+      round(theta, 6).as("theta"),
+      round((myA - myB) - theta * (mxA - mxB), 6).as("diff_adj"),
+      round(covXY * covXY / (varX * varY), 6).as("var_reduction"))
+  }
 }

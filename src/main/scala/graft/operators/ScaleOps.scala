@@ -64,6 +64,34 @@ object ScaleOps {
         min(col("l_linenumber")).as("min_linenumber"),
         max(col("l_linenumber")).as("max_linenumber"))
 
+  /** Join-cardinality pre-flight: the EXACT predicted output size of a
+    * fact⋈fact equi-join, computed from per-key counts WITHOUT running
+    * the join — |A⋈B| = Σ_k n_A(k)·n_B(k). This is the planner-style
+    * audit read before launching a join that might explode (power users
+    * square), the two-sided companion of `q_join_skew`'s one-sided
+    * fan-out histogram. Cost: one keyed count per side + an equi-join
+    * of the two count tables (key-bounded, never fact-bounded). The
+    * demo predicts views⋈purchases by user; output is the top-5
+    * contributing keys with the corpus totals inlined as literals (the
+    * bounded 1-row driver handoff every corpus-scalar query uses — a
+    * broadcast of the totals row would plan the registry-banned
+    * nested-loop join). */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"))
+    def side(t: String, as: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+    val k = side("view", "n_left").join(side("purchase", "n_right"), Seq("user_id"))
+      .withColumn("pairs", col("n_left") * col("n_right"))
+      .localCheckpoint()
+    val t = k.agg(sum(col("pairs")), count(lit(1))).head()
+    val (total, nKeys) = (t.getLong(0), t.getLong(1))
+    k.select(col("user_id"), col("n_left"), col("n_right"),
+        col("pairs"), lit(total).as("total_pairs"), lit(nKeys).as("n_keys"),
+        round(col("pairs") / lit(total.toDouble), 6).as("share"))
+      .orderBy(col("pairs").desc, col("user_id")).limit(5)
+  }
+
   /** Two-phase salted aggregation: when one group key dominates (skew),
     * pre-aggregate on (key, salt) so the hot key spreads over `salts`
     * reducers, then combine partials per key. Result is identical to the

@@ -83,6 +83,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_agg_pushdown",      // footer-stats count/min/max
       "q_bpe_encode",        // vocabulary-bounded merges, integer masses
       "q_quality_schedule",  // exact BIGINT budget fill over deciles
+      "q_join_cardinality",  // per-key integer counts and products
+      "q_cuped",             // exact BIGINT moments, scalar double algebra
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

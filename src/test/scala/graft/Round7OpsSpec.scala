@@ -107,6 +107,51 @@ class Round7OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(2)))
   }
 
+  test("joinCardinality: prediction equals the join actually run") {
+    val rows = ScaleOps.joinCardinality(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val predicted = rows.head.getLong(4) // total_pairs, same on every row
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"))
+    val actual = ev.filter(col("event_type") === "view")
+      .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .count()
+    assert(predicted === actual,
+      s"predicted $predicted pairs, the join produced $actual")
+    // contributors arrive largest-first with sane shares
+    val pairs = rows.map(_.getLong(3))
+    assert(pairs.sameElements(pairs.sortBy(-_)))
+    rows.foreach(r => assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0))
+  }
+
+  test("cupedAdjust: moments algebra matches an exact driver recompute") {
+    import graft.operators.BehaviorOps
+    val r = BehaviorOps.cupedAdjust(spark, dir).collect()(0)
+    // brute-force the same exact-integer moments on the driver
+    val cutoffUs = 1704412800000000L
+    val pu = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(when(col("ts_us") < cutoffUs, col("value")).otherwise(0.0))
+          * 100, 0).cast("long").as("x"),
+        round(sum(when(col("ts_us") >= cutoffUs, col("value")).otherwise(0.0))
+          * 100, 0).cast("long").as("y"))
+      .withColumn("in_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
+      .collect().map(u => (u.getLong(1), u.getLong(2), u.getBoolean(3)))
+    assert(r.getLong(0) + r.getLong(1) === pu.length.toLong)
+    val n = pu.length.toDouble
+    val (sx, sy) = (pu.map(_._1).sum.toDouble, pu.map(_._2).sum.toDouble)
+    val sxy = pu.map(u => u._1 * u._2).sum.toDouble
+    val sxx = pu.map(u => u._1 * u._1).sum.toDouble
+    val theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(math.abs(r.getDouble(5) - theta) < 1e-6,
+      s"theta ${r.getDouble(5)} != driver recompute $theta")
+    // the covariate explains a FRACTION of the variance, never more
+    val vr = r.getDouble(7)
+    assert(vr >= 0.0 && vr <= 1.0, s"var_reduction $vr outside [0,1]")
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
