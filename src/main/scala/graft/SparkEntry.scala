@@ -236,6 +236,7 @@ object SparkEntry {
     "q_quality_schedule" -> ((s, d) => graft.operators.CorpusOps.qualitySchedule(s, d)),
     "q_join_cardinality" -> ((s, d) => graft.operators.ScaleOps.joinCardinality(s, d)),
     "q_cuped"           -> ((s, d) => BehaviorOps.cupedAdjust(s, d)),
+    "q_dq_checks"       -> ((s, d) => RelationalOps.dqChecks(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4206,5 +4207,43 @@ object SparkEntry {
             round((mya - myb) - covxy / varx * (mxa - mxb), 6) AS diff_adj,
             round(covxy * covxy / (varx * vary), 6) AS var_reduction
           FROM f""",
+    // one conditional-aggregate scan per table, unioned to rule rows;
+    // the RI rule is a keyed left-join probe
+    "q_dq_checks" ->
+      """WITH ev AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+              CAST(sum(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+              CAST(sum(CASE WHEN event_type NOT IN
+                ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+              CAST(sum(CASE WHEN value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS f4
+            FROM events),
+          li AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+              CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM lineitem),
+          docs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+              CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS f2
+            FROM documents),
+          ri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f1
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+          rules AS (
+            SELECT 'events_user_id_not_null' AS rule, 'events' AS table_name, n AS n_checked, f1 AS n_failed FROM ev
+            UNION ALL SELECT 'events_value_positive', 'events', n, f2 FROM ev
+            UNION ALL SELECT 'events_type_in_domain', 'events', n, f3 FROM ev
+            UNION ALL SELECT 'events_value_under_250', 'events', n, f4 FROM ev
+            UNION ALL SELECT 'lineitem_quantity_in_1_50', 'lineitem', n, f1 FROM li
+            UNION ALL SELECT 'lineitem_discount_in_0_01', 'lineitem', n, f2 FROM li
+            UNION ALL SELECT 'documents_text_nonempty', 'documents', n, f1 FROM docs
+            UNION ALL SELECT 'documents_nchars_consistent', 'documents', n, f2 FROM docs
+            UNION ALL SELECT 'orders_custkey_references_customer', 'orders', n, f1 FROM ri)
+          SELECT rule, table_name, n_checked, n_failed,
+            CAST(n_failed = 0 AS INTEGER) AS pass
+          FROM rules ORDER BY rule""",
   )
 }

@@ -280,6 +280,74 @@ object RelationalOps {
            AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)""")
       .orderBy(col("col_name"))
 
+  /** Data-quality expectation suite — the ingest gate run before any
+    * downstream job trusts a batch: one row per RULE with checked/failed
+    * counts and the pass verdict. The execution shape is the one that
+    * matters at 100 TB: every rule on a table folds into that table's
+    * ONE conditional-aggregate scan (never a pass per rule), stack()ed
+    * to rule rows at zero cost, and the referential-integrity rule is a
+    * keyed LEFT join probe (dim side broadcastable), not a subquery per
+    * row. The suite deliberately includes a rule that FAILS on this
+    * corpus (`events_value_under_250`) so the report demonstrably
+    * carries real failure counts, not a wall of zeros.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("value").isNull || col("value") <= 0, 1L).otherwise(0L))
+          .as("f2"),
+        sum(when(!col("event_type").isin(
+          "view", "click", "purchase", "signup", "error"), 1L).otherwise(0L))
+          .as("f3"),
+        sum(when(col("value") > 250, 1L).otherwise(0L)).as("f4"))
+      .selectExpr("'events' AS table_name",
+        """stack(4,
+             'events_user_id_not_null', n, f1,
+             'events_value_positive', n, f2,
+             'events_type_in_domain', n, f3,
+             'events_value_under_250', n, f4)
+           AS (rule, n_checked, n_failed)""")
+    val li = Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("f1"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("f2"))
+      .selectExpr("'lineitem' AS table_name",
+        """stack(2,
+             'lineitem_quantity_in_1_50', n, f1,
+             'lineitem_discount_in_0_01', n, f2)
+           AS (rule, n_checked, n_failed)""")
+    val docs = Tables.documents(spark, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L))
+          .as("f1"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("f2"))
+      .selectExpr("'documents' AS table_name",
+        """stack(2,
+             'documents_text_nonempty', n, f1,
+             'documents_nchars_consistent', n, f2)
+           AS (rule, n_checked, n_failed)""")
+    val ri = Tables.orders(spark, dir).select(col("o_custkey"))
+      .join(Tables.maybeBroadcast(
+        Tables.customer(spark, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("f1"))
+      .selectExpr("'orders' AS table_name",
+        """stack(1, 'orders_custkey_references_customer', n, f1)
+           AS (rule, n_checked, n_failed)""")
+    ev.unionByName(li).unionByName(docs).unionByName(ri)
+      .select(col("rule"), col("table_name"), col("n_checked"),
+        col("n_failed"), (col("n_failed") === 0L).cast("int").as("pass"))
+      .orderBy(col("rule"))
+  }
+
   /** MAP-1/JSON-1: JSON prop extraction from the events.props payload —
     * get_json_object keeps the parse inside codegen.
     */

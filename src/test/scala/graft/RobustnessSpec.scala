@@ -85,6 +85,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_quality_schedule",  // exact BIGINT budget fill over deciles
       "q_join_cardinality",  // per-key integer counts and products
       "q_cuped",             // exact BIGINT moments, scalar double algebra
+      "q_dq_checks",         // conditional integer counts per rule
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -152,6 +152,24 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(vr >= 0.0 && vr <= 1.0, s"var_reduction $vr outside [0,1]")
   }
 
+  test("dqChecks: every rule checks its table's full population, verdict matches counts") {
+    import graft.operators.RelationalOps
+    val rows = RelationalOps.dqChecks(spark, dir).collect()
+    assert(rows.length === 9)
+    val expected = Map(
+      "events" -> Tables.events(spark, dir).count(),
+      "lineitem" -> Tables.lineitem(spark, dir).count(),
+      "documents" -> Tables.documents(spark, dir).count(),
+      "orders" -> Tables.orders(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) === expected(r.getString(1)),
+        s"rule ${r.getString(0)} checked ${r.getLong(2)} rows, table has ${expected(r.getString(1))}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= r.getLong(2))
+      assert((r.getInt(4) == 1) === (r.getLong(3) == 0L),
+        s"rule ${r.getString(0)} verdict disagrees with its failure count")
+    }
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
