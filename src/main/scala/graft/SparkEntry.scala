@@ -237,6 +237,7 @@ object SparkEntry {
     "q_join_cardinality" -> ((s, d) => graft.operators.ScaleOps.joinCardinality(s, d)),
     "q_cuped"           -> ((s, d) => BehaviorOps.cupedAdjust(s, d)),
     "q_dq_checks"       -> ((s, d) => RelationalOps.dqChecks(s, d)),
+    "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4245,5 +4246,59 @@ object SparkEntry {
           SELECT rule, table_name, n_checked, n_failed,
             CAST(n_failed = 0 AS INTEGER) AS pass
           FROM rules ORDER BY rule""",
+    // same capped-candidate Jaccard chain as q_bucketed_jaccard, swept
+    // over literal thresholds; zero-pair taus kept by the left join
+    "q_dedup_threshold_curve" ->
+      """WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          scored AS (
+            SELECT a_id, b_id,
+              round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
+                     THEN 1
+                     ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
+                6) AS jaccard
+            FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id),
+          taus AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5]) AS DOUBLE) AS tau),
+          q AS (
+            SELECT t.tau, s.a_id, s.b_id FROM scored s
+            JOIN taus t ON s.jaccard >= t.tau),
+          p AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs FROM q GROUP BY tau),
+          d AS (
+            SELECT tau, CAST(count(*) AS BIGINT) AS n_docs_affected FROM (
+              SELECT DISTINCT tau, d FROM (
+                SELECT tau, a_id AS d FROM q UNION ALL SELECT tau, b_id FROM q))
+            GROUP BY tau)
+          SELECT t.tau, coalesce(p.n_pairs, 0) AS n_pairs,
+            coalesce(d.n_docs_affected, 0) AS n_docs_affected
+          FROM taus t LEFT JOIN p USING (tau) LEFT JOIN d USING (tau)
+          ORDER BY t.tau""",
   )
 }

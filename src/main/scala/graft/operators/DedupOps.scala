@@ -329,6 +329,43 @@ object DedupOps {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Dedup-threshold sensitivity curve — the tuning audit read before a
+    * Jaccard cutoff is committed: for each candidate threshold τ, how
+    * many candidate pairs qualify and how many documents those pairs
+    * touch. A cliff between two τ values means the corpus has a dense
+    * near-dup band there and the choice genuinely matters; a flat curve
+    * means any τ in the range deletes the same material. One scored pass
+    * over the SAME capped band-collision candidates as
+    * [[bucketedJaccard]] (cache-materialized), a bounded ×|τ| fan-out,
+    * two keyed aggregates; a literal τ dimension keeps zero-pair
+    * thresholds as explicit rows (the empty-bucket discipline of
+    * `q_risk_histogram`).
+    */
+  def thresholdCurve(spark: SparkSession, dir: String,
+      cap: Int = 20): DataFrame = {
+    val taus = Seq(0.1, 0.2, 0.3, 0.4, 0.5)
+    val tauDim = spark.range(1).select(
+      explode(typedLit(taus)).as("tau"))
+    val scored = scoreJaccardRaw(spark, dir,
+        cappedBandCandidates(spark, dir, cap), threshold = None)
+      .localCheckpoint()
+    val qualifying = scored
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        explode(typedLit(taus)).as("tau"))
+      .filter(col("jaccard") >= col("tau"))
+    val pairs = qualifying.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docs = qualifying
+      .select(col("tau"), explode(array(col("a_id"), col("b_id"))).as("d"))
+      .distinct()
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_docs_affected"))
+    tauDim
+      .join(pairs, Seq("tau"), "left")
+      .join(docs, Seq("tau"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_affected"))
+      .orderBy(col("tau"))
+  }
+
   /** Distinct (a_id, b_id) candidate pairs from MinHash band collisions,
     * with the first `cap` doc_ids per (band, bucket) kept (row_number →
     * WindowGroupLimit, so each side holds ≤ cap rows per bucket in

@@ -86,6 +86,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_join_cardinality",  // per-key integer counts and products
       "q_cuped",             // exact BIGINT moments, scalar double algebra
       "q_dq_checks",         // conditional integer counts per rule
+      "q_dedup_threshold_curve", // md5 candidates, integer counts per tau
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

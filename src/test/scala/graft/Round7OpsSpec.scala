@@ -170,6 +170,24 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("thresholdCurve: counts fall monotonically with tau, docs bounded by pairs") {
+    import graft.operators.DedupOps
+    val rows = DedupOps.thresholdCurve(spark, dir).collect().sortBy(_.getDouble(0))
+    assert(rows.length === 5)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi.getLong(1) <= lo.getLong(1), "pair count rose with tau")
+        assert(hi.getLong(2) <= lo.getLong(2), "doc count rose with tau")
+      case _ =>
+    }
+    rows.foreach { r =>
+      // each qualifying pair touches at most 2 docs, at least... 2 docs
+      // require at least 1 pair; zero pairs must mean zero docs
+      assert(r.getLong(2) <= 2 * r.getLong(1))
+      assert((r.getLong(1) == 0L) === (r.getLong(2) == 0L))
+    }
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
