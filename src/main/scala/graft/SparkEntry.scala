@@ -238,6 +238,8 @@ object SparkEntry {
     "q_cuped"           -> ((s, d) => BehaviorOps.cupedAdjust(s, d)),
     "q_dq_checks"       -> ((s, d) => RelationalOps.dqChecks(s, d)),
     "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
+    "q_attribution"     -> ((s, d) => BehaviorOps.lastTouchAttribution(s, d)),
+    "q_transition_matrix" -> ((s, d) => BehaviorOps.eventTransitions(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4300,5 +4302,46 @@ object SparkEntry {
             coalesce(d.n_docs_affected, 0) AS n_docs_affected
           FROM taus t LEFT JOIN p USING (tau) LEFT JOIN d USING (tau)
           ORDER BY t.tau""",
+    // carry-forward last non-purchase touch per user; credit census
+    "q_attribution" ->
+      """WITH e AS (
+            SELECT user_id, event_type, event_id,
+              epoch_ns(ts) // 1000 AS ts_us, value
+            FROM events),
+          t AS (
+            SELECT event_type, value,
+              last_value(CASE WHEN event_type <> 'purchase'
+                  THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS last_touch
+            FROM e)
+          SELECT coalesce(last_touch, 'none') AS touch_type,
+            CAST(count(*) AS BIGINT) AS n_conversions,
+            CAST(round(sum(value) * 100, 0) AS BIGINT) AS attributed_cents
+          FROM t WHERE event_type = 'purchase'
+          GROUP BY 1 ORDER BY touch_type""",
+    // first-order Markov transition cells + row-normalized probabilities
+    "q_transition_matrix" ->
+      """WITH e AS (
+            SELECT user_id, event_type, event_id,
+              epoch_ns(ts) // 1000 AS ts_us
+            FROM events),
+          lagged AS (
+            SELECT event_type,
+              lag(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id) AS prev
+            FROM e),
+          cells AS (
+            SELECT prev AS from_type, event_type AS to_type,
+              CAST(count(*) AS BIGINT) AS n
+            FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2),
+          totals AS (
+            SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+            FROM cells GROUP BY from_type)
+          SELECT c.from_type, c.to_type, c.n, t.row_total,
+            round(c.n / CAST(t.row_total AS DOUBLE), 6) AS p
+          FROM cells c JOIN totals t USING (from_type)
+          ORDER BY c.from_type, c.to_type""",
   )
 }

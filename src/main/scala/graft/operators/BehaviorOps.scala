@@ -626,4 +626,60 @@ object BehaviorOps {
       round((myA - myB) - theta * (mxA - mxB), 6).as("diff_adj"),
       round(covXY * covXY / (varX * varY), 6).as("var_reduction"))
   }
+
+  /** Last-touch attribution — which touch type gets CREDIT for each
+    * purchase: the latest preceding non-purchase event by the same
+    * user, carried onto the purchase row by an `ignoreNulls` last()
+    * over a ROWS-to-(-1) frame (the per-EVENT as-of lookup, the same
+    * carry-forward trick as `q_asof_join` — no non-equi join, no
+    * per-purchase subquery). Purchases with no prior touch credit
+    * "none" explicitly. Credit census per touch type with the
+    * attributed spend in exact integer cents; one user-keyed window
+    * pass + one hash aggregate.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("last_touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")) * 100, 0).cast("long").as("attributed_cents"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** User-journey transition matrix — the first-order Markov view of
+    * the event stream: counts and row-normalized probabilities for
+    * every (from, to) consecutive event-type pair within a user's
+    * total-ordered history (ts, event_id). The product-analytics
+    * staple behind "what happens after an error" and journey
+    * simulation. One user-keyed lag window + one hash aggregate; the
+    * row normalizer joins back over the |types|² cell table, so
+    * nothing beyond the cells is ever re-shuffled.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val cells = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    cells.join(Tables.maybeBroadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        round(col("n") / col("row_total").cast("double"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -87,6 +87,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_cuped",             // exact BIGINT moments, scalar double algebra
       "q_dq_checks",         // conditional integer counts per rule
       "q_dedup_threshold_curve", // md5 candidates, integer counts per tau
+      "q_attribution",       // total-order carry-forward, integer cents
+      "q_transition_matrix", // lag cells, integer counts, row-local p
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -188,6 +188,35 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution: conversions conserve the purchase population") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.lastTouchAttribution(spark, dir).collect()
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum === purchases,
+      "attributed conversions do not sum to the purchase count")
+    // credit only goes to non-purchase touch types (or explicit none)
+    rows.foreach(r => assert(r.getString(0) != "purchase"))
+  }
+
+  test("eventTransitions: rows are distributions, cells conserve the lagged stream") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.eventTransitions(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-from row: cell counts sum to the row total, probabilities to ~1
+    rows.groupBy(_.getString(0)).foreach { case (from, cells) =>
+      val rowTotal = cells.head.getLong(3)
+      assert(cells.map(_.getLong(2)).sum === rowTotal,
+        s"$from cells do not sum to their row total")
+      val pSum = cells.map(_.getDouble(4)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$from probabilities sum to $pSum")
+    }
+    // total transitions = events - users-with-events (one lag loss per user)
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
