@@ -240,6 +240,8 @@ object SparkEntry {
     "q_dedup_threshold_curve" -> ((s, d) => DedupOps.thresholdCurve(s, d)),
     "q_attribution"     -> ((s, d) => BehaviorOps.lastTouchAttribution(s, d)),
     "q_transition_matrix" -> ((s, d) => BehaviorOps.eventTransitions(s, d)),
+    "q_lift_deciles"    -> ((s, d) => BehaviorOps.liftDeciles(s, d)),
+    "q_power_mde"       -> ((s, d) => BehaviorOps.powerMde(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4343,5 +4345,63 @@ object SparkEntry {
             round(c.n / CAST(t.row_total AS DOUBLE), 6) AS p
           FROM cells c JOIN totals t USING (from_type)
           ORDER BY c.from_type, c.to_type""",
+    // ntile(10) by clicks desc; cumulative shares over the decile frame
+    "q_lift_deciles" ->
+      """WITH pu AS (
+            SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+            FROM events GROUP BY user_id),
+          t AS (
+            SELECT clicks, purchases,
+              ntile(10) OVER (ORDER BY clicks DESC, user_id) AS decile
+            FROM pu),
+          dec AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(clicks) AS BIGINT) AS clicks,
+              CAST(sum(purchases) AS BIGINT) AS purchases
+            FROM t GROUP BY decile),
+          g AS (
+            SELECT decile, n_users, clicks, purchases,
+              CAST(sum(purchases) OVER (ORDER BY decile) AS BIGINT) AS cum_purchases,
+              CAST(sum(purchases) OVER () AS BIGINT) AS total_purchases,
+              CAST(sum(n_users) OVER (ORDER BY decile) AS BIGINT) AS cum_users,
+              CAST(sum(n_users) OVER () AS BIGINT) AS total_users
+            FROM dec)
+          SELECT decile, n_users, clicks, purchases,
+            round(purchases / CAST(n_users AS DOUBLE), 6) AS resp_per_user,
+            round(cum_purchases / CAST(total_purchases AS DOUBLE), 6) AS cum_purchase_share,
+            round(cum_users / CAST(total_users AS DOUBLE), 6) AS cum_user_share
+          FROM g ORDER BY decile""",
+    // MDE from exact cent moments; z quantiles inlined as literals
+    "q_power_mde" ->
+      """WITH pu AS (
+            SELECT user_id,
+              CAST(round(sum(value) * 100, 0) AS BIGINT) AS y,
+              substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS in_a
+            FROM events GROUP BY user_id),
+          m AS (
+            SELECT
+              CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pu),
+          d AS (
+            SELECT n_a, n_b,
+              CAST(n_a + n_b AS DOUBLE) AS n, CAST(sy AS DOUBLE) AS sy,
+              CAST(syy AS DOUBLE) AS syy
+            FROM m),
+          f AS (
+            SELECT n_a, n_b, sy / n / 100.0 AS mean_dollars,
+              (syy - sy * sy / n) / (n - 1.0) AS variance,
+              2.801585 * sqrt((syy - sy * sy / n) / (n - 1.0)
+                * (1.0 / n_a + 1.0 / n_b)) AS mde
+            FROM d)
+          SELECT n_a, n_b,
+            round(mean_dollars, 6) AS mean_spend,
+            round(sqrt(variance) / 100.0, 6) AS sd_spend,
+            round(mde / 100.0, 6) AS mde_spend,
+            round(mde / 100.0 / mean_dollars, 6) AS mde_relative
+          FROM f""",
   )
 }

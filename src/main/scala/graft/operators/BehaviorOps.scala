@@ -627,6 +627,89 @@ object BehaviorOps {
       round(covXY * covXY / (varX * varY), 6).as("var_reduction"))
   }
 
+  /** Model-lift / gains table — the targeting readout: users ranked by
+    * an engagement score (click count, the stand-in for a model score)
+    * into deciles via the exact distributed ntile, then per decile the
+    * purchase response and the CUMULATIVE share of all purchases
+    * captured down the ranking. "The top 3 deciles hold 40% of the
+    * response" is the sentence this table exists to produce. Counts
+    * stay exact BIGINT; the cumulative shares come from the
+    * explode-to-equi trick over the 10-row decile frame (no
+    * unpartitioned window); each share is one final division.
+    */
+  def liftDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val perUser = Tables.fanOut(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    val dec = distributedNtile(perUser, k, "decile")(
+        col("clicks").desc, col("user_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("clicks")).as("clicks"),
+        sum(col("purchases")).as("purchases"))
+    val grid = dec.select(col("decile").as("_q"), col("purchases").as("_p"),
+        col("n_users").as("_u"))
+      .select(explode(sequence(lit(1), lit(k))).as("decile"),
+        col("_q"), col("_p"), col("_u"))
+      .groupBy(col("decile"))
+      .agg(
+        sum(when(col("_q") <= col("decile"), col("_p")).otherwise(lit(0L)))
+          .as("cum_purchases"),
+        sum(col("_p")).as("total_purchases"),
+        sum(when(col("_q") <= col("decile"), col("_u")).otherwise(lit(0L)))
+          .as("cum_users"),
+        sum(col("_u")).as("total_users"))
+    dec.join(grid, Seq("decile"))
+      .select(col("decile"), col("n_users"), col("clicks"), col("purchases"),
+        round(col("purchases") / col("n_users").cast("double"), 6)
+          .as("resp_per_user"),
+        round(col("cum_purchases") / col("total_purchases").cast("double"), 6)
+          .as("cum_purchase_share"),
+        round(col("cum_users") / col("total_users").cast("double"), 6)
+          .as("cum_user_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** Experiment power readout — the minimum detectable effect (MDE) of
+    * the two-arm spend test BEFORE it runs: with the realized md5 arm
+    * sizes and the pooled sample variance of per-user spend, the
+    * smallest true difference a 5%-two-sided / 80%-power test can
+    * expect to detect is (z_α/2 + z_β)·√(s²·(1/n_a + 1/n_b)). Variance
+    * comes from exact BIGINT cent moments (Σy, Σy², n) in one pass —
+    * the z quantiles are literals, everything after the aggregate is
+    * scalar double algebra on exact integers, so both engines compute
+    * identical doubles.
+    */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val pu = Tables.fanOut(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("y"))
+      .withColumn("in_a",
+        substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
+    val m = pu.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val sy = col("sy").cast("double")
+    // sample variance in cents²; s and the MDE report in dollars
+    val variance = (col("syy") - sy * sy / n) / (n - lit(1.0))
+    // one literal, not a sum of two: 1.959964 + 0.841621 evaluated as a
+    // double addition can differ from the parsed constant by an ulp,
+    // and the oracle parses the constant
+    val mde = lit(2.801585) *
+      sqrt(variance * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val meanDollars = sy / n / 100.0
+    m.select(
+      col("n_a"), col("n_b"),
+      round(meanDollars, 6).as("mean_spend"),
+      round(sqrt(variance) / 100.0, 6).as("sd_spend"),
+      round(mde / 100.0, 6).as("mde_spend"),
+      round(mde / 100.0 / meanDollars, 6).as("mde_relative"))
+  }
+
   /** Last-touch attribution — which touch type gets CREDIT for each
     * purchase: the latest preceding non-purchase event by the same
     * user, carried onto the purchase row by an `ignoreNulls` last()

@@ -89,6 +89,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_dedup_threshold_curve", // md5 candidates, integer counts per tau
       "q_attribution",       // total-order carry-forward, integer cents
       "q_transition_matrix", // lag cells, integer counts, row-local p
+      "q_lift_deciles",      // distributed ntile + integer cumulative shares
+      "q_power_mde",         // exact cent moments, scalar algebra
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -217,6 +217,42 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === expected)
   }
 
+  test("liftDeciles: shares cumulate to one, populations conserve the user base") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.liftDeciles(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.length === 10)
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === users)
+    // both cumulative share columns are non-decreasing and end at 1
+    Seq(5, 6).foreach { i =>
+      val shares = rows.map(_.getDouble(i))
+      shares.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-12)
+        case _ =>
+      }
+      assert(math.abs(shares.last - 1.0) < 1e-9)
+    }
+    // ranking is by clicks desc: per-decile click mass never rises
+    rows.map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
+
+  test("powerMde: detectable effect positive and above the arms' observed noise floor") {
+    import graft.operators.BehaviorOps
+    val r = BehaviorOps.powerMde(spark, dir).collect()(0)
+    assert(r.getLong(0) > 0L && r.getLong(1) > 0L)
+    assert(r.getDouble(3) > 0.0, "zero spend variance is not this corpus")
+    // mde = 2.801585 * sd * sqrt(1/n_a + 1/n_b) up to rounding
+    val expected = 2.801585 * r.getDouble(3) *
+      math.sqrt(1.0 / r.getLong(0) + 1.0 / r.getLong(1))
+    assert(math.abs(r.getDouble(4) - expected) < 1e-4,
+      s"mde ${r.getDouble(4)} != recomputed $expected")
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0,
+      "relative MDE outside a sane band for this corpus")
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
