@@ -242,6 +242,7 @@ object SparkEntry {
     "q_transition_matrix" -> ((s, d) => BehaviorOps.eventTransitions(s, d)),
     "q_lift_deciles"    -> ((s, d) => BehaviorOps.liftDeciles(s, d)),
     "q_power_mde"       -> ((s, d) => BehaviorOps.powerMde(s, d)),
+    "q_compaction_audit" -> ((s, d) => graft.operators.ScaleOps.compactionAudit(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4403,5 +4404,16 @@ object SparkEntry {
             round(mde / 100.0, 6) AS mde_spend,
             round(mde / 100.0 / mean_dollars, 6) AS mde_relative
           FROM f""",
+    // file counts derived from row arithmetic alone (writer contract):
+    // 32 fragments in, ceil(rows/50000) out, content identical
+    "q_compaction_audit" ->
+      """WITH m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+          SELECT n AS rows_before,
+            CAST(least(32, n) AS BIGINT) AS files_before,
+            n AS rows_after,
+            CAST(greatest(1, (n + 49999) // 50000) AS BIGINT) AS files_after,
+            CAST(1 AS INTEGER) AS content_preserved
+          FROM m""",
   )
 }

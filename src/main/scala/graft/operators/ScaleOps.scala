@@ -64,6 +64,49 @@ object ScaleOps {
         min(col("l_linenumber")).as("min_linenumber"),
         max(col("l_linenumber")).as("max_linenumber"))
 
+  /** Small-files compaction audit — the OPTIMIZE job of a lake table as
+    * a query: a fragmented layout (32 writer tasks → 32 small files, the
+    * shape a streaming ingest leaves behind) is compacted to
+    * ceil(rows/target) right-sized files, and the audit row proves three
+    * things at once: the file count actually dropped to the computed
+    * target, no row was lost, and the content checksum (exact cent sum)
+    * survived the rewrite byte-for-byte. The oracle derives the file
+    * counts from row arithmetic alone — the same writer-contract trick
+    * as `q_write_files_audit` — so the driver's hash check verifies the
+    * COMPACTOR's splitting contract, not just the copy. Scratch paths
+    * are per-applicationId; idempotent overwrite per run.
+    */
+  def compactionAudit(spark: SparkSession, dir: String,
+      targetRows: Int = 50000, smallFiles: Int = 32): DataFrame = {
+    import spark.implicits._
+    val out1 = scratchPath(spark, "compact/small")
+    val out2 = scratchPath(spark, "compact/compacted")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(smallFiles)
+      .write.mode("overwrite").parquet(out1)
+    val small = spark.read.parquet(out1)
+    val nRows = small.count()
+    val nTarget = math.max(1L, (nRows + targetRows - 1) / targetRows).toInt
+    small.repartition(nTarget).write.mode("overwrite").parquet(out2)
+    def files(p: String): Long = new java.io.File(p)
+      .listFiles().count(_.getName.endsWith(".parquet")).toLong
+    val checks = Seq(out1, out2).map { p =>
+      spark.read.parquet(p)
+        .agg(count(lit(1)), round(sum(col("value")) * 100, 0).cast("long"))
+        .head()
+    }
+    Seq((checks(0).getLong(0), files(out1), checks(1).getLong(0),
+        files(out2), checks(0).getLong(1), checks(1).getLong(1)))
+      .toDF("rows_before", "files_before", "rows_after", "files_after",
+        "cents_before", "cents_after")
+      .select(col("rows_before"), col("files_before"), col("rows_after"),
+        col("files_after"),
+        (col("rows_before") === col("rows_after") &&
+          col("cents_before") === col("cents_after")).cast("int")
+          .as("content_preserved"))
+  }
+
   /** Join-cardinality pre-flight: the EXACT predicted output size of a
     * fact⋈fact equi-join, computed from per-key counts WITHOUT running
     * the join — |A⋈B| = Σ_k n_A(k)·n_B(k). This is the planner-style

@@ -91,6 +91,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_transition_matrix", // lag cells, integer counts, row-local p
       "q_lift_deciles",      // distributed ntile + integer cumulative shares
       "q_power_mde",         // exact cent moments, scalar algebra
+      "q_compaction_audit",  // fixed writer counts + exact checksums
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -253,6 +253,17 @@ class Round7OpsSpec extends AnyFunSuite {
       "relative MDE outside a sane band for this corpus")
   }
 
+  test("compactionAudit: file count collapses to the contract, content survives") {
+    val r = ScaleOps.compactionAudit(spark, dir).collect()(0)
+    val (rowsB, filesB, rowsA, filesA) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(rowsB === rowsA, "compaction lost rows")
+    assert(filesA === math.max(1L, (rowsB + 49999) / 50000),
+      s"compacted to $filesA files, contract says ${(rowsB + 49999) / 50000}")
+    assert(filesA < filesB, "compaction did not reduce the file count")
+    assert(r.getInt(4) === 1, "content checksum changed across the rewrite")
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
