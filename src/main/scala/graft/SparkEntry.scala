@@ -243,6 +243,7 @@ object SparkEntry {
     "q_lift_deciles"    -> ((s, d) => BehaviorOps.liftDeciles(s, d)),
     "q_power_mde"       -> ((s, d) => BehaviorOps.powerMde(s, d)),
     "q_compaction_audit" -> ((s, d) => graft.operators.ScaleOps.compactionAudit(s, d)),
+    "q_dau_wau"         -> ((s, d) => BehaviorOps.dauWau(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4415,5 +4416,22 @@ object SparkEntry {
             CAST(greatest(1, (n + 49999) // 50000) AS BIGINT) AS files_after,
             CAST(1 AS INTEGER) AS content_preserved
           FROM m""",
+    // rolling 7-day distinct via the explode-to-window-end rewrite
+    "q_dau_wau" ->
+      """WITH du AS (
+            SELECT DISTINCT
+              (epoch_ns(ts) // 1000) // 86400000000 AS day, user_id
+            FROM events),
+          dau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+          wau AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+              SELECT DISTINCT CAST(unnest(range(day, day + 7)) AS BIGINT) AS day,
+                user_id
+              FROM du)
+            GROUP BY day)
+          SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+            round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+          FROM dau JOIN wau USING (day) ORDER BY day""",
   )
 }

@@ -627,6 +627,34 @@ object BehaviorOps {
       round(covXY * covXY / (varX * varY), 6).as("var_reduction"))
   }
 
+  /** DAU / WAU / stickiness — the daily-active, 7-day-active and
+    * engagement-ratio table every product dashboard leads with. The
+    * rolling 7-day DISTINCT count is the part a naive window cannot do
+    * (count(distinct) over a sliding frame re-scans per day): instead
+    * each (day, user) activity row is exploded to the 7 window-end days
+    * it supports, de-duplicated, and counted — one bounded ×7 fan-out
+    * of the already-reduced day×user table, two hash aggregates, all
+    * exact integers. Early days keep their partial windows (standard
+    * dashboard semantics); stickiness is DAU/WAU rounded once.
+    */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = Tables.fanOut(Tables.events(spark, dir))
+      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Model-lift / gains table — the targeting readout: users ranked by
     * an engagement score (click count, the stand-in for a model score)
     * into deciles via the exact distributed ntile, then per decile the

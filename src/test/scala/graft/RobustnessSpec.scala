@@ -92,6 +92,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_lift_deciles",      // distributed ntile + integer cumulative shares
       "q_power_mde",         // exact cent moments, scalar algebra
       "q_compaction_audit",  // fixed writer counts + exact checksums
+      "q_dau_wau",           // distinct day-user cells, integer counts
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

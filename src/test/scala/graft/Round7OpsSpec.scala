@@ -264,6 +264,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r.getInt(4) === 1, "content checksum changed across the rewrite")
   }
 
+  test("dauWau: window dominates the day, both bounded by the user base") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.dauWau(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val (dau, wau) = (r.getLong(1), r.getLong(2))
+      assert(dau >= 1L && dau <= wau, "a day's actives exceed its 7-day window")
+      assert(wau <= users, "window actives exceed the user base")
+      val s = r.getDouble(3)
+      assert(s > 0.0 && s <= 1.0)
+    }
+    // every observed activity day appears
+    val days = Tables.events(spark, dir)
+      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
+      .distinct().count()
+    assert(rows.length.toLong === days)
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
