@@ -244,6 +244,7 @@ object SparkEntry {
     "q_power_mde"       -> ((s, d) => BehaviorOps.powerMde(s, d)),
     "q_compaction_audit" -> ((s, d) => graft.operators.ScaleOps.compactionAudit(s, d)),
     "q_dau_wau"         -> ((s, d) => BehaviorOps.dauWau(s, d)),
+    "q_seasonal_index"  -> ((s, d) => BehaviorOps.seasonalIndex(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4433,5 +4434,32 @@ object SparkEntry {
           SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
             round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
           FROM dau JOIN wau USING (day) ORDER BY day""",
+    // weekday index from cross-multiplied BIGINT masses, one division
+    "q_seasonal_index" ->
+      """WITH daily AS (
+            SELECT event_type,
+              (epoch_ns(ts) // 1000) // 86400000000 AS day,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          d2 AS (SELECT event_type, day, day % 7 AS dow, n FROM daily),
+          spine AS (
+            SELECT dow, CAST(count(*) AS BIGINT) AS days_dow FROM (
+              SELECT DISTINCT day, dow FROM d2) GROUP BY dow),
+          alldays AS (SELECT CAST(sum(days_dow) AS BIGINT) AS days_all FROM spine),
+          bytype AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS ev_all
+            FROM d2 GROUP BY event_type),
+          bydow AS (
+            SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS ev_dow
+            FROM d2 GROUP BY 1, 2)
+          SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow,
+            s.days_dow, b.ev_dow,
+            round((b.ev_dow * a.days_all) /
+              CAST(s.days_dow * t.ev_all AS DOUBLE), 6) AS seasonal_index
+          FROM bydow b
+          JOIN spine s USING (dow)
+          JOIN bytype t USING (event_type)
+          CROSS JOIN alldays a
+          ORDER BY b.event_type, dow""",
   )
 }

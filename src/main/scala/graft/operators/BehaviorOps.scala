@@ -326,6 +326,42 @@ object BehaviorOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Weekday seasonal-index table — the multiplicative companion of
+    * [[weekdayAnomaly]]'s z-scores: per (type, weekday), the ratio of
+    * that weekday's average daily volume to the type's overall average
+    * daily volume. Index 1.3 on dow 5 reads "Saturdays run 30% hot";
+    * dividing a day's count by its index IS the deseasonalization step
+    * a forecaster applies first. Day denominators come from the global
+    * observed-day spine (a type silent on a day correctly contributes
+    * zero volume over a counted day). All masses exact BIGINT; the
+    * index is ONE division of cross-multiplied integers —
+    * ev_dow·days_all / (days_dow·ev_all); the total-day scalar is a
+    * bounded driver literal (the corpus-scalar inlining pattern — a
+    * 1-row broadcast would plan the registry-banned nested loop).
+    */
+  def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("event_type"),
+        expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+      .localCheckpoint()
+    val spine = daily.select(col("day"), col("dow")).distinct()
+      .groupBy(col("dow")).agg(count(lit(1)).as("days_dow"))
+    val daysAll = spine.agg(sum(col("days_dow"))).head().getLong(0)
+    val byType = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("ev_all"))
+    daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("ev_dow"))
+      .join(Tables.maybeBroadcast(spine), Seq("dow"))
+      .join(Tables.maybeBroadcast(byType), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("days_dow"), col("ev_dow"),
+        round((col("ev_dow") * lit(daysAll)) /
+          (col("days_dow") * col("ev_all")).cast("double"), 6).as("seasonal_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Gini coefficient of per-user activity, one per event type — the
     * inequality audit behind "is this stream a few power users or a
     * broad base". Computed on the ACTIVITY HISTOGRAM (count value →

@@ -93,6 +93,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_power_mde",         // exact cent moments, scalar algebra
       "q_compaction_audit",  // fixed writer counts + exact checksums
       "q_dau_wau",           // distinct day-user cells, integer counts
+      "q_seasonal_index",    // cross-multiplied BIGINT masses, one division
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

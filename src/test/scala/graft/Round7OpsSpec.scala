@@ -283,6 +283,21 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.length.toLong === days)
   }
 
+  test("seasonalIndex: day-weighted indices average to one per type") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.seasonalIndex(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, cells) =>
+      assert(cells.length <= 7)
+      // Σ days_dow·idx / days_all = 1 by construction (exact masses)
+      val daysAll = cells.map(_.getLong(2)).sum.toDouble
+      val weighted = cells.map(r => r.getLong(2) * r.getDouble(4)).sum / daysAll
+      assert(math.abs(weighted - 1.0) < 1e-4,
+        s"$tpe day-weighted index $weighted != 1")
+      cells.foreach(r => assert(r.getDouble(4) > 0.0))
+    }
+  }
+
   test("curriculumShards: population conserved, quality spans descend without overlap") {
     val rows = CorpusOps.curriculumShards(spark, dir).collect()
     assert(rows.length === 8)
