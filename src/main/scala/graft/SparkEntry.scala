@@ -245,6 +245,14 @@ object SparkEntry {
     "q_compaction_audit" -> ((s, d) => graft.operators.ScaleOps.compactionAudit(s, d)),
     "q_dau_wau"         -> ((s, d) => BehaviorOps.dauWau(s, d)),
     "q_seasonal_index"  -> ((s, d) => BehaviorOps.seasonalIndex(s, d)),
+    // ---- round 7: SQL subquery surface + experimentation stats
+    "q_scalar_subquery" -> ((s, d) => RelationalOps.scalarSubqueryParts(s, d)),
+    "q_not_exists"      -> ((s, d) => RelationalOps.notExistsSegments(s, d)),
+    "q_recursive_cte"   -> ((s, d) => RelationalOps.recursiveChain(s, d)),
+    "q_dwell_time"      -> ((s, d) => BehaviorOps.dwellTime(s, d)),
+    "q_timed_funnel"    -> ((s, d) => BehaviorOps.timedFunnel(s, d)),
+    "q_bootstrap_ci"    -> ((s, d) => BehaviorOps.bootstrapCi(s, d)),
+    "q_pr_curve"        -> ((s, d) => BehaviorOps.prCurve(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4461,5 +4469,146 @@ object SparkEntry {
           JOIN bytype t USING (event_type)
           CROSS JOIN alldays a
           ORDER BY b.event_type, dow""",
+    // scale-free integer cross-multiplied share threshold
+    "q_scalar_subquery" ->
+      """WITH pv AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem GROUP BY l_partkey)
+         SELECT l_partkey, rev_cents
+         FROM pv
+         WHERE rev_cents * (SELECT count(*) FROM pv) * 10 >
+               (SELECT sum(rev_cents) FROM pv) * 14
+         ORDER BY rev_cents DESC, l_partkey""",
+    "q_not_exists" ->
+      """WITH pos AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS cents_pos
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+         FROM customer c
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+                 (SELECT n_pos FROM pos) > (SELECT cents_pos FROM pos)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // linked-list walk: acyclic, UNION ALL visits each order once
+    "q_recursive_cte" ->
+      """WITH RECURSIVE nxt AS (
+           SELECT o_custkey, o_orderkey,
+             lead(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_key,
+             lag(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_key
+           FROM orders),
+         walk AS (
+           SELECT o_custkey, o_orderkey, next_key, 1 AS pos
+           FROM nxt WHERE prev_key IS NULL
+           UNION ALL
+           SELECT n.o_custkey, n.o_orderkey, n.next_key, w.pos + 1
+           FROM walk w JOIN nxt n ON n.o_orderkey = w.next_key)
+         SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+         FROM walk GROUP BY pos ORDER BY pos""",
+    "q_dwell_time" ->
+      """WITH g AS (
+           SELECT event_type,
+             lead(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_ns(ts) // 1000 AS gap_us
+           FROM events)
+         SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           round(sum(gap_us) / (count(gap_us) * 1000000.0), 4) AS avg_gap_sec
+         FROM g GROUP BY event_type ORDER BY event_type""",
+    "q_timed_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+         v AS (SELECT user_id, min(us) AS v_us FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.us) AS c_us
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.us > v.v_us
+                 AND e.us <= v.v_us + 259200000000
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.us) AS p_us
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.us > c.c_us
+                 AND e.us <= c.c_us + 259200000000
+               GROUP BY e.user_id)
+         SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_72h,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_72h,
+           round((SELECT count(*) FROM c) /
+             CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+           round((SELECT count(*) FROM p) / greatest(
+             CAST((SELECT count(*) FROM c) AS DOUBLE), 1.0), 6)
+             AS click_to_purchase""",
+    // Poisson(1) inverse-CDF boundaries: literals shared with the engine
+    "q_bootstrap_ci" ->
+      """WITH reps AS (SELECT unnest(range(1, 41)) AS rep),
+         d AS (
+           SELECT r.rep,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR) || '#'
+               || CAST(r.rep AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0 AS u
+           FROM orders o CROSS JOIN reps r),
+         wts AS (
+           SELECT rep, cents,
+             CASE WHEN u < 0.367879441171 THEN 0
+                  WHEN u < 0.735758882343 THEN 1
+                  WHEN u < 0.919698602929 THEN 2
+                  WHEN u < 0.981011843123 THEN 3
+                  WHEN u < 0.996340153246 THEN 4
+                  WHEN u < 0.999405815182 THEN 5
+                  WHEN u < 0.999916758850 THEN 6
+                  ELSE 7 END AS w
+           FROM d),
+         means AS (
+           SELECT rep, sum(w * cents) / (sum(w) * 100.0) AS m
+           FROM wts GROUP BY rep),
+         ranked AS (
+           SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM means),
+         pt AS (
+           SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) /
+             (count(*) * 100.0) AS mean_spend FROM orders)
+         SELECT round((SELECT mean_spend FROM pt), 4) AS mean_spend,
+           round((SELECT m FROM ranked WHERE rk = 2), 4) AS ci_lo,
+           round((SELECT m FROM ranked WHERE rk = 39), 4) AS ci_hi,
+           round((SELECT m FROM ranked WHERE rk = 39) -
+                 (SELECT m FROM ranked WHERE rk = 2), 4) AS ci_width""",
+    // relative k/10-of-max thresholds: scale-free operating points
+    "q_pr_curve" ->
+      """WITH u AS (
+           SELECT user_id,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) * 5 > count(*) THEN 1 ELSE 0 END AS pos
+           FROM events GROUP BY user_id),
+         h AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pos FROM u GROUP BY score),
+         mx AS (SELECT max(score) AS ms FROM h),
+         t AS (SELECT unnest(range(1, 11)) AS k),
+         cells AS (
+           SELECT t.k,
+             sum(CASE WHEN h.score * 10 >= (SELECT ms FROM mx) * t.k
+               THEN h.n_pos ELSE 0 END) AS tp,
+             sum(CASE WHEN h.score * 10 >= (SELECT ms FROM mx) * t.k
+               THEN h.n - h.n_pos ELSE 0 END) AS fp,
+             sum(CASE WHEN h.score * 10 < (SELECT ms FROM mx) * t.k
+               THEN h.n_pos ELSE 0 END) AS fn
+           FROM t CROSS JOIN h GROUP BY t.k)
+         SELECT CAST(k AS BIGINT) AS k, CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           round(tp / greatest(CAST(tp + fp AS DOUBLE), 1.0), 6) AS precision,
+           round(tp / greatest(CAST(tp + fn AS DOUBLE), 1.0), 6) AS recall,
+           round(2 * tp / greatest(CAST(2 * tp + fp + fn AS DOUBLE), 1.0), 6)
+             AS f1
+         FROM cells ORDER BY k""",
   )
 }

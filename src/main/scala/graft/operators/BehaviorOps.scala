@@ -829,4 +829,163 @@ object BehaviorOps {
         round(col("n") / col("row_total").cast("double"), 6).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Per-event-type dwell time — the mean gap from an event to the SAME
+    * user's next event (any type): how long each event type holds the
+    * user before they do anything else. The engagement-latency readout
+    * behind "errors stall sessions" and time-on-step dashboards. One
+    * user-keyed lead window over (ts, event_id) — the standard keyed
+    * exchange, no global sort — then gap micros sum as exact BIGINT per
+    * type with one final division. Last events per user have no
+    * successor and drop out of the count (count(gap), not count(*)).
+    */
+  def dwellTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"))
+      .select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
+        round(col("sum_gap_us") / (col("n_gaps") * 1000000.0), 4)
+          .as("avg_gap_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-bound funnel — [[funnel]] with a conversion DEADLINE: stage N
+    * must land within 72 h of the user's qualifying stage-(N−1) event,
+    * which is how real conversion funnels are defined (an eventual
+    * purchase weeks later is not attributable to the view). Same
+    * narrowing per-user aggregate/equi-join chain as the unbounded
+    * funnel — the deadline is one more residual predicate on the
+    * already-joined rows, so the plan shape (and its single shuffle key,
+    * user_id) is unchanged. Timestamps compare in exact integer µs.
+    */
+  def timedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 259200L * 1000000L // 72 h
+    val e = ev(spark, dir).localCheckpoint()
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_us") > col("v_us") &&
+        col("ts_us") <= col("v_us") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_us") > col("c_us") &&
+        col("ts_us") <= col("c_us") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+    val nv = v.agg(count(lit(1)).as("viewed"))
+    val nc = c.agg(count(lit(1)).as("clicked_72h"))
+    val np = p.agg(count(lit(1)).as("purchased_72h"))
+    nv.crossJoin(nc).crossJoin(np)
+      .select(col("viewed"), col("clicked_72h"), col("purchased_72h"),
+        round(col("clicked_72h") / col("viewed").cast("double"), 6)
+          .as("view_to_click"),
+        round(col("purchased_72h") /
+          greatest(col("clicked_72h").cast("double"), lit(1.0)), 6)
+          .as("click_to_purchase"))
+  }
+
+  /** Poisson-bootstrap confidence interval for mean order spend — THE
+    * way to bootstrap at 100 TB: instead of materializing R resamples
+    * (impossible — each is a full pass with global coordination), every
+    * row draws its own independent Poisson(1) multiplicity per
+    * replicate, which approximates multinomial resampling exactly as
+    * n → ∞ (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google 2012). The draw is CONTENT-ADDRESSED — inverse
+    * Poisson CDF applied to an md5-uniform of (order, replicate) — so
+    * both engines draw identical weights with no RNG state, and the
+    * whole job is one map-side explode (×R) plus one 40-group hash
+    * aggregate: partials merge, nothing global until the 40-row
+    * replicate-mean table. The 95% CI is exact order statistics
+    * (ranks 2 and 39 of 40 replicate means, the (r/(R+1)) positions).
+    */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.fanOut(Tables.orders(spark, dir))
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint()
+    val drawn = cents
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(1), lit(reps))).as("rep"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("o_orderkey").cast("string"), lit("#"),
+          col("rep").cast("string"))), 1, 6), 16, 10).cast("long") / 16777216.0)
+      // inverse Poisson(1) CDF: cumulative probs as shared literals with
+      // the oracle, so the branch a draw lands in can never differ
+      .withColumn("w",
+        when(col("u") < 0.367879441171, 0L)
+          .when(col("u") < 0.735758882343, 1L)
+          .when(col("u") < 0.919698602929, 2L)
+          .when(col("u") < 0.981011843123, 3L)
+          .when(col("u") < 0.996340153246, 4L)
+          .when(col("u") < 0.999405815182, 5L)
+          .when(col("u") < 0.999916758850, 6L)
+          .otherwise(7L))
+    val means = drawn.groupBy(col("rep"))
+      .agg((sum(col("w") * col("cents")) / (sum(col("w")) * 100.0)).as("m"))
+    // rank the R replicate means — R = 40 rows, provably bounded
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("m"), col("rep"))))
+    val lo = ranked.filter(col("rk") === 2).select(col("m").as("lo"))
+    val hi = ranked.filter(col("rk") === reps - 1).select(col("m").as("hi"))
+    val pt = cents.agg(
+      (sum(col("cents")) / (count(lit(1)) * 100.0)).as("pt"))
+    pt.crossJoin(lo).crossJoin(hi)
+      .select(round(col("pt"), 4).as("mean_spend"),
+        round(col("lo"), 4).as("ci_lo"),
+        round(col("hi"), 4).as("ci_hi"),
+        round(col("hi") - col("lo"), 4).as("ci_width"))
+  }
+
+  /** Precision/recall/F1 threshold sweep of "click count predicts
+    * purchase-heavy user" — the operating-point table read next to
+    * [[aucClicksToPurchase]]'s single ranking number before a threshold
+    * is committed. Same histogram collapse as the AUC: users reduce to
+    * (score, label), scores reduce to (score, n, n_pos) cells, and every
+    * threshold's confusion cells are conditional sums over that tiny
+    * table (thresholds × score-levels, never thresholds × users). The
+    * threshold grid is RELATIVE — k/10 of the max score, integer
+    * cross-multiplied — so the sweep stays non-degenerate at any scale
+    * factor.
+    */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("score"),
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5 >
+          count(lit(1)), 1L).otherwise(0L).as("pos"))
+    val h = perUser.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .localCheckpoint()
+    val mx = h.agg(max(col("score")).as("ms"))
+    val cells = h.crossJoin(broadcast(mx))
+      .select(explode(sequence(lit(1L), lit(10L))).as("k"),
+        col("score"), col("n"), col("n_pos"), col("ms"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("score") * 10 >= col("ms") * col("k"), col("n_pos"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") * 10 >= col("ms") * col("k"),
+          col("n") - col("n_pos")).otherwise(0L)).as("fp"),
+        sum(when(col("score") * 10 < col("ms") * col("k"), col("n_pos"))
+          .otherwise(0L)).as("fn"))
+    cells.select(col("k"), col("tp"), col("fp"), col("fn"),
+        round(col("tp") / greatest((col("tp") + col("fp")).cast("double"),
+          lit(1.0)), 6).as("precision"),
+        round(col("tp") / greatest((col("tp") + col("fn")).cast("double"),
+          lit(1.0)), 6).as("recall"),
+        round(col("tp") * 2 / greatest(
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double"),
+          lit(1.0)), 6).as("f1"))
+      .orderBy(col("k"))
+  }
 }

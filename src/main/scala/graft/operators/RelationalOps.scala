@@ -425,4 +425,104 @@ object RelationalOps {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Scalar-subquery HAVING (the TPC-H Q11 shape): parts whose revenue
+    * share exceeds 1.4× the mean part share, with BOTH corpus scalars
+    * (part count and total revenue) read through uncorrelated scalar
+    * subqueries over the same CTE — Catalyst plans each as a one-row
+    * subquery reused as a literal, so the fact table is scanned once
+    * for the grouped aggregate and once (reduced) for the scalars,
+    * never per-row. The threshold is an integer cross-multiply of
+    * exact cents (rev · n · 10 > total · 14): scale-free, so the
+    * predicate selects the same top tier at any scale factor, and no
+    * float division exists for engines to disagree on.
+    */
+  def scalarSubqueryParts(spark: SparkSession, dir: String): DataFrame = {
+    graft.model.Tables.fanOut(graft.model.Tables.lineitem(spark, dir))
+      .createOrReplaceTempView("graft_li_ssq")
+    spark.sql(
+      """WITH pv AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM graft_li_ssq GROUP BY l_partkey)
+         SELECT l_partkey, rev_cents
+         FROM pv
+         WHERE rev_cents * (SELECT count(*) FROM pv) * 10 >
+               (SELECT sum(rev_cents) FROM pv) * 14
+         ORDER BY rev_cents DESC, l_partkey""")
+  }
+
+  /** Correlated NOT EXISTS (the TPC-H Q22 shape): above-average-balance
+    * customers who have never placed an URGENT order, rolled up by
+    * market segment. Exercises two subquery forms the DataFrame API
+    * hides: the uncorrelated scalar average (compared as an integer
+    * cross-multiply of exact cents — a float avg boundary could flip a
+    * row on an ulp) and the correlated NOT EXISTS, which Catalyst
+    * decorrelates into a left-anti hash join on o_custkey — the same
+    * scale shape as `q_semi_anti`, driven from SQL.
+    */
+  def notExistsSegments(spark: SparkSession, dir: String): DataFrame = {
+    graft.model.Tables.customer(spark, dir)
+      .createOrReplaceTempView("graft_cust_ne")
+    graft.model.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_ord_ne")
+    spark.sql(
+      """WITH pos AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS cents_pos
+           FROM graft_cust_ne WHERE c_acctbal > 0)
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+         FROM graft_cust_ne c
+         WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+                 (SELECT n_pos FROM pos) > (SELECT cents_pos FROM pos)
+           AND NOT EXISTS (SELECT 1 FROM graft_ord_ne o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  /** Recursive CTE (Spark 4's UnionLoop): walk each customer's order
+    * history as a LINKED LIST — next-pointers precomputed by a keyed
+    * lead window, the recursion following them one hop per iteration —
+    * and histogram the chain positions. The list is acyclic by
+    * construction, so UNION ALL recursion visits every order exactly
+    * once and total work across all iterations is Σ|orders|; recursion
+    * depth is the max orders-per-customer (≪ the default level limit).
+    * This is the SQL-surface demonstration; for unbounded-depth graph
+    * traversal the iterative star-contraction loop (GraphOps) with
+    * per-round localCheckpoint stays the 100-TB path, because each
+    * UnionLoop iteration is a separate job over the frontier.
+    */
+  def recursiveChain(spark: SparkSession, dir: String): DataFrame = {
+    graft.model.Tables.orders(spark, dir)
+      .createOrReplaceTempView("graft_ord_rec")
+    spark.sql(
+      """WITH RECURSIVE walk AS (
+           SELECT o_custkey, o_orderkey, next_key, 1 AS pos
+           FROM (
+             SELECT o_custkey, o_orderkey,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS next_key,
+               lag(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_key
+             FROM graft_ord_rec)
+           WHERE prev_key IS NULL
+           UNION ALL
+           SELECT n.o_custkey, n.o_orderkey, n.next_key, w.pos + 1
+           FROM walk w
+           JOIN (
+             SELECT o_custkey, o_orderkey,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS next_key
+             FROM graft_ord_rec) n
+           ON n.o_orderkey = w.next_key)
+         SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+         FROM walk GROUP BY pos ORDER BY pos""")
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BehaviorOps, RelationalOps}
+
+/** Behavioral invariants for the subquery-surface + experimentation tier
+  * (scalar subquery, NOT EXISTS, recursive CTE, dwell time, timed
+  * funnel, Poisson bootstrap, PR curve) — accounting identities and
+  * bounds the DuckDB hash compare can't state. */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("recursive chain walk conserves the order population") {
+    val rows = RelationalOps.recursiveChain(spark, dir).collect()
+    val totalOrders = graft.model.Tables.orders(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum === totalOrders)
+    // every customer has a chain head, and positions only narrow
+    val nCust = graft.model.Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.find(_.getLong(0) == 1L).get.getLong(1) === nCust)
+    val counts = rows.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("scalar-subquery threshold keeps only above-mean-share parts") {
+    val kept = RelationalOps.scalarSubqueryParts(spark, dir).collect()
+    assert(kept.nonEmpty)
+    val pv = graft.model.Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev"))
+      .collect().map(_.getLong(1))
+    val total = pv.sum
+    val n = pv.length.toLong
+    kept.foreach { r =>
+      assert(BigInt(r.getLong(1)) * n * 10 > BigInt(total) * 14)
+    }
+    assert(kept.length.toLong ===
+      pv.count(c => BigInt(c) * n * 10 > BigInt(total) * 14).toLong)
+  }
+
+  test("NOT EXISTS rows have no urgent order and above-average balance") {
+    val got = RelationalOps.notExistsSegments(spark, dir).collect()
+    // cross-check the anti-join with a DataFrame left_anti formulation
+    val cust = graft.model.Tables.customer(spark, dir)
+    val urgent = graft.model.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("s"))
+      .collect().head
+    val expected = cust
+      .filter(expr("CAST(round(c_acctbal * 100) AS BIGINT)") * pos.getLong(0)
+        > pos.getLong(1))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+  }
+
+  test("dwell-time gaps count events minus one per active user") {
+    val rows = BehaviorOps.dwellTime(spark, dir).collect()
+    val ev = graft.model.Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nEvents - nUsers)
+    rows.foreach(r => assert(r.getLong(2) >= 0L)) // time moves forward
+  }
+
+  test("timed funnel narrows and is bounded by the untimed funnel") {
+    val t = BehaviorOps.timedFunnel(spark, dir).collect().head
+    val (v, c, p) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    assert(v >= c && c >= p)
+    // the 72 h deadline can only remove conversions vs the unbounded chain
+    val u = BehaviorOps.funnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c <= u("2_click"))
+  }
+
+  test("bootstrap CI straddles the point estimate with positive width") {
+    val r = BehaviorOps.bootstrapCi(spark, dir).collect().head
+    val (m, lo, hi, w) = (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(lo <= m && m <= hi)
+    assert(w > 0 && math.abs(w - (hi - lo)) < 1e-6)
+  }
+
+  test("PR curve: recall non-increasing in threshold, tp+fn constant") {
+    val rows = BehaviorOps.prCurve(spark, dir).collect().sortBy(_.getLong(0))
+    val posTotals = rows.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(posTotals.length === 1) // tp + fn = all positives at every k
+    val recalls = rows.map(_.getDouble(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a })
+    assert(recalls.head === 1.0) // k=1 threshold admits every positive user
+  }
+}
