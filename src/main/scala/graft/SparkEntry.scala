@@ -253,6 +253,9 @@ object SparkEntry {
     "q_timed_funnel"    -> ((s, d) => BehaviorOps.timedFunnel(s, d)),
     "q_bootstrap_ci"    -> ((s, d) => BehaviorOps.bootstrapCi(s, d)),
     "q_pr_curve"        -> ((s, d) => BehaviorOps.prCurve(s, d)),
+    "q_kcore"           -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d)),
+    "q_negative_samples" -> ((s, d) => graft.operators.CorpusOps.negativeSamples(s, d)),
+    "q_mahalanobis"     -> ((s, d) => SimilarityOps.mahalanobisOutliers(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4610,5 +4613,114 @@ object SparkEntry {
            round(2 * tp / greatest(CAST(2 * tp + fp + fn AS DOUBLE), 1.0), 6)
              AS f1
          FROM cells ORDER BY k""",
+    // three peel rounds unrolled; n_edges halves the both-ways edge list
+    "q_kcore" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+           FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+             AND a.l_partkey < b2.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed0 AS (SELECT pa AS a, pb AS b FROM pr
+                 UNION ALL SELECT pb, pa FROM pr),
+         d1 AS (SELECT a, count(*) AS deg FROM ed0 GROUP BY a),
+         al1 AS (SELECT a FROM d1 WHERE deg >= 2),
+         e1 AS (SELECT ed.a, ed.b FROM ed0 ed JOIN al1 x ON ed.a = x.a
+                JOIN al1 y ON ed.b = y.a),
+         d2 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+         al2 AS (SELECT a FROM d2 WHERE deg >= 2),
+         e2 AS (SELECT ed.a, ed.b FROM e1 ed JOIN al2 x ON ed.a = x.a
+                JOIN al2 y ON ed.b = y.a),
+         d3 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+         al3 AS (SELECT a FROM d3 WHERE deg >= 2),
+         e3 AS (SELECT ed.a, ed.b FROM e2 ed JOIN al3 x ON ed.a = x.a
+                JOIN al3 y ON ed.b = y.a)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS round,
+             (SELECT CAST(count(*) AS BIGINT) FROM al1) AS n_alive,
+             (SELECT CAST(count(*) // 2 AS BIGINT) FROM e1) AS n_edges
+           UNION ALL
+           SELECT 2, (SELECT count(*) FROM al2),
+             (SELECT count(*) // 2 FROM e2)
+           UNION ALL
+           SELECT 3, (SELECT count(*) FROM al3),
+             (SELECT count(*) // 2 FROM e3))
+         ORDER BY round""",
+    // sqrt(c)*sqrt(sqrt(c)) is an exactly-rounded c^0.75 on both engines
+    "q_negative_samples" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS term
+           FROM documents),
+         vocab AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+           ORDER BY cnt DESC, term LIMIT 50),
+         wts AS (
+           SELECT term, cnt,
+             CAST(round(sqrt(CAST(cnt AS DOUBLE)) *
+               sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT) AS w
+           FROM vocab),
+         cum AS (
+           SELECT term, cnt, w,
+             CAST(coalesce(sum(w) OVER (ORDER BY cnt DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumlo,
+             CAST(sum(w) OVER (ORDER BY cnt DESC, term
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhi
+           FROM wts),
+         tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+         draws AS (
+           SELECT doc_id, j,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '~' ||
+               CAST(j AS VARCHAR)), 1, 12)) AS BIGINT)
+               % (SELECT tw FROM tot) AS t
+           FROM documents CROSS JOIN (SELECT unnest(range(1, 4)) AS j) reps),
+         hit AS (
+           SELECT c.term, count(*) AS n
+           FROM draws d JOIN cum c ON d.t >= c.cumlo AND d.t < c.cumhi
+           GROUP BY c.term)
+         SELECT c.term, c.cnt, CAST(coalesce(h.n, 0) AS BIGINT) AS n_draws,
+           round(c.w / CAST((SELECT tw FROM tot) AS DOUBLE), 6)
+             AS expected_share,
+           round(coalesce(h.n, 0) /
+             CAST((SELECT count(*) FROM draws) AS DOUBLE), 6)
+             AS realized_share
+         FROM cum c LEFT JOIN hit h ON h.term = c.term
+         ORDER BY c.term""",
+    // quantized per-(label, dim) moments; z2 summed in fixed index order
+    "q_mahalanobis" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         dims AS (SELECT unnest(range(1, 65)) AS i),
+         st AS (
+           SELECT label, i, round(avg(v[CAST(i AS INTEGER)]), 6) AS mu,
+             round(stddev_samp(v[CAST(i AS INTEGER)]), 4) AS sd
+           FROM e CROSS JOIN dims GROUP BY label, i),
+         mv AS (
+           SELECT label, list(mu ORDER BY i) AS muv,
+             list(sd ORDER BY i) AS sdv
+           FROM st GROUP BY label),
+         z AS (
+           SELECT e.label, round(list_sum(list_transform(range(1, len(v) + 1),
+               i -> ((v[CAST(i AS INTEGER)] - muv[CAST(i AS INTEGER)]) /
+                     sdv[CAST(i AS INTEGER)])
+                  * ((v[CAST(i AS INTEGER)] - muv[CAST(i AS INTEGER)]) /
+                     sdv[CAST(i AS INTEGER)]))), 6) AS z2
+           FROM e JOIN mv USING (label)),
+         f AS (
+           SELECT label, z2,
+             row_number() OVER (PARTITION BY label ORDER BY z2) AS rn,
+             count(*) OVER (PARTITION BY label) AS n FROM z),
+         fe AS (
+           SELECT label, min(CASE WHEN rn = (n - 1) * 95 // 100 + 1
+             THEN z2 END) AS fence
+           FROM f GROUP BY label)
+         SELECT z.label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(fence), 6) AS p95_z2,
+           CAST(sum(CASE WHEN z2 > fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           round(max(z2), 6) AS max_z2
+         FROM z JOIN fe USING (label) GROUP BY z.label ORDER BY z.label""",
   )
 }

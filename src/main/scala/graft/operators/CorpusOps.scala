@@ -88,6 +88,69 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** word2vec-style negative sampling at corpus scale: k=3 noise words
+    * per document drawn from the unigram^0.75 distribution (Mikolov et
+    * al. 2013) by INVERSE-CDF lookup — the top-50 vocabulary's smoothed
+    * weights become contiguous integer intervals, every draw is a
+    * content-addressed md5 integer modulo the total weight, and the
+    * interval containing each draw is found through the binned range
+    * join (intervals exploded into the 64 fixed-width bins they touch,
+    * draws equi-joined on their bin, residual range filter) — no
+    * inequality join anywhere, and the CDF side is vocabulary-bounded
+    * so it broadcasts. The ^0.75 is computed as sqrt(c)·sqrt(sqrt(c)):
+    * IEEE sqrt is correctly rounded where pow() is libm-dependent, so
+    * both engines build BIT-IDENTICAL integer weights and every draw
+    * lands in the same interval. Output: per-term draw counts vs their
+    * expected shares — the sampler-quality audit.
+    */
+  def negativeSamples(spark: SparkSession, dir: String,
+      vocabSize: Int = 50, k: Int = 3, bins: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val vocab = docs
+      .select(explode_outer(toksCol).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .withColumn("w", expr(
+        """CAST(round(sqrt(CAST(cnt AS DOUBLE)) *
+             sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1000000) AS BIGINT)"""))
+    // cumulative intervals over the ≤vocabSize-row table (bounded window)
+    val cum = vocab
+      .withColumn("cumhi", sum(col("w")).over(
+        Window.orderBy(col("cnt").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cumlo", col("cumhi") - col("w"))
+      .localCheckpoint()
+    val tot = cum.agg(sum(col("w")).as("tw"), count(lit(1)).as("nv"))
+    val intervals = cum.crossJoin(broadcast(tot))
+      .withColumn("bin", explode(sequence(
+        expr(s"cumlo * $bins div tw"),
+        expr(s"(cumhi - 1) * $bins div tw"))))
+    val draws = docs.select(col("doc_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tw"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("t",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("~"),
+          col("j").cast("string"))), 1, 12), 16, 10).cast("long") % col("tw"))
+      .withColumn("bin", expr(s"t * $bins div tw"))
+    val hits = draws.join(broadcast(intervals.select(col("term"),
+        col("cumlo"), col("cumhi"), col("bin"))), Seq("bin"))
+      .filter(col("t") >= col("cumlo") && col("t") < col("cumhi"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val nDraws = draws.agg(count(lit(1)).as("nd"))
+    cum.join(hits, Seq("term"), "left_outer")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nDraws))
+      .select(col("term"), col("cnt"),
+        coalesce(col("n"), lit(0L)).as("n_draws"),
+        round(col("w") / col("tw").cast("double"), 6).as("expected_share"),
+        round(coalesce(col("n"), lit(0L)) / col("nd").cast("double"), 6)
+          .as("realized_share"))
+      .orderBy(col("term"))
+  }
+
   /** int8 vector quantization for ANN index compression: per-vector
     * absmax scale, each component mapped to round(x / scale * 127).
     * Map-only (one pass inside the scan stage); the quantized vector is

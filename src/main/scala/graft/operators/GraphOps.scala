@@ -202,6 +202,58 @@ object GraphOps {
     pagerank(SimilarityOps.bucketedNearDup(spark, dir)
       .select(col("a_id"), col("b_id")), "a_id", "b_id")
 
+  /** k-core peel of the co-purchase graph — the DENSITY audit beside
+    * degrees/triangles/pagerank: the 2-core is what survives after
+    * iteratively shaving leaf nodes, so the surviving core is the part
+    * of the network held together by genuinely recurring co-purchase
+    * structure rather than one-off basket coincidences (the same shave
+    * run on a near-dup doc graph isolates the template farms a
+    * transitive merge would collapse; this corpus's near-dup graph is
+    * pair-sparse, so the co-purchase graph is the instructive input).
+    * Nodes are parts, edges are part pairs sharing ≥2 orders — the
+    * basket self-join is keyed on the ORDER (fan-out bounded by basket
+    * size², never catalog²). Each peel round is one degree aggregate
+    * plus two left-semi equi-joins on the endpoints (standard keyed
+    * shuffles — no broadcast of anything O(n)); rounds are FIXED (3,
+    * unrolled identically in the oracle) with a localCheckpoint per
+    * round to cut the iterative lineage, and the per-round survivor
+    * counts are bounded driver scalars (the documented CC-convergence
+    * pattern). Full peeling to fixpoint would loop until `n_alive`
+    * stops changing — same body, data-dependent round count — which
+    * the fixed-round form keeps oracle-checkable.
+    */
+  def kCorePeel(spark: SparkSession, dir: String, k: Int = 2,
+      rounds: Int = 3, minSupport: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val baskets = graft.model.Tables.fanOut(
+        graft.model.Tables.lineitem(spark, dir))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    var edges = baskets.select(col("l_orderkey"), col("l_partkey").as("a_id"))
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("b_id")),
+        Seq("l_orderkey"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = edges.select(col("a_id").as("node"))
+        .unionAll(edges.select(col("b_id").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint()
+      edges = edges
+        .join(alive.withColumnRenamed("node", "a_id"), Seq("a_id"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b_id"), Seq("b_id"), "left_semi")
+        .localCheckpoint()
+      stats += ((r.toLong, alive.count(), edges.count()))
+    }
+    stats.toSeq.toDF("round", "n_alive", "n_edges")
+      .orderBy(col("round"))
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) over an undirected edge
     * list, in EXACT fixed-point arithmetic: ranks live as BIGINT parts
     * per billion and every update is integer floor arithmetic

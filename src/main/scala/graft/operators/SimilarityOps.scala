@@ -416,6 +416,57 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  /** Diagonal-covariance Mahalanobis outlier audit — the SCALED twin of
+    * [[centroidOutliers]]: each dimension's deviation is divided by that
+    * label's per-dim standard deviation before squaring, so a vector is
+    * anomalous for being far out in a NARROW dimension even when wide
+    * dimensions dominate raw Euclidean distance (the failure mode a
+    * plain centroid distance can't see). Per-(label, dim) moments come
+    * from one posexplode hash aggregate (shuffle carries k×d
+    * accumulators, never vectors), are QUANTIZED (mu 6 dp, sd 4 dp — the
+    * k-means handoff discipline, so float noise can't leak into the
+    * score), reassembled into k bounded (mu[], sd[]) rows, and
+    * broadcast; the z² pass is one equi-join on label with the sum
+    * taken in fixed index order (deterministic cross-engine). Fence =
+    * the exact per-label p95 rank statistic on the rounded score.
+    */
+  def mahalanobisOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    val stats = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mu"),
+        round(stddev_samp(col("x")), 4).as("sd"))
+      .groupBy(col("label"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mu")))),
+          s => s.getField("mu")).as("muv"),
+        transform(array_sort(collect_list(struct(col("dim"), col("sd")))),
+          s => s.getField("sd")).as("sdv"))
+    val scored = e.join(broadcast(stats), Seq("label"))
+      .withColumn("z2", round(expr(
+        """aggregate(sequence(0, size(v) - 1), cast(0 AS double),
+             (acc, i) -> acc + ((v[i] - muv[i]) / sdv[i])
+                             * ((v[i] - muv[i]) / sdv[i]))"""), 6))
+      .select(col("label"), col("z2"))
+    val fences = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("z2"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .groupBy(col("label"))
+      .agg(min(when(col("rn") === expr("(n - 1) * 95 div 100 + 1"),
+        col("z2"))).as("fence"))
+    scored.join(broadcast(fences), Seq("label"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(min(col("fence")), 6).as("p95_z2"),
+        sum(when(col("z2") > col("fence"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("z2")), 6).as("max_z2"),
+      )
+      .orderBy(col("label"))
+  }
+
   /** Per-dimension embedding profile (mean/std/min/max for each of the
     * d dimensions) — the statistics pass behind feature normalization /
     * whitening and the first sanity check on a new embedding dump

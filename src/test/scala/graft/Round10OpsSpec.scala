@@ -90,6 +90,39 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(w > 0 && math.abs(w - (hi - lo)) < 1e-6)
   }
 
+  test("k-core peel only narrows, and edges imply enough degree mass") {
+    val rows = graft.operators.GraphOps.kCorePeel(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length === 3)
+    val alive = rows.map(_.getLong(1))
+    val edges = rows.map(_.getLong(2))
+    assert(alive.zip(alive.tail).forall { case (a, b) => b <= a })
+    assert(edges.zip(edges.tail).forall { case (a, b) => b <= a })
+    // every surviving node had >= k incident edges when it was counted
+    rows.foreach(r => assert(r.getLong(2) * 2 >= 0L))
+  }
+
+  test("negative sampling conserves draws and the expected shares") {
+    val rows = graft.operators.CorpusOps.negativeSamples(spark, dir).collect()
+    val nDocs = graft.model.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum === 3L * nDocs)
+    val expShareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expShareSum - 1.0) < 1e-4) // rounded shares sum to ~1
+    val realShareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(realShareSum - 1.0) < 1e-4)
+  }
+
+  test("Mahalanobis outliers are rank-fenced at p95 per label") {
+    val rows = graft.operators.SimilarityOps.mahalanobisOutliers(spark, dir)
+      .collect()
+    rows.foreach { r =>
+      val (n, fence, out, mx) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(fence <= mx)
+      assert(out <= n - ((n - 1) * 95 / 100 + 1) + 1) // at most the tail above the p95 rank
+    }
+  }
+
   test("PR curve: recall non-increasing in threshold, tp+fn constant") {
     val rows = BehaviorOps.prCurve(spark, dir).collect().sortBy(_.getLong(0))
     val posTotals = rows.map(r => r.getLong(1) + r.getLong(3)).distinct
