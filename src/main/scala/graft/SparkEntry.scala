@@ -256,6 +256,9 @@ object SparkEntry {
     "q_kcore"           -> ((s, d) => graft.operators.GraphOps.kCorePeel(s, d)),
     "q_negative_samples" -> ((s, d) => graft.operators.CorpusOps.negativeSamples(s, d)),
     "q_mahalanobis"     -> ((s, d) => SimilarityOps.mahalanobisOutliers(s, d)),
+    "q_growth_accounting" -> ((s, d) => BehaviorOps.growthAccounting(s, d)),
+    "q_survival_curve"  -> ((s, d) => BehaviorOps.survivalCurve(s, d)),
+    "q_quantile_norm"   -> ((s, d) => graft.operators.CorpusOps.quantileNorm(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4722,5 +4725,73 @@ object SparkEntry {
              AS n_outliers,
            round(max(z2), 6) AS max_z2
          FROM z JOIN fe USING (label) GROUP BY z.label ORDER BY z.label""",
+    // dau = new + retained + resurrected; churn ledger capped at max day
+    "q_growth_accounting" ->
+      """WITH du AS (
+           SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+             user_id FROM events),
+         l AS (SELECT day, user_id,
+                 lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+                 lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+               FROM du),
+         mx AS (SELECT max(day) AS mxd FROM du),
+         act AS (
+           SELECT CAST(day AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM l GROUP BY day),
+         churn AS (
+           SELECT CAST(day + 1 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n_churned
+           FROM l WHERE (next_day IS NULL OR next_day > day + 1)
+             AND day + 1 <= (SELECT mxd FROM mx)
+           GROUP BY day + 1)
+         SELECT a.day, a.dau, a.n_new, a.n_retained, a.n_resurrected,
+           CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+         FROM act a LEFT JOIN churn c ON a.day = c.day ORDER BY a.day""",
+    // lifetime histogram collapse: spine × spans, never spine × users
+    "q_survival_curve" ->
+      """WITH du AS (
+           SELECT user_id,
+             min((epoch_ns(ts) // 1000) // 86400000000) AS fd,
+             max((epoch_ns(ts) // 1000) // 86400000000) AS ld
+           FROM events GROUP BY user_id),
+         lt AS (SELECT CAST(ld - fd AS BIGINT) AS lifetime,
+                  CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+         mx AS (SELECT max(lifetime) AS ml, CAST(sum(n) AS BIGINT) AS total
+                FROM lt),
+         spine AS (SELECT unnest(range(0, (SELECT ml FROM mx) + 1)) AS d)
+         SELECT CAST(d AS BIGINT) AS d,
+           CAST((SELECT sum(n) FROM lt WHERE lifetime >= d) AS BIGINT)
+             AS survivors,
+           round((SELECT sum(n) FROM lt WHERE lifetime >= d) /
+             CAST((SELECT total FROM mx) AS DOUBLE), 6) AS survival
+         FROM spine ORDER BY d""",
+    // plain ntile(10) — bit-identical to the engine's distributed ntile
+    "q_quantile_norm" ->
+      """WITH g AS (
+           SELECT doc_id, source, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS gq
+           FROM documents),
+         bounds AS (
+           SELECT CAST(gq AS BIGINT) AS decile,
+             CAST(max(n_chars) AS BIGINT) AS ref_chars FROM g GROUP BY gq),
+         s AS (
+           SELECT source, n_chars,
+             ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS decile
+           FROM documents)
+         SELECT s.source, CAST(s.decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.n_chars) AS BIGINT) AS sum_chars,
+           b.ref_chars
+         FROM s JOIN bounds b ON s.decile = b.decile
+         GROUP BY s.source, s.decile, b.ref_chars
+         ORDER BY s.source, decile""",
   )
 }

@@ -892,6 +892,82 @@ object BehaviorOps {
           .as("click_to_purchase"))
   }
 
+  /** Growth accounting — the canonical DAU decomposition every growth
+    * team reads daily: each active (day, user) cell is NEW (first-ever
+    * day), RETAINED (also active yesterday) or RESURRECTED (active
+    * before, but not yesterday), and a user active yesterday but not
+    * today CHURNS into today's ledger — so dau(d) = new + retained +
+    * resurrected and dau(d) − dau(d−1) = new + resurrected − churned by
+    * construction. The event log reduces to distinct user-days first;
+    * classification is one user-keyed lag/lead window over that reduced
+    * frame (never raw events), and the churn ledger is capped at the
+    * observed max day (a bounded one-row scalar) so no phantom
+    * churn-day extends past the data. Exact integers end to end.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables.fanOut(Tables.events(spark, dir))
+      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val l = du
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .localCheckpoint()
+    val mx = du.agg(max(col("day")).as("mxd"))
+    val act = l.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_day") === col("day") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_day").isNotNull &&
+          col("prev_day") < col("day") - 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = l.crossJoin(broadcast(mx))
+      .filter((col("next_day").isNull || col("next_day") > col("day") + 1) &&
+        col("day") + 1 <= col("mxd"))
+      .select((col("day") + 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "left_outer")
+      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** User survival curve — S(d) = fraction of users whose activity span
+    * (last day − first day) reaches at least d days: the Kaplan-Meier-
+    * flavored churn readout behind "half our users are gone within a
+    * week". The corpus collapses to one (lifetime, n) histogram row per
+    * distinct span BEFORE any per-day work (the AUC histogram trick),
+    * so the day spine × lifetime fan-out is spans², never users²; the
+    * spine bound is a one-row driver-free scalar broadcast. Exact
+    * integer counts, one division per output row.
+    */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.fanOut(Tables.events(spark, dir))
+      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
+        col("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+    val lt = du.select((col("ld") - col("fd")).as("lifetime"))
+      .groupBy(col("lifetime")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val mx = lt.agg(max(col("lifetime")).as("ml"), sum(col("n")).as("total"))
+    val spine = mx.select(col("total"),
+      explode(sequence(lit(0L), col("ml"))).as("d"))
+    spine.crossJoin(broadcast(lt))
+      .groupBy(col("d"), col("total"))
+      .agg(sum(when(col("lifetime") >= col("d"), col("n")).otherwise(0L))
+        .as("survivors"))
+      .select(col("d"), col("survivors"),
+        round(col("survivors") / col("total").cast("double"), 6)
+          .as("survival"))
+      .orderBy(col("d"))
+  }
+
   /** Poisson-bootstrap confidence interval for mean order spend — THE
     * way to bootstrap at 100 TB: instead of materializing R resamples
     * (impossible — each is a full pass with global coordination), every

@@ -151,6 +151,39 @@ object CorpusOps {
       .orderBy(col("term"))
   }
 
+  /** Quantile normalization of per-source document lengths onto the
+    * corpus reference distribution — the cross-source calibration step
+    * (borrowed from bioinformatics microarray practice) that makes
+    * length-based quality thresholds comparable across corpora with
+    * different length scales: each document's within-source decile is
+    * mapped to the CORPUS decile boundary, so after normalization every
+    * source shares the same ten reference values. Global deciles come
+    * from the exact distributed ntile (parallel range shuffle — no
+    * single-partition sort); within-source deciles are a keyed window;
+    * the boundary map is 10 rows and broadcasts. Output: per (source,
+    * decile) population, raw char mass, and the reference value —
+    * the alignment table.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars")))
+      .localCheckpoint()
+    val bounds = BehaviorOps.distributedNtile(docs, 10, "decile")(
+        col("n_chars"), col("doc_id"))
+      .groupBy(col("decile").cast("long").as("decile"))
+      .agg(max(col("n_chars")).as("ref_chars"))
+    val bySource = docs.withColumn("decile",
+      ntile(10).over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    bySource.join(broadcast(bounds), Seq("decile"))
+      .groupBy(col("source"), col("decile"), col("ref_chars"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("decile"), col("n_docs"), col("sum_chars"),
+        col("ref_chars"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   /** int8 vector quantization for ANN index compression: per-vector
     * absmax scale, each component mapped to round(x / scale * 127).
     * Map-only (one pass inside the scan stage); the quantized vector is

@@ -94,6 +94,17 @@ class RobustnessSpec extends AnyFunSuite {
       "q_compaction_audit",  // fixed writer counts + exact checksums
       "q_dau_wau",           // distinct day-user cells, integer counts
       "q_seasonal_index",    // cross-multiplied BIGINT masses, one division
+      // round-10 exact-arithmetic additions
+      "q_scalar_subquery",   // exact-cents shares, integer cross-multiply
+      "q_not_exists",        // anti-join + exact-cents threshold
+      "q_recursive_cte",     // linked-list walk, integer positions
+      "q_dwell_time",        // keyed lead gaps, BIGINT µs sums
+      "q_timed_funnel",      // µs minima + deadline predicate
+      "q_kcore",             // integer degrees, fixed peel rounds
+      "q_negative_samples",  // bit-identical integer CDF + md5 draws
+      "q_growth_accounting", // user-day lag/lead cells, integer counts
+      "q_survival_curve",    // lifetime histogram, integer survivors
+      "q_quantile_norm",     // distributed ntile + integer boundaries
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -123,6 +123,45 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("growth accounting: dau decomposes and deltas balance") {
+    val rows = BehaviorOps.growthAccounting(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4))
+    }
+    rows.sliding(2).foreach {
+      case Array(prev, cur) if cur.getLong(0) == prev.getLong(0) + 1 =>
+        // dau(d) - dau(d-1) = new + resurrected - churned
+        assert(cur.getLong(1) - prev.getLong(1) ===
+          cur.getLong(2) + cur.getLong(4) - cur.getLong(5))
+      case _ => ()
+    }
+  }
+
+  test("survival curve starts at 1 and never rises") {
+    val rows = BehaviorOps.survivalCurve(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val nUsers = graft.model.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.head.getLong(0) === 0L && rows.head.getLong(1) === nUsers)
+    assert(rows.head.getDouble(2) === 1.0)
+    val s = rows.map(_.getLong(1))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("quantile norm balances per-source deciles and orders boundaries") {
+    val rows = graft.operators.CorpusOps.quantileNorm(spark, dir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (_, rs) =>
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1) // ntile balance within a source
+      val refs = rs.sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(refs.zip(refs.tail).forall { case (a, b) => a <= b })
+    }
+    val totalDocs = graft.model.Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum === totalDocs)
+  }
+
   test("PR curve: recall non-increasing in threshold, tp+fn constant") {
     val rows = BehaviorOps.prCurve(spark, dir).collect().sortBy(_.getLong(0))
     val posTotals = rows.map(r => r.getLong(1) + r.getLong(3)).distinct
