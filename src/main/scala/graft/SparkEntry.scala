@@ -259,6 +259,15 @@ object SparkEntry {
     "q_growth_accounting" -> ((s, d) => BehaviorOps.growthAccounting(s, d)),
     "q_survival_curve"  -> ((s, d) => BehaviorOps.survivalCurve(s, d)),
     "q_quantile_norm"   -> ((s, d) => graft.operators.CorpusOps.quantileNorm(s, d)),
+    // ---- round 7b: privacy exports, entity resolution, time-series
+    //      smoothing, one-step logistic training
+    "q_pseudonymize"    -> ((s, d) => graft.operators.PrivacyOps.pseudonymizedActivity(s, d)),
+    "q_kanon_cells"     -> ((s, d) => graft.operators.PrivacyOps.kAnonymityCells(s, d)),
+    "q_fuzzy_join"      -> ((s, d) => graft.operators.EntityOps.fuzzyPartPairs(s, d)),
+    "q_snm_neardup"     -> ((s, d) => graft.operators.EntityOps.snmNearDupPairs(s, d)),
+    "q_ewma_daily"      -> ((s, d) => TimeWindowOps.ewmaDaily(s, d)),
+    "q_ohlc_daily"      -> ((s, d) => TimeWindowOps.ohlcDaily(s, d)),
+    "q_logistic_step"   -> ((s, d) => MlOps.logisticStep(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4793,5 +4802,111 @@ object SparkEntry {
          FROM s JOIN bounds b ON s.decile = b.decile
          GROUP BY s.source, s.decile, b.ref_chars
          ORDER BY s.source, decile""",
+    "q_pseudonymize" ->
+      """WITH e AS (
+           SELECT substring(md5('pepper|' || CAST(user_id AS VARCHAR)), 1, 16) AS pid,
+             event_type, CAST(floor(value / 50.0) AS BIGINT) * 50 AS value_band
+           FROM events)
+         SELECT pid, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           min(value_band) AS min_band, max(value_band) AS max_band
+         FROM e GROUP BY pid ORDER BY pid""",
+    "q_kanon_cells" ->
+      """WITH c AS (
+           SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hr,
+             CAST(floor(value / 100.0) AS BIGINT) AS vband,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, hr, vband, n_users, n_users >= 5 AS released,
+           CASE WHEN n_users >= 5 THEN n_rows END AS released_rows
+         FROM c ORDER BY event_type, hr, vband""",
+    "q_fuzzy_join" ->
+      """WITH b AS (
+           SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun,
+             row_number() OVER (PARTITION BY string_split(p_name, ' ')[2]
+               ORDER BY p_partkey) AS rn
+           FROM part),
+         c AS (SELECT noun, p_partkey, p_name FROM b WHERE rn <= 40)
+         SELECT l.p_partkey AS a_key, r.p_partkey AS b_key,
+           l.p_name AS a_name, r.p_name AS b_name,
+           CAST(levenshtein(l.p_name, r.p_name) AS BIGINT) AS dist,
+           round(1.0 - levenshtein(l.p_name, r.p_name) * 1.0 /
+             greatest(length(l.p_name), length(r.p_name)), 6) AS sim
+         FROM c l JOIN c r ON l.noun = r.noun AND l.p_partkey < r.p_partkey
+         WHERE levenshtein(l.p_name, r.p_name) <= 3
+         ORDER BY a_key, b_key""",
+    "q_snm_neardup" ->
+      """WITH d AS (
+           SELECT doc_id, lang, substring(text, 1, 40) AS pre,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, toks,
+             lag(doc_id, 1) OVER w AS p1_id, lag(toks, 1) OVER w AS p1_t,
+             lag(doc_id, 2) OVER w AS p2_id, lag(toks, 2) OVER w AS p2_t,
+             lag(doc_id, 3) OVER w AS p3_id, lag(toks, 3) OVER w AS p3_t
+           FROM d WINDOW w AS (PARTITION BY lang ORDER BY pre, doc_id)),
+         pairs AS (
+           SELECT doc_id AS r_id, p1_id AS l_id, toks AS rt, p1_t AS lt FROM s WHERE p1_id IS NOT NULL
+           UNION ALL SELECT doc_id, p2_id, toks, p2_t FROM s WHERE p2_id IS NOT NULL
+           UNION ALL SELECT doc_id, p3_id, toks, p3_t FROM s WHERE p3_id IS NOT NULL),
+         scored AS (
+           SELECT least(l_id, r_id) AS a_id, greatest(l_id, r_id) AS b_id,
+             round(len(list_intersect(lt, rt)) * 1.0 /
+               (len(lt) + len(rt) - len(list_intersect(lt, rt))), 6) AS jaccard
+           FROM pairs)
+         SELECT a_id, b_id, max(jaccard) AS jaccard FROM scored GROUP BY 1, 2
+         HAVING max(jaccard) >= 0.6 ORDER BY a_id, b_id""",
+    "q_ewma_daily" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, day, cnt,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+           FROM daily)
+         SELECT event_type, day, cnt,
+           round(sum(cnt * pow(2.0, i)) OVER (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+             / pow(2.0, i + 1) / (1 - pow(0.5, least(i, 20))), 6) AS ewma
+         FROM idx ORDER BY event_type, day""",
+    "q_ohlc_daily" ->
+      """WITH e AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             epoch_ns(ts) AS tsn, event_id, value
+           FROM events)
+         SELECT event_type, day,
+           round(first(value ORDER BY tsn, event_id), 6) AS open,
+           round(max(value), 6) AS high, round(min(value), 6) AS low,
+           round(last(value ORDER BY tsn, event_id), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value * value) / sum(value), 6) AS vwap
+         FROM e GROUP BY 1, 2 ORDER BY event_type, day""",
+    "q_logistic_step" ->
+      """WITH f AS (
+           SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) * 0.01 AS x1,
+             len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) * 1.0 /
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS x2,
+             n_chars * 0.001 AS x3
+           FROM documents),
+         g AS (
+           SELECT sum((0.5 - y) * 1.0) / count(*) AS g0,
+             sum((0.5 - y) * x1) / count(*) AS g1,
+             sum((0.5 - y) * x2) / count(*) AS g2,
+             sum((0.5 - y) * x3) / count(*) AS g3
+           FROM f),
+         w AS (SELECT -1.0 * g0 AS w0, -1.0 * g1 AS w1, -1.0 * g2 AS w2, -1.0 * g3 AS w3 FROM g),
+         l AS (
+           SELECT round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6) AS log_loss,
+             round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6) AS acc
+           FROM (SELECT y,
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) AS p
+             FROM f, w))
+         SELECT round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+           round(w3, 6) AS w3, log_loss, acc
+         FROM w, l""",
   )
 }

@@ -795,6 +795,54 @@ object MlOps {
       .orderBy(col("rk"))
   }
 
+  /** One full-batch logistic-regression gradient step — "training as a
+    * dataflow", the same one-deterministic-iteration pattern as
+    * [[alsRank1Step]] and kmeansStep. Model: P(lang = 'en' | doc) over
+    * three scaled quality features (token count, type-token ratio,
+    * char count). Starting at w = 0 the sigmoid is EXACTLY 0.5, so the
+    * first gradient g_j = Σ (0.5 − y)·x_j / n involves no
+    * transcendentals at all; the post-step log-loss and accuracy under
+    * w₁ = −lr·g are the only exp() sites and are rounded before
+    * emission. Two passes over the feature frame (gradient, then loss),
+    * both all-partial hash aggregates; the learned weights travel as
+    * driver literals (4 bounded scalars — the nDocs pattern above), so
+    * the scoring pass has no 1-row join stage.
+    */
+  def logisticStep(spark: SparkSession, dir: String, lr: Double = 1.0): DataFrame = {
+    val toks = array_remove(split(col("text"), " "), "")
+    val feats = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"), col("n_chars")))
+      .select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        (size(toks).cast("double") * 0.01).as("x1"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("x2"),
+        (col("n_chars") * 0.001).as("x3"),
+      )
+      .localCheckpoint() // feeds the gradient pass AND the scoring pass
+    val g = feats.agg(
+        count(lit(1)).as("n"),
+        (sum((lit(0.5) - col("y")) * 1.0) / count(lit(1))).as("g0"),
+        (sum((lit(0.5) - col("y")) * col("x1")) / count(lit(1))).as("g1"),
+        (sum((lit(0.5) - col("y")) * col("x2")) / count(lit(1))).as("g2"),
+        (sum((lit(0.5) - col("y")) * col("x3")) / count(lit(1))).as("g3"),
+      ).head()
+    val w = Array(1, 2, 3, 4).map(i => -lr * g.getDouble(i))
+    val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    feats
+      .select(col("y"), p.as("p"))
+      .agg(
+        round(avg(-(col("y") * log(col("p")) + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6)
+          .as("log_loss"),
+        round(avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0)), 6).as("acc"),
+      )
+      .select(
+        round(lit(w(0)), 6).as("w0"), round(lit(w(1)), 6).as("w1"),
+        round(lit(w(2)), 6).as("w2"), round(lit(w(3)), 6).as("w3"),
+        col("log_loss"), col("acc"),
+      )
+  }
+
   def alsRank1Step(spark: SparkSession, dir: String,
       lambda: Double = 1.0): DataFrame = {
     val ratings = Tables.fanOut(Tables.lineitem(spark, dir)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Privacy-preserving export operators — the release gate a telemetry /
+  * training corpus passes through before leaving the trust boundary.
+  * The reference pipeline ships raw author/user identifiers straight to
+  * its dashboard (reference: spark_jobs/kafka_consumer_simple.py:128-140
+  * keeps `author` verbatim in the serving record); a production engine
+  * needs the two standard mitigations as first-class relational ops:
+  *
+  *  - pseudonymization: replace the identifier with a stable keyed hash
+  *    so longitudinal joins still work but the raw id never leaves;
+  *  - k-anonymity suppression: generalize quasi-identifiers into coarse
+  *    cells and suppress any cell observed for fewer than k distinct
+  *    users before counts are released.
+  *
+  * Both are single-scan group-bys (partial aggregation map-side, one
+  * shuffle on the release key), so the shapes are 100-TB-safe; nothing
+  * is collected, and the pepper is a literal baked into the plan (in a
+  * real deployment it arrives via a secret store, never a data column).
+  */
+object PrivacyOps {
+
+  private val Pepper = "pepper"
+
+  /** Stable pseudonym for a user id: keyed md5, truncated to 64 bits.
+    * Truncation keeps the release join-friendly while the pepper keeps
+    * a rainbow table over the (tiny) id domain useless.
+    */
+  private def pseudo(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat_ws("|", lit(Pepper), id.cast("string"))), 1, 16)
+
+  /** Pseudonymized per-user activity export: events keyed by the hashed
+    * user id, values generalized to 50-unit bands. One hash agg on the
+    * pseudonym — the hash is computed map-side, so the raw user_id never
+    * even crosses the shuffle.
+    */
+  def pseudonymizedActivity(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.events(spark, dir))
+      .select(
+        pseudo(col("user_id")).as("pid"),
+        col("event_type"),
+        (floor(col("value") / 50.0).cast("long") * 50L).as("value_band"),
+      )
+      .groupBy(col("pid"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("value_band")).as("min_band"),
+        max(col("value_band")).as("max_band"),
+      )
+      .orderBy(col("pid"))
+
+  /** k-anonymity cell census over the quasi-identifier
+    * (event_type, hour-of-day, value-centile band): every cell reports
+    * its distinct-user support, and cells below k=5 users are marked
+    * suppressed with their row count withheld (null) in the released
+    * column. The distinct-user count per cell is the only wide piece and
+    * shuffles (cell, user) pairs once.
+    */
+  def kAnonymityCells(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.fanOut(Tables.events(spark, dir))
+      .select(
+        col("event_type"),
+        (expr("ts div 3600000000000") % 24).as("hr"),
+        floor(col("value") / 100.0).cast("long").as("vband"),
+        col("user_id"),
+      )
+      .groupBy(col("event_type"), col("hr"), col("vband"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("event_type"), col("hr"), col("vband"), col("n_users"),
+        (col("n_users") >= k).as("released"),
+        when(col("n_users") >= k, col("n_rows")).as("released_rows"),
+      )
+      .orderBy(col("event_type"), col("hr"), col("vband"))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -48,6 +49,56 @@ object TimeWindowOps {
         col("n"), col("total_value"),
       )
       .orderBy(col("win_start"))
+
+  /** Truncated EWMA over the per-type daily event volume — the smoothing
+    * pass behind every "trend vs today" dashboard tile. alpha = 1/2 with
+    * a 20-day horizon, computed as a single RANGE-free windowed sum:
+    * weights are powers of two, so `sum(cnt·2^i)` stays EXACT integer
+    * arithmetic (≪ 2^53) and the one terminal division is deterministic
+    * cross-engine — no recursive per-row state, no ulp drift from
+    * accumulating tiny float weights. The window is partitioned by
+    * event_type; the day dimension is bounded (days ≪ events), so the
+    * per-partition sort is trivially safe at any corpus scale.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String, horizon: Int = 20): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir))
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val frame = byDay.rowsBetween(-(horizon - 1), Window.currentRow)
+    daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("ewma",
+        round(
+          sum(col("cnt") * pow(lit(2.0), col("i"))).over(frame)
+            / pow(lit(2.0), col("i") + 1)
+            / (lit(1.0) - pow(lit(0.5), least(col("i"), lit(horizon)))),
+          6))
+      .select(col("event_type"), col("day"), col("cnt"), col("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Daily OHLC + self-weighted mean per event type — the candlestick
+    * rollup over the `value` stream. Open/close are order statistics on
+    * event time with the event id as a total-order tie-break
+    * (`min_by`/`max_by` over a (ts, event_id) struct — one hash agg, no
+    * window), so the result is deterministic even under timestamp
+    * collisions. vwap weights each value by itself (sum v² / sum v) —
+    * the standard volume-weighted form with value standing in for both
+    * price and size in this schema.
+    */
+  def ohlcDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.events(spark, dir))
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(
+        round(min_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("open"),
+        round(max(col("value")), 6).as("high"),
+        round(min(col("value")), 6).as("low"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 6).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("value") * col("value")) / sum(col("value")), 6).as("vwap"),
+      )
+      .orderBy(col("event_type"), col("day"))
 
   /** Session windows with a 30-minute inactivity gap, per user.
     * A new session starts when the gap to the previous event is >= the
