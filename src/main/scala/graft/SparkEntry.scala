@@ -268,6 +268,9 @@ object SparkEntry {
     "q_ewma_daily"      -> ((s, d) => TimeWindowOps.ewmaDaily(s, d)),
     "q_ohlc_daily"      -> ((s, d) => TimeWindowOps.ohlcDaily(s, d)),
     "q_logistic_step"   -> ((s, d) => MlOps.logisticStep(s, d)),
+    "q_skyline"         -> ((s, d) => AdvancedOps.skylineParts(s, d)),
+    "q_benford"         -> ((s, d) => AdvancedOps.benfordAudit(s, d)),
+    "q_ols2"            -> ((s, d) => graft.operators.ScaleOps.olsDaily(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4908,5 +4911,62 @@ object SparkEntry {
          SELECT round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
            round(w3, 6) AS w3, log_loss, acc
          FROM w, l""",
+    "q_skyline" ->
+      """WITH pts AS (
+           SELECT l_partkey AS pk,
+             CAST(round(min(l_extendedprice) * 100, 0) AS BIGINT) AS x,
+             CAST(sum(l_quantity) AS BIGINT) AS y
+           FROM lineitem GROUP BY 1),
+         atx AS (SELECT x, max(y) AS ymax FROM pts GROUP BY x),
+         pre AS (
+           SELECT x, ymax,
+             max(ymax) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ylt
+           FROM atx)
+         SELECT p.pk, p.x, p.y
+         FROM pts p JOIN pre ON p.x = pre.x
+         WHERE p.y = pre.ymax AND (pre.ylt IS NULL OR pre.ylt < p.y)
+         ORDER BY p.x, p.pk""",
+    "q_benford" ->
+      """WITH c AS (
+           SELECT substring(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+           FROM events WHERE value > 0),
+         obs AS (SELECT CAST(digit AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_obs
+           FROM c GROUP BY 1),
+         tot AS (SELECT sum(n_obs) AS n FROM obs)
+         SELECT d, n_obs,
+           round(n_obs * 1.0 / n, 6) AS obs_share,
+           round(log10(1 + 1.0 / d), 6) AS benford_p,
+           round(pow(n_obs - n * log10(1 + 1.0 / d), 2) / (n * log10(1 + 1.0 / d)), 6) AS chi2_term
+         FROM obs, tot ORDER BY d""",
+    "q_ols2" ->
+      """WITH daily AS (
+           SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(round(sum(value) * 100, 0) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         f AS (
+           SELECT day - (SELECT min(day) FROM daily) AS d,
+             CASE WHEN day % 7 IN (2, 3) THEN 1 ELSE 0 END AS w, y
+           FROM daily),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS sd, sum(w) AS sw,
+             sum(d * d) AS sdd, sum(d * w) AS sdw, sum(w * w) AS sww,
+             sum(y) AS sy, sum(d * y) AS sdy, sum(w * y) AS swy
+           FROM f),
+         det AS (
+           SELECT n,
+             n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw)
+               + sw * (sd * sdw - sdd * sw) AS dm,
+             sy * (sdd * sww - sdw * sdw) - sd * (sdy * sww - sdw * swy)
+               + sw * (sdy * sdw - sdd * swy) AS d0,
+             n * (sdy * sww - sdw * swy) - sy * (sd * sww - sdw * sw)
+               + sw * (sd * swy - sdy * sw) AS d1,
+             n * (sdd * swy - sdy * sdw) - sd * (sd * swy - sdy * sw)
+               + sy * (sd * sdw - sdd * sw) AS d2
+           FROM m)
+         SELECT n AS n_days,
+           round(d0 * 1.0 / dm / 100, 4) AS b_intercept,
+           round(d1 * 1.0 / dm / 100, 4) AS b_day,
+           round(d2 * 1.0 / dm / 100, 4) AS b_weekend
+         FROM det""",
   )
 }

@@ -480,4 +480,82 @@ object AdvancedOps {
       )
       .orderBy(col("event_type"))
   }
+
+  /** Skyline (Pareto frontier) of parts: cheapest-ever price (lower
+    * better) vs lifetime quantity sold (higher better); a part is on the
+    * frontier iff nothing is at-least-as-good on both axes and strictly
+    * better on one. Both measures are exact integers (price as cents).
+    *
+    * The textbook formulation — "max y over all strictly-cheaper points"
+    * — is a running max over a GLOBAL price order, i.e. a
+    * single-partition window at scale. This runs the same math in two
+    * bounded phases instead: the distinct-x table is bucketed by price
+    * range, the running max runs INSIDE each bucket (partitioned
+    * window), and the cross-bucket carry-in comes from a prefix max
+    * over the ≤257-row per-bucket summary (a bounded-dimension window,
+    * broadcast back) — the classic frontier-of-frontiers decomposition,
+    * same shape as the curriculum-shard offset arithmetic.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.fanOut(Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity")))
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(
+        round(min(col("l_extendedprice")) * 100, 0).cast("long").as("x"),
+        sum(col("l_quantity")).cast("long").as("y"))
+      .localCheckpoint() // feeds the distinct-x reduction and the final join
+    val r = pts.agg(min(col("x")), max(col("x"))).head() // bounded scalars
+    val width = math.max(1L, (r.getLong(1) - r.getLong(0) + 1) / 256)
+    val atx = pts.groupBy(col("x")).agg(max(col("y")).as("ymax"))
+      .withColumn("bucket", expr(s"x div $width"))
+    // phase 1: strict running max inside each price bucket (rows are
+    // distinct x, so ROWS ... 1 PRECEDING is exactly "strictly cheaper")
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 2: carry-in from all earlier buckets via the bounded summary
+    val wPre = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = atx.groupBy(col("bucket")).agg(max(col("ymax")).as("bmax"))
+      .withColumn("carry", max(col("bmax")).over(wPre))
+      .select(col("bucket"), col("carry"))
+    val sentinel = Long.MinValue
+    val frontier = atx
+      .join(Tables.maybeBroadcast(carry), Seq("bucket"))
+      .withColumn("ylt", greatest(
+        coalesce(max(col("ymax")).over(wIn), lit(sentinel)),
+        coalesce(col("carry"), lit(sentinel))))
+      .select(col("x"), col("ymax"), col("ylt"))
+    pts.join(frontier, Seq("x"))
+      .filter(col("y") === col("ymax") && col("y") > col("ylt"))
+      .select(col("pk"), col("x"), col("y"))
+      .orderBy(col("x"), col("pk"))
+  }
+
+  /** Benford first-digit audit of the value stream — the classic
+    * fabricated-data screen: observed first-significant-digit shares vs
+    * Benford's log10(1+1/d), with per-digit χ² contributions. The digit
+    * is extracted from the INTEGER cents string (×100 preserves the
+    * leading significant digit and sidesteps float formatting and
+    * log-of-value boundary ulps), so the census is exact; the only
+    * floats are the nine final share/χ² divisions over the 9-row
+    * digit table, where the corpus total rides a bounded-dimension
+    * window instead of a driver scalar.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.fanOut(Tables.events(spark, dir).select(col("value")))
+      .filter(col("value") > 0)
+      .select(substring(round(col("value") * 100, 0).cast("long").cast("string"), 1, 1)
+        .cast("long").as("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = log(10.0, lit(1.0) + lit(1.0) / col("d"))
+    obs
+      .withColumn("n", sum(col("n_obs")).over(wAll)) // 9-row bounded window
+      .select(
+        col("d"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n"), 6).as("obs_share"),
+        round(p, 6).as("benford_p"),
+        round(pow(col("n_obs") - col("n") * p, 2) / (col("n") * p), 6).as("chi2_term"))
+      .orderBy(col("d"))
+  }
 }

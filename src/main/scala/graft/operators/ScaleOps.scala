@@ -325,6 +325,56 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Closed-form multiple regression of daily spend on (day index,
+    * weekend flag) — the two-covariate step up from [[volumeTrend]]'s
+    * single-feature `regr_slope`, solved by Cramer's rule on the 3×3
+    * normal equations with EVERY moment an exact BIGINT: the day index
+    * is 0-based (centering keeps Σd² small), the weekend flag is 0/1
+    * (day%7 arithmetic — no calendar functions, so both engines agree
+    * bit-for-bit), and spend is integer cents, so all nine X'X / X'y
+    * sums and the four 3×3 determinants are exact int64 (≪ 2^53 even at
+    * 100× — they grow with Σy, not the corpus row count). One hash
+    * aggregate over the day-bounded table, scalar algebra on one row,
+    * one terminal division per coefficient. "Training as a dataflow",
+    * linear-model edition: the full fit is a mergeable aggregate.
+    */
+  def olsDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("value")))
+      .groupBy(col("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("y"))
+    val minDay = daily.agg(min(col("day"))).head().getLong(0) // bounded scalar
+    daily
+      .select(
+        (col("day") - minDay).as("d"),
+        when(col("day") % 7 === 2 || col("day") % 7 === 3, 1L).otherwise(0L).as("w"),
+        col("y"))
+      .agg(
+        count(lit(1)).as("n"), sum(col("d")).as("sd"), sum(col("w")).as("sw"),
+        sum(col("d") * col("d")).as("sdd"), sum(col("d") * col("w")).as("sdw"),
+        sum(col("w") * col("w")).as("sww"), sum(col("y")).as("sy"),
+        sum(col("d") * col("y")).as("sdy"), sum(col("w") * col("y")).as("swy"))
+      .select(
+        col("n"),
+        (col("n") * (col("sdd") * col("sww") - col("sdw") * col("sdw"))
+          - col("sd") * (col("sd") * col("sww") - col("sdw") * col("sw"))
+          + col("sw") * (col("sd") * col("sdw") - col("sdd") * col("sw"))).as("dm"),
+        (col("sy") * (col("sdd") * col("sww") - col("sdw") * col("sdw"))
+          - col("sd") * (col("sdy") * col("sww") - col("sdw") * col("swy"))
+          + col("sw") * (col("sdy") * col("sdw") - col("sdd") * col("swy"))).as("d0"),
+        (col("n") * (col("sdy") * col("sww") - col("sdw") * col("swy"))
+          - col("sy") * (col("sd") * col("sww") - col("sdw") * col("sw"))
+          + col("sw") * (col("sd") * col("swy") - col("sdy") * col("sw"))).as("d1"),
+        (col("n") * (col("sdd") * col("swy") - col("sdy") * col("sdw"))
+          - col("sd") * (col("sd") * col("swy") - col("sdy") * col("sw"))
+          + col("sy") * (col("sd") * col("sdw") - col("sdd") * col("sw"))).as("d2"))
+      .select(
+        col("n").as("n_days"),
+        round(col("d0").cast("double") / col("dm") / 100, 4).as("b_intercept"),
+        round(col("d1").cast("double") / col("dm") / 100, 4).as("b_day"),
+        round(col("d2").cast("double") / col("dm") / 100, 4).as("b_weekend"))
+  }
+
   /** Changepoint detection over daily volume, per event type — the
     * first binary-segmentation step (the core of every "when did the
     * stream shift" monitor, and the discrete cousin of CUSUM): among

@@ -105,6 +105,16 @@ class RobustnessSpec extends AnyFunSuite {
       "q_growth_accounting", // user-day lag/lead cells, integer counts
       "q_survival_curve",    // lifetime histogram, integer survivors
       "q_quantile_norm",     // distributed ntile + integer boundaries
+      // round-11 exact-arithmetic additions (q_ohlc_daily / q_logistic_step
+      // excluded: vwap / gradient are cross-row float sums)
+      "q_pseudonymize",      // md5 pseudonyms, integer counts, banded mins
+      "q_kanon_cells",       // integer cell counts + distinct users
+      "q_fuzzy_join",        // integer levenshtein; sim is row-local int/int
+      "q_snm_neardup",       // keyed lag pairs; jaccard row-local int/int
+      "q_ewma_daily",        // power-of-two integer window sums, one division
+      "q_skyline",           // exact integer dominance tests
+      "q_benford",           // integer digit census; shares row-local
+      "q_ols2",              // exact BIGINT determinants, terminal divisions
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

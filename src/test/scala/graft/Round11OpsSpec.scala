@@ -77,6 +77,64 @@ class Round11OpsSpec extends AnyFunSuite {
       Tables.events(spark, dir).count())
   }
 
+  test("skylineParts emits a strictly-improving frontier that dominates everything") {
+    import graft.operators.AdvancedOps
+    val frontier = AdvancedOps.skylineParts(spark, dir).collect()
+    assert(frontier.nonEmpty)
+    val pts = frontier.map(r => (r.getLong(1), r.getLong(2)))
+    // along increasing price the quantity must strictly increase — else
+    // the cheaper point would dominate
+    pts.sliding(2).foreach {
+      case Array((x1, y1), (x2, y2)) => assert(x1 < x2 && y1 < y2)
+      case _ =>
+    }
+    // no part in the corpus strictly dominates a frontier member
+    val all = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(round(min(col("l_extendedprice")) * 100, 0).cast("long").as("x"),
+        sum(col("l_quantity")).cast("long").as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    pts.foreach { case (fx, fy) =>
+      assert(!all.exists { case (x, y) =>
+        x <= fx && y >= fy && (x < fx || y > fy)
+      })
+    }
+  }
+
+  test("benfordAudit is an exact census with Benford shares summing to ~1") {
+    import graft.operators.AdvancedOps
+    val rows = AdvancedOps.benfordAudit(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val n = Tables.events(spark, dir).filter(col("value") > 0).count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    val pSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pSum - 1.0) < 1e-4) // Benford masses cover digits 1..9
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0)) // χ² terms non-negative
+  }
+
+  test("olsDaily reproduces a driver-side exact normal-equation solve") {
+    import graft.operators.ScaleOps
+    val got = ScaleOps.olsDaily(spark, dir).head()
+    // recompute from the same daily table with BigInt algebra
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val minDay = daily.map(_._1).min
+    val f = daily.map { case (day, y) =>
+      (day - minDay, if (day % 7 == 2 || day % 7 == 3) 1L else 0L, y)
+    }
+    def s(g: ((Long, Long, Long)) => Long): BigInt = f.map(t => BigInt(g(t))).sum
+    val (n, sd, sw) = (BigInt(f.length), s(_._1), s(_._2))
+    val (sdd, sdw, sww) = (s(t => t._1 * t._1), s(t => t._1 * t._2), s(t => t._2 * t._2))
+    val (sy, sdy, swy) = (s(_._3), s(t => t._1 * t._3), s(t => t._2 * t._3))
+    val dm = n * (sdd * sww - sdw * sdw) - sd * (sd * sww - sdw * sw) + sw * (sd * sdw - sdd * sw)
+    val d1 = n * (sdy * sww - sdw * swy) - sy * (sd * sww - sdw * sw) + sw * (sd * swy - sdy * sw)
+    val expectSlope = d1.toDouble / dm.toDouble / 100
+    assert(math.abs(got.getAs[Double]("b_day") - expectSlope) < 1e-4)
+    assert(got.getAs[Long]("n_days") === f.length.toLong)
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
