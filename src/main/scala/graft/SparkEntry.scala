@@ -271,6 +271,11 @@ object SparkEntry {
     "q_skyline"         -> ((s, d) => AdvancedOps.skylineParts(s, d)),
     "q_benford"         -> ((s, d) => AdvancedOps.benfordAudit(s, d)),
     "q_ols2"            -> ((s, d) => graft.operators.ScaleOps.olsDaily(s, d)),
+    "q_path_trigrams"   -> ((s, d) => BehaviorOps.pathTrigrams(s, d)),
+    "q_chi2_independence" -> ((s, d) => BehaviorOps.chi2Independence(s, d)),
+    "q_interpolate_gaps" -> ((s, d) => graft.operators.ScaleOps.interpolateGaps(s, d)),
+    "q_kwic"            -> ((s, d) => TextAnalysisOps.kwic(s, d)),
+    "q_median_of_means" -> ((s, d) => AdvancedOps.medianOfMeans(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -4968,5 +4973,81 @@ object SparkEntry {
            round(d1 * 1.0 / dm / 100, 4) AS b_day,
            round(d2 * 1.0 / dm / 100, 4) AS b_weekend
          FROM det""",
+    "q_path_trigrams" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id FROM events),
+         s AS (
+           SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+         g AS (
+           SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+             CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE t3 IS NOT NULL GROUP BY 1)
+         SELECT trigram, n FROM g ORDER BY n DESC, trigram LIMIT 20""",
+    "q_chi2_independence" ->
+      """WITH c AS (
+           SELECT event_type, (epoch_ns(ts) // 86400000000000) % 7 AS wd,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT sum(n) AS t FROM c),
+         rm AS (SELECT event_type, sum(n) AS rn FROM c GROUP BY 1),
+         cm AS (SELECT wd, sum(n) AS cn FROM c GROUP BY 1)
+         SELECT c.event_type, c.wd, c.n,
+           round(rn * cn * 1.0 / t, 6) AS expected,
+           round(pow(c.n - rn * cn * 1.0 / t, 2) / (rn * cn * 1.0 / t), 6) AS chi2_term
+         FROM c JOIN rm USING (event_type) JOIN cm USING (wd) CROSS JOIN tot
+         ORDER BY c.event_type, c.wd""",
+    "q_interpolate_gaps" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM (
+             SELECT event_type, min(day) AS lo, max(day) AS hi
+             FROM daily GROUP BY event_type)),
+         obs AS (SELECT event_type, day, cents FROM daily WHERE day % 3 = 0),
+         j AS (
+           SELECT s.event_type, s.day, o.cents,
+             last_value(o.cents IGNORE NULLS) OVER w AS prev_v,
+             last_value(CASE WHEN o.cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER w AS prev_d,
+             first_value(o.cents IGNORE NULLS) OVER w2 AS next_v,
+             first_value(CASE WHEN o.cents IS NOT NULL THEN s.day END IGNORE NULLS) OVER w2 AS next_d
+           FROM spine s LEFT JOIN obs o ON s.event_type = o.event_type AND s.day = o.day
+           WINDOW w AS (PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, CAST(day AS BIGINT) AS day,
+           cents IS NOT NULL AS observed,
+           round(CASE
+             WHEN cents IS NOT NULL THEN cents * 1.0
+             WHEN prev_v IS NULL THEN next_v * 1.0
+             WHEN next_v IS NULL THEN prev_v * 1.0
+             ELSE prev_v + (next_v - prev_v) * (day - prev_d) * 1.0 / (next_d - prev_d)
+           END / 100, 4) AS filled
+         FROM j ORDER BY event_type, day""",
+    "q_kwic" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         hits AS (
+           SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             list_slice(ts, greatest(1, CAST(i AS BIGINT) - 2),
+               least(len(ts), CAST(i AS BIGINT) + 2)) AS ctx
+           FROM toks, unnest(range(1, len(ts) + 1)) r(i)
+           WHERE ts[CAST(i AS INTEGER)] = 'spark')
+         SELECT doc_id, pos, array_to_string(ctx, ' ') AS context
+         FROM hits ORDER BY doc_id, pos""",
+    "q_median_of_means" ->
+      """WITH b AS (
+           SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 32 AS g, value
+           FROM events),
+         m AS (SELECT g, round(avg(value), 6) AS mean_v FROM b GROUP BY g),
+         r AS (SELECT *, row_number() OVER (ORDER BY mean_v, g) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS kk
+           FROM m)
+         SELECT kk AS k_groups, mean_v AS mom_estimate FROM r WHERE rk = (kk + 1) // 2""",
   )
 }

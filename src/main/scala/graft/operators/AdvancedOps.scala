@@ -530,6 +530,33 @@ object AdvancedOps {
       .orderBy(col("x"), col("pk"))
   }
 
+  /** Median-of-means robust mean estimator — the heavy-tail-tolerant
+    * alternative to the plain average (and the estimator sketch-style
+    * pipelines reach for when a single corrupted shard could drag the
+    * global mean): rows land in k=32 content-addressed buckets (md5 of
+    * the event id — deterministic, no RNG state), each bucket averages
+    * independently as ONE partial+final aggregate, and the estimate is
+    * the exact lower median of the 32 bucket means (a bounded 32-row
+    * rank, not a corpus sort).
+    */
+  def medianOfMeans(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val buckets = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_id"), col("value")))
+      .select(
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % k).as("g"),
+        col("value"))
+    val means = buckets.groupBy(col("g"))
+      .agg(round(avg(col("value")), 6).as("mean_v"), count(lit(1)).as("n"))
+    val wRank = Window.orderBy(col("mean_v"), col("g")) // k-row bounded window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    means
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("kk", count(lit(1)).over(wAll))
+      .filter(col("rk") === expr("(kk + 1) DIV 2"))
+      .select(col("kk").as("k_groups"), col("mean_v").as("mom_estimate"))
+  }
+
   /** Benford first-digit audit of the value stream — the classic
     * fabricated-data screen: observed first-significant-digit shares vs
     * Benford's log10(1+1/d), with per-digit χ² contributions. The digit

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -1063,5 +1064,57 @@ object BehaviorOps {
           (col("tp") * 2 + col("fp") + col("fn")).cast("double"),
           lit(1.0)), 6).as("f1"))
       .orderBy(col("k"))
+  }
+
+  /** Top user-journey trigrams — the order-3 extension of
+    * [[eventTransitions]]: the 20 most common 3-step event sequences
+    * across all users' total-ordered histories. One user-keyed window
+    * emits both leads in a single pass (3-position sequences never
+    * self-join), the trigram census is one hash aggregate over a
+    * keyspace bounded by |event types|³, and the top-20 cliff is
+    * sort+limit (TakeOrderedAndProject) with the trigram string as the
+    * deterministic tie-break.
+    */
+  def pathTrigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(k)
+  }
+
+  /** χ² test of independence between event type and weekday — "does the
+    * traffic mix shift across the week", the categorical sibling of the
+    * weekday z-scores in [[weekdayAnomaly]]. The contingency table is
+    * one hash aggregate over a |types|×7 keyspace; marginals re-aggregate
+    * THAT bounded table (never the corpus) and broadcast back; expected
+    * counts are an exact integer cross-multiply with one division, so
+    * every χ² cell is reproducible bit-for-bit up to the 6-dp emission
+    * rounding.
+    */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), (expr("ts div 86400000000000") % 7).as("wd")))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both marginals and the total
+    val rowsM = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rn"))
+    val colsM = cells.groupBy(col("wd")).agg(sum(col("n")).as("cn"))
+    val total = cells.agg(sum(col("n"))).head().getLong(0) // bounded scalar
+    val expected = col("rn") * col("cn") * lit(1.0) / lit(total)
+    cells
+      .join(Tables.maybeBroadcast(rowsM), Seq("event_type"))
+      .join(Tables.maybeBroadcast(colsM), Seq("wd"))
+      .select(
+        col("event_type"), col("wd"), col("n"),
+        round(expected, 6).as("expected"),
+        round(pow(col("n") - expected, 2) / expected, 6).as("chi2_term"))
+      .orderBy(col("event_type"), col("wd"))
   }
 }

@@ -644,6 +644,54 @@ object ScaleOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Linear interpolation over calendar gaps — the fill step between
+    * [[denseCalendar]]'s explicit zeros and a forecasting consumer that
+    * wants a continuous series: a sparse per-type daily spend series
+    * (every 3rd day stands in for a checkpointed metric) is stretched
+    * over the full day spine, missing days get the straight line between
+    * their surrounding observations (carry-forward / carry-back at the
+    * edges). The bracketing observation for every spine day comes from
+    * two keyed running windows (`last ignoreNulls` forward, `first
+    * ignoreNulls` backward) — one shuffle on event_type, no self-join,
+    * no per-gap subquery; the interpolation itself is exact integer
+    * cents arithmetic with ONE terminal division.
+    */
+  def interpolateGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .localCheckpoint() // feeds the spine bounds AND the observation join
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val obs = daily.filter(col("day") % 3 === 0)
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("event_type", "day"), "left")
+      .withColumn("prev_v", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_d",
+        last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("next_d",
+        first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(
+        col("event_type"), col("day"),
+        col("cents").isNotNull.as("observed"),
+        round(
+          when(col("cents").isNotNull, col("cents") * lit(1.0))
+            .when(col("prev_v").isNull, col("next_v") * lit(1.0))
+            .when(col("next_v").isNull, col("prev_v") * lit(1.0))
+            .otherwise(col("prev_v") +
+              (col("next_v") - col("prev_v")) * (col("day") - col("prev_d")) * lit(1.0)
+                / (col("next_d") - col("prev_d")))
+            / 100, 4).as("filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Lag-1 autocorrelation of daily volume per event type — the
     * persistence check completing the trend family (OLS slope:
     * [[volumeTrend]]; robust slope: [[theilSen]]; level shift:

@@ -262,4 +262,30 @@ object TextAnalysisOps {
           - lit(1.015) * (col("words").cast("double") / col("sentences"))
           - lit(84.6) * (col("syllables").cast("double") / col("words")), 4))
       .orderBy(col("source"))
+
+  /** KWIC (keyword-in-context) concordance: every occurrence of a probe
+    * term across the corpus with its ±`ctx`-token window — the
+    * annotation/QA view a corpus linguist or red-teamer reads next to
+    * the aggregate term stats. One tokenize + posexplode pass (map-side
+    * fan-out, no shuffle until the final presentation sort); the context
+    * slice is array arithmetic on the ALREADY-tokenized row, so the text
+    * is never re-scanned per hit. At 100 TB the presentation `orderBy`
+    * would be replaced by the consumer's pagination — the hit extraction
+    * itself is embarrassingly parallel.
+    */
+  def kwic(spark: SparkSession, dir: String,
+      probe: String = "spark", ctx: Int = 2): DataFrame = {
+    val toks = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .filter(col("tok") === probe)
+    val pos1 = col("p0") + 1 // 1-based token position
+    val start = greatest(lit(1), pos1 - ctx)
+    val end = least(size(col("toks")), pos1 + ctx)
+    toks.select(
+        col("doc_id"), pos1.cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"), start, end - start + 1)).as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

@@ -115,6 +115,10 @@ class RobustnessSpec extends AnyFunSuite {
       "q_skyline",           // exact integer dominance tests
       "q_benford",           // integer digit census; shares row-local
       "q_ols2",              // exact BIGINT determinants, terminal divisions
+      "q_path_trigrams",     // lead over a total order, exact counts
+      "q_chi2_independence", // integer cells; expected is exact cross-multiply
+      "q_interpolate_gaps",  // integer cents interpolation, one division
+      "q_kwic",              // per-row array slices, exact strings
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -135,6 +135,70 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_days") === f.length.toLong)
   }
 
+  test("pathTrigrams conserves the per-user sequence count") {
+    import graft.operators.BehaviorOps
+    val top = BehaviorOps.pathTrigrams(spark, dir, k = 1000000).localCheckpoint()
+    // every user with n >= 3 events contributes exactly n-2 trigrams
+    val expect = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 3)
+      .agg(sum(col("n") - 2)).head().getLong(0)
+    assert(top.agg(sum(col("n"))).head().getLong(0) === expect)
+    top.collect().foreach(r => assert(r.getString(0).split(">").length === 3))
+  }
+
+  test("chi2Independence cells conserve the corpus and expected mass") {
+    import graft.operators.BehaviorOps
+    val cells = BehaviorOps.chi2Independence(spark, dir).localCheckpoint()
+    val n = Tables.events(spark, dir).count()
+    assert(cells.agg(sum(col("n"))).head().getLong(0) === n)
+    // Σ expected == Σ observed (marginal identity), up to emission rounding
+    val expSum = cells.agg(sum(col("expected"))).head().getDouble(0)
+    assert(math.abs(expSum - n) < 1e-2)
+    cells.collect().foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
+  test("interpolateGaps is exact on observed days and convex between them") {
+    import graft.operators.ScaleOps
+    val out = ScaleOps.interpolateGaps(spark, dir).localCheckpoint()
+    // observed days carry their true value
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg((round(sum(col("value")) * 100, 0) / 100).as("truth"))
+      .filter(col("day") % 3 === 0)
+    val joined = out.filter(col("observed"))
+      .join(daily, Seq("event_type", "day"))
+    assert(joined.filter(abs(col("filled") - col("truth")) > 1e-3).count() === 0L)
+    // filled values never leave the global [min, max] envelope per type
+    val env = out.groupBy(col("event_type"))
+      .agg(min(col("filled")).as("lo"), max(col("filled")).as("hi"))
+    val obsEnv = out.filter(col("observed")).groupBy(col("event_type"))
+      .agg(min(col("filled")).as("olo"), max(col("filled")).as("ohi"))
+    val bad = env.join(obsEnv, Seq("event_type"))
+      .filter(col("lo") < col("olo") - 1e-6 || col("hi") > col("ohi") + 1e-6)
+    assert(bad.count() === 0L) // linear interp can't overshoot its anchors
+  }
+
+  test("kwic windows always contain the probe and respect the ±2 bound") {
+    import graft.operators.TextAnalysisOps
+    val hits = TextAnalysisOps.kwic(spark, dir).collect()
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      val ctx = r.getString(2).split(" ")
+      assert(ctx.contains("spark"))
+      assert(ctx.length <= 5) // ±2 tokens around the hit
+    }
+  }
+
+  test("medianOfMeans lands inside the bucket-mean range") {
+    import graft.operators.AdvancedOps
+    val r = AdvancedOps.medianOfMeans(spark, dir).head()
+    assert(r.getLong(0) === 32L)
+    val mom = r.getDouble(1)
+    val stats = Tables.events(spark, dir)
+      .agg(min(col("value")), max(col("value"))).head()
+    assert(mom >= stats.getDouble(0) && mom <= stats.getDouble(1))
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
