@@ -881,10 +881,15 @@ object BehaviorOps {
       .filter(col("ts_us") > col("c_us") &&
         col("ts_us") <= col("c_us") + windowUs)
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
-    val nv = v.agg(count(lit(1)).as("viewed"))
-    val nc = c.agg(count(lit(1)).as("clicked_72h"))
-    val np = p.agg(count(lit(1)).as("purchased_72h"))
-    nv.crossJoin(nc).crossJoin(np)
+    // one tagged union + one aggregate — no 1-row cross joins (a
+    // cross-joined scalar frame plans as the BroadcastNestedLoopJoin the
+    // registry invariant bans)
+    v.select(lit(1).as("s")).unionAll(c.select(lit(2).as("s")))
+      .unionAll(p.select(lit(3).as("s")))
+      .agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("s") === 2, 1L).otherwise(0L)).as("clicked_72h"),
+        sum(when(col("s") === 3, 1L).otherwise(0L)).as("purchased_72h"))
       .select(col("viewed"), col("clicked_72h"), col("purchased_72h"),
         round(col("clicked_72h") / col("viewed").cast("double"), 6)
           .as("view_to_click"),
@@ -917,7 +922,9 @@ object BehaviorOps {
       .withColumn("prev_day", lag(col("day"), 1).over(w))
       .withColumn("next_day", lead(col("day"), 1).over(w))
       .localCheckpoint()
-    val mx = du.agg(max(col("day")).as("mxd"))
+    // bounded driver scalar (the nDocs pattern) — a cross-joined 1-row
+    // frame would plan as a BroadcastNestedLoopJoin
+    val mxd = du.agg(max(col("day"))).head().getLong(0)
     val act = l.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"),
         sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
@@ -926,9 +933,9 @@ object BehaviorOps {
         sum(when(col("prev_day").isNotNull &&
           col("prev_day") < col("day") - 1, 1L).otherwise(0L))
           .as("n_resurrected"))
-    val churn = l.crossJoin(broadcast(mx))
+    val churn = l
       .filter((col("next_day").isNull || col("next_day") > col("day") + 1) &&
-        col("day") + 1 <= col("mxd"))
+        col("day") + 1 <= mxd)
       .select((col("day") + 1).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
     act.join(churn, Seq("day"), "left_outer")
@@ -956,16 +963,18 @@ object BehaviorOps {
     val lt = du.select((col("ld") - col("fd")).as("lifetime"))
       .groupBy(col("lifetime")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val mx = lt.agg(max(col("lifetime")).as("ml"), sum(col("n")).as("total"))
-    val spine = mx.select(col("total"),
-      explode(sequence(lit(0L), col("ml"))).as("d"))
-    spine.crossJoin(broadcast(lt))
-      .groupBy(col("d"), col("total"))
+    // bounded driver scalars; the spine × histogram fan-out rides ONE
+    // explode over the lifetime-histogram rows (spans², never users² —
+    // and never the BroadcastNestedLoopJoin a crossJoin would plan)
+    val r = lt.agg(max(col("lifetime")), sum(col("n"))).head()
+    val (ml, total) = (r.getLong(0), r.getLong(1))
+    lt.select(col("lifetime"), col("n"),
+        explode(sequence(lit(0L), lit(ml))).as("d"))
+      .groupBy(col("d"))
       .agg(sum(when(col("lifetime") >= col("d"), col("n")).otherwise(0L))
         .as("survivors"))
       .select(col("d"), col("survivors"),
-        round(col("survivors") / col("total").cast("double"), 6)
-          .as("survival"))
+        round(col("survivors") / lit(total.toDouble), 6).as("survival"))
       .orderBy(col("d"))
   }
 
@@ -1008,15 +1017,18 @@ object BehaviorOps {
           .otherwise(7L))
     val means = drawn.groupBy(col("rep"))
       .agg((sum(col("w") * col("cents")) / (sum(col("w")) * 100.0)).as("m"))
-    // rank the R replicate means — R = 40 rows, provably bounded
+    // rank the R replicate means — R = 40 rows, provably bounded — and
+    // collapse both CI bounds in ONE conditional aggregate; the point
+    // estimate arrives as a bounded driver scalar (no 1-row cross joins,
+    // which would plan as BroadcastNestedLoopJoin)
     val ranked = means.withColumn("rk",
       row_number().over(Window.orderBy(col("m"), col("rep"))))
-    val lo = ranked.filter(col("rk") === 2).select(col("m").as("lo"))
-    val hi = ranked.filter(col("rk") === reps - 1).select(col("m").as("hi"))
     val pt = cents.agg(
-      (sum(col("cents")) / (count(lit(1)) * 100.0)).as("pt"))
-    pt.crossJoin(lo).crossJoin(hi)
-      .select(round(col("pt"), 4).as("mean_spend"),
+      (sum(col("cents")) / (count(lit(1)) * 100.0))).head().getDouble(0)
+    ranked
+      .agg(min(when(col("rk") === 2, col("m"))).as("lo"),
+        min(when(col("rk") === reps - 1, col("m"))).as("hi"))
+      .select(round(lit(pt), 4).as("mean_spend"),
         round(col("lo"), 4).as("ci_lo"),
         round(col("hi"), 4).as("ci_hi"),
         round(col("hi") - col("lo"), 4).as("ci_width"))
@@ -1043,17 +1055,19 @@ object BehaviorOps {
     val h = perUser.groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
       .localCheckpoint()
-    val mx = h.agg(max(col("score")).as("ms"))
-    val cells = h.crossJoin(broadcast(mx))
+    // max score as a bounded driver scalar from the tiny histogram —
+    // not a cross-joined 1-row frame (BroadcastNestedLoopJoin)
+    val ms = h.agg(max(col("score"))).head().getLong(0)
+    val cells = h
       .select(explode(sequence(lit(1L), lit(10L))).as("k"),
-        col("score"), col("n"), col("n_pos"), col("ms"))
+        col("score"), col("n"), col("n_pos"))
       .groupBy(col("k"))
       .agg(
-        sum(when(col("score") * 10 >= col("ms") * col("k"), col("n_pos"))
+        sum(when(col("score") * 10 >= lit(ms) * col("k"), col("n_pos"))
           .otherwise(0L)).as("tp"),
-        sum(when(col("score") * 10 >= col("ms") * col("k"),
+        sum(when(col("score") * 10 >= lit(ms) * col("k"),
           col("n") - col("n_pos")).otherwise(0L)).as("fp"),
-        sum(when(col("score") * 10 < col("ms") * col("k"), col("n_pos"))
+        sum(when(col("score") * 10 < lit(ms) * col("k"), col("n_pos"))
           .otherwise(0L)).as("fn"))
     cells.select(col("k"), col("tp"), col("fp"), col("fn"),
         round(col("tp") / greatest((col("tp") + col("fp")).cast("double"),

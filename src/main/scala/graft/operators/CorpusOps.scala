@@ -123,30 +123,30 @@ object CorpusOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cumlo", col("cumhi") - col("w"))
       .localCheckpoint()
-    val tot = cum.agg(sum(col("w")).as("tw"), count(lit(1)).as("nv"))
-    val intervals = cum.crossJoin(broadcast(tot))
+    // total weight from the vocab-bounded table and the draw count
+    // (docs × k, a metadata count) travel as bounded driver scalars —
+    // cross-joined 1-row frames would plan as BroadcastNestedLoopJoin
+    val tw = cum.agg(sum(col("w"))).head().getLong(0)
+    val intervals = cum
       .withColumn("bin", explode(sequence(
-        expr(s"cumlo * $bins div tw"),
-        expr(s"(cumhi - 1) * $bins div tw"))))
+        expr(s"cumlo * $bins div $tw"),
+        expr(s"(cumhi - 1) * $bins div $tw"))))
     val draws = docs.select(col("doc_id"))
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("tw"),
-        explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(k))).as("j"))
       .withColumn("t",
         conv(substring(md5(concat(col("doc_id").cast("string"), lit("~"),
-          col("j").cast("string"))), 1, 12), 16, 10).cast("long") % col("tw"))
-      .withColumn("bin", expr(s"t * $bins div tw"))
+          col("j").cast("string"))), 1, 12), 16, 10).cast("long") % tw)
+      .withColumn("bin", expr(s"t * $bins div $tw"))
     val hits = draws.join(broadcast(intervals.select(col("term"),
         col("cumlo"), col("cumhi"), col("bin"))), Seq("bin"))
       .filter(col("t") >= col("cumlo") && col("t") < col("cumhi"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
-    val nDraws = draws.agg(count(lit(1)).as("nd"))
+    val nd = Tables.documents(spark, dir).count() * k
     cum.join(hits, Seq("term"), "left_outer")
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(nDraws))
       .select(col("term"), col("cnt"),
         coalesce(col("n"), lit(0L)).as("n_draws"),
-        round(col("w") / col("tw").cast("double"), 6).as("expected_share"),
-        round(coalesce(col("n"), lit(0L)) / col("nd").cast("double"), 6)
+        round(col("w") / lit(tw.toDouble), 6).as("expected_share"),
+        round(coalesce(col("n"), lit(0L)) / lit(nd.toDouble), 6)
           .as("realized_share"))
       .orderBy(col("term"))
   }
