@@ -276,6 +276,11 @@ object SparkEntry {
     "q_interpolate_gaps" -> ((s, d) => graft.operators.ScaleOps.interpolateGaps(s, d)),
     "q_kwic"            -> ((s, d) => TextAnalysisOps.kwic(s, d)),
     "q_median_of_means" -> ((s, d) => AdvancedOps.medianOfMeans(s, d)),
+    "q_bounce_rate"     -> ((s, d) => BehaviorOps.bounceRate(s, d)),
+    "q_cohort_ltv"      -> ((s, d) => BehaviorOps.cohortLtv(s, d)),
+    "q_markov_steps"    -> ((s, d) => BehaviorOps.markovSteps(s, d)),
+    "q_mutual_information" -> ((s, d) => MlOps.mutualInformation(s, d)),
+    "q_seasonal_decompose" -> ((s, d) => graft.operators.ScaleOps.seasonalDecompose(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5049,5 +5054,104 @@ object SparkEntry {
              CAST(count(*) OVER () AS BIGINT) AS kk
            FROM m)
          SELECT kk AS k_groups, mean_v AS mom_estimate FROM r WHERE rk = (kk + 1) // 2""",
+    "q_bounce_rate" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id FROM events),
+         l AS (
+           SELECT user_id, ts_s,
+             CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR lag(ts_s) OVER w IS NULL
+               THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+         s AS (
+           SELECT user_id, ts_s, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM l),
+         sess AS (
+           SELECT user_id, sid, min(ts_s) AS start_s, count(*) AS n
+           FROM s GROUP BY 1, 2)
+         SELECT start_s // 86400 AS day, CAST(count(*) AS BIGINT) AS sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS bounce_rate
+         FROM sess GROUP BY 1 ORDER BY day""",
+    "q_cohort_ltv" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, event_type, value
+           FROM events),
+         cohort AS (
+           SELECT user_id, min(day) AS cd FROM e WHERE event_type = 'purchase' GROUP BY 1),
+         sizes AS (SELECT cd, CAST(count(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1),
+         rev AS (
+           SELECT c.cd, (e.day - c.cd) // 7 AS wk,
+             CAST(round(sum(e.value) * 100, 0) AS BIGINT) AS cents
+           FROM e JOIN cohort c USING (user_id)
+           WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         cum AS (
+           SELECT cd, wk, sum(cents) OVER (PARTITION BY cd ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+           FROM rev)
+         SELECT cd AS cohort_day, wk, cum_cents, n_users,
+           round(cum_cents / (n_users * 100.0), 4) AS ltv
+         FROM cum JOIN sizes USING (cd) ORDER BY cohort_day, wk""",
+    "q_markov_steps" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id FROM events),
+         tr AS (
+           SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS b
+           FROM e),
+         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+           FROM tr WHERE b IS NOT NULL GROUP BY 1, 2),
+         marg AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+         T AS (SELECT a, b, n * 1.0 / na AS p FROM cells JOIN marg USING (a)),
+         states AS (SELECT DISTINCT a AS s FROM cells),
+         k AS (SELECT count(*) AS kk FROM states),
+         p0 AS (SELECT s, 1.0 / kk AS p FROM states, k),
+         p1 AS (SELECT T.b AS s, sum(p0.p * T.p) AS p FROM p0 JOIN T ON p0.s = T.a GROUP BY 1),
+         p2 AS (SELECT T.b AS s, sum(p1.p * T.p) AS p FROM p1 JOIN T ON p1.s = T.a GROUP BY 1),
+         p3 AS (SELECT T.b AS s, sum(p2.p * T.p) AS p FROM p2 JOIN T ON p2.s = T.a GROUP BY 1)
+         SELECT p1.s AS state, round(p1.p, 6) AS p_step1,
+           round(p2.p, 6) AS p_step2, round(p3.p, 6) AS p_step3
+         FROM p1 JOIN p2 ON p1.s = p2.s JOIN p3 ON p1.s = p3.s ORDER BY state""",
+    "q_mutual_information" ->
+      """WITH f AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok, n_chars
+           FROM documents),
+         binned AS (
+           SELECT 'n_chars' AS feature,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin, y FROM f
+           UNION ALL
+           SELECT 'n_tokens', ntile(10) OVER (ORDER BY ntok, doc_id), y FROM f),
+         cells AS (SELECT feature, CAST(bin AS BIGINT) AS bin, y,
+             CAST(count(*) AS BIGINT) AS c
+           FROM binned GROUP BY 1, 2, 3),
+         bm AS (SELECT feature, bin, sum(c) AS cb FROM cells GROUP BY 1, 2),
+         ym AS (SELECT feature, y, sum(c) AS cy FROM cells GROUP BY 1, 2),
+         tot AS (SELECT feature, sum(c) AS n FROM cells GROUP BY 1)
+         SELECT feature,
+           round(sum(c * 1.0 / n * ln(c * 1.0 * n / (cb * cy))), 6) AS mi_nats
+         FROM cells JOIN bm USING (feature, bin) JOIN ym USING (feature, y)
+           JOIN tot USING (feature)
+         GROUP BY feature ORDER BY feature""",
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         tr AS (
+           SELECT event_type, day, cents,
+             CASE WHEN count(*) OVER w = 7 THEN sum(cents) OVER w / 7.0 END AS trend
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         se AS (
+           SELECT event_type AS et, day % 7 AS wd, avg(cents - trend) AS seas_raw
+           FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+         SELECT t.event_type, CAST(t.day AS BIGINT) AS day, t.cents,
+           round(t.trend / 100, 4) AS trend,
+           round(s.seas_raw / 100, 4) AS seasonal,
+           round((t.cents - t.trend - s.seas_raw) / 100, 4) AS residual
+         FROM tr t JOIN se s ON t.event_type = s.et AND t.day % 7 = s.wd
+         WHERE t.trend IS NOT NULL
+         ORDER BY t.event_type, day""",
   )
 }

@@ -1103,6 +1103,112 @@ object BehaviorOps {
       .limit(k)
   }
 
+  /** Per-day bounce rate: share of 30-minute-gap sessions containing
+    * exactly one event — the engagement-quality readout beside raw
+    * session counts. Sessionization is the standard gaps-and-islands
+    * chain (one user-keyed window: gap flag → running sum → session id),
+    * identical to the session_window batch twin; the census is two hash
+    * aggregates over the session table. Exact integers, one division per
+    * day row.
+    */
+  def bounceRate(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("event_id")))
+      .withColumn("brk",
+        when(col("ts_s") - lag(col("ts_s"), 1).over(w) >= gapSec ||
+          lag(col("ts_s"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_s")).as("start_s"), count(lit(1)).as("n"))
+    sess
+      .groupBy(expr("start_s div 86400").as("day"))
+      .agg(count(lit(1)).as("sessions"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("bounces"))
+      .select(col("day"), col("sessions"), col("bounces"),
+        round(col("bounces") * lit(1.0) / col("sessions"), 6).as("bounce_rate"))
+      .orderBy(col("day"))
+  }
+
+  /** Cohort LTV curves: users cohorted by FIRST-purchase day, cumulative
+    * subsequent purchase revenue per cohort member by week offset — the
+    * payback table under every acquisition decision. The event log
+    * reduces to (cohort, week, cents) cells before any window; the
+    * cumulative ride is a window over week offsets (bounded by the
+    * observation span) partitioned by cohort; revenue stays EXACT
+    * integer cents until the single per-row LTV division.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          col("event_type"), col("value")))
+      .localCheckpoint() // feeds the cohort assignment AND the revenue cells
+    val cohort = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("day")).as("cd"))
+    val sizes = cohort.groupBy(col("cd")).agg(count(lit(1)).as("n_users"))
+    val rev = e.join(Tables.maybeBroadcast(cohort), Seq("user_id"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("cd"), expr("(day - cd) div 7").as("wk"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+    val wCum = Window.partitionBy(col("cd")).orderBy(col("wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .join(Tables.maybeBroadcast(sizes), Seq("cd"))
+      .select(col("cd").as("cohort_day"), col("wk"), col("cum_cents"), col("n_users"),
+        round(col("cum_cents") / (col("n_users") * lit(100.0)), 4).as("ltv"))
+      .orderBy(col("cohort_day"), col("wk"))
+  }
+
+  /** Fixed-step Markov chain evolution of the journey transition matrix:
+    * starting uniform, the state distribution after 1, 2 and 3 steps —
+    * the mixing-rate readout next to [[eventTransitions]]' one-step
+    * cells (near-identical columns across steps = the chain mixes in one
+    * hop). Every "matrix multiply" is a join-aggregate over the
+    * |types|²-bounded cell table against a |types|-row vector — bounded
+    * work regardless of corpus size; the corpus is touched exactly once
+    * to build the transition counts.
+    */
+  def markovSteps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("event_type").as("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // the bounded matrix: every later stage reads this
+    val marg = cells.groupBy(col("a")).agg(sum(col("n")).as("na"))
+    // matrix and vector carry DISJOINT column names (ta/tb/tp vs s/ps):
+    // every step joins a vector derived from the matrix back onto it, and
+    // shared names across that self-join trip the ambiguity analyzer
+    val t = cells.join(marg, Seq("a"))
+      .select(col("a").as("ta"), col("b").as("tb"),
+        (col("n") * lit(1.0) / col("na")).as("tp"))
+      .localCheckpoint() // |types|² rows
+    val k = cells.select(col("a")).distinct().count() // bounded scalar
+    val p0 = cells.select(col("a").as("s")).distinct()
+      .withColumn("ps", lit(1.0) / k)
+    def step(pv: DataFrame): DataFrame = pv
+      .join(t, col("s") === col("ta"))
+      .groupBy(col("tb"))
+      .agg(sum(col("ps") * col("tp")).as("ps"))
+      .withColumnRenamed("tb", "s")
+    val p1 = step(p0).localCheckpoint()
+    val p2 = step(p1).localCheckpoint()
+    val p3 = step(p2)
+    p1.select(col("s"), col("ps").as("q1"))
+      .join(p2.select(col("s"), col("ps").as("q2")), Seq("s"))
+      .join(p3.select(col("s"), col("ps").as("q3")), Seq("s"))
+      .select(col("s").as("state"),
+        round(col("q1"), 6).as("p_step1"),
+        round(col("q2"), 6).as("p_step2"),
+        round(col("q3"), 6).as("p_step3"))
+      .orderBy(col("state"))
+  }
+
   /** χ² test of independence between event type and weekday — "does the
     * traffic mix shift across the week", the categorical sibling of the
     * weekday z-scores in [[weekdayAnomaly]]. The contingency table is

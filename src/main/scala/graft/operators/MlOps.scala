@@ -843,6 +843,45 @@ object MlOps {
       )
   }
 
+  /** Mutual information between binned quality features and the
+    * language label — the feature-selection ranking read before a
+    * classifier is trained (MI sees non-monotone dependence a
+    * correlation coefficient misses). Each feature is cut into exact
+    * deciles via the distributed ntile (parallel range shuffle, no
+    * single-partition sort); the (bin, label) contingency cells, their
+    * margins, and MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) all live on
+    * bounded tables (≤20 cells per feature) with exact integer counts —
+    * the log argument is one integer cross-multiply per cell.
+    */
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array_remove(split(col("text"), " "), "")
+    val f = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars")))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        size(toks).cast("long").as("ntok"), col("n_chars"))
+      .localCheckpoint() // feeds one ntile pass per feature
+    def binned(feature: String, c: org.apache.spark.sql.Column): DataFrame =
+      graft.operators.BehaviorOps.distributedNtile(f, 10, "bin")(c, col("doc_id"))
+        .select(lit(feature).as("feature"), col("bin").cast("long").as("bin"), col("y"))
+    val cells = binned("n_chars", col("n_chars"))
+      .unionAll(binned("n_tokens", col("ntok")))
+      .groupBy(col("feature"), col("bin"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // margins re-aggregate THIS bounded table
+    val bm = cells.groupBy(col("feature"), col("bin")).agg(sum(col("c")).as("cb"))
+    val ym = cells.groupBy(col("feature"), col("y")).agg(sum(col("c")).as("cy"))
+    val tot = cells.groupBy(col("feature")).agg(sum(col("c")).as("n"))
+    cells
+      .join(Tables.maybeBroadcast(bm), Seq("feature", "bin"))
+      .join(Tables.maybeBroadcast(ym), Seq("feature", "y"))
+      .join(Tables.maybeBroadcast(tot), Seq("feature"))
+      .groupBy(col("feature"))
+      .agg(round(sum(col("c") * lit(1.0) / col("n") *
+        log(col("c") * lit(1.0) * col("n") / (col("cb") * col("cy")))), 6).as("mi_nats"))
+      .orderBy(col("feature"))
+  }
+
   def alsRank1Step(spark: SparkSession, dir: String,
       lambda: Double = 1.0): DataFrame = {
     val ratings = Tables.fanOut(Tables.lineitem(spark, dir)

@@ -325,6 +325,43 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Classical additive decomposition of daily spend per event type:
+    * value = trend + weekly seasonal + residual (the STL-lite the trend
+    * family reads together — [[volumeTrend]] for slope, the seasonal
+    * index for the weekday shape, this for the full per-day ledger).
+    * Trend is a centered 7-day moving average (interior days only — the
+    * count-guard drops the edge days rather than emitting a biased
+    * partial mean); seasonal is the per-weekday mean of the detrended
+    * series; residual is what's left. The corpus reduces to the (type,
+    * day) cents table before ANY window; trend is an exact integer
+    * window sum with one /7 division.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val tr = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .withColumn("trend",
+        when(count(lit(1)).over(wMa) === 7, sum(col("cents")).over(wMa) / 7.0))
+      .filter(col("trend").isNotNull)
+      .localCheckpoint() // feeds the seasonal means AND the final ledger
+    // distinct column names on the seasonal side: both frames descend
+    // from the same checkpoint, and a same-name self-join would leave
+    // ambiguous attribute ids
+    val se = tr.groupBy(col("event_type").as("et"), (col("day") % 7).as("wd"))
+      .agg(avg(col("cents") - col("trend")).as("seas_raw"))
+    tr.join(Tables.maybeBroadcast(se),
+        col("event_type") === col("et") && col("day") % 7 === col("wd"))
+      .select(col("event_type"), col("day"), col("cents"),
+        round(col("trend") / 100, 4).as("trend"),
+        round(col("seas_raw") / 100, 4).as("seasonal"),
+        round((col("cents") - col("trend") - col("seas_raw")) / 100, 4).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Closed-form multiple regression of daily spend on (day index,
     * weekend flag) — the two-covariate step up from [[volumeTrend]]'s
     * single-feature `regr_slope`, solved by Cramer's rule on the 3×3

@@ -119,6 +119,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_chi2_independence", // integer cells; expected is exact cross-multiply
       "q_interpolate_gaps",  // integer cents interpolation, one division
       "q_kwic",              // per-row array slices, exact strings
+      "q_bounce_rate",       // gaps-and-islands integer sessions, row-local rate
+      "q_cohort_ltv",        // exact cents cumulative sums, one division
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -199,6 +199,75 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(mom >= stats.getDouble(0) && mom <= stats.getDouble(1))
   }
 
+  test("bounceRate sessions conserve events and bounces never exceed sessions") {
+    import graft.operators.BehaviorOps
+    val out = BehaviorOps.bounceRate(spark, dir).localCheckpoint()
+    assert(out.filter(col("bounces") > col("sessions")).count() === 0L)
+    assert(out.filter(col("bounce_rate") < 0 || col("bounce_rate") > 1).count() === 0L)
+    // session count is bounded by events (each session holds ≥1 event)
+    val n = Tables.events(spark, dir).count()
+    assert(out.agg(sum(col("sessions"))).head().getLong(0) <= n)
+  }
+
+  test("cohortLtv curves are monotone and conserve purchase revenue") {
+    import graft.operators.BehaviorOps
+    val out = BehaviorOps.cohortLtv(spark, dir).localCheckpoint()
+    // cumulative cents never decrease within a cohort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("wk"))
+    val bad = out.withColumn("prev", lag(col("cum_cents"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_cents") < col("prev"))
+    assert(bad.count() === 0L)
+    // the final cumulative row of every cohort sums to total purchase cents
+    val finalRows = out.withColumn("rn",
+        row_number().over(w.orderBy(col("wk").desc)))
+      .filter(col("rn") === 1)
+    val total = finalRows.agg(sum(col("cum_cents"))).head().getLong(0)
+    val truth = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(round(sum(col("value")) * 100, 0).cast("long")).head().getLong(0)
+    // per-cohort-week cents round independently; allow 1-cent-per-cell slack
+    assert(math.abs(total - truth) <= out.count())
+  }
+
+  test("markovSteps distributions stay stochastic at every step") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.markovSteps(spark, dir).collect()
+    assert(rows.length >= 2)
+    (1 to 3).foreach { s =>
+      val mass = rows.map(_.getDouble(s)).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"step $s mass $mass")
+    }
+  }
+
+  test("mutualInformation is non-negative and bounded by label entropy") {
+    import graft.operators.MlOps
+    val rows = MlOps.mutualInformation(spark, dir).collect()
+    assert(rows.length === 2)
+    val nEn = Tables.documents(spark, dir).filter(col("lang") === "en").count()
+    val n = Tables.documents(spark, dir).count()
+    val p = nEn.toDouble / n
+    val hy = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    rows.foreach { r =>
+      val mi = r.getDouble(1)
+      assert(mi >= -1e-9 && mi <= hy + 1e-9)
+    }
+  }
+
+  test("seasonalDecompose reassembles: trend + seasonal + residual == value") {
+    import graft.operators.ScaleOps
+    val out = ScaleOps.seasonalDecompose(spark, dir).localCheckpoint()
+    val bad = out.filter(
+      abs(col("trend") + col("seasonal") + col("residual")
+        - col("cents") / 100.0) > 2e-4)
+    assert(bad.count() === 0L)
+    // seasonal components average to ~0 per type over observed weekdays
+    val seasonal = out.select(col("event_type"), (col("day") % 7).as("wd"), col("seasonal"))
+      .distinct()
+    val drift = seasonal.groupBy(col("event_type")).agg(avg(col("seasonal")).as("m"))
+    assert(drift.filter(abs(col("m")) > 50).count() === 0L) // small vs daily spend scale
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
