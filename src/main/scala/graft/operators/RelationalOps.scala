@@ -498,28 +498,29 @@ object RelationalOps {
     * UnionLoop iteration is a separate job over the frontier.
     */
   def recursiveChain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // materialize the next-pointer table ONCE: inlining it into the
+    // recursive arm re-ran the lead/lag window on EVERY iteration (~30
+    // windows + shuffles for a 30-hop walk — the whole 10 s cost of the
+    // first cut); the checkpoint makes each iteration a cheap in-memory
+    // scan. The shrinking walk frontier is the broadcast side.
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
     graft.model.Tables.orders(spark, dir)
-      .createOrReplaceTempView("graft_ord_rec")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(byDate).as("next_key"),
+        lag(col("o_orderkey"), 1).over(byDate).as("prev_key"))
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_ord_nxt")
     spark.sql(
       """WITH RECURSIVE walk AS (
            SELECT o_custkey, o_orderkey, next_key, 1 AS pos
-           FROM (
-             SELECT o_custkey, o_orderkey,
-               lead(o_orderkey) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey) AS next_key,
-               lag(o_orderkey) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey) AS prev_key
-             FROM graft_ord_rec)
-           WHERE prev_key IS NULL
+           FROM graft_ord_nxt WHERE prev_key IS NULL
            UNION ALL
-           SELECT n.o_custkey, n.o_orderkey, n.next_key, w.pos + 1
+           SELECT /*+ BROADCAST(w) */
+             n.o_custkey, n.o_orderkey, n.next_key, w.pos + 1
            FROM walk w
-           JOIN (
-             SELECT o_custkey, o_orderkey,
-               lead(o_orderkey) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey) AS next_key
-             FROM graft_ord_rec) n
-           ON n.o_orderkey = w.next_key)
+           JOIN graft_ord_nxt n ON n.o_orderkey = w.next_key)
          SELECT CAST(pos AS BIGINT) AS pos,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
