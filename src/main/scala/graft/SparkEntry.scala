@@ -281,6 +281,9 @@ object SparkEntry {
     "q_markov_steps"    -> ((s, d) => BehaviorOps.markovSteps(s, d)),
     "q_mutual_information" -> ((s, d) => MlOps.mutualInformation(s, d)),
     "q_seasonal_decompose" -> ((s, d) => graft.operators.ScaleOps.seasonalDecompose(s, d)),
+    "q_class_balance"   -> ((s, d) => graft.operators.CorpusOps.classBalance(s, d)),
+    "q_rolling_corr"    -> ((s, d) => graft.operators.ScaleOps.rollingCorr(s, d)),
+    "q_temporal_join"   -> ((s, d) => BehaviorOps.temporalJoin(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5153,5 +5156,66 @@ object SparkEntry {
          FROM tr t JOIN se s ON t.event_type = s.et AND t.day % 7 = s.wd
          WHERE t.trend IS NOT NULL
          ORDER BY t.event_type, day""",
+    "q_class_balance" ->
+      """WITH sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before
+           FROM documents GROUP BY 1),
+         mn AS (SELECT min(n_before) AS m FROM sizes),
+         ranked AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents),
+         kept AS (SELECT lang, doc_id FROM ranked, mn WHERE rk <= m)
+         SELECT s.lang, s.n_before, CAST(count(k.doc_id) AS BIGINT) AS n_after
+         FROM sizes s LEFT JOIN kept k ON s.lang = k.lang
+         GROUP BY s.lang, s.n_before ORDER BY s.lang""",
+    "q_rolling_corr" ->
+      """WITH daily AS (
+           SELECT epoch_ns(ts) // 86400000000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         win AS (
+           SELECT day, x, y,
+             count(*) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+           FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING))
+         SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_days,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6) AS r
+         FROM win ORDER BY day""",
+    "q_temporal_join" ->
+      """WITH st AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+           FROM events WHERE event_type IN ('signup', 'error')),
+         runs AS (
+           SELECT user_id, event_type, ts_us,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+           FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         seq AS (
+           SELECT user_id, event_type, ts_us,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           FROM runs),
+         iv AS (
+           SELECT user_id, event_type AS status, min(ts_us) AS from_us,
+             lead(min(ts_us)) OVER (PARTITION BY user_id ORDER BY s) AS to_us
+           FROM seq GROUP BY user_id, s, event_type),
+         p AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.user_id, p.value, iv.status
+           FROM p LEFT JOIN iv ON p.user_id = iv.user_id
+             AND p.ts_us >= iv.from_us AND (iv.to_us IS NULL OR p.ts_us < iv.to_us))
+         SELECT coalesce(status, 'none') AS status,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(value) * 100, 0) AS BIGINT) AS spend_cents
+         FROM j GROUP BY 1 ORDER BY status""",
   )
 }

@@ -152,6 +152,51 @@ object BehaviorOps {
       .orderBy(col("user_id"), col("seq"))
   }
 
+  /** Point-in-time (temporal) join — the feature-store correctness
+    * primitive: each purchase joins the status interval that was valid
+    * AT ITS EVENT TIME, never a later one (the leakage a naive
+    * latest-state join commits). The dimension is the SCD2 interval
+    * table built from the signup/error change stream (same
+    * gaps-and-islands chain as [[statusIntervals]]); the probe side
+    * joins it with an EQUI key on user_id plus the interval-containment
+    * residual — per-user interval counts bound the fan-out, so no
+    * binning or nested loop is ever needed. Purchases before any status
+    * land in an explicit 'none' bucket.
+    */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val runs = Window.partitionBy(col("user_id")).orderBy(col("s"))
+    val e = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      .localCheckpoint() // feeds the dimension build AND the probe side
+    val iv = e.filter(col("event_type").isin("signup", "error"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("s", sum(col("chg")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("s"), col("event_type").as("status"))
+      .agg(min(col("ts_us")).as("from_us"))
+      .withColumn("to_us", lead(col("from_us"), 1).over(runs))
+      // dimension columns renamed: probe and dimension both descend from
+      // the one checkpointed event frame, and same-name/-id columns
+      // across that self-join trip the ambiguity analyzer
+      .select(col("user_id").as("iv_user"), col("status"),
+        col("from_us"), col("to_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    p.join(iv,
+        col("user_id") === col("iv_user") && col("ts_us") >= col("from_us") &&
+          (col("to_us").isNull || col("ts_us") < col("to_us")),
+        "left_outer")
+      .groupBy(coalesce(col("status"), lit("none")).as("status"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")) * 100, 0).cast("long").as("spend_cents"))
+      .orderBy(col("status"))
+  }
+
   /** MERGE-INTO semantics as a batch plan — the upsert a CDC consumer
     * applies: the base snapshot (latest state per user before the
     * cutoff) merged with the delta (latest change per user after it),

@@ -151,6 +151,33 @@ object CorpusOps {
       .orderBy(col("term"))
   }
 
+  /** Class-balanced downsampling: every language capped at the minority
+    * class size, members chosen by a content-addressed md5 order — the
+    * deterministic twin of random undersampling, and the standard
+    * rebalance before training a classifier on skewed labels. The cap is
+    * a bounded driver scalar from the |classes|-row size table; the draw
+    * is one keyed rank window (per-class, never global); the audit row
+    * reports before/after populations per class.
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")))
+      .localCheckpoint() // feeds the size census AND the ranked draw
+    val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val m = sizes.agg(min(col("n_before"))).head().getLong(0) // bounded scalar
+    val byDraw = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val kept = docs
+      .withColumn("rk", row_number().over(byDraw))
+      .filter(col("rk") <= m)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+    sizes.join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy(col("lang"))
+  }
+
   /** Quantile normalization of per-source document lengths onto the
     * corpus reference distribution — the cross-source calibration step
     * (borrowed from bioinformatics microarray practice) that makes

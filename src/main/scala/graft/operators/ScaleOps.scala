@@ -325,6 +325,40 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Rolling Pearson correlation between the click and purchase daily
+    * volumes over a ±7-day window — "do conversions track traffic this
+    * fortnight" as a time series. All five window moments (Σx Σy Σxy
+    * Σx² Σy²) are EXACT integer window sums over the day-bounded table;
+    * the correlation assembles row-locally with two sqrt's and one
+    * division, guarded against zero-variance windows. The day dimension
+    * is provably bounded, so the single ordered window is the vocab-
+    * bounded kind, not a corpus sort.
+    */
+  def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("day")).rowsBetween(-7, 7)
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("event_type")))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .select(col("day"), col("n").as("n_days"),
+        round(when(vx > 0 && vy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))), 6).as("r"))
+      .orderBy(col("day"))
+  }
+
   /** Classical additive decomposition of daily spend per event type:
     * value = trend + weekly seasonal + residual (the STL-lite the trend
     * family reads together — [[volumeTrend]] for slope, the seasonal

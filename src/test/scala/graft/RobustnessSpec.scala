@@ -121,6 +121,9 @@ class RobustnessSpec extends AnyFunSuite {
       "q_kwic",              // per-row array slices, exact strings
       "q_bounce_rate",       // gaps-and-islands integer sessions, row-local rate
       "q_cohort_ltv",        // exact cents cumulative sums, one division
+      "q_class_balance",     // md5-ranked per-class cap, integer counts
+      "q_rolling_corr",      // exact integer window moments, row-local r
+      "q_temporal_join",     // keyed interval join, integer cents
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -268,6 +268,33 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(drift.filter(abs(col("m")) > 50).count() === 0L) // small vs daily spend scale
   }
 
+  test("classBalance caps every class at the minority size") {
+    import graft.operators.CorpusOps
+    val out = CorpusOps.classBalance(spark, dir).localCheckpoint()
+    val m = out.agg(min(col("n_before"))).head().getLong(0)
+    assert(out.filter(col("n_after") =!= m).count() === 0L) // all classes == min
+    assert(out.filter(col("n_after") > col("n_before")).count() === 0L)
+  }
+
+  test("rollingCorr stays in [-1, 1] with full windows in the interior") {
+    import graft.operators.ScaleOps
+    val out = ScaleOps.rollingCorr(spark, dir).localCheckpoint()
+    assert(out.filter(col("r").isNotNull &&
+      (col("r") < -1.0 || col("r") > 1.0)).count() === 0L)
+    assert(out.filter(col("n_days") > 15).count() === 0L) // ±7 window bound
+  }
+
+  test("temporalJoin conserves purchases and never assigns a future status") {
+    import graft.operators.BehaviorOps
+    val out = BehaviorOps.temporalJoin(spark, dir).localCheckpoint()
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.agg(sum(col("n_purchases"))).head().getLong(0) === purchases)
+    // statuses come only from the status stream (or the explicit none)
+    val ok = Set("signup", "error", "none")
+    out.collect().foreach(r => assert(ok.contains(r.getString(0))))
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
