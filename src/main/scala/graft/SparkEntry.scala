@@ -284,6 +284,8 @@ object SparkEntry {
     "q_class_balance"   -> ((s, d) => graft.operators.CorpusOps.classBalance(s, d)),
     "q_rolling_corr"    -> ((s, d) => graft.operators.ScaleOps.rollingCorr(s, d)),
     "q_temporal_join"   -> ((s, d) => BehaviorOps.temporalJoin(s, d)),
+    "q_journey_edit"    -> ((s, d) => BehaviorOps.journeyEdit(s, d)),
+    "q_vector_drift"    -> ((s, d) => SimilarityOps.vectorDrift(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5217,5 +5219,48 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(round(sum(value) * 100, 0) AS BIGINT) AS spend_cents
          FROM j GROUP BY 1 ORDER BY status""",
+    "q_journey_edit" ->
+      """WITH e AS (
+           SELECT user_id, substring(event_type, 1, 1) AS c,
+             epoch_ns(ts) // 1000000000 AS ts_s, event_id
+           FROM events),
+         l AS (
+           SELECT user_id, c, ts_s, event_id,
+             CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR lag(ts_s) OVER w IS NULL
+               THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+         s AS (
+           SELECT user_id, c, ts_s, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM l),
+         sj AS (
+           SELECT user_id, sid,
+             substring(string_agg(c, '' ORDER BY ts_s, event_id), 1, 20) AS journey
+           FROM s GROUP BY 1, 2),
+         pairs AS (
+           SELECT user_id, journey,
+             lag(journey) OVER (PARTITION BY user_id ORDER BY sid) AS prev_j
+           FROM sj)
+         SELECT CAST(levenshtein(journey, prev_j) AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs WHERE prev_j IS NOT NULL GROUP BY 1 ORDER BY dist""",
+    "q_vector_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT label, vec_id % 2 AS half, v,
+             unnest(range(0, len(v))) AS dim FROM e),
+         mu AS (
+           SELECT label, dim,
+             round(avg(CASE WHEN half = 0 THEN v[CAST(dim + 1 AS INTEGER)] END), 6) AS mu_a,
+             round(avg(CASE WHEN half = 1 THEN v[CAST(dim + 1 AS INTEGER)] END), 6) AS mu_b
+           FROM x GROUP BY 1, 2),
+         n AS (SELECT label AS nl,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM e GROUP BY 1)
+         SELECT label, n_a, n_b,
+           round(sqrt(sum((mu_a - mu_b) * (mu_a - mu_b))), 6) AS drift_l2
+         FROM mu JOIN n ON mu.label = n.nl
+         GROUP BY label, n_a, n_b ORDER BY label""",
   )
 }

@@ -1207,6 +1207,39 @@ object BehaviorOps {
       .orderBy(col("cohort_day"), col("wk"))
   }
 
+  /** Session-to-session journey consistency: each user's sessions render
+    * as event-initial strings (the same 30-minute gaps-and-islands
+    * sessionization as [[bounceRate]]), consecutive session journeys
+    * compare by edit distance, and the corpus reports the distance
+    * histogram — dist 0 means habitual repetition, the tail means
+    * erratic behavior. The per-session string is built from ONE sorted
+    * collect (array_sort on a (ts, id, char) struct — deterministic
+    * regardless of aggregation order), capped at 20 events so the
+    * codegen'd `levenshtein` cost is bounded per pair; the comparison is
+    * a keyed lag, never a pairwise join.
+    */
+  def journeyEdit(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySid = Window.partitionBy(col("user_id")).orderBy(col("sid"))
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), substring(col("event_type"), 1, 1).as("c"),
+          expr("ts div 1000000000").as("ts_s"), col("event_id")))
+      .withColumn("brk",
+        when(col("ts_s") - lag(col("ts_s"), 1).over(w) >= gapSec ||
+          lag(col("ts_s"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(substring(array_join(transform(
+        array_sort(collect_list(struct(col("ts_s"), col("event_id"), col("c")))),
+        x => x.getField("c")), ""), 1, 20).as("journey"))
+      .withColumn("prev_j", lag(col("journey"), 1).over(bySid))
+      .filter(col("prev_j").isNotNull)
+      .groupBy(levenshtein(col("journey"), col("prev_j")).cast("long").as("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("dist"))
+  }
+
   /** Fixed-step Markov chain evolution of the journey transition matrix:
     * starting uniform, the state distribution after 1, 2 and 3 steps —
     * the mixing-rate readout next to [[eventTransitions]]' one-step

@@ -85,6 +85,35 @@ object SimilarityOps {
   }
 
   /** Per-label vector-norm statistics — the aggregate-over-array probe. */
+  /** Embedding drift monitor: per label, the L2 distance between the
+    * centroids of two content-addressed halves (even/odd vec_id — the
+    * deterministic stand-in for "yesterday's batch vs today's"). A
+    * nonzero-but-small drift is the healthy baseline; a jump says the
+    * embedding model or upstream corpus shifted and ANN indexes need a
+    * rebuild. Per-dim means QUANTIZE to 6 dp before the distance (the
+    * k-means handoff discipline — both engines then square identical
+    * numbers); everything is one posexplode aggregate over (label, dim)
+    * plus a |labels|-row join.
+    */
+  def vectorDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("half", col("vec_id") % 2)
+    val mu = e
+      .select(col("label"), col("half"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        round(avg(when(col("half") === 0, col("x"))), 6).as("mu_a"),
+        round(avg(when(col("half") === 1, col("x"))), 6).as("mu_b"))
+    val n = e.groupBy(col("label").as("nl"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+    mu.join(Tables.maybeBroadcast(n), col("label") === col("nl"))
+      .groupBy(col("label"), col("n_a"), col("n_b"))
+      .agg(round(sqrt(sum((col("mu_a") - col("mu_b")) * (col("mu_a") - col("mu_b")))), 6)
+        .as("drift_l2"))
+      .orderBy(col("label"))
+  }
+
   def labelNorms(spark: SparkSession, dir: String): DataFrame =
     embDouble(spark, dir)
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))

@@ -124,6 +124,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_class_balance",     // md5-ranked per-class cap, integer counts
       "q_rolling_corr",      // exact integer window moments, row-local r
       "q_temporal_join",     // keyed interval join, integer cents
+      "q_journey_edit",      // sorted-collect journeys, integer distances
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -295,6 +295,29 @@ class Round11OpsSpec extends AnyFunSuite {
     out.collect().foreach(r => assert(ok.contains(r.getString(0))))
   }
 
+  test("journeyEdit pairs equal sessions minus users") {
+    import graft.operators.BehaviorOps
+    val out = BehaviorOps.journeyEdit(spark, dir).localCheckpoint()
+    // every user with s sessions contributes s-1 consecutive pairs
+    val sess = BehaviorOps.bounceRate(spark, dir)
+      .agg(sum(col("sessions"))).head().getLong(0)
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    assert(out.agg(sum(col("n_pairs"))).head().getLong(0) === sess - users)
+    assert(out.filter(col("dist") < 0 || col("dist") > 20).count() === 0L)
+  }
+
+  test("vectorDrift is positive, finite, and covers every label") {
+    import graft.operators.SimilarityOps
+    val rows = SimilarityOps.vectorDrift(spark, dir).collect()
+    val labels = Tables.embeddings(spark, dir).select(col("label")).distinct().count()
+    assert(rows.length.toLong === labels)
+    rows.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && !d.isNaN && !d.isInfinite)
+      assert(r.getLong(1) + r.getLong(2) > 0)
+    }
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
