@@ -286,6 +286,7 @@ object SparkEntry {
     "q_temporal_join"   -> ((s, d) => BehaviorOps.temporalJoin(s, d)),
     "q_journey_edit"    -> ((s, d) => BehaviorOps.journeyEdit(s, d)),
     "q_vector_drift"    -> ((s, d) => SimilarityOps.vectorDrift(s, d)),
+    "q_asof_native"     -> ((s, d) => AdvancedOps.asofNative(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5262,5 +5263,17 @@ object SparkEntry {
            round(sqrt(sum((mu_a - mu_b) * (mu_a - mu_b))), 6) AS drift_l2
          FROM mu JOIN n ON mu.label = n.nl
          GROUP BY label, n_a, n_b ORDER BY label""",
+    "q_asof_native" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) AS tsn, value
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, epoch_ns(ts) AS c_tsn, value AS c_value
+           FROM events WHERE event_type = 'click')
+         SELECT (p.tsn // 3600000000000) % 24 AS hr,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(c_tsn) AS BIGINT) AS n_matched,
+           CAST(coalesce(sum(CASE WHEN c_tsn IS NOT NULL
+             THEN CAST(round(c_value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS matched_cents
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.tsn >= c.c_tsn
+         GROUP BY 1 ORDER BY hr""",
   )
 }

@@ -481,6 +481,35 @@ object AdvancedOps {
       .orderBy(col("event_type"))
   }
 
+  /** The native-operator as-of join ([[graft.plans.AsOfJoinExec]] — a
+    * custom logical node + Strategy + physical merge-walk plan) driving
+    * the same purchase←click semantics as [[asofPurchaseClick]]'s
+    * composed union+window formulation: for every purchase, the latest
+    * click by the same user at or before it, rolled up by hour. DuckDB's
+    * native `ASOF LEFT JOIN` is the oracle — engine-native operator on
+    * both sides of the correctness gate. Right-side columns are renamed
+    * before the node (fresh exprIds + collision-free concatenated
+    * output).
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.fanOut(Tables.events(spark, dir))
+      .select(col("user_id"), col("ts").as("tsn"), col("event_type"), col("value"))
+      .localCheckpoint() // both sides read this one pass
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsn"), col("value"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsn").as("c_tsn"),
+        col("value").as("c_value"))
+    graft.plans.AsOfOps.asof(p, c, "user_id", "tsn", "c_user", "c_tsn")
+      .groupBy((expr("tsn div 3600000000000") % 24).as("hr"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("c_tsn")).as("n_matched"),
+        coalesce(sum(when(col("c_tsn").isNotNull,
+          round(col("c_value") * 100, 0).cast("long"))), lit(0L)).as("matched_cents"))
+      .orderBy(col("hr"))
+  }
+
   /** Skyline (Pareto frontier) of parts: cheapest-ever price (lower
     * better) vs lifetime quantity sold (higher better); a part is on the
     * frontier iff nothing is at-least-as-good on both axes and strictly

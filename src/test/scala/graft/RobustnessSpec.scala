@@ -125,6 +125,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_rolling_corr",      // exact integer window moments, row-local r
       "q_temporal_join",     // keyed interval join, integer cents
       "q_journey_edit",      // sorted-collect journeys, integer distances
+      "q_asof_native",       // custom merge-walk exec, unique-time matches
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
