@@ -287,6 +287,8 @@ object SparkEntry {
     "q_journey_edit"    -> ((s, d) => BehaviorOps.journeyEdit(s, d)),
     "q_vector_drift"    -> ((s, d) => SimilarityOps.vectorDrift(s, d)),
     "q_asof_native"     -> ((s, d) => AdvancedOps.asofNative(s, d)),
+    "q_stopwords"       -> ((s, d) => TextAnalysisOps.stopwordDiscovery(s, d)),
+    "q_ols_forecast"    -> ((s, d) => graft.operators.ScaleOps.olsForecast(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5275,5 +5277,48 @@ object SparkEntry {
              THEN CAST(round(c_value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS matched_cents
          FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.tsn >= c.c_tsn
          GROUP BY 1 ORDER BY hr""",
+    "q_stopwords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         tf AS (SELECT t, CAST(count(*) AS BIGINT) AS cf FROM tok WHERE t <> '' GROUP BY 1),
+         dfreq AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok WHERE t <> '' GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM documents),
+         mass AS (SELECT sum(cf) AS m FROM tf)
+         SELECT tf.t AS term, df, cf,
+           round(df * 1.0 / n, 6) AS doc_share,
+           round(cf * 1.0 / m, 6) AS mass_share
+         FROM tf JOIN dfreq ON tf.t = dfreq.t CROSS JOIN nd CROSS JOIN mass
+         WHERE df * 2 > n
+         ORDER BY df DESC, term""",
+    "q_ols_forecast" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         base AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1),
+         f AS (SELECT d.event_type, d.day - b.d0 AS x, y
+           FROM daily d JOIN base b ON d.event_type = b.event_type),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+           FROM f GROUP BY 1),
+         fit AS (
+           SELECT *, (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS b1,
+             (sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx) / n AS b0
+           FROM m),
+         res AS (
+           SELECT fit.event_type, n, sx, sxx, b0, b1,
+             (SELECT sum(pow(f2.y - (fit.b0 + fit.b1 * f2.x), 2))
+              FROM f f2 WHERE f2.event_type = fit.event_type) AS sse
+           FROM fit),
+         fc AS (
+           SELECT event_type, n, b0, b1, sse, sx, sxx,
+             CAST(n - 1 + k AS BIGINT) AS x_new
+           FROM res CROSS JOIN (SELECT unnest([1, 2, 3]) AS k))
+         SELECT event_type, x_new AS day_index,
+           round(b0 + b1 * x_new, 4) AS forecast,
+           round(1.96 * sqrt(sse / (n - 2) * (1 + 1.0 / n +
+             pow(x_new - sx * 1.0 / n, 2) / (sxx - sx * sx * 1.0 / n))), 4) AS pi95
+         FROM fc ORDER BY event_type, day_index""",
   )
 }

@@ -325,6 +325,48 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** OLS forecast with 95% prediction intervals — the trend family's
+    * forward look: per event type, daily volume regressed on the day
+    * index (all moments exact BIGINTs, slope/intercept one deterministic
+    * division each), then the next three days predicted with the
+    * textbook interval s·√(1 + 1/n + (x*−x̄)²/Sxx). The residual pass
+    * re-reads the tiny (type, day) table against the broadcast
+    * |types|-row fit — never the corpus; the forecast horizon is a
+    * bounded explode.
+    */
+  def olsForecast(spark: SparkSession, dir: String, horizon: Int = 3): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    val f = daily.join(Tables.maybeBroadcast(base), Seq("event_type"))
+      .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
+      .localCheckpoint() // feeds the moment pass AND the residual pass
+    val b1e = (col("n") * col("sxy") - col("sx") * col("sy")) * lit(1.0) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val fit = f.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+        b1e.as("b1"), ((col("sy") - b1e * col("sx")) / col("n")).as("b0"))
+    val sse = f.join(Tables.maybeBroadcast(fit), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(pow(col("y") - (col("b0") + col("b1") * col("x")), 2)).as("sse"))
+    fit.join(sse, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+        col("b0"), col("b1"), col("sse"),
+        explode(sequence(lit(1), lit(horizon))).as("k"))
+      .select(col("event_type"), (col("n") - 1 + col("k")).as("day_index"),
+        round(col("b0") + col("b1") * (col("n") - 1 + col("k")), 4).as("forecast"),
+        round(lit(1.96) * sqrt(col("sse") / (col("n") - 2) *
+          (lit(1.0) + lit(1.0) / col("n") +
+            pow((col("n") - 1 + col("k")) - col("sx") * lit(1.0) / col("n"), 2) /
+              (col("sxx") - col("sx") * col("sx") * lit(1.0) / col("n")))), 4).as("pi95"))
+      .orderBy(col("event_type"), col("day_index"))
+  }
+
   /** Rolling Pearson correlation between the click and purchase daily
     * volumes over a ±7-day window — "do conversions track traffic this
     * fortnight" as a time series. All five window moments (Σx Σy Σxy

@@ -263,6 +263,33 @@ object TextAnalysisOps {
           - lit(84.6) * (col("syllables").cast("double") / col("words")), 4))
       .orderBy(col("source"))
 
+  /** Corpus-driven stopword discovery: terms present in over half the
+    * documents, with their document-share and corpus-mass share — the
+    * data-derived list an indexer or TF-IDF consumer prunes instead of
+    * shipping someone else's language-specific table. One tokenize pass
+    * feeds both frequency views (term and distinct-doc counts share the
+    * exploded frame); the corpus scalars travel as bounded driver values;
+    * the threshold is an integer cross-multiply (df·2 > N), so no float
+    * share can flip membership.
+    */
+  def stopwordDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .localCheckpoint() // feeds both frequency aggregates
+    val tf = tok.groupBy(col("t")).agg(count(lit(1)).as("cf"))
+    val dfreq = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(spark, dir).count() // metadata count
+    val mass = tf.agg(sum(col("cf"))).head().getLong(0) // vocab-bounded scalar
+    tf.join(dfreq, Seq("t"))
+      .filter(col("df") * 2 > nDocs)
+      .select(col("t").as("term"), col("df"), col("cf"),
+        round(col("df") * lit(1.0) / nDocs, 6).as("doc_share"),
+        round(col("cf") * lit(1.0) / mass, 6).as("mass_share"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
   /** KWIC (keyword-in-context) concordance: every occurrence of a probe
     * term across the corpus with its ±`ctx`-token window — the
     * annotation/QA view a corpus linguist or red-teamer reads next to

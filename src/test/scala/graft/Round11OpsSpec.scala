@@ -318,6 +318,25 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stopwordDiscovery only admits majority-document terms") {
+    import graft.operators.TextAnalysisOps
+    val out = TextAnalysisOps.stopwordDiscovery(spark, dir).localCheckpoint()
+    val n = Tables.documents(spark, dir).count()
+    assert(out.filter(col("df") * 2 <= n).count() === 0L)
+    assert(out.filter(col("doc_share") > 1.0 || col("mass_share") > 1.0).count() === 0L)
+    assert(out.count() > 0) // the synthetic vocab guarantees common terms
+  }
+
+  test("olsForecast intervals are positive and forecasts finite") {
+    import graft.operators.ScaleOps
+    val rows = ScaleOps.olsForecast(spark, dir).collect()
+    assert(rows.length === 15) // 5 types × 3-day horizon
+    rows.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+      assert(r.getDouble(3) > 0.0) // nonzero residual noise floor
+    }
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
