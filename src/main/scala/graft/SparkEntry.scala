@@ -289,6 +289,7 @@ object SparkEntry {
     "q_asof_native"     -> ((s, d) => AdvancedOps.asofNative(s, d)),
     "q_stopwords"       -> ((s, d) => TextAnalysisOps.stopwordDiscovery(s, d)),
     "q_ols_forecast"    -> ((s, d) => graft.operators.ScaleOps.olsForecast(s, d)),
+    "q_gap_percentiles" -> ((s, d) => BehaviorOps.gapPercentiles(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5320,5 +5321,23 @@ object SparkEntry {
            round(1.96 * sqrt(sse / (n - 2) * (1 + 1.0 / n +
              pow(x_new - sx * 1.0 / n, 2) / (sxx - sx * sx * 1.0 / n))), 4) AS pi95
          FROM fc ORDER BY event_type, day_index""",
+    "q_gap_percentiles" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+           FROM events),
+         g AS (
+           SELECT event_type,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us,
+             user_id, event_id
+           FROM e),
+         r AS (
+           SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY gap_us, user_id, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM g WHERE gap_us IS NOT NULL)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_us END) AS BIGINT) AS p50_us,
+           CAST(max(CASE WHEN rk = (n * 95 + 99) // 100 THEN gap_us END) AS BIGINT) AS p95_us
+         FROM r GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -207,5 +207,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Fold the aggregate(zip_with(...)) dot-product spelling into the
     // native codegen'd kernel.
     ext.injectOptimizerRule(_ => graft.expr.DotProductRewrite)
+    // Plan the custom as-of join node (graft.plans.AsOfJoinNode) — the
+    // same strategy AsOfOps.asof registers lazily per-session.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

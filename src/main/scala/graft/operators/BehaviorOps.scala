@@ -1207,6 +1207,34 @@ object BehaviorOps {
       .orderBy(col("cohort_day"), col("wk"))
   }
 
+  /** Inter-event latency percentiles — the tail companion of
+    * [[dwellTime]]'s mean: per type of the LATER event, the exact lower
+    * p50/p95 of the user's gap to their previous event. Gaps come from
+    * one user-keyed lag; the percentiles are EXACT order statistics
+    * (rank-selected with a total-order tie-break, no interpolation ulp),
+    * ranked inside each type partition — the same discipline as
+    * `q_iqr_outliers`.
+    */
+  def gapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val byGap = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"), col("user_id"), col("event_id"))
+    val wType = Window.partitionBy(col("event_type"))
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("event_id")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byTime))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("rk", row_number().over(byGap))
+      .withColumn("n", count(lit(1)).over(wType))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_gaps"),
+        max(when(col("rk") === expr("(n + 1) DIV 2"), col("gap_us"))).as("p50_us"),
+        max(when(col("rk") === expr("(n * 95 + 99) DIV 100"), col("gap_us"))).as("p95_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** Session-to-session journey consistency: each user's sessions render
     * as event-initial strings (the same 30-minute gaps-and-islands
     * sessionization as [[bounceRate]]), consecutive session journeys

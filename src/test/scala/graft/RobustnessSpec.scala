@@ -127,6 +127,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_journey_edit",      // sorted-collect journeys, integer distances
       "q_asof_native",       // custom merge-walk exec, unique-time matches
       "q_stopwords",         // integer df/cf census, cross-multiply cut
+      "q_gap_percentiles",   // exact rank-selected integer order stats
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -337,6 +337,22 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gapPercentiles are ordered and count gaps exactly") {
+    import graft.operators.BehaviorOps
+    val rows = BehaviorOps.gapPercentiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3)) // p50 <= p95
+      assert(r.getLong(2) > 0)
+      total += r.getLong(1)
+    }
+    // gaps = events - users (every event but each user's first has one)
+    val n = Tables.events(spark, dir).count()
+    val u = Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    assert(total === n - u)
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
