@@ -290,6 +290,8 @@ object SparkEntry {
     "q_stopwords"       -> ((s, d) => TextAnalysisOps.stopwordDiscovery(s, d)),
     "q_ols_forecast"    -> ((s, d) => graft.operators.ScaleOps.olsForecast(s, d)),
     "q_gap_percentiles" -> ((s, d) => BehaviorOps.gapPercentiles(s, d)),
+    "q_burn_rate"       -> ((s, d) => AdvancedOps.burnRate(s, d)),
+    "q_daily_bands"     -> ((s, d) => AdvancedOps.dailyBands(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5339,5 +5341,33 @@ object SparkEntry {
            CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_us END) AS BIGINT) AS p50_us,
            CAST(max(CASE WHEN rk = (n * 95 + 99) // 100 THEN gap_us END) AS BIGINT) AS p95_us
          FROM r GROUP BY event_type ORDER BY event_type""",
+    "q_burn_rate" ->
+      """WITH h AS (
+           SELECT epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+           FROM events GROUP BY 1),
+         w AS (
+           SELECT hr, n, errs,
+             sum(n) OVER w6 AS n6, sum(errs) OVER w6 AS e6
+           FROM h WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+         SELECT CAST(hr AS BIGINT) AS hr, n, errs,
+           round(errs * 1.0 / n / 0.25, 6) AS burn_1h,
+           round(e6 * 1.0 / n6 / 0.25, 6) AS burn_6h,
+           (errs * 4 > n AND e6 * 4 > n6) AS paging
+         FROM w ORDER BY hr""",
+    "q_daily_bands" ->
+      """WITH e AS (
+           SELECT epoch_ns(ts) // 86400000000000 AS day, value, event_id FROM events),
+         r AS (
+           SELECT day, value,
+             row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY day) AS n
+           FROM e)
+         SELECT CAST(day AS BIGINT) AS day, CAST(max(n) AS BIGINT) AS n,
+           round(max(CASE WHEN rk = (n + 9) // 10 THEN value END), 2) AS p10,
+           round(max(CASE WHEN rk = (n + 1) // 2 THEN value END), 2) AS p50,
+           round(max(CASE WHEN rk = (n * 9 + 9) // 10 THEN value END), 2) AS p90
+         FROM r GROUP BY day ORDER BY day""",
   )
 }

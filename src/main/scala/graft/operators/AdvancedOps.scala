@@ -559,6 +559,53 @@ object AdvancedOps {
       .orderBy(col("x"), col("pk"))
   }
 
+  /** Error-budget burn rate — the SRE multi-window alert as a query:
+    * hourly error share against a 25% budget, with the 1-hour (fast)
+    * and rolling 6-hour (slow) burn multipliers and the page-worthy
+    * flag only when BOTH windows burn hot (the standard guard against
+    * paging on a single noisy hour). The corpus reduces to hourly
+    * integer cells before any window; both windows are exact integer
+    * sums; the paging predicate is an integer cross-multiply so no
+    * float share can flip it.
+    */
+  def burnRate(spark: SparkSession, dir: String, budgetPct: Int = 25): DataFrame = {
+    val w6 = Window.orderBy(col("hr")).rowsBetween(-5, Window.currentRow)
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(expr("ts div 3600000000000").as("hr"), col("event_type")))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+      .withColumn("n6", sum(col("n")).over(w6))   // hour dimension: bounded
+      .withColumn("e6", sum(col("errs")).over(w6))
+      .select(col("hr"), col("n"), col("errs"),
+        round(col("errs") * lit(1.0) / col("n") / (budgetPct / 100.0), 6).as("burn_1h"),
+        round(col("e6") * lit(1.0) / col("n6") / (budgetPct / 100.0), 6).as("burn_6h"),
+        (col("errs") * (100 / budgetPct) > col("n") &&
+          col("e6") * (100 / budgetPct) > col("n6")).as("paging"))
+      .orderBy(col("hr"))
+  }
+
+  /** Per-day value bands (exact lower p10/p50/p90) — the percentile
+    * ribbon behind every latency/spend band chart, computed as exact
+    * rank-selected order statistics inside each day partition (the
+    * `q_iqr_outliers` discipline: total-order tie-break, no
+    * interpolation ulp, identical on any engine).
+    */
+  def dailyBands(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy(col("day")).orderBy(col("value"), col("event_id"))
+    val wDay = Window.partitionBy(col("day"))
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("value"), col("event_id")))
+      .withColumn("rk", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(wDay))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n"),
+        round(max(when(col("rk") === expr("(n + 9) DIV 10"), col("value"))), 2).as("p10"),
+        round(max(when(col("rk") === expr("(n + 1) DIV 2"), col("value"))), 2).as("p50"),
+        round(max(when(col("rk") === expr("(n * 9 + 9) DIV 10"), col("value"))), 2).as("p90"))
+      .orderBy(col("day"))
+  }
+
   /** Median-of-means robust mean estimator — the heavy-tail-tolerant
     * alternative to the plain average (and the estimator sketch-style
     * pipelines reach for when a single corrupted shard could drag the

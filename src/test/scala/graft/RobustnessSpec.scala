@@ -128,6 +128,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_asof_native",       // custom merge-walk exec, unique-time matches
       "q_stopwords",         // integer df/cf census, cross-multiply cut
       "q_gap_percentiles",   // exact rank-selected integer order stats
+      "q_burn_rate",         // integer window sums, row-local multipliers
+      "q_daily_bands",       // exact rank-selected value order stats
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -353,6 +353,25 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(total === n - u)
   }
 
+  test("burnRate pages only when both windows exceed budget") {
+    import graft.operators.AdvancedOps
+    val out = AdvancedOps.burnRate(spark, dir).localCheckpoint()
+    assert(out.agg(sum(col("n"))).head().getLong(0) ===
+      Tables.events(spark, dir).count())
+    // the paging flag is exactly the conjunction of both burn multipliers > 1
+    val bad = out.filter(col("paging") =!=
+      (col("burn_1h") > 1.0 && col("burn_6h") > 1.0))
+    assert(bad.count() === 0L)
+  }
+
+  test("dailyBands are ordered percentile ribbons") {
+    import graft.operators.AdvancedOps
+    val out = AdvancedOps.dailyBands(spark, dir).localCheckpoint()
+    assert(out.filter(col("p10") > col("p50") || col("p50") > col("p90")).count() === 0L)
+    assert(out.agg(sum(col("n"))).head().getLong(0) ===
+      Tables.events(spark, dir).count())
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
