@@ -292,6 +292,7 @@ object SparkEntry {
     "q_gap_percentiles" -> ((s, d) => BehaviorOps.gapPercentiles(s, d)),
     "q_burn_rate"       -> ((s, d) => AdvancedOps.burnRate(s, d)),
     "q_daily_bands"     -> ((s, d) => AdvancedOps.dailyBands(s, d)),
+    "q_hampel"          -> ((s, d) => graft.operators.ScaleOps.hampelOutliers(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5369,5 +5370,29 @@ object SparkEntry {
            round(max(CASE WHEN rk = (n + 1) // 2 THEN value END), 2) AS p50,
            round(max(CASE WHEN rk = (n * 9 + 9) // 10 THEN value END), 2) AS p90
          FROM r GROUP BY day ORDER BY day""",
+    "q_hampel" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, cents,
+             list(cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+           FROM daily),
+         m AS (
+           SELECT event_type, day, cents, win,
+             list_sort(win)[(len(win) + 1) // 2] AS med
+           FROM w WHERE len(win) = 7),
+         h AS (
+           SELECT event_type, day, cents, med,
+             list_sort(list_transform(win, v -> abs(v - med)))[(len(win) + 1) // 2] AS mad
+           FROM m)
+         SELECT event_type, CAST(day AS BIGINT) AS day,
+           round(cents / 100.0, 2) AS spend,
+           round(med / 100.0, 2) AS roll_med,
+           round(mad / 100.0, 2) AS roll_mad,
+           (abs(cents - med) > 3 * mad) AS outlier
+         FROM h ORDER BY event_type, day""",
   )
 }

@@ -325,6 +325,39 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Hampel filter — the robust rolling outlier flag (|x − rollmed| >
+    * 3·rollMAD over a ±3-day window) that survives level shifts a
+    * global-MAD fence smears across: both the rolling median and the
+    * rolling MAD are EXACT order statistics computed ROW-LOCALLY from
+    * the collected 7-value window (sort_array + element_at — no
+    * interpolation, no float aggregation anywhere), so every engine
+    * flags identical days. Edge days with partial windows are dropped
+    * rather than judged against a biased window. The window rides the
+    * bounded (type, day) table.
+    */
+  def hampelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val midIdx = ((size(col("win")) + 1) / 2).cast("int") // Column `/` is double division
+    val medCol = element_at(sort_array(col("win")), midIdx)
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .withColumn("win", collect_list(col("cents")).over(w))
+      .filter(size(col("win")) === 7)
+      .withColumn("med", medCol)
+      .withColumn("mad", element_at(
+        sort_array(transform(col("win"), v => abs(v - col("med")))), midIdx))
+      .select(col("event_type"), col("day"),
+        round(col("cents") / 100.0, 2).as("spend"),
+        round(col("med") / 100.0, 2).as("roll_med"),
+        round(col("mad") / 100.0, 2).as("roll_mad"),
+        (abs(col("cents") - col("med")) > lit(3) * col("mad")).as("outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** OLS forecast with 95% prediction intervals — the trend family's
     * forward look: per event type, daily volume regressed on the day
     * index (all moments exact BIGINTs, slope/intercept one deterministic

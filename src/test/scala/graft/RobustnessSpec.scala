@@ -130,6 +130,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_gap_percentiles",   // exact rank-selected integer order stats
       "q_burn_rate",         // integer window sums, row-local multipliers
       "q_daily_bands",       // exact rank-selected value order stats
+      "q_hampel",            // row-local sorted-window order stats
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -372,6 +372,20 @@ class Round11OpsSpec extends AnyFunSuite {
       Tables.events(spark, dir).count())
   }
 
+  test("hampelOutliers drops edges and flags only beyond 3 MAD") {
+    import graft.operators.ScaleOps
+    val out = ScaleOps.hampelOutliers(spark, dir).localCheckpoint()
+    // 7-wide centered window: exactly 6 edge days dropped per type
+    val types = out.select(col("event_type")).distinct().count()
+    val days = Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+      .distinct().count()
+    assert(out.count() === days - 6 * types)
+    val bad = out.filter(col("outlier") =!=
+      (abs(col("spend") - col("roll_med")) > lit(3) * col("roll_mad") + 1e-9))
+    assert(bad.count() === 0L)
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
