@@ -293,6 +293,8 @@ object SparkEntry {
     "q_burn_rate"       -> ((s, d) => AdvancedOps.burnRate(s, d)),
     "q_daily_bands"     -> ((s, d) => AdvancedOps.dailyBands(s, d)),
     "q_hampel"          -> ((s, d) => graft.operators.ScaleOps.hampelOutliers(s, d)),
+    "q_wilson_ci"       -> ((s, d) => BehaviorOps.wilsonCi(s, d)),
+    "q_mann_kendall"    -> ((s, d) => graft.operators.ScaleOps.mannKendall(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5394,5 +5396,35 @@ object SparkEntry {
            round(mad / 100.0, 2) AS roll_mad,
            (abs(cents - med) > 3 * mad) AS outlier
          FROM h ORDER BY event_type, day""",
+    "q_wilson_ci" ->
+      """WITH h AS (
+           SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hr,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+         SELECT hr, x, n,
+           round(x * 1.0 / n, 6) AS p_hat,
+           round((x + 1.9208) / (n + 3.8416)
+             - 1.96 * sqrt(x * 1.0 * (n - x) / n + 0.9604) / (n + 3.8416), 6) AS wilson_lo,
+           round((x + 1.9208) / (n + 3.8416)
+             + 1.96 * sqrt(x * 1.0 * (n - x) / n + 0.9604) / (n + 3.8416), 6) AS wilson_hi
+         FROM h ORDER BY hr""",
+    "q_mann_kendall" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+               AS BIGINT) AS s
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day
+           GROUP BY 1),
+         n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd FROM daily GROUP BY 1)
+         SELECT p.event_type, s, nd,
+           round((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END) /
+             sqrt(nd * (nd - 1.0) * (2 * nd + 5) / 18), 6) AS z
+         FROM p JOIN n ON p.event_type = n.event_type ORDER BY p.event_type""",
   )
 }

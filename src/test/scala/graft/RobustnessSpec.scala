@@ -131,6 +131,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_burn_rate",         // integer window sums, row-local multipliers
       "q_daily_bands",       // exact rank-selected value order stats
       "q_hampel",            // row-local sorted-window order stats
+      "q_wilson_ci",         // integer cells, row-local interval algebra
+      "q_mann_kendall",      // exact integer pair signs, row-local z
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

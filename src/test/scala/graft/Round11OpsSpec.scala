@@ -386,6 +386,26 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(bad.count() === 0L)
   }
 
+  test("wilsonCi brackets p_hat inside [0, 1]") {
+    import graft.operators.BehaviorOps
+    val out = BehaviorOps.wilsonCi(spark, dir).localCheckpoint()
+    val bad = out.filter(
+      col("wilson_lo") > col("p_hat") || col("p_hat") > col("wilson_hi") ||
+        col("wilson_lo") < 0 || col("wilson_hi") > 1)
+    assert(bad.count() === 0L)
+  }
+
+  test("mannKendall S is bounded by the pair count and z by sanity") {
+    import graft.operators.ScaleOps
+    val rows = ScaleOps.mannKendall(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, nd, z) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(math.abs(s) <= nd * (nd - 1) / 2)
+      assert(!z.isNaN && math.abs(z) < 10)
+    }
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
