@@ -295,6 +295,8 @@ object SparkEntry {
     "q_hampel"          -> ((s, d) => graft.operators.ScaleOps.hampelOutliers(s, d)),
     "q_wilson_ci"       -> ((s, d) => BehaviorOps.wilsonCi(s, d)),
     "q_mann_kendall"    -> ((s, d) => graft.operators.ScaleOps.mannKendall(s, d)),
+    "q_welch_t"         -> ((s, d) => BehaviorOps.welchT(s, d)),
+    "q_entity_clusters" -> ((s, d) => graft.operators.EntityOps.entityClusters(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5426,5 +5428,59 @@ object SparkEntry {
            round((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END) /
              sqrt(nd * (nd - 1.0) * (2 * nd + 5) / 18), 6) AS z
          FROM p JOIN n ON p.event_type = n.event_type ORDER BY p.event_type""",
+    "q_welch_t" ->
+      """WITH arms AS (
+           SELECT CASE WHEN CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(round(o_totalprice, 0) AS BIGINT) AS d
+           FROM orders),
+         m AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(d) AS sx, sum(d * d) AS sxx
+           FROM arms GROUP BY 1),
+         w AS (
+           SELECT
+             max(CASE WHEN arm = 'A' THEN n END) AS na,
+             max(CASE WHEN arm = 'B' THEN n END) AS nb,
+             max(CASE WHEN arm = 'A' THEN sx END) AS sa,
+             max(CASE WHEN arm = 'B' THEN sx END) AS sb,
+             max(CASE WHEN arm = 'A' THEN sxx END) AS qa,
+             max(CASE WHEN arm = 'B' THEN sxx END) AS qb
+           FROM m),
+         v AS (
+           SELECT na, nb, sa, sb,
+             (qa - sa * 1.0 / na * sa) / (na - 1.0) / na AS va,
+             (qb - sb * 1.0 / nb * sb) / (nb - 1.0) / nb AS vb
+           FROM w)
+         SELECT na, nb,
+           round(sa * 1.0 / na, 2) AS mean_a,
+           round(sb * 1.0 / nb, 2) AS mean_b,
+           round((sa * 1.0 / na - sb * 1.0 / nb) / sqrt(va + vb), 6) AS welch_t,
+           round(pow(va + vb, 2) /
+             (pow(va, 2) / (na - 1.0) + pow(vb, 2) / (nb - 1.0)), 2) AS welch_df
+         FROM v""",
+    "q_entity_clusters" ->
+      """WITH RECURSIVE b AS (
+           SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS noun,
+             row_number() OVER (PARTITION BY string_split(p_name, ' ')[2]
+               ORDER BY p_partkey) AS rn
+           FROM part),
+         c AS (SELECT noun, p_partkey, p_name FROM b WHERE rn <= 40),
+         pairs AS (
+           SELECT l.p_partkey AS a_id, r.p_partkey AS b_id
+           FROM c l JOIN c r ON l.noun = r.noun AND l.p_partkey < r.p_partkey
+           WHERE levenshtein(l.p_name, r.p_name) <= 2),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pairs UNION SELECT b_id, a_id FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach(node, label) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+         comp AS (SELECT node, min(label) AS entity FROM reach GROUP BY node),
+         named AS (
+           SELECT comp.node, comp.entity, p.p_name
+           FROM comp JOIN part p ON comp.node = p.p_partkey)
+         SELECT entity, CAST(count(*) AS BIGINT) AS n_members,
+           min(CASE WHEN node = entity THEN p_name END) AS canonical_name
+         FROM named GROUP BY entity ORDER BY entity""",
   )
 }

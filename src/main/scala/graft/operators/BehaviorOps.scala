@@ -1207,6 +1207,45 @@ object BehaviorOps {
       .orderBy(col("cohort_day"), col("wk"))
   }
 
+  /** Welch's two-sample t on order spend between md5-split arms — the
+    * continuous-metric significance test completing the A/B tier (z for
+    * proportions, CUPED for variance reduction, MDE for power, this for
+    * plain two-arm spend). Moments are exact integer DOLLAR sums (cents
+    * squared would overflow int64 at sf0.1 — the dollar grain keeps
+    * Σx² exact to ~10⁹ orders); the t statistic and Welch–Satterthwaite
+    * df assemble row-locally on the 1-row moment table.
+    */
+  def welchT(spark: SparkSession, dir: String): DataFrame = {
+    val va = (col("qa") - col("sa") * lit(1.0) / col("na") * col("sa")) /
+      (col("na") - lit(1.0)) / col("na")
+    val vb = (col("qb") - col("sb") * lit(1.0) / col("nb") * col("sb")) /
+      (col("nb") - lit(1.0)) / col("nb")
+    Tables.fanOut(Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice")))
+      .select(
+        when(conv(substring(md5(col("o_custkey").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "A").otherwise("B").as("arm"),
+        round(col("o_totalprice"), 0).cast("long").as("d"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sx"),
+        sum(col("d") * col("d")).as("sxx"))
+      .agg(
+        max(when(col("arm") === "A", col("n"))).as("na"),
+        max(when(col("arm") === "B", col("n"))).as("nb"),
+        max(when(col("arm") === "A", col("sx"))).as("sa"),
+        max(when(col("arm") === "B", col("sx"))).as("sb"),
+        max(when(col("arm") === "A", col("sxx"))).as("qa"),
+        max(when(col("arm") === "B", col("sxx"))).as("qb"))
+      .select(col("na"), col("nb"),
+        round(col("sa") * lit(1.0) / col("na"), 2).as("mean_a"),
+        round(col("sb") * lit(1.0) / col("nb"), 2).as("mean_b"),
+        round((col("sa") * lit(1.0) / col("na") - col("sb") * lit(1.0) / col("nb")) /
+          sqrt(va + vb), 6).as("welch_t"),
+        round(pow(va + vb, 2) /
+          (pow(va, 2) / (col("na") - lit(1.0)) + pow(vb, 2) / (col("nb") - lit(1.0))), 2)
+          .as("welch_df"))
+  }
+
   /** Wilson 95% score interval for the per-hour purchase share among
     * click/purchase traffic — the proportion CI that stays honest at
     * small n where the normal approximation leaks past [0,1] (the

@@ -56,6 +56,28 @@ object EntityOps {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Entity clusters: the transitive closure of the blocked fuzzy pairs
+    * (edit distance ≤ 2) contracted with the star connected-components
+    * algorithm — "small ring", "smal ring" and "small rings" become ONE
+    * entity id with a canonical name (the minimum-key member, the
+    * deterministic survivorship rule). This is the resolve step that
+    * turns [[fuzzyPartPairs]]' match candidates into a usable crosswalk
+    * table; work stays bounded by the capped pair stage plus O(log d)
+    * contraction rounds on the (tiny) edge set.
+    */
+  def entityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyPartPairs(spark, dir, maxDist = 2)
+      .select(col("a_key"), col("b_key"))
+    val comps = GraphOps.connectedComponentsStar(pairs, "a_key", "b_key")
+    comps
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
+        col("node") === col("p_partkey"))
+      .groupBy(col("component").as("entity"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("node") === col("component"), col("p_name"))).as("canonical_name"))
+      .orderBy(col("entity"))
+  }
+
   /** Sorted-neighborhood near-dup pairs over documents: sort each
     * language block by a 40-char text prefix, slide a window of
     * `w` neighbors via lag(), and score each (doc, neighbor) pair with

@@ -133,6 +133,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_hampel",            // row-local sorted-window order stats
       "q_wilson_ci",         // integer cells, row-local interval algebra
       "q_mann_kendall",      // exact integer pair signs, row-local z
+      "q_welch_t",           // exact integer dollar moments, row-local t
+      "q_entity_clusters",   // capped pairs + integer CC labels
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

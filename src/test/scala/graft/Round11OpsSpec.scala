@@ -406,6 +406,26 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("welchT arms partition the orders and t matches the mean gap sign") {
+    import graft.operators.BehaviorOps
+    val r = BehaviorOps.welchT(spark, dir).head()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na + nb === Tables.orders(spark, dir).count())
+    val gap = r.getDouble(2) - r.getDouble(3)
+    val t = r.getDouble(4)
+    assert(math.signum(gap) === math.signum(t) || math.abs(t) < 1e-9)
+    val df = r.getDouble(5)
+    assert(df > 0 && df <= (na + nb - 2).toDouble + 1e-6)
+  }
+
+  test("entityClusters have >= 2 members and carry their min-key name") {
+    import graft.operators.EntityOps
+    val out = EntityOps.entityClusters(spark, dir).localCheckpoint()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_members") < 2).count() === 0L)
+    assert(out.filter(col("canonical_name").isNull).count() === 0L)
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
