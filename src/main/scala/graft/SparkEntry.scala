@@ -297,6 +297,8 @@ object SparkEntry {
     "q_mann_kendall"    -> ((s, d) => graft.operators.ScaleOps.mannKendall(s, d)),
     "q_welch_t"         -> ((s, d) => BehaviorOps.welchT(s, d)),
     "q_entity_clusters" -> ((s, d) => graft.operators.EntityOps.entityClusters(s, d)),
+    "q_doc_novelty"     -> ((s, d) => graft.operators.CorpusOps.docNovelty(s, d)),
+    "q_runs_test"       -> ((s, d) => graft.operators.ScaleOps.runsTest(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5482,5 +5484,42 @@ object SparkEntry {
          SELECT entity, CAST(count(*) AS BIGINT) AS n_members,
            min(CASE WHEN node = entity THEN p_name END) AS canonical_name
          FROM named GROUP BY entity ORDER BY entity""",
+    "q_doc_novelty" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)),
+               i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)])) AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         x AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         fs AS (SELECT gram, min(doc_id) AS first_doc FROM x GROUP BY 1),
+         nv AS (
+           SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN fs.first_doc = x.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+           FROM x JOIN fs ON x.gram = fs.gram GROUP BY 1)
+         SELECT CAST(doc_id // 100 AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_grams) AS BIGINT) AS grams,
+           CAST(sum(novel) AS BIGINT) AS novel,
+           round(sum(novel) * 1.0 / sum(n_grams), 6) AS novelty
+         FROM nv GROUP BY 1 ORDER BY cohort""",
+    "q_runs_test" ->
+      """WITH daily AS (
+           SELECT epoch_ns(ts) // 86400000000000 AS day, CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1),
+         d AS (
+           SELECT day, CASE WHEN y > lag(y) OVER (ORDER BY day) THEN 1
+             WHEN y < lag(y) OVER (ORDER BY day) THEN 0 END AS up
+           FROM daily),
+         s AS (SELECT day, up, lag(up) OVER (ORDER BY day) AS pu FROM d WHERE up IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(up) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN pu IS NULL OR up <> pu THEN 1 ELSE 0 END) AS BIGINT) AS runs
+           FROM s)
+         SELECT n, n1, n - n1 AS n0, runs,
+           round((runs - (2.0 * n1 * (n - n1) / n + 1)) /
+             sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n) /
+               (n * n * (n - 1.0))), 6) AS z
+         FROM m""",
   )
 }

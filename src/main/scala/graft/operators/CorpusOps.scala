@@ -151,6 +151,36 @@ object CorpusOps {
       .orderBy(col("term"))
   }
 
+  /** Document novelty curve: per ingestion cohort (doc_id blocks of
+    * 100), the share of distinct bigrams making their FIRST corpus
+    * appearance there — the marginal-contribution readout a curation
+    * loop watches to decide when a source is mined out (novelty decays
+    * toward zero as the vocabulary saturates). First-seen attribution is
+    * one gram-keyed min aggregate; the per-doc share joins back on the
+    * gram — both stages shuffle gram digests, never text.
+    */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val grams = array_distinct(transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    val x = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .localCheckpoint() // feeds first-seen AND the per-doc census
+    val fs = x.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    x.join(fs, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .groupBy(expr("doc_id div 100").as("cohort"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_grams")).as("grams"),
+        sum(col("novel")).as("novel"))
+      .select(col("cohort"), col("docs"), col("grams"), col("novel"),
+        round(col("novel") * lit(1.0) / col("grams"), 6).as("novelty"))
+      .orderBy(col("cohort"))
+  }
+
   /** Class-balanced downsampling: every language capped at the minority
     * class size, members chosen by a content-addressed md5 order — the
     * deterministic twin of random undersampling, and the standard

@@ -325,6 +325,35 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Wald–Wolfowitz runs test on daily up/down moves — "is the series a
+    * random walk or does it streak": the count of sign runs against its
+    * null mean/variance. All counts exact integers from two lag windows
+    * over the bounded day table; the z assembles row-locally on one
+    * summary row. Completes the nonparametric tier (χ² independence,
+    * Mann–Kendall trend, this for serial randomness).
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.orderBy(col("day")) // day dimension: bounded
+    val n = col("n")
+    val n1 = col("n1")
+    val mid = lit(2.0) * n1 * (n - n1)
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(expr("ts div 86400000000000").as("day")))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      .withColumn("up",
+        when(col("y") > lag(col("y"), 1).over(byDay), 1L)
+          .when(col("y") < lag(col("y"), 1).over(byDay), 0L))
+      .filter(col("up").isNotNull)
+      .withColumn("pu", lag(col("up"), 1).over(byDay))
+      .agg(count(lit(1)).as("n"), sum(col("up")).as("n1"),
+        sum(when(col("pu").isNull || col("up") =!= col("pu"), 1L).otherwise(0L))
+          .as("runs"))
+      .select(n, n1, (n - n1).as("n0"), col("runs"),
+        round((col("runs") - (mid / n + 1)) /
+          sqrt(mid * (mid - n) / (n * n * (n - lit(1.0)))), 6).as("z"))
+  }
+
   /** Mann–Kendall trend test — the nonparametric significance reading
     * beside [[theilSen]]'s robust slope: S = Σ sign(y_j − y_i) over all
     * ordered day pairs per type (EXACT integers from the days²/2 keyed

@@ -135,6 +135,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_mann_kendall",      // exact integer pair signs, row-local z
       "q_welch_t",           // exact integer dollar moments, row-local t
       "q_entity_clusters",   // capped pairs + integer CC labels
+      "q_doc_novelty",       // gram-keyed min attribution, integer census
+      "q_runs_test",         // integer run counts, row-local z
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -426,6 +426,36 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out.filter(col("canonical_name").isNull).count() === 0L)
   }
 
+  test("docNovelty starts saturated and conserves the gram census") {
+    import graft.operators.CorpusOps
+    val rows = CorpusOps.docNovelty(spark, dir).orderBy(col("cohort")).collect()
+    assert(rows.nonEmpty)
+    // the first cohort owns by far the most first-seen grams (vocab birth)
+    assert(rows.head.getDouble(4) >= rows.last.getDouble(4))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // novel <= grams
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // every distinct gram is first-seen exactly once corpus-wide
+    val totalNovel = rows.map(_.getLong(3)).sum
+    val distinctGrams = Tables.documents(spark, dir)
+      .select(explode(array_distinct(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+           i -> concat(element_at(split(text, ' '), i), ' ',
+                element_at(split(text, ' '), i + 1)))"""))).as("g"))
+      .select(col("g")).distinct().count()
+    assert(totalNovel === distinctGrams)
+  }
+
+  test("runsTest counts are consistent and z is finite") {
+    import graft.operators.ScaleOps
+    val r = ScaleOps.runsTest(spark, dir).head()
+    val (n, n1, n0, runs) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === n1 + n0)
+    assert(runs >= 1 && runs <= n)
+    assert(!r.getDouble(4).isNaN && math.abs(r.getDouble(4)) < 10)
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
