@@ -299,6 +299,7 @@ object SparkEntry {
     "q_entity_clusters" -> ((s, d) => graft.operators.EntityOps.entityClusters(s, d)),
     "q_doc_novelty"     -> ((s, d) => graft.operators.CorpusOps.docNovelty(s, d)),
     "q_runs_test"       -> ((s, d) => graft.operators.ScaleOps.runsTest(s, d)),
+    "q_acf_lags"        -> ((s, d) => graft.operators.ScaleOps.acfLags(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5521,5 +5522,24 @@ object SparkEntry {
              sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n) /
                (n * n * (n - 1.0))), 6) AS z
          FROM m""",
+    "q_acf_lags" ->
+      """WITH daily AS (
+           SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         lags AS (SELECT unnest(range(1, 8)) AS k),
+         p AS (
+           SELECT a.event_type, l.k,
+             CAST(count(*) AS BIGINT) AS n, sum(a.y) AS sx, sum(b.y) AS sy,
+             sum(a.y * b.y) AS sxy, sum(a.y * a.y) AS sxx, sum(b.y * b.y) AS syy
+           FROM daily a JOIN lags l ON true JOIN daily b
+             ON a.event_type = b.event_type AND b.day = a.day + l.k
+           GROUP BY 1, 2)
+         SELECT event_type, CAST(k AS BIGINT) AS lag, n,
+           round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6) AS r
+         FROM p ORDER BY event_type, lag""",
   )
 }

@@ -325,6 +325,41 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  /** Multi-lag autocorrelation table (lags 1..7) of daily volume per
+    * type — the full ACF readout [[acf1]] samples at lag 1: a lag-7
+    * peak is the weekly-seasonality signature read next to the seasonal
+    * index. The lag dimension is a bounded explode on the reduced day
+    * table (never a cross join — the ×7 fan-out then EQUI-joins the
+    * shifted day), all five moments are exact integer sums per
+    * (type, lag) cell, and the lag-correlation assembles row-locally
+    * with a zero-variance guard.
+    */
+  def acfLags(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // both sides of the shifted self-join
+    val a = daily.select(col("event_type"), col("day"), col("y").as("ya"),
+      explode(sequence(lit(1L), lit(maxLag.toLong))).as("k"))
+    // fully renamed right side: both frames descend from one checkpoint,
+    // and a shared column name across the self-join is ambiguous
+    val b = daily.select(col("event_type").as("bet"), col("day").as("bday"),
+      col("y").as("yb"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    a.join(b, col("bet") === col("event_type") && col("bday") === col("day") + col("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("ya")).as("sx"), sum(col("yb")).as("sy"),
+        sum(col("ya") * col("yb")).as("sxy"),
+        sum(col("ya") * col("ya")).as("sxx"), sum(col("yb") * col("yb")).as("syy"))
+      .select(col("event_type"), col("k").as("lag"), col("n"),
+        round(when(vx > 0 && vy > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double")))), 6).as("r"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** Wald–Wolfowitz runs test on daily up/down moves — "is the series a
     * random walk or does it streak": the count of sign runs against its
     * null mean/variance. All counts exact integers from two lag windows

@@ -137,6 +137,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_entity_clusters",   // capped pairs + integer CC labels
       "q_doc_novelty",       // gram-keyed min attribution, integer census
       "q_runs_test",         // integer run counts, row-local z
+      "q_acf_lags",          // exact integer lag moments, row-local r
       // q_ols_forecast excluded: sse is a cross-row float sum
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

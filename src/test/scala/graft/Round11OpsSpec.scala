@@ -456,6 +456,18 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(!r.getDouble(4).isNaN && math.abs(r.getDouble(4)) < 10)
   }
 
+  test("acfLags covers every (type, lag) cell with r in [-1, 1]") {
+    import graft.operators.ScaleOps
+    val out = ScaleOps.acfLags(spark, dir).localCheckpoint()
+    val types = Tables.events(spark, dir).select(col("event_type")).distinct().count()
+    assert(out.count() === types * 7)
+    assert(out.filter(col("r").isNotNull &&
+      (col("r") < -1.0 || col("r") > 1.0)).count() === 0L)
+    // pair counts shrink exactly with the lag on the dense day spine
+    val w = out.groupBy(col("lag")).agg(max(col("n")).as("mx"), min(col("n")).as("mn"))
+    assert(w.filter(col("mx") =!= col("mn")).count() === 0L)
+  }
+
   test("logisticStep's one step improves on the w=0 loss") {
     val r = MlOps.logisticStep(spark, dir).head()
     val loss = r.getAs[Double]("log_loss")
