@@ -105,7 +105,7 @@ object SparkEntry {
     "q_quality_score"   -> ((s, d) => TextAnalysisOps.qualityScore(s, d)),
     "q_token_counts"    -> ((s, d) => TextAnalysisOps.tokenCounts(s, d)),
     "q_fingerprint"     -> ((s, d) => TextAnalysisOps.fingerprints(s, d)),
-    "q_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHitters(s, d)),
+    "q_heavy_hitters"   -> ((s, d) => TextAnalysisOps.heavyHittersAudit(s, d)),
     // ---- advanced relational extensions (as-of, range join, cube, pivot,
     //      date bucketing, custom UDAF, sketches)
     "q_asof_join"       -> ((s, d) => AdvancedOps.asofPurchaseClick(s, d)),
@@ -114,7 +114,7 @@ object SparkEntry {
     "q_pivot"           -> ((s, d) => AdvancedOps.eventPivot(s, d)),
     "q_orders_by_month" -> ((s, d) => AdvancedOps.ordersByMonth(s, d)),
     "q_geomean_udaf"    -> ((s, d) => AdvancedOps.geoMeanPerType(s, d)),
-    "q_approx_distinct" -> ((s, d) => AdvancedOps.approxDistinctUsers(s, d)),
+    "q_approx_distinct" -> ((s, d) => AdvancedOps.approxDistinctAudit(s, d)),
     "q_salted_agg"      -> ((s, d) => graft.operators.ScaleOps.saltedEventStats(s, d)),
     "q_grouping_sets"   -> ((s, d) => AdvancedOps.eventGroupingSets(s, d)),
     "q_argmax"          -> ((s, d) => AdvancedOps.extremeEventPerType(s, d)),
@@ -145,7 +145,7 @@ object SparkEntry {
     "q_neardup_triangles" -> ((s, d) => graft.operators.GraphOps.nearDupTriangles(s, d)),
     "q_pca_step"        -> ((s, d) => SimilarityOps.pcaStep(s, d)),
     "q_simhash_radius"  -> ((s, d) => DedupOps.simhashRadius(s, d)),
-    "q_approx_percentiles" -> ((s, d) => AdvancedOps.approxPercentileAudit(s, d)),
+    "q_approx_percentiles" -> ((s, d) => AdvancedOps.approxPercentileOracleAudit(s, d)),
     "q_contamination_by_source" -> ((s, d) => graft.operators.CorpusOps.contaminationBySource(s, d)),
     "q_filter_funnel"   -> ((s, d) => graft.operators.CorpusOps.filterFunnel(s, d)),
     "q_idf_drift"       -> ((s, d) => MlOps.idfDrift(s, d)),
@@ -322,10 +322,10 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
-  /** Queries with no DuckDB oracle (estimates are implementation-
-    * specific); the driver records a rows-only check for these. */
-  val oracleFreeQueries: Set[String] =
-    Set("q_approx_distinct", "q_heavy_hitters", "q_approx_percentiles")
+  /** Queries with no DuckDB oracle; empty since round 8 — every sketch
+    * query now ships an oracle-facing audit (exact counterpart + the
+    * deterministic realized-error bound) in the `q_hll_union` pattern. */
+  val oracleFreeQueries: Set[String] = Set.empty
 
   /** Count-Min point-count estimates per source over a fixed probe
     * list — the 4th sketch (cardinality/HLL++, heavy hitters/Misra–
@@ -3294,6 +3294,34 @@ object SparkEntry {
             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
             true AS hll_ok
           FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+    // HLL++ estimate has no SQL twin; the exact distinct + the realized
+    // 3×rsd bound (deterministic for the seeded sketch on fixed data) do
+    "q_approx_distinct" ->
+      """SELECT event_type,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+            true AS hll_ok
+          FROM events GROUP BY 1 ORDER BY event_type""",
+    // the GK-sketch ε guarantee holds under any merge order, so the
+    // straddle booleans are deterministic facts; n anchors the hash
+    "q_approx_percentiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            true AS p50_ok, true AS p90_ok
+          FROM events GROUP BY 1 ORDER BY event_type""",
+    // Misra–Gries: terms with exact freq > n/(k+1) are guaranteed in the
+    // candidate set — the guaranteed list itself is exactly computable
+    "q_heavy_hitters" ->
+      """WITH t AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+          tt AS (
+            SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+            FROM t WHERE term <> '' GROUP BY 1, 2),
+          n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens FROM tt GROUP BY 1),
+          g AS (
+            SELECT tt.lang, string_agg(term, ',' ORDER BY term) AS guaranteed_terms
+            FROM tt JOIN n USING (lang) WHERE c * 51 > n_tokens GROUP BY 1)
+          SELECT n.lang, n.n_tokens,
+            coalesce(g.guaranteed_terms, '') AS guaranteed_terms, true AS mg_ok
+          FROM n LEFT JOIN g USING (lang) ORDER BY lang""",
     "q_reagg_rollup" ->
       """WITH e AS (
             SELECT event_type,
@@ -3939,14 +3967,15 @@ object SparkEntry {
             round(CASE WHEN prev_n > 0
               THEN (n - prev_n) / CAST(prev_n AS DOUBLE) END, 4) AS dod_pct
           FROM lagged ORDER BY event_type, day""",
-    // RFM quintiles on the per-user aggregate; monetary ranks on the
-    // ROUNDED sum so a quintile boundary can't flip on ulp drift
+    // RFM quintiles on the per-user aggregate; monetary is summed as
+    // per-row integer cents so no quintile boundary can flip on the
+    // engines' float partial-aggregation order
     "q_rfm_segments" ->
       """WITH pu AS (
             SELECT user_id,
               CAST(max((epoch_ns(ts) // 1000) // 86400000000) AS BIGINT) AS last_day,
               CAST(count(*) AS BIGINT) AS freq,
-              CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
             FROM events GROUP BY user_id),
           s AS (
             SELECT *,
@@ -4227,10 +4256,10 @@ object SparkEntry {
             SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
           pu AS (
             SELECT user_id,
-              CAST(round(sum(CASE WHEN ts_us < 1704412800000000
-                THEN value ELSE 0 END) * 100, 0) AS BIGINT) AS x,
-              CAST(round(sum(CASE WHEN ts_us >= 1704412800000000
-                THEN value ELSE 0 END) * 100, 0) AS BIGINT) AS y,
+              CAST(sum(CASE WHEN ts_us < 1704412800000000
+                THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+              CAST(sum(CASE WHEN ts_us >= 1704412800000000
+                THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
               substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS in_a
             FROM e GROUP BY user_id),
           m AS (
@@ -4378,7 +4407,7 @@ object SparkEntry {
             FROM e)
           SELECT coalesce(last_touch, 'none') AS touch_type,
             CAST(count(*) AS BIGINT) AS n_conversions,
-            CAST(round(sum(value) * 100, 0) AS BIGINT) AS attributed_cents
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS attributed_cents
           FROM t WHERE event_type = 'purchase'
           GROUP BY 1 ORDER BY touch_type""",
     // first-order Markov transition cells + row-normalized probabilities
@@ -4435,7 +4464,7 @@ object SparkEntry {
     "q_power_mde" ->
       """WITH pu AS (
             SELECT user_id,
-              CAST(round(sum(value) * 100, 0) AS BIGINT) AS y,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y,
               substring(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7' AS in_a
             FROM events GROUP BY user_id),
           m AS (
@@ -4970,7 +4999,7 @@ object SparkEntry {
     "q_ols2" ->
       """WITH daily AS (
            SELECT epoch_ns(ts) // 86400000000000 AS day,
-             CAST(round(sum(value) * 100, 0) AS BIGINT) AS y
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
            FROM events GROUP BY 1),
          f AS (
            SELECT day - (SELECT min(day) FROM daily) AS d,
@@ -5025,7 +5054,7 @@ object SparkEntry {
     "q_interpolate_gaps" ->
       """WITH daily AS (
            SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
-             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
            FROM events GROUP BY 1, 2),
          spine AS (
            SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM (
@@ -5077,12 +5106,12 @@ object SparkEntry {
       """WITH e AS (
            SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id FROM events),
          l AS (
-           SELECT user_id, ts_s,
+           SELECT user_id, ts_s, event_id,
              CASE WHEN ts_s - lag(ts_s) OVER w >= 1800 OR lag(ts_s) OVER w IS NULL
                THEN 1 ELSE 0 END AS brk
            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
          s AS (
-           SELECT user_id, ts_s, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+           SELECT user_id, ts_s, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM l),
          sess AS (
@@ -5101,7 +5130,7 @@ object SparkEntry {
          sizes AS (SELECT cd, CAST(count(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1),
          rev AS (
            SELECT c.cd, (e.day - c.cd) // 7 AS wk,
-             CAST(round(sum(e.value) * 100, 0) AS BIGINT) AS cents
+             CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
            FROM e JOIN cohort c USING (user_id)
            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
          cum AS (
@@ -5155,7 +5184,7 @@ object SparkEntry {
     "q_seasonal_decompose" ->
       """WITH daily AS (
            SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
-             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
            FROM events GROUP BY 1, 2),
          tr AS (
            SELECT event_type, day, cents,
@@ -5208,14 +5237,14 @@ object SparkEntry {
            SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
            FROM events WHERE event_type IN ('signup', 'error')),
          runs AS (
-           SELECT user_id, event_type, ts_us,
+           SELECT user_id, event_type, ts_us, event_id,
              CASE WHEN lag(event_type) OVER w IS NULL
                  OR lag(event_type) OVER w <> event_type
                THEN 1 ELSE 0 END AS chg
            FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          seq AS (
            SELECT user_id, event_type, ts_us,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
            FROM runs),
          iv AS (
@@ -5231,7 +5260,7 @@ object SparkEntry {
              AND p.ts_us >= iv.from_us AND (iv.to_us IS NULL OR p.ts_us < iv.to_us))
          SELECT coalesce(status, 'none') AS status,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           CAST(round(sum(value) * 100, 0) AS BIGINT) AS spend_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents
          FROM j GROUP BY 1 ORDER BY status""",
     "q_journey_edit" ->
       """WITH e AS (
@@ -5380,7 +5409,7 @@ object SparkEntry {
     "q_hampel" ->
       """WITH daily AS (
            SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
-             CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
            FROM events GROUP BY 1, 2),
          w AS (
            SELECT event_type, day, cents,

@@ -387,6 +387,42 @@ object AdvancedOps {
       )
       .orderBy(col("event_type"))
 
+  /** Oracle-facing audit of [[approxDistinctUsers]] — same conversion as
+    * `q_hll_union`: the HLL++ estimate has no DuckDB twin, but the exact
+    * distinct count does, and "the estimate landed within 3×rsd of
+    * exact" is a deterministic fact of the seeded, merge-order-
+    * insensitive sketch over fixed data. Emitting (exact, bound-check)
+    * turns a bare rows-only row into a full rows+schema+hash check; the
+    * raw estimates stay reachable via [[approxDistinctUsers]]
+    * (spec-pinned error bound).
+    */
+  def approxDistinctAudit(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctUsers(spark, dir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          < col("exact_users") * 0.15).as("hll_ok"))
+      .orderBy(col("event_type"))
+
+  /** Oracle-facing audit of [[approxPercentileAudit]]: the GK-style
+    * sketch VALUE is partitioning-dependent, but its ε guarantee — the
+    * returned value's realized rank interval straddles the target rank
+    * within ε — holds under ANY merge order, so the boolean is a
+    * deterministic fact and the exact row count anchors the hash. ε is
+    * 1/accuracy = 0.001, padded 5× for the point-mass plateaus of 2-dp
+    * values (the interval endpoints are exact counts, the guarantee is
+    * on interval-to-target distance).
+    */
+  def approxPercentileOracleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.005
+    approxPercentileAudit(spark, dir)
+      .select(col("event_type"), col("n"),
+        (col("p50_rank_lo") <= 0.5 + eps && col("p50_rank_hi") >= 0.5 - eps)
+          .as("p50_ok"),
+        (col("p90_rank_lo") <= 0.9 + eps && col("p90_rank_hi") >= 0.9 - eps)
+          .as("p90_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** 95% confidence interval for the mean value per event type, from
     * exact integer-free moments (n, Σx, Σx² in one hash aggregate —
     * the same mergeable-moment discipline as the weekday z-scores):

@@ -193,7 +193,7 @@ object BehaviorOps {
         "left_outer")
       .groupBy(coalesce(col("status"), lit("none")).as("status"))
       .agg(count(lit(1)).as("n_purchases"),
-        round(sum(col("value")) * 100, 0).cast("long").as("spend_cents"))
+        sum(round(col("value") * 100, 0).cast("long")).as("spend_cents"))
       .orderBy(col("status"))
   }
 
@@ -519,7 +519,7 @@ object BehaviorOps {
         col("value"))
       .groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
-        round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
     val scored = Seq(
       ("r_score", Seq(col("last_day").desc, col("user_id"))),
       ("f_score", Seq(col("freq").desc, col("user_id"))),
@@ -671,10 +671,10 @@ object BehaviorOps {
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
       .groupBy(col("user_id"))
       .agg(
-        round(sum(when(col("ts_us") < cutoffUs, col("value")).otherwise(0.0))
-          * 100, 0).cast("long").as("x"),
-        round(sum(when(col("ts_us") >= cutoffUs, col("value")).otherwise(0.0))
-          * 100, 0).cast("long").as("y"))
+        sum(when(col("ts_us") < cutoffUs,
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= cutoffUs,
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
       .withColumn("in_a",
         substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
     val m = pu.agg(
@@ -795,7 +795,7 @@ object BehaviorOps {
   def powerMde(spark: SparkSession, dir: String): DataFrame = {
     val pu = Tables.fanOut(Tables.events(spark, dir))
       .groupBy(col("user_id"))
-      .agg(round(sum(col("value")) * 100, 0).cast("long").as("y"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
       .withColumn("in_a",
         substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
     val m = pu.agg(
@@ -844,7 +844,7 @@ object BehaviorOps {
       .filter(col("event_type") === "purchase")
       .groupBy(coalesce(col("last_touch"), lit("none")).as("touch_type"))
       .agg(count(lit(1)).as("n_conversions"),
-        round(sum(col("value")) * 100, 0).cast("long").as("attributed_cents"))
+        sum(round(col("value") * 100, 0).cast("long")).as("attributed_cents"))
       .orderBy(col("touch_type"))
   }
 
@@ -1158,7 +1158,7 @@ object BehaviorOps {
     */
   def bounceRate(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
-    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = Tables.fanOut(Tables.events(spark, dir)
         .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("event_id")))
@@ -1196,7 +1196,7 @@ object BehaviorOps {
     val rev = e.join(Tables.maybeBroadcast(cohort), Seq("user_id"))
       .filter(col("event_type") === "purchase")
       .groupBy(col("cd"), expr("(day - cd) div 7").as("wk"))
-      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
     val wCum = Window.partitionBy(col("cd")).orderBy(col("wk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rev

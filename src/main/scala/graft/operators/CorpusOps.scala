@@ -161,8 +161,13 @@ object CorpusOps {
     */
   def docNovelty(spark: SparkSession, dir: String): DataFrame = {
     val t = col("t")
-    val grams = array_distinct(transform(sequence(lit(1), size(t) - 1),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+    // sequence(1, 0) yields the DESCENDING [1, 0] — element_at(t, 0)
+    // then throws on any 1-token document, so short docs get an
+    // explicit empty gram list (matching the oracle's range(1,1)=[])
+    val grams = when(size(t) >= 2,
+      array_distinct(transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))))
+      .otherwise(array().cast("array<string>"))
     val x = Tables.fanOut(Tables.documents(spark, dir)
         .select(col("doc_id"), col("text")))
       .select(col("doc_id"), split(col("text"), " ").as("t"))

@@ -31,7 +31,7 @@ object DedupOps {
     */
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-  private def cachedFrame(spark: SparkSession, dir: String, key: String)(
+  private[operators] def cachedFrame(spark: SparkSession, dir: String, key: String)(
       build: => DataFrame): DataFrame =
     frameCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, key),
       build.localCheckpoint())
@@ -294,8 +294,20 @@ object DedupOps {
     */
   def bucketedJaccard(spark: SparkSession, dir: String,
       cap: Int = 20, threshold: Double = 0.1): DataFrame =
-    scoreJaccard(spark, dir, cappedBandCandidates(spark, dir, cap),
-      threshold = Some(threshold))
+    jaccardPairs(spark, dir, cap, threshold).orderBy(col("a_id"), col("b_id"))
+
+  /** The scored (a_id, b_id, jaccard) pair frame without the
+    * presentation sort, materialized once per (app, dir, cap, threshold):
+    * the graph family (canonical selection, leakage-free split) and the
+    * registry query all start from the same scored pairs, and the
+    * candidate cache alone still left each consumer re-running the
+    * bigram joins + intersect kernel. */
+  private[operators] def jaccardPairs(spark: SparkSession, dir: String,
+      cap: Int = 20, threshold: Double = 0.1): DataFrame =
+    cachedFrame(spark, dir, s"jaccardPairs:$cap:$threshold") {
+      scoreJaccardRaw(spark, dir, cappedBandCandidates(spark, dir, cap),
+        threshold = Some(threshold))
+    }
 
   /** Asymmetric containment over the capped band-collision candidates:
     * |A∩B|/|A| and |A∩B|/|B| on the word-bigram sets. Symmetric Jaccard

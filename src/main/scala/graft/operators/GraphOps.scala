@@ -141,7 +141,7 @@ object GraphOps {
     * exact score → components) is the shape that survives 100×. */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
     connectedComponentsStar(
-      SimilarityOps.bucketedNearDup(spark, dir), "a_id", "b_id")
+      SimilarityOps.nearDupPairs(spark, dir), "a_id", "b_id")
       .orderBy(col("node"))
 
   /** Degree distribution of the near-dup graph — the health check a
@@ -150,7 +150,7 @@ object GraphOps {
     * undirected edge contributes to both endpoints; one hash aggregate
     * over the exploded endpoints. */
   def nearDupDegrees(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = SimilarityOps.bucketedNearDup(spark, dir)
+    val pairs = SimilarityOps.nearDupPairs(spark, dir)
       .select(col("a_id"), col("b_id"))
     pairs.select(col("a_id").as("node"))
       .unionAll(pairs.select(col("b_id").as("node")))
@@ -188,7 +188,7 @@ object GraphOps {
     */
   def nearDupTriangles(spark: SparkSession, dir: String): DataFrame =
     triangleStats(
-      SimilarityOps.bucketedNearDup(spark, dir).select(col("a_id"), col("b_id")),
+      SimilarityOps.nearDupPairs(spark, dir).select(col("a_id"), col("b_id")),
       "a_id", "b_id")
 
   /** PageRank over the near-dup graph — the fourth dedup health check:
@@ -199,7 +199,7 @@ object GraphOps {
     * them, where raw degree ([[nearDupDegrees]]) cannot distinguish one
     * hub from a clique member. */
   def nearDupPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerank(SimilarityOps.bucketedNearDup(spark, dir)
+    pagerank(SimilarityOps.nearDupPairs(spark, dir)
       .select(col("a_id"), col("b_id")), "a_id", "b_id")
 
   /** k-core peel of the co-purchase graph — the DENSITY audit beside
@@ -248,7 +248,16 @@ object GraphOps {
         .join(alive.withColumnRenamed("node", "a_id"), Seq("a_id"), "left_semi")
         .join(alive.withColumnRenamed("node", "b_id"), Seq("b_id"), "left_semi")
         .localCheckpoint()
-      stats += ((r.toLong, alive.count(), edges.count()))
+      // one tagged-union aggregate per round for BOTH bounded scalars —
+      // alive and edges are already materialized, so this scans blocks,
+      // not lineage, and halves the per-round driver actions
+      val counts = alive.select(lit("n").as("t"))
+        .unionAll(edges.select(lit("e").as("t")))
+        .agg(
+          coalesce(sum(when(col("t") === "n", 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("t") === "e", 1L).otherwise(0L)), lit(0L)))
+        .head()
+      stats += ((r.toLong, counts.getLong(0), counts.getLong(1)))
     }
     stats.toSeq.toDF("round", "n_alive", "n_edges")
       .orderBy(col("round"))
@@ -349,7 +358,7 @@ object GraphOps {
   def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comp = connectedComponentsStar(
-      DedupOps.bucketedJaccard(spark, dir).select(col("a_id"), col("b_id")),
+      DedupOps.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")),
       "a_id", "b_id")
     val quality = TextAnalysisOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
@@ -384,7 +393,7 @@ object GraphOps {
     */
   def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
     val comp = connectedComponentsStar(
-      DedupOps.bucketedJaccard(spark, dir).select(col("a_id"), col("b_id")),
+      DedupOps.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")),
       "a_id", "b_id")
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")

@@ -93,7 +93,7 @@ object ScaleOps {
       .listFiles().count(_.getName.endsWith(".parquet")).toLong
     val checks = Seq(out1, out2).map { p =>
       spark.read.parquet(p)
-        .agg(count(lit(1)), round(sum(col("value")) * 100, 0).cast("long"))
+        .agg(count(lit(1)), sum(round(col("value") * 100, 0).cast("long")))
         .head()
     }
     Seq((checks(0).getLong(0), files(out1), checks(1).getLong(0),
@@ -440,7 +440,7 @@ object ScaleOps {
     Tables.fanOut(Tables.events(spark, dir)
         .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
       .groupBy(col("event_type"), col("day"))
-      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
       .withColumn("win", collect_list(col("cents")).over(w))
       .filter(size(col("win")) === 7)
       .withColumn("med", medCol)
@@ -548,7 +548,7 @@ object ScaleOps {
     val tr = Tables.fanOut(Tables.events(spark, dir)
         .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
       .groupBy(col("event_type"), col("day"))
-      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
       .withColumn("trend",
         when(count(lit(1)).over(wMa) === 7, sum(col("cents")).over(wMa) / 7.0))
       .filter(col("trend").isNotNull)
@@ -584,7 +584,7 @@ object ScaleOps {
     val daily = Tables.fanOut(Tables.events(spark, dir)
         .select(expr("ts div 86400000000000").as("day"), col("value")))
       .groupBy(col("day"))
-      .agg(round(sum(col("value")) * 100, 0).cast("long").as("y"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
     val minDay = daily.agg(min(col("day"))).head().getLong(0) // bounded scalar
     daily
       .select(
@@ -903,7 +903,7 @@ object ScaleOps {
     val daily = Tables.fanOut(Tables.events(spark, dir)
         .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
       .groupBy(col("event_type"), col("day"))
-      .agg(round(sum(col("value")) * 100, 0).cast("long").as("cents"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
       .localCheckpoint() // feeds the spine bounds AND the observation join
     val spine = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))

@@ -371,22 +371,35 @@ object SimilarityOps {
     * sampled-probe variant over the same candidate generator.
     */
   def bucketedNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.3): DataFrame = {
-    val e = embDouble(spark, dir)
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-      .withColumn("bucket", bucketExpr)
-    val a = e.select(col("bucket"), col("vec_id").as("a_id"),
-      col("v").as("av"), col("nv").as("na"))
-    val b = e.select(col("bucket"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nv").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", dot(col("av"), col("bv")))
-      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cosine"))
-      .orderBy(col("a_id"), col("b_id"))
-  }
+      threshold: Double = 0.3): DataFrame =
+    nearDupPairs(spark, dir, threshold).orderBy(col("a_id"), col("b_id"))
+
+  /** The (a_id, b_id, cosine) near-dup pair frame WITHOUT the
+    * presentation sort, materialized once per (app, dir, threshold)
+    * through the session frame cache: six graph-family registry queries
+    * (components, degrees, triangles, pagerank, cluster sizes, …) all
+    * start from these pairs, and each would otherwise re-run the
+    * bucket join + pairwise cosine stage from the parquet scan. Same
+    * amortization discipline as DedupOps' band/bigram tables — the
+    * single-app stand-in for writing the pair table out once at 100 TB.
+    */
+  private[operators] def nearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame =
+    DedupOps.cachedFrame(spark, dir, s"nearDupPairs:$threshold") {
+      val e = embDouble(spark, dir)
+        .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+        .withColumn("bucket", bucketExpr)
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("nv").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nv").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dot", dot(col("av"), col("bv")))
+        .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+    }
 
   /** Per-label centroid — the k-means update step over labeled
     * embeddings: posexplode to (label, dim, x), then one partial+final

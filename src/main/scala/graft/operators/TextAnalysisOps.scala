@@ -205,6 +205,45 @@ object TextAnalysisOps {
       .orderBy(col("lang"))
   }
 
+  /** Oracle-facing audit of [[heavyHitters]] — the Misra–Gries
+    * conversion in the `q_hll_union` pattern: the candidate set below
+    * the n/(k+1) threshold is processing-order dependent, but the
+    * GUARANTEED part is not — every term with exact frequency
+    * > n/(k+1) must appear among the sketch's k candidates under any
+    * partitioning. So the oracle row is (lang, exact token count, the
+    * exact over-threshold term list — both DuckDB-computable) plus the
+    * deterministic containment boolean. The exact side is one extra
+    * (lang, term) hash aggregate over the SAME exploded frame the
+    * sketch consumes (checkpointed once); at 100 TB the audit would
+    * sample, the sketch path alone stays constant-memory.
+    */
+  def heavyHittersAudit(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val terms = Tables.fanOut(
+        Tables.documents(spark, dir).select(col("lang"), col("text")))
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .localCheckpoint() // feeds the sketch AND the exact census
+    val sk = terms.groupBy(col("lang"))
+      .agg(call_function("freq_items", col("term"), lit(k)).as("cands"),
+        count(lit(1)).as("n_tokens"))
+    val guaranteed = terms.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .join(sk.select(col("lang").as("sk_lang"), col("n_tokens"), col("cands")),
+        col("lang") === col("sk_lang"))
+      .filter(col("c") * (k + 1) > col("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(array_join(sort_array(collect_list(col("term"))), ",")
+          .as("guaranteed_terms"),
+        min(when(array_contains(col("cands"), col("term")), 1L).otherwise(0L))
+          .as("all_in"))
+    sk.join(guaranteed, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_tokens"),
+        coalesce(col("guaranteed_terms"), lit("")).as("guaranteed_terms"),
+        (coalesce(col("all_in"), lit(1L)) === 1L).as("mg_ok"))
+      .orderBy(col("lang"))
+  }
+
   /** Positional-checksum document fingerprint:
     * sum_i ascii(text[i]) * i (1-based) mod 1e9+7 — the shape of a
     * rolling hash, with a sum that any engine reproduces exactly in

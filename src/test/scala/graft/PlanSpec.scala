@@ -219,12 +219,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("NO registry query plans a BroadcastNestedLoopJoin or CartesianProduct") {
-    // The registry-wide scale invariant: every pairwise stage must be
-    // keyed (equi-join) so its cost is bounded by collisions, never by
-    // corpus size. The only tolerated nested-loop joins are those whose
-    // broadcast side is CONSTANT-BOUNDED by construction (a fixed probe
-    // set, not a corpus sample): O(n·k) with k a literal in the query.
+  test("NO registry query plans a BroadcastNestedLoopJoin, CartesianProduct, " +
+      "or an unpartitioned window over an unbounded frame") {
+    // The registry-wide scale invariants, checked in ONE enumeration
+    // (building every query is the expensive part — eager checkpoints
+    // run): (1) every pairwise stage must be keyed (equi-join) so its
+    // cost is bounded by collisions, never by corpus size; (2) every
+    // window must be partitioned unless the frame beneath it is bounded
+    // by construction — an unpartitioned window over a data-sized frame
+    // funnels the table through one task at 100 TB.
+    // The only tolerated nested-loop joins are those whose broadcast
+    // side is CONSTANT-BOUNDED by construction (a fixed probe set, not
+    // a corpus sample): O(n·k) with k a literal in the query.
     val constantSideBnl = Set(
       "q_knn_cosine", // broadcast side = 5 fixed query vectors (vec_id < 5)
       "q_ivf_topk",   // broadcast side = 8 fixed centroids / 5 fixed queries
@@ -236,16 +242,51 @@ class PlanSpec extends AnyFunSuite {
       "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
       "q_kmeans_iters", // same k=8 constant centroid side, re-broadcast per iter
     )
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if constantSideBnl(name) => None
-      case (name, fn) =>
-        val p = plan(fn(spark, dir))
+    // Unpartitioned windows tolerated ONLY over frames bounded by
+    // construction — a groupBy on an enum/bin/day keyspace, a top-k
+    // cliff, or a vocab cap upstream; each entry names the bound.
+    val boundedFrameWindows = Set(
+      "q_als_step",        // rank window over the TakeOrdered ≤K survivors
+      "q_assoc_rules",     // rank window over the TakeOrdered ≤K survivors
+      "q_auc",             // per-score histogram (|score domain| ≪ users)
+      "q_benford",         // 9 first-digit rows
+      "q_bootstrap_ci",    // B resample-statistic rows (B a literal)
+      "q_burn_rate",       // per-day burn cells (observation span)
+      "q_domain_reweight", // |source| rows
+      "q_rolling_corr",    // per-day cells (observation span)
+      "q_runs_test",       // per-day cells (observation span)
+      "q_token_budget",    // |source| rows
+      "q_join_skew",       // per-key count summary of a bounded key domain
+      "q_ks_drift",        // per-length histogram cells (len domain)
+      "q_median_of_means", // k group means (k a literal)
+      "q_psi_drift",       // fixed bin table
+      "q_shard_skew",      // |shards| rows (shard count a literal)
+      "q_skyline",         // per-bucket carry summary (bucket width literal)
+      "q_type_hour_mi",    // |event types| × 24 cells
+      "q_zipf_fit",        // vocab rank table (corpus vocabulary, not rows)
+    )
+    val unkeyed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unpartitioned = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, dir)
+      if (!constantSideBnl(name)) {
+        val p = plan(df)
         if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
-          Some(name)
-        else None
+          unkeyed += name
+      }
+      if (!boundedFrameWindows(name)) {
+        val hasUnpart = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasUnpart) unpartitioned += name
+      }
     }
-    assert(offenders.isEmpty,
-      s"unkeyed pair stages in registry queries: ${offenders.mkString(", ")}")
+    assert(unkeyed.isEmpty,
+      s"unkeyed pair stages in registry queries: ${unkeyed.mkString(", ")}")
+    assert(unpartitioned.isEmpty,
+      "unpartitioned windows over frames not in the bounded allowlist: " +
+        unpartitioned.mkString(", "))
   }
 
   test("rfm quintile scoring plans no single-partition stage") {
