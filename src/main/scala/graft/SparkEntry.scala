@@ -300,6 +300,12 @@ object SparkEntry {
     "q_doc_novelty"     -> ((s, d) => graft.operators.CorpusOps.docNovelty(s, d)),
     "q_runs_test"       -> ((s, d) => graft.operators.ScaleOps.runsTest(s, d)),
     "q_acf_lags"        -> ((s, d) => graft.operators.ScaleOps.acfLags(s, d)),
+    // ---- round 8: privacy scrub, cross-lingual contamination,
+    //      serving-side embedding compression / truncation audits
+    "q_redaction_audit" -> ((s, d) => graft.operators.CorpusOps.redactionAudit(s, d)),
+    "q_crosslang_dups"  -> ((s, d) => MlOps.crosslangDups(s, d)),
+    "q_matryoshka_recall" -> ((s, d) => SimilarityOps.matryoshkaRecall(s, d)),
+    "q_int8_quant"      -> ((s, d) => SimilarityOps.int8QuantAudit(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5570,5 +5576,83 @@ object SparkEntry {
                (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
                 sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6) AS r
          FROM p ORDER BY event_type, lag""",
+    // regex scrub census; patterns are Java-regex ∩ RE2 so they run
+    // verbatim in both engines ('g' = replace-all, Spark's default)
+    "q_redaction_audit" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '\bcustomer\b')) > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS docs_entity,
+           CAST(sum(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS n_entity,
+           CAST(sum(len(regexp_extract_all(text, '\bspark\b'))) AS BIGINT) AS n_product,
+           CAST(sum(length(regexp_replace(regexp_replace(text,
+             '\bcustomer\b', '[ENTITY]', 'g'), '\bspark\b', '[PRODUCT]', 'g')))
+             AS BIGINT) AS redacted_len
+         FROM documents GROUP BY 1 ORDER BY source""",
+    "q_crosslang_dups" ->
+      """WITH fp AS (
+           SELECT doc_id, lang,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS tokenset_md5
+           FROM documents)
+         SELECT tokenset_md5, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+         FROM fp GROUP BY 1 HAVING count(DISTINCT lang) >= 2
+         ORDER BY tokenset_md5""",
+    // prefix-dim kNN recall vs the full-width exact top-10; cosines
+    // 6-dp-quantized before ranking, vec_id tie-break (the cross-engine
+    // rank discipline of every exact-topk oracle here)
+    "q_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS n64,
+             sqrt(list_sum(list_transform(list_slice(v, 1, 8), x -> x * x))) AS n8,
+             sqrt(list_sum(list_transform(list_slice(v, 1, 16), x -> x * x))) AS n16,
+             sqrt(list_sum(list_transform(list_slice(v, 1, 32), x -> x * x))) AS n32
+           FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, n64 AS qn64, n8 AS qn8,
+             n16 AS qn16, n32 AS qn32 FROM n WHERE vec_id < 5),
+         p AS (
+           SELECT n.vec_id, q.q_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (n64 * qn64), 6) AS c64,
+             round(list_sum(list_transform(range(1, 9),
+               i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (n8 * qn8), 6) AS c8,
+             round(list_sum(list_transform(range(1, 17),
+               i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (n16 * qn16), 6) AS c16,
+             round(list_sum(list_transform(range(1, 33),
+               i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (n32 * qn32), 6) AS c32
+           FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY q_id ORDER BY c64 DESC, vec_id) AS rn64,
+             row_number() OVER (PARTITION BY q_id ORDER BY c8 DESC, vec_id) AS rn8,
+             row_number() OVER (PARTITION BY q_id ORDER BY c16 DESC, vec_id) AS rn16,
+             row_number() OVER (PARTITION BY q_id ORDER BY c32 DESC, vec_id) AS rn32
+           FROM p)
+         SELECT q_id,
+           round(sum(CASE WHEN rn8 <= 10 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_8,
+           round(sum(CASE WHEN rn16 <= 10 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_16,
+           round(sum(CASE WHEN rn32 <= 10 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_32
+         FROM r WHERE rn64 <= 10 GROUP BY 1 ORDER BY q_id""",
+    // int8 reconstruction error in order-independent integer ppm cells
+    "q_int8_quant" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         s AS (SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+         c AS (
+           SELECT label, vec_id,
+             CASE WHEN scale = 0 THEN 0.0
+               ELSE abs(x - round(x / scale, 0) * scale) END AS err
+           FROM (SELECT label, vec_id, scale, unnest(v) AS x FROM s))
+         SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(round(err * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS total_err_ppm,
+           round(max(err), 6) AS max_err,
+           round(CAST(sum(CAST(round(err * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+             / (count(*) * 1000000.0), 6) AS mean_abs_err
+         FROM c GROUP BY 1 ORDER BY label""",
   )
 }

@@ -813,4 +813,34 @@ object CorpusOps {
           .as("keep_rate"))
       .orderBy(col("decile"))
   }
+
+  /** Regex redaction census — the PII-scrub shape every training-data
+    * pipeline runs before release (emails, phones, keys → placeholder
+    * tags), expressed as codegen'd per-row regexp_count/regexp_replace
+    * with ONE hash aggregate per source: match counts, hit-document
+    * counts, and the redacted byte size all fall out of the same pass,
+    * so the audit costs one corpus scan at 100 TB. The pattern table is
+    * configurable; the defaults are instantiated on vocabulary this
+    * synthetic corpus actually contains (it carries no real PII shapes —
+    * an email regex here would be an untestable all-zero row) so every
+    * output cell is a live, oracle-checkable count. Patterns stay in
+    * the Java-regex ∩ RE2 dialect (no backreferences/lookahead) so the
+    * DuckDB twin runs them verbatim.
+    */
+  def redactionAudit(spark: SparkSession, dir: String,
+      entityPat: String = "\\bcustomer\\b",
+      productPat: String = "\\bspark\\b"): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"),
+        regexp_count(col("text"), lit(entityPat)).as("ne"),
+        regexp_count(col("text"), lit(productPat)).as("np"),
+        length(regexp_replace(regexp_replace(col("text"),
+          entityPat, "[ENTITY]"), productPat, "[PRODUCT]")).as("rl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_entity"),
+        sum(col("ne")).as("n_entity"),
+        sum(col("np")).as("n_product"),
+        sum(col("rl")).as("redacted_len"))
+      .orderBy(col("source"))
 }

@@ -669,6 +669,32 @@ object MlOps {
       .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("tokenset_md5"))
 
+  /** Cross-lingual contamination audit: token-set fingerprints that
+    * appear under MORE THAN ONE language tag — the mislabeled-language
+    * detector run before per-language dedup or mixture sampling trusts
+    * the `lang` column (a fingerprint shared by an "en" and a "zh" row
+    * means one of the labels is wrong, or the text is language-free
+    * boilerplate that per-lang pipelines will double-count). Same scale
+    * shape as [[tokensetDedup]]: one map-side fingerprint, one group-by
+    * on the 16-byte digest carrying a bounded language set — no
+    * pairwise stage, nothing keyed on document count.
+    */
+  def crosslangDups(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("text"), col("lang"), col("doc_id")))
+      .select(
+        md5(concat_ws(" ",
+          array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+          .as("tokenset_md5"),
+        col("lang"), col("doc_id"))
+      .groupBy(col("tokenset_md5"))
+      .agg(countDistinct(col("lang")).as("n_langs"),
+        count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_langs") >= 2)
+      .orderBy(col("tokenset_md5"))
+
   /** Hapax-legomena audit per source: how much of each source's text is
     * once-in-the-corpus vocabulary — the unique-ID/serial-number/noise
     * pollution detector (the same failure a Heaps β near 1 flags at the

@@ -401,6 +401,78 @@ object SimilarityOps {
         .select(col("a_id"), col("b_id"), col("cosine"))
     }
 
+  /** Matryoshka truncation audit: does nearest-neighbor RANKING survive
+    * prefix-dimension truncation — the question behind serving MRL-style
+    * embeddings at d/8 or d/4 of the trained width (retrieval cost is
+    * linear in d; if recall@k holds at d=8, the ANN index shrinks 8×).
+    * One broadcast of the constant probe set, ONE pairwise pass scoring
+    * every candidate at all widths simultaneously (prefix dots reuse the
+    * same rows — no per-width re-join), then one q_id-partitioned window
+    * per width; recall@k against the full-width exact top-k assembles
+    * from the rank flags. Cosines are 6-dp-quantized BEFORE ranking with
+    * vec_id tie-break, the cross-engine rank discipline every exact-topk
+    * query here uses.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      k: Int = 10, dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    def pref(c: org.apache.spark.sql.Column, d: Int) = slice(c, 1, d)
+    val e0 = embDouble(spark, dir)
+    val e = dims.foldLeft(e0.withColumn("nfull", sqrt(dot(col("v"), col("v"))))) {
+      case (df, d) => df.withColumn(s"n$d",
+        sqrt(dot(pref(col("v"), d), pref(col("v"), d))))
+    }
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
+        col("nfull").as("qnfull") +:
+        dims.map(d => col(s"n$d").as(s"qn$d")): _*)
+    var scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cfull",
+        round(dot(col("v"), col("qv")) / (col("nfull") * col("qnfull")), 6))
+    for (d <- dims) scored = scored.withColumn(s"c$d",
+      round(dot(pref(col("v"), d), pref(col("qv"), d))
+        / (col(s"n$d") * col(s"qn$d")), 6))
+    def w(c: String) = Window.partitionBy(col("q_id"))
+      .orderBy(col(c).desc, col("vec_id"))
+    var ranked = scored.withColumn("rnfull", row_number().over(w("cfull")))
+    for (d <- dims) ranked = ranked.withColumn(s"rn$d", row_number().over(w(s"c$d")))
+    val recalls = dims.map(d =>
+      round(sum(when(col(s"rn$d") <= k, 1L).otherwise(0L)) / lit(k.toDouble), 6)
+        .as(s"recall_$d"))
+    ranked
+      .filter(col("rnfull") <= k)
+      .groupBy(col("q_id"))
+      .agg(recalls.head, recalls.tail: _*)
+      .orderBy(col("q_id"))
+  }
+
+  /** Symmetric int8 quantization audit — the serving-side compression
+    * every 100-TB embedding store applies (4× smaller, SIMD-friendly):
+    * per-vector scale = max|x|/127, round-to-nearest levels, and the
+    * reconstruction-error profile per label measured in the same pass.
+    * Error accounting is the repo's exactness discipline: per-CELL
+    * integer ppm (round(|err|·10⁶) as BIGINT) summed order-independently,
+    * plus an order-independent max — no double sum ever crosses a
+    * rounding boundary, so the audit is hash-stable under any
+    * partitioning. One posexplode + one hash aggregate; nothing pairwise.
+    */
+  def int8QuantAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+    e.select(col("label"), col("vec_id"), col("scale"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("err", when(col("scale") === 0.0, 0.0)
+        .otherwise(abs(col("x") - round(col("x") / col("scale"), 0) * col("scale"))))
+      .groupBy(col("label"))
+      .agg(
+        countDistinct(col("vec_id")).as("n_vectors"),
+        count(lit(1)).as("n_cells"),
+        sum(round(col("err") * 1e6, 0).cast("long")).as("total_err_ppm"),
+        round(max(col("err")), 6).as("max_err"))
+      .withColumn("mean_abs_err",
+        round(col("total_err_ppm") / (col("n_cells") * 1000000.0), 6))
+      .orderBy(col("label"))
+  }
+
   /** Per-label centroid — the k-means update step over labeled
     * embeddings: posexplode to (label, dim, x), then one partial+final
     * hash aggregate per (label, dim) cell. Map-side partials mean each

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusOps, MlOps, SimilarityOps}
+
+/** Behavioral invariants for the round-12 tier (privacy scrub,
+  * cross-lingual contamination, embedding compression/truncation) —
+  * properties the DuckDB oracle can't state directly. */
+class Round12OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sf0001
+
+  test("redactionAudit accounting: redacted length = original + growth per match") {
+    // '[ENTITY]' replaces 'customer' (8 chars → 8 chars, +0) and
+    // '[PRODUCT]' replaces 'spark' (5 → 9, +4): the redacted byte size
+    // is exactly originals + 4·n_product — the census must balance.
+    val audit = CorpusOps.redactionAudit(spark, dir)
+    val orig = graft.model.Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(length(col("text"))).as("olen"))
+    val joined = audit.join(orig, Seq("source")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nProd, redLen, oLen) = (r.getAs[Long]("n_product"),
+        r.getAs[Long]("redacted_len"), r.getAs[Long]("olen"))
+      assert(redLen === oLen + 4 * nProd,
+        s"${r.getAs[String]("source")}: $redLen != $oLen + 4*$nProd")
+    }
+  }
+
+  test("crosslangDups rows genuinely span languages and count their docs") {
+    val rows = MlOps.crosslangDups(spark, dir).collect()
+    rows.foreach { r =>
+      val nLangs = r.getAs[Long]("n_langs")
+      val langs = r.getAs[String]("langs").split(",")
+      assert(nLangs >= 2 && langs.length == nLangs,
+        s"langs list disagrees with n_langs: $r")
+      assert(langs.sorted.sameElements(langs), s"langs not sorted: $r")
+      assert(r.getAs[Long]("n_docs") >= nLangs, s"fewer docs than langs: $r")
+    }
+  }
+
+  test("matryoshkaRecall is bounded in [0,1] and full-width recall would be 1") {
+    val rows = SimilarityOps.matryoshkaRecall(spark, dir).collect()
+    assert(rows.length === 5) // one per probe
+    rows.foreach { r =>
+      for (c <- Seq("recall_8", "recall_16", "recall_32")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+    // recall at the FULL width against itself is exactly 1 by
+    // construction — run the same machinery with dims=Seq(64)
+    SimilarityOps.matryoshkaRecall(spark, dir, dims = Seq(64)).collect()
+      .foreach(r => assert(r.getAs[Double]("recall_64") === 1.0))
+  }
+
+  test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
+    // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
+    // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
+    // loose but must NEVER be violated — per label the max observed
+    // error is at most half the largest per-vector scale.
+    val e = graft.model.Tables.embeddings(spark, dir)
+      .select(col("label"),
+        (array_max(transform(col("embedding").cast("array<double>"),
+          x => abs(x))) / 127.0).as("scale"))
+      .groupBy(col("label")).agg(max(col("scale")).as("smax"))
+    val audit = SimilarityOps.int8QuantAudit(spark, dir)
+    audit.join(e, Seq("label")).collect().foreach { r =>
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("smax") / 2 + 1e-9,
+        s"quantization error exceeds half-step: $r")
+      assert(r.getAs[Long]("total_err_ppm") >= 0L)
+      assert(r.getAs[Long]("n_cells") === r.getAs[Long]("n_vectors") * 64)
+    }
+  }
+}
