@@ -306,6 +306,8 @@ object SparkEntry {
     "q_crosslang_dups"  -> ((s, d) => MlOps.crosslangDups(s, d)),
     "q_matryoshka_recall" -> ((s, d) => SimilarityOps.matryoshkaRecall(s, d)),
     "q_int8_quant"      -> ((s, d) => SimilarityOps.int8QuantAudit(s, d)),
+    "q_hamming_recall"  -> ((s, d) => SimilarityOps.hammingRecall(s, d)),
+    "q_cluster_purity"  -> ((s, d) => SimilarityOps.clusterPurity(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5654,5 +5656,58 @@ object SparkEntry {
            round(CAST(sum(CAST(round(err * 1000000.0, 0) AS BIGINT)) AS BIGINT)
              / (count(*) * 1000000.0), 6) AS mean_abs_err
          FROM c GROUP BY 1 ORDER BY label""",
+    // binary-sign Hamming ranking vs exact cosine top-10; Hamming ranks
+    // are exact integers (no quantization discipline needed)
+    "q_hamming_recall" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nv,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, nv AS nq, bits AS qbits
+           FROM e WHERE vec_id < 5),
+         p AS (
+           SELECT e.vec_id, q.q_id,
+             round(list_sum(list_transform(range(1, len(v) + 1),
+               i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (nv * nq), 6) AS cosine,
+             list_sum(list_transform(range(1, len(bits) + 1),
+               i -> CASE WHEN bits[CAST(i AS INTEGER)] <> qbits[CAST(i AS INTEGER)]
+                 THEN 1 ELSE 0 END)) AS hamming
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnc,
+             row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rnh
+           FROM p)
+         SELECT q_id,
+           round(sum(CASE WHEN rnh <= 10 THEN 1 ELSE 0 END) / 10.0, 6) AS recall_hamming,
+           round(sum(hamming) / 10.0, 6) AS top_mean_hamming
+         FROM r WHERE rnc <= 10 GROUP BY 1 ORDER BY q_id""",
+    // same assignment CTE as q_kmeans_step; purity from exact counts
+    "q_cluster_purity" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS nv2
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, v AS cv, nv2 AS nc2 FROM e WHERE vec_id < 8),
+         d AS (
+           SELECT e.vec_id, e.label, c_id,
+             round(nv2 + nc2 - 2.0 * list_sum(list_transform(range(1, len(v) + 1),
+               i -> v[CAST(i AS INTEGER)] * cv[CAST(i AS INTEGER)])), 6) AS dist2
+           FROM e CROSS JOIN c),
+         a AS (
+           SELECT vec_id, label, c_id AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist2, c_id) AS rn FROM d)
+           WHERE rn = 1),
+         cl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1, 2),
+         t AS (SELECT *, row_number() OVER (PARTITION BY cell
+           ORDER BY n DESC, label) AS rtop FROM cl)
+         SELECT cell, CAST(sum(n) AS BIGINT) AS n_vectors,
+           min(CASE WHEN rtop = 1 THEN label END) AS top_label,
+           CAST(max(CASE WHEN rtop = 1 THEN n END) AS BIGINT) AS top_n,
+           round(max(CASE WHEN rtop = 1 THEN n END) * 1.0 / sum(n), 6) AS purity
+         FROM t GROUP BY 1 ORDER BY cell""",
   )
 }

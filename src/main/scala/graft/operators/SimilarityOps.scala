@@ -473,6 +473,81 @@ object SimilarityOps {
       .orderBy(col("label"))
   }
 
+  /** Binary-sign embedding recall — the 32×-compression serving trade
+    * study beside [[matryoshkaRecall]]'s width cut: every dimension
+    * collapses to its sign bit, candidate ranking runs on integer
+    * Hamming distance, and recall@10 against the exact full-precision
+    * cosine top-10 says whether the binarized index is usable. The
+    * Hamming rank is EXACT integer arithmetic (no quantize-before-rank
+    * discipline needed — distances are small ints, vec_id breaks ties),
+    * and the per-probe mean Hamming of the true top-10 calibrates the
+    * radius a binary index would need. Same constant-probe broadcast
+    * shape as every ANN audit here.
+    */
+  def hammingRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val bitsOf = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => when(x >= 0, 1).otherwise(0))
+    val e = embDouble(spark, dir)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bits", bitsOf(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nv").as("nq"), col("bits").as("qbits"))
+    val wC = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val wH = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .withColumn("hamming", expr(
+        """aggregate(zip_with(bits, qbits,
+             (a, b) -> CASE WHEN a <> b THEN 1 ELSE 0 END),
+           0, (acc, x) -> acc + x)"""))
+      .withColumn("rnc", row_number().over(wC))
+      .withColumn("rnh", row_number().over(wH))
+      .filter(col("rnc") <= k)
+      .groupBy(col("q_id"))
+      .agg(
+        round(sum(when(col("rnh") <= k, 1L).otherwise(0L)) / lit(k.toDouble), 6)
+          .as("recall_hamming"),
+        round(sum(col("hamming")) / lit(k.toDouble), 6).as("top_mean_hamming"))
+      .orderBy(col("q_id"))
+  }
+
+  /** K-means cluster purity — the label-agreement eval run after any
+    * unsupervised clustering before its cells are trusted for semantic
+    * dedup or topic sampling: per cell, the majority true label's share
+    * of members. Reuses [[kmeansStep]]'s assignment discipline (k=8
+    * constant centroid broadcast, 6-dp-quantized distances, c_id
+    * tie-break) so the cells match `q_kmeans_step` exactly; purity is
+    * exact integer counts with one terminal division. Random synthetic
+    * embeddings land near 1/k — the honest no-structure baseline the
+    * audit exists to detect.
+    */
+  def clusterPurity(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = embDouble(spark, dir).withColumn("nv2", dot(col("v"), col("v")))
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv2").as("nc2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
+    val wTop = Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col("label"))
+    e.join(broadcast(centroids), lit(true))
+      .withColumn("dist2", round(
+        col("nv2") + col("nc2") - lit(2.0) * dot(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .groupBy(col("c_id").as("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rtop", row_number().over(wTop))
+      .groupBy(col("cell"))
+      .agg(
+        sum(col("n")).as("n_vectors"),
+        min(when(col("rtop") === 1, col("label"))).as("top_label"),
+        max(when(col("rtop") === 1, col("n"))).as("top_n"))
+      .withColumn("purity",
+        round(col("top_n") / col("n_vectors").cast("double"), 6))
+      .orderBy(col("cell"))
+  }
+
   /** Per-label centroid — the k-means update step over labeled
     * embeddings: posexplode to (label, dim, x), then one partial+final
     * hash aggregate per (label, dim) cell. Map-side partials mean each

@@ -242,6 +242,8 @@ class PlanSpec extends AnyFunSuite {
       "q_kmeans_step", // broadcast side = k=8 fixed init centroids (vec_id < 8)
       "q_kmeans_iters", // same k=8 constant centroid side, re-broadcast per iter
       "q_matryoshka_recall", // broadcast side = 5 fixed probes (vec_id < 5)
+      "q_hamming_recall", // broadcast side = 5 fixed probes (vec_id < 5)
+      "q_cluster_purity", // broadcast side = k=8 fixed init centroids
     )
     // Unpartitioned windows tolerated ONLY over frames bounded by
     // construction — a groupBy on an enum/bin/day keyspace, a top-k

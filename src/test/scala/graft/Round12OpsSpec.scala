@@ -56,6 +56,29 @@ class Round12OpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Double]("recall_64") === 1.0))
   }
 
+  test("hammingRecall bounds: recall in [0,1], mean Hamming within [0,64]") {
+    val rows = SimilarityOps.hammingRecall(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_hamming")
+      val mh = r.getAs[Double]("top_mean_hamming")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $r")
+      assert(mh >= 0.0 && mh <= 64.0, s"mean Hamming out of range: $r")
+    }
+  }
+
+  test("clusterPurity cells partition the corpus; purity >= 1/cell and <= 1") {
+    val rows = SimilarityOps.clusterPurity(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    val corpus = graft.model.Tables.embeddings(spark, dir).count()
+    assert(total === corpus, s"cells do not partition the corpus: $total != $corpus")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0, s"purity out of range: $r")
+      assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n_vectors"))
+    }
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
