@@ -308,6 +308,7 @@ object SparkEntry {
     "q_int8_quant"      -> ((s, d) => SimilarityOps.int8QuantAudit(s, d)),
     "q_hamming_recall"  -> ((s, d) => SimilarityOps.hammingRecall(s, d)),
     "q_cluster_purity"  -> ((s, d) => SimilarityOps.clusterPurity(s, d)),
+    "q_source_dedup_matrix" -> ((s, d) => MlOps.sourceDedupMatrix(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5709,5 +5710,20 @@ object SparkEntry {
            CAST(max(CASE WHEN rtop = 1 THEN n END) AS BIGINT) AS top_n,
            round(max(CASE WHEN rtop = 1 THEN n END) * 1.0 / sum(n), 6) AS purity
          FROM t GROUP BY 1 ORDER BY cell""",
+    // linear canonical attribution, never pairwise within dup groups
+    "q_source_dedup_matrix" ->
+      """WITH fp AS (
+           SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+           FROM documents),
+         c AS (SELECT fp, min(doc_id) AS canon_id FROM fp
+           GROUP BY 1 HAVING count(*) >= 2),
+         canon AS (SELECT c.fp, c.canon_id, f.source AS canon_source
+           FROM c JOIN fp f ON f.doc_id = c.canon_id)
+         SELECT canon_source, f.source AS dup_source,
+           CAST(count(*) AS BIGINT) AS n_dup_docs
+         FROM fp f JOIN canon ON f.fp = canon.fp AND f.doc_id <> canon.canon_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -669,6 +669,38 @@ object MlOps {
       .agg(min(col("doc_id")).as("surviving_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("tokenset_md5"))
 
+  /** Cross-SOURCE duplication matrix: for every duplicate token-set
+    * group, who holds the canonical copy (the min-doc_id member, the
+    * dedup survivor convention) and which sources contribute the
+    * redundant members — the "who copies from whom" curation readout
+    * that decides which feed to deprioritize. Deliberately LINEAR, not
+    * pairwise: members attribute to their group's one canonical row via
+    * an equi-join on the 16-byte digest, so a cell (a, b) counts source
+    * b's docs that duplicate a canonical doc of source a and the whole
+    * matrix costs one fingerprint pass + one keyed join at 100 TB.
+    */
+  def sourceDedupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      .select(
+        md5(concat_ws(" ",
+          array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+          .as("fp"),
+        col("doc_id"), col("source"))
+      .localCheckpoint() // feeds the canonical pick AND the member join
+    val canon = fp.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("c"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("fp").as("cfp"), col("c.doc_id").as("canon_id"),
+        col("c.source").as("canon_source"))
+    fp.join(canon,
+        col("fp") === col("cfp") && col("doc_id") =!= col("canon_id"))
+      .groupBy(col("canon_source"), col("source").as("dup_source"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+      .orderBy(col("canon_source"), col("dup_source"))
+  }
+
   /** Cross-lingual contamination audit: token-set fingerprints that
     * appear under MORE THAN ONE language tag — the mislabeled-language
     * detector run before per-language dedup or mixture sampling trusts

@@ -79,6 +79,24 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceDedupMatrix conserves: cells sum to docs minus distinct fingerprints") {
+    // every duplicate group of size n contributes n−1 members to the
+    // matrix and singletons contribute 0, so the grand total is exactly
+    // |docs| − |distinct token sets| — the accounting identity that
+    // catches double-attribution or dropped groups.
+    val matrixTotal = MlOps.sourceDedupMatrix(spark, dir)
+      .agg(coalesce(sum(col("n_dup_docs")), lit(0L))).head().getLong(0)
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select(col("text"),
+        md5(concat_ws(" ",
+          array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+          .as("fp"))
+    val n = docs.count()
+    val distinct = docs.select(col("fp")).distinct().count()
+    assert(matrixTotal === n - distinct,
+      s"matrix total $matrixTotal != $n - $distinct")
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
