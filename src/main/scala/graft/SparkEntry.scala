@@ -309,6 +309,8 @@ object SparkEntry {
     "q_hamming_recall"  -> ((s, d) => SimilarityOps.hammingRecall(s, d)),
     "q_cluster_purity"  -> ((s, d) => SimilarityOps.clusterPurity(s, d)),
     "q_source_dedup_matrix" -> ((s, d) => MlOps.sourceDedupMatrix(s, d)),
+    "q_survival_km"     -> ((s, d) => BehaviorOps.survivalKm(s, d)),
+    "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5725,5 +5727,71 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_dup_docs
          FROM fp f JOIN canon ON f.fp = canon.fp AND f.doc_id <> canon.canon_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // KM estimator: risk sets from a bounded day-grid join; the
+    // survival product is an ORDERED running sum of ln(1-h) — identical
+    // sequential FP addition in both engines
+    "q_survival_km" ->
+      """WITH u AS (
+           SELECT user_id, min(epoch_ns(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS tp
+           FROM events GROUP BY 1),
+         dur AS (
+           SELECT CASE WHEN tp IS NOT NULL AND (tp - t0) // 86400000000000 <= 7
+               THEN (tp - t0) // 86400000000000 ELSE 7 END AS t,
+             CASE WHEN tp IS NOT NULL AND (tp - t0) // 86400000000000 <= 7
+               THEN 1 ELSE 0 END AS ev
+           FROM u),
+         g AS (SELECT unnest(range(0, 8)) AS day),
+         km AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS at_risk,
+             CAST(sum(CASE WHEN t = day AND ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+             CAST(sum(CASE WHEN t = day AND ev = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_censored
+           FROM dur JOIN g ON t >= day GROUP BY 1)
+         SELECT CAST(day AS BIGINT) AS day, at_risk, n_events, n_censored,
+           round(n_events / at_risk, 6) AS hazard,
+           round(exp(sum(ln(1.0 - n_events / at_risk)) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+         FROM km ORDER BY day""",
+    // zone-map pruning payoff over the q_zorder_layout bucket table
+    "q_zonemap_skip" ->
+      """WITH o AS (
+            SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+              CAST((EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate)) % 256 AS BIGINT) AS y
+            FROM orders),
+          z AS (
+            SELECT x, y,
+              ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2
+              + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8
+              + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32
+              + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128
+              + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512
+              + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048
+              + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192
+              + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zkey
+            FROM o),
+          layout AS (
+            SELECT zkey >> 8 AS zbucket, count(*) AS n_orders,
+              min(x) AS min_x, max(x) AS max_x,
+              min(y) AS min_y, max(y) AS max_y
+            FROM z GROUP BY 1),
+          probes AS (SELECT * FROM (VALUES
+            (1, 'x', 32, 63), (2, 'x', 128, 191), (3, 'y', 0, 63))
+            AS t(probe_id, dim, lo, hi)),
+          sk AS (
+            SELECT probe_id, n_orders,
+              CASE WHEN dim = 'x' THEN max_x < lo OR min_x > hi
+                ELSE max_y < lo OR min_y > hi END AS skip
+            FROM layout CROSS JOIN probes)
+          SELECT CAST(probe_id AS BIGINT) AS probe_id,
+            CAST(count(*) AS BIGINT) AS n_buckets,
+            CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_buckets,
+            CAST(sum(CASE WHEN skip THEN n_orders ELSE 0 END) AS BIGINT) AS rows_skipped,
+            CAST(sum(n_orders) AS BIGINT) AS rows_total,
+            round(sum(CASE WHEN skip THEN n_orders ELSE 0 END) * 1.0
+              / sum(n_orders), 6) AS skip_ratio
+          FROM sk GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1408,4 +1408,50 @@ object BehaviorOps {
         round(pow(col("n") - expected, 2) / expected, 6).as("chi2_term"))
       .orderBy(col("event_type"), col("wd"))
   }
+
+  /** Kaplan–Meier time-to-first-purchase curve with administrative
+    * censoring at a fixed horizon — the survival-analysis member of the
+    * experimentation tier (conversion funnels give the terminal rate;
+    * KM gives the full WHEN curve, and censoring handles users the
+    * observation window cut short without biasing the estimate). The
+    * corpus reduces to one (duration, event) row per user, the risk-set
+    * census is a bounded explode over the ≤(horizon+1)-day grid + one
+    * hash aggregate, and the survival product rides an ordered running
+    * sum of ln(1−hazard) over the tiny KM table — sequential identical
+    * FP addition order in both engines, so the 6-dp survival column is
+    * hash-stable. Nothing here scales with events except the first
+    * per-user aggregate.
+    */
+  def survivalKm(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayNs = 86400000000000L
+    val u = Tables.fanOut(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts")))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .select(expr(s"(tp - t0) div $dayNs").as("d"), col("tp").isNotNull.as("hasp"))
+    val dur = u.select(
+      when(col("hasp") && col("d") <= horizon, col("d"))
+        .otherwise(lit(horizon.toLong)).as("t"),
+      when(col("hasp") && col("d") <= horizon, 1L).otherwise(0L).as("ev"))
+    val km = dur
+      .select(explode(sequence(lit(0L), lit(horizon.toLong))).as("day"),
+        col("t"), col("ev"))
+      .filter(col("t") >= col("day"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("at_risk"),
+        sum(when(col("t") === col("day") && col("ev") === 1L, 1L).otherwise(0L))
+          .as("n_events"),
+        sum(when(col("t") === col("day") && col("ev") === 0L, 1L).otherwise(0L))
+          .as("n_censored"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km
+      .withColumn("hazard", round(col("n_events") / col("at_risk"), 6))
+      .withColumn("survival",
+        round(exp(sum(log(lit(1.0) - col("n_events") / col("at_risk"))).over(w)), 6))
+      .orderBy(col("day"))
+  }
 }

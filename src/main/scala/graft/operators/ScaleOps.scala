@@ -186,6 +186,44 @@ object ScaleOps {
       .orderBy(col("zbucket"))
   }
 
+  /** Zone-map skip audit over the z-order layout — the payoff
+    * measurement for [[zorderLayout]]: given the per-bucket min/max
+    * zone maps a lake format stores in file footers, how many buckets
+    * (and rows) can a range predicate skip WITHOUT reading a page.
+    * Three probe ranges (two x-ranges, one y-range) fan out of each
+    * layout row by a literal explode — map-side, no join of any kind —
+    * and one hash aggregate scores each probe. A bucket is skippable
+    * when its zone interval lies entirely outside the probe range; the
+    * skip RATIO is what justifies paying the z-order write: interleaved
+    * bits keep BOTH dimensions' zones tight where a single-column sort
+    * leaves the other dimension's zones full-width.
+    */
+  def zonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    val probes = array(
+      struct(lit(1L).as("probe_id"), lit("x").as("dim"),
+        lit(32L).as("lo"), lit(63L).as("hi")),
+      struct(lit(2L).as("probe_id"), lit("x").as("dim"),
+        lit(128L).as("lo"), lit(191L).as("hi")),
+      struct(lit(3L).as("probe_id"), lit("y").as("dim"),
+        lit(0L).as("lo"), lit(63L).as("hi")))
+    zorderLayout(spark, dir)
+      .select(col("*"), explode(probes).as("p"))
+      .select(col("p.probe_id").as("probe_id"), col("n_orders"),
+        when(col("p.dim") === "x",
+            col("max_x") < col("p.lo") || col("min_x") > col("p.hi"))
+          .otherwise(col("max_y") < col("p.lo") || col("min_y") > col("p.hi"))
+          .as("skip"))
+      .groupBy(col("probe_id"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped_buckets"),
+        sum(when(col("skip"), col("n_orders")).otherwise(0L)).as("rows_skipped"),
+        sum(col("n_orders")).as("rows_total"))
+      .withColumn("skip_ratio",
+        round(col("rows_skipped") / col("rows_total").cast("double"), 6))
+      .orderBy(col("probe_id"))
+  }
+
   /** Shard-assignment skew audit: hash every document into 32
     * content-addressed shards (two md5 hex digits mod 32 — the same
     * deterministic addressing as the train/val split) and report each

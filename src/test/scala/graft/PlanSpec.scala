@@ -265,6 +265,7 @@ class PlanSpec extends AnyFunSuite {
       "q_psi_drift",       // fixed bin table
       "q_shard_skew",      // |shards| rows (shard count a literal)
       "q_skyline",         // per-bucket carry summary (bucket width literal)
+      "q_survival_km",     // ≤(horizon+1)-row KM table (horizon a literal)
       "q_type_hour_mi",    // |event types| × 24 cells
       "q_zipf_fit",        // vocab rank table (corpus vocabulary, not rows)
     )

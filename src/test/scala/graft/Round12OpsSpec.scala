@@ -97,6 +97,49 @@ class Round12OpsSpec extends AnyFunSuite {
       s"matrix total $matrixTotal != $n - $distinct")
   }
 
+  test("survivalKm invariants: risk sets shrink by exits, survival non-increasing") {
+    val rows = graft.operators.BehaviorOps.survivalKm(spark, dir)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    var prevSurv = 1.0
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        // tomorrow's risk set loses exactly today's events + censored
+        // (the day grid has no gaps while at_risk > exits)
+        assert(b.getAs[Long]("at_risk") ===
+          a.getAs[Long]("at_risk") - a.getAs[Long]("n_events")
+            - a.getAs[Long]("n_censored"), s"risk-set leak: $a -> $b")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival")
+      assert(s >= 0.0 && s <= prevSurv + 1e-9, s"survival increased: $r")
+      prevSurv = s
+      assert(r.getAs[Double]("hazard") >= 0.0 && r.getAs[Double]("hazard") <= 1.0)
+    }
+  }
+
+  test("zonemapSkip never skips a bucket that contains matching rows") {
+    // ground truth: recompute each probe's matching rows from the raw
+    // layout; a skipped bucket must contribute zero matches, so
+    // rows_total - rows_skipped >= true match count, and ratios in [0,1]
+    val layout = graft.operators.ScaleOps.zorderLayout(spark, dir)
+      .localCheckpoint()
+    val audit = graft.operators.ScaleOps.zonemapSkip(spark, dir).collect()
+    val probes = Seq((1L, "x", 32L, 63L), (2L, "x", 128L, 191L), (3L, "y", 0L, 63L))
+    probes.foreach { case (id, dim, lo, hi) =>
+      val (mn, mx) = if (dim == "x") ("min_x", "max_x") else ("min_y", "max_y")
+      val overlapping = layout
+        .filter(!(col(mx) < lo || col(mn) > hi))
+        .agg(coalesce(sum(col("n_orders")), lit(0L))).head().getLong(0)
+      val r = audit.find(_.getAs[Long]("probe_id") == id).get
+      assert(r.getAs[Long]("rows_total") - r.getAs[Long]("rows_skipped") === overlapping,
+        s"probe $id: surviving rows disagree with zone-map overlap")
+      val ratio = r.getAs[Double]("skip_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
