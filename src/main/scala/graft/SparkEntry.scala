@@ -311,6 +311,7 @@ object SparkEntry {
     "q_source_dedup_matrix" -> ((s, d) => MlOps.sourceDedupMatrix(s, d)),
     "q_survival_km"     -> ((s, d) => BehaviorOps.survivalKm(s, d)),
     "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
+    "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5793,5 +5794,42 @@ object SparkEntry {
             round(sum(CASE WHEN skip THEN n_orders ELSE 0 END) * 1.0
               / sum(n_orders), 6) AS skip_ratio
           FROM sk GROUP BY 1 ORDER BY 1""",
+    // the composed curation pipeline: quality gate -> exact dedup ->
+    // decontaminate -> md5 split -> per-split census
+    "q_corpus_freeze" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         q AS (
+           SELECT doc_id, source, toks, len(toks) AS n_tokens
+           FROM t WHERE len(toks) BETWEEN 20 AND 1000),
+         fp AS (
+           SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+           FROM q),
+         dedup AS (
+           SELECT * FROM fp
+           QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(1, len(toks) - 1)),
+             i -> array_to_string(list_slice(toks, CAST(i AS INTEGER),
+               CAST(i + 2 AS INTEGER)), ' ')))) AS gram
+           FROM t),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+         contaminated AS (
+           SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+           WHERE g.doc_id >= 5),
+         clean AS (
+           SELECT d.* FROM dedup d LEFT JOIN contaminated c USING (doc_id)
+           WHERE c.doc_id IS NULL AND d.doc_id >= 5)
+         SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+             THEN 'train'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+             THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM clean GROUP BY 1 ORDER BY split""",
   )
 }

@@ -814,6 +814,57 @@ object CorpusOps {
       .orderBy(col("decile"))
   }
 
+  /** The end-to-end corpus FREEZE — the four canonical curation stages
+    * composed into the one census a dataset release actually ships:
+    * (1) quality gate (token count inside [20, 1000]), (2) exact
+    * dedup (min-doc_id survivor per token-set digest — WindowGroupLimit
+    * rank, never a whole-group sort), (3) benchmark decontamination
+    * (any distinct trigram shared with the held-out bench docs ejects
+    * the document — broadcast bench grams, left-anti verdict), (4) the
+    * content-addressed md5 train/val/test split, then per-split
+    * docs/tokens/source-diversity. Every stage is the registry's own
+    * oracle-checked building block; composing them in ONE plan proves
+    * the engine's pieces actually pipeline — the tokenize pass is paid
+    * once (checkpoint feeds the quality chain AND the gram chain), and
+    * nothing anywhere is keyed on more than a digest or a gram.
+    */
+  def corpusFreeze(spark: SparkSession, dir: String,
+      minTokens: Int = 20, maxTokens: Int = 1000, benchMax: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      .withColumn("toks", toksCol)
+      .select(col("doc_id"), col("source"), col("toks"))
+      .localCheckpoint() // one tokenize pass for quality AND gram chains
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val dedup = t
+      .filter(size(col("toks")).between(minTokens, maxTokens))
+      .select(col("doc_id"), col("source"), size(col("toks")).as("n_tokens"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fp"))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1)
+    val grams = t.select(col("doc_id"), explode_outer(expr(
+      """CASE WHEN size(toks) < 3 THEN array()
+         ELSE array_distinct(transform(sequence(1, size(toks) - 2),
+           i -> concat_ws(' ', slice(toks, i, 3)))) END""")).as("gram"))
+    val bench = grams.filter(col("doc_id") < benchMax)
+      .select(col("gram")).distinct()
+    val contaminated = grams.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    dedup
+      .filter(col("doc_id") >= benchMax)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(h <= "b", "train").when(h.isin("c", "d"), "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"))
+  }
+
   /** Regex redaction census — the PII-scrub shape every training-data
     * pipeline runs before release (emails, phones, keys → placeholder
     * tags), expressed as codegen'd per-row regexp_count/regexp_replace

@@ -140,6 +140,19 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusFreeze emits three splits and keeps the dedup rank a group limit") {
+    val df = graft.operators.CorpusOps.corpusFreeze(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"dedup rank sorts whole fingerprint groups:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("split")).toSet === Set("train", "val", "test"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0L && r.getAs[Long]("n_tokens") > 0L)
+      assert(r.getAs[Long]("n_sources") <= 20L)
+    }
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
