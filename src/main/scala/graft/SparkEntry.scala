@@ -312,6 +312,7 @@ object SparkEntry {
     "q_survival_km"     -> ((s, d) => BehaviorOps.survivalKm(s, d)),
     "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
+    "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5831,5 +5832,30 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
          FROM clean GROUP BY 1 ORDER BY split""",
+    // per-row integer micro-units keep bucket means order-independent
+    "q_quality_dup_lift" ->
+      """WITH fp AS (
+           SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+           FROM documents),
+         g AS (SELECT fp, CAST(count(*) AS BIGINT) AS dup_count FROM fp GROUP BY 1),
+         t AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             round(least(1.0, len(toks) / 100.0) * 0.5
+               + (1.0 - len(list_filter(toks, s -> s = 'the' OR s = 'a')) * 1.0
+                 / len(toks)) * 0.5, 6) AS quality
+           FROM t),
+         b AS (
+           SELECT CASE WHEN dup_count = 1 THEN 'unique'
+               WHEN dup_count <= 4 THEN '2-4' ELSE '5+' END AS dup_bucket,
+             CAST(round(quality * 1000000.0, 0) AS BIGINT) AS q_micro
+           FROM fp JOIN g USING (fp) JOIN q USING (doc_id))
+         SELECT dup_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q_micro) AS BIGINT) AS q_micro_sum,
+           round(CAST(sum(q_micro) AS BIGINT) / (count(*) * 1000000.0), 6) AS mean_quality
+         FROM b GROUP BY 1 ORDER BY dup_bucket""",
   )
 }

@@ -57,6 +57,41 @@ object TextAnalysisOps {
         col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** Quality-vs-duplication lift — does duplication concentrate in
+    * low-quality documents (the usual hope: dedup doubles as a quality
+    * filter) or uniformly (dedup and quality filtering are independent
+    * passes)? Every document joins its token-set group size, buckets
+    * into unique / 2-4 / 5+, and each bucket reports exact counts plus
+    * a mean quality computed from per-row integer micro-units
+    * (round(quality·10⁶) summed as BIGINT — the money-cents discipline
+    * applied to scores) so the bucket means are hash-stable under any
+    * partitioning. One fingerprint aggregate + one digest-keyed join.
+    */
+  def qualityDupLift(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_remove(array_distinct(split(col("text"), " ")), ""))))
+          .as("fp"))
+      .localCheckpoint() // feeds the group census AND the doc join
+    val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("dup_count"))
+      .select(col("fp").as("gfp"), col("dup_count"))
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    fp.join(groups, col("fp") === col("gfp"))
+      .join(q, Seq("doc_id"))
+      .select(
+        when(col("dup_count") === 1, "unique")
+          .when(col("dup_count") <= 4, "2-4").otherwise("5+").as("dup_bucket"),
+        round(col("quality") * 1e6, 0).cast("long").as("q_micro"))
+      .groupBy(col("dup_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q_micro")).as("q_micro_sum"))
+      .withColumn("mean_quality",
+        round(col("q_micro_sum") / (col("n_docs") * 1000000.0), 6))
+      .orderBy(col("dup_bucket"))
+  }
+
   /** Token counting two ways: whitespace split and regex word extraction
     * (the BPE-ish pre-tokenizer count). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =

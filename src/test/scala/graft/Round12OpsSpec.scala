@@ -153,6 +153,17 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityDupLift buckets partition the corpus; means sit inside [0,1]") {
+    val rows = graft.operators.TextAnalysisOps.qualityDupLift(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === graft.model.Tables.documents(spark, dir).count(),
+      "dup buckets do not partition the corpus")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_quality")
+      assert(m >= 0.0 && m <= 1.0, s"mean quality out of range: $r")
+    }
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
