@@ -139,6 +139,21 @@ class RobustnessSpec extends AnyFunSuite {
       "q_runs_test",         // integer run counts, row-local z
       "q_acf_lags",          // exact integer lag moments, row-local r
       // q_ols_forecast excluded: sse is a cross-row float sum
+      // round-12 exact-arithmetic additions
+      "q_redaction_audit",   // integer regexp counts + byte lengths
+      "q_crosslang_dups",    // digest group-by, counts, sorted lang list
+      "q_source_dedup_matrix", // digest-keyed canonical join, integer counts
+      "q_int8_quant",        // integer ppm cells + order-independent max
+      "q_hamming_recall",    // integer Hamming ranks; cosine ranks on rounded keys
+      "q_matryoshka_recall", // ranks on 6-dp-rounded cosines, integer overlaps
+      "q_cluster_purity",    // ranks on rounded distances, integer counts
+      "q_corpus_freeze",     // digest ranks, gram joins, integer census
+      "q_quality_dup_lift",  // per-row integer micro-units
+      "q_survival_km",       // int/int hazards; survival is an ORDERED running sum
+      "q_zonemap_skip",      // integer zone interval arithmetic
+      "q_approx_distinct",   // HLL registers max-merge (commutative); exact + bound
+      "q_heavy_hitters",     // MG guarantee holds under any partitioning; exact list
+      "q_approx_percentiles", // ε-straddle booleans guaranteed under any merge order
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>
