@@ -313,6 +313,8 @@ object SparkEntry {
     "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
+    "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
+    "q_sample_psi"      -> ((s, d) => graft.operators.CorpusOps.samplePsi(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5857,5 +5859,55 @@ object SparkEntry {
            CAST(sum(q_micro) AS BIGINT) AS q_micro_sum,
            round(CAST(sum(q_micro) AS BIGINT) / (count(*) * 1000000.0), 6) AS mean_quality
          FROM b GROUP BY 1 ORDER BY dup_bucket""",
+    // fragmentation-vs-padding readout over the concat-and-chop packing
+    "q_packing_audit" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+           FROM t),
+         m AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_bins,
+             CAST(sum(CASE WHEN n_tokens > 0 AND start_off // 512 <>
+                 (start_off + n_tokens - 1) // 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_split_docs
+           FROM o GROUP BY 1)
+         SELECT source, n_docs, total_tokens, n_bins,
+           round(total_tokens / (n_bins * 512.0), 6) AS fill_rate,
+           n_split_docs,
+           round(n_split_docs * 1.0 / n_docs, 6) AS split_rate
+         FROM m ORDER BY source""",
+    // per-source PSI attribution: full-corpus vs md5 5%-sample shares
+    "q_sample_psi" ->
+      """WITH cells AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_full,
+             CAST(sum(CASE WHEN (((strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 5
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_full) AS BIGINT) AS nf,
+             CAST(sum(n_sample) AS BIGINT) AS ns,
+             CAST(count(*) AS BIGINT) AS k
+           FROM cells)
+         SELECT source, n_full, n_sample,
+           round((n_full + 1.0) / (nf + k), 6) AS p_full,
+           round((n_sample + 1.0) / (ns + k), 6) AS p_sample,
+           round(((n_full + 1.0) / (nf + k) - (n_sample + 1.0) / (ns + k))
+             * ln(((n_full + 1.0) / (nf + k)) / ((n_sample + 1.0) / (ns + k))), 6)
+             AS psi_term
+         FROM cells CROSS JOIN tot ORDER BY source""",
   )
 }

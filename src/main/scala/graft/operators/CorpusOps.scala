@@ -814,6 +814,72 @@ object CorpusOps {
       .orderBy(col("decile"))
   }
 
+  /** Packing-efficiency audit over [[seqPack]]'s concat-and-chop shard
+    * assembly — the fragmentation-vs-padding readout every pretraining
+    * team tracks: chopping at a fixed bin size wastes almost nothing to
+    * padding (only each source's final partial bin) but SPLITS any
+    * document that straddles a boundary, costing context coherence. Per
+    * source: bins, fill rate (tokens over bins×512), and the count and
+    * rate of boundary-straddling documents — exact integers from the
+    * same one-pass cumulative-offset window seqPack uses, with terminal
+    * divisions only.
+    */
+  def packingAudit(spark: SparkSession, dir: String, binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(toksCol).as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("splits", when(col("n_tokens") > 0 &&
+        expr(s"start_off div $binTokens") =!=
+          expr(s"(start_off + n_tokens - 1) div $binTokens"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (expr(s"(sum(n_tokens) + ${binTokens - 1}) div $binTokens"))
+          .as("n_bins"),
+        sum(col("splits")).as("n_split_docs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_bins"),
+        round(col("total_tokens") / (col("n_bins") * lit(binTokens.toDouble)), 6)
+          .as("fill_rate"),
+        col("n_split_docs"),
+        round(col("n_split_docs") / col("n_docs").cast("double"), 6)
+          .as("split_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Sampling-bias audit: PSI between the full corpus' per-source
+    * document shares and the 5% content-addressed md5 sample's shares —
+    * the pre-flight that says whether "develop on the sample" is safe
+    * or the sample under-represents a source. Same Laplace-smoothed
+    * per-cell (p−q)·ln(p/q) attribution table as the split-drift PSI;
+    * counts are exact integers, every term is row-local double algebra
+    * on identical inputs. A content-addressed sample is provably
+    * unbiased in expectation — the realized PSI quantifies the finite-
+    * sample luck, which is the number a reviewer actually asks for.
+    */
+  def samplePsi(spark: SparkSession, dir: String): DataFrame = {
+    val keep = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100) < 5
+    val cells = Tables.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sample"))
+      .localCheckpoint() // feeds the totals AND the per-cell terms
+    val tot = cells.agg(sum(col("n_full")), sum(col("n_sample"))).head()
+    val (nf, ns) = (tot.getLong(0), tot.getLong(1))
+    val k = cells.count() // bounded: |sources|
+    val p = (col("n_full") + lit(1.0)) / lit(nf + k.toDouble)
+    val q = (col("n_sample") + lit(1.0)) / lit(ns + k.toDouble)
+    cells
+      .select(col("source"), col("n_full"), col("n_sample"),
+        round(p, 6).as("p_full"), round(q, 6).as("p_sample"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("source"))
+  }
+
   /** The end-to-end corpus FREEZE — the four canonical curation stages
     * composed into the one census a dataset release actually ships:
     * (1) quality gate (token count inside [20, 1000]), (2) exact

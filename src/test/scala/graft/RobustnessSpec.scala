@@ -154,6 +154,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_approx_distinct",   // HLL registers max-merge (commutative); exact + bound
       "q_heavy_hitters",     // MG guarantee holds under any partitioning; exact list
       "q_approx_percentiles", // ε-straddle booleans guaranteed under any merge order
+      "q_packing_audit",     // integer offsets/bins, terminal divisions
+      "q_sample_psi",        // integer cells; terms row-local on exact counts
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -164,6 +164,29 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packingAudit invariants: bin arithmetic and the one-split-per-boundary bound") {
+    graft.operators.CorpusOps.packingAudit(spark, dir).collect().foreach { r =>
+      val (docs, toks, bins, splits) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_bins"),
+        r.getAs[Long]("n_split_docs"))
+      assert(bins === (toks + 511) / 512, s"bin count wrong: $r")
+      // each of the n_bins-1 interior boundaries can split at most one doc
+      assert(splits <= bins - 1 && splits <= docs, s"split bound violated: $r")
+      val fill = r.getAs[Double]("fill_rate")
+      assert(fill > 0.0 && fill <= 1.0, s"fill rate out of range: $r")
+    }
+  }
+
+  test("samplePsi terms are non-negative and the sample is a subset") {
+    val rows = graft.operators.CorpusOps.samplePsi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_full"), s"$r")
+      // (p-q)·ln(p/q) has matching signs in both factors
+      assert(r.getAs[Double]("psi_term") >= -1e-9, s"negative PSI term: $r")
+    }
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
