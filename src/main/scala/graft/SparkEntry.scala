@@ -315,6 +315,7 @@ object SparkEntry {
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
     "q_sample_psi"      -> ((s, d) => graft.operators.CorpusOps.samplePsi(s, d)),
+    "q_cluster_span"    -> ((s, d) => graft.operators.GraphOps.nearDupClusterSpan(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -5909,5 +5910,65 @@ object SparkEntry {
              * ln(((n_full + 1.0) / (nf + k)) / ((n_sample + 1.0) / (ns + k))), 6)
              AS psi_term
          FROM cells CROSS JOIN tot ORDER BY source""",
+    // syndication detector: source/lang span per text near-dup cluster
+    // (same CC skeleton as q_cluster_canonical, span census tail)
+    "q_cluster_span" ->
+      """WITH RECURSIVE
+          tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          mh AS (
+            SELECT doc_id, i,
+              substring(min(md5(CAST(i AS VARCHAR) || '|' || t)), 1, 8) AS h
+            FROM tok CROSS JOIN range(8) r(i) WHERE t <> '' GROUP BY doc_id, i),
+          sig AS (
+            SELECT doc_id, string_agg(h, ',' ORDER BY i) AS signature
+            FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b,
+              parts[CAST(b * 2 + 1 AS INTEGER)] || '|' || parts[CAST(b * 2 + 2 AS INTEGER)] AS bucket
+            FROM (SELECT doc_id, string_split(signature, ',') AS parts FROM sig)
+            CROSS JOIN range(4) r(b)),
+          capped AS (
+            SELECT doc_id, b, bucket FROM (
+              SELECT doc_id, b, bucket,
+                row_number() OVER (PARTITION BY b, bucket ORDER BY doc_id) AS rn
+              FROM bands)
+            WHERE rn <= 20),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+            FROM capped l JOIN capped r ON l.b = r.b AND l.bucket = r.bucket
+            WHERE l.doc_id < r.doc_id),
+          g AS (
+            SELECT doc_id,
+              list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+          pairs AS (
+            SELECT a_id, b_id FROM (
+              SELECT a_id, b_id,
+                round(len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+                  CASE WHEN len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) = 0
+                       THEN 1
+                       ELSE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) END,
+                  6) AS jaccard
+              FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+            WHERE jaccard >= 0.1),
+          edges AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          nodes AS (SELECT DISTINCT a AS node FROM edges),
+          reach(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+          comp AS (
+            SELECT node, min(label) AS component FROM reach GROUP BY node),
+          meta AS (SELECT doc_id, source, lang FROM documents)
+          SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(DISTINCT m.source) AS BIGINT) AS n_sources,
+            CAST(count(DISTINCT m.lang) AS BIGINT) AS n_langs,
+            CAST(min(node) AS BIGINT) AS first_doc
+          FROM comp JOIN meta m ON m.doc_id = comp.node
+          GROUP BY component ORDER BY component""",
   )
 }

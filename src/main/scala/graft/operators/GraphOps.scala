@@ -140,9 +140,29 @@ object GraphOps {
     * broadcast, no O(n²) pair stage — so the whole chain (candidates →
     * exact score → components) is the shape that survives 100×. */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
-    connectedComponentsStar(
-      SimilarityOps.nearDupPairs(spark, dir), "a_id", "b_id")
-      .orderBy(col("node"))
+    nearDupCC(spark, dir).orderBy(col("node"))
+
+  /** The (node, component) labeling of the embedding near-dup graph,
+    * materialized once per (app, dir): components, cluster sizes (and
+    * any future cluster census) all start from the same labeling, and
+    * the O(log d)-round star loop is the expensive part — same
+    * amortization discipline as the pair frames themselves. */
+  private def nearDupCC(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "nearDupCC") {
+      connectedComponentsStar(
+        SimilarityOps.nearDupPairs(spark, dir), "a_id", "b_id")
+    }
+
+  /** The text near-dup graph's component labeling (band-collision
+    * candidates → exact bigram Jaccard ≥ 0.1 → star components),
+    * materialized once: canonical selection, the leakage-free split,
+    * and the cluster span census all consume it. */
+  private def jaccardCC(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "jaccardCC") {
+      connectedComponentsStar(
+        DedupOps.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")),
+        "a_id", "b_id")
+    }
 
   /** Degree distribution of the near-dup graph — the health check a
     * dedup run reads first (a fat-tailed degree histogram means a
@@ -166,7 +186,7 @@ object GraphOps {
     * transitive merge would over-delete. Two cheap keyed aggregates on
     * top of the connected-components output. */
   def nearDupClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    nearDupComponents(spark, dir)
+    nearDupCC(spark, dir)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -357,9 +377,7 @@ object GraphOps {
     */
   def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = connectedComponentsStar(
-      DedupOps.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")),
-      "a_id", "b_id")
+    val comp = jaccardCC(spark, dir)
     val quality = TextAnalysisOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
     val labeled = comp.join(quality, comp("node") === quality("doc_id"))
@@ -392,9 +410,7 @@ object GraphOps {
     * split violates whenever a cluster straddles a boundary.
     */
   def leakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val comp = connectedComponentsStar(
-      DedupOps.jaccardPairs(spark, dir).select(col("a_id"), col("b_id")),
-      "a_id", "b_id")
+    val comp = jaccardCC(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
@@ -411,5 +427,27 @@ object GraphOps {
         countDistinct(when(col("clustered"), col("group_key"))).as("n_clusters"),
       )
       .orderBy(col("split"))
+  }
+
+  /** Cluster span census — the syndication detector over the text
+    * near-dup graph: per component, how many distinct SOURCES and
+    * LANGUAGES its members cover. A cluster spanning several sources is
+    * syndicated/boilerplate content (dedup it once globally, or every
+    * per-source pipeline pays for it); a cluster spanning languages is
+    * the near-dup sibling of `q_crosslang_dups`' exact-fingerprint
+    * finding. One metadata equi-join on doc_id against the cached
+    * component labeling + one hash aggregate.
+    */
+  def nearDupClusterSpan(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    jaccardCC(spark, dir)
+      .join(meta, col("node") === col("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("node")).as("first_doc"))
+      .orderBy(col("component"))
   }
 }

@@ -156,6 +156,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_approx_percentiles", // ε-straddle booleans guaranteed under any merge order
       "q_packing_audit",     // integer offsets/bins, terminal divisions
       "q_sample_psi",        // integer cells; terms row-local on exact counts
+      "q_cluster_span",      // integer CC labels + distinct counts
     )
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     exactQueries.foreach { name =>

@@ -187,6 +187,23 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusterSpan agrees with clusterCanonical on the components") {
+    // both consume the same cached text near-dup labeling: the
+    // (component, n_docs) censuses must be identical, and span counts
+    // are bounded by membership
+    val span = graft.operators.GraphOps.nearDupClusterSpan(spark, dir)
+      .collect().map(r => r.getAs[Long]("component") -> r).toMap
+    val canon = graft.operators.GraphOps.clusterCanonical(spark, dir)
+      .collect().map(r => r.getAs[Long]("component") -> r.getAs[Long]("n_docs")).toMap
+    assert(span.keySet === canon.keySet, "component sets disagree")
+    span.foreach { case (c, r) =>
+      assert(r.getAs[Long]("n_docs") === canon(c), s"membership disagrees at $c")
+      assert(r.getAs[Long]("n_sources") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") >= 2L, s"singleton cluster leaked: $r")
+    }
+  }
+
   test("int8QuantAudit error bound: max reconstruction error <= scale/2") {
     // round-to-nearest guarantees |x - q·scale| ≤ scale/2; with scale =
     // max|x|/127 and unit-scale-ish synthetic embeddings the bound is
