@@ -26,6 +26,16 @@ object SimilarityOps {
         col("embedding").cast("array<double>").as("v"))
   }
 
+  /** [[embDouble]] plus the per-vector L2 norm, materialized once per
+    * (app, dir) through the session frame cache — eleven ANN/similarity
+    * queries start from this exact frame, and at 100 TB "embeddings
+    * with norms" is a stored feature table, not a per-query recompute. */
+  private def embNormed(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "embNormed") {
+      embDouble(spark, dir)
+        .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    }
+
   /** Native codegen'd dot product (graft.expr.DotProduct) — replaces the
     * interpreted aggregate(zip_with(...)) HOF pair in every pairwise
     * kernel below; summation order (left-to-right) is identical so all
@@ -42,7 +52,7 @@ object SimilarityOps {
     // Norms are per-vector, not per-pair: compute them once on each side
     // before the join (O(n·d)) so the pairwise stage only does the dot
     // product (O(n·q·d)), not three array folds per pair.
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -69,8 +79,7 @@ object SimilarityOps {
     */
   def cosineNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
-    val e = embDouble(spark, dir)
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
       .withColumn("bucket", bucketExpr)
     val probes = e.filter(col("vec_id") % 20 === 0)
       .select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"), col("nv").as("na"))
@@ -135,7 +144,7 @@ object SimilarityOps {
     * centroid id via the rounded score.
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -173,7 +182,7 @@ object SimilarityOps {
   def ivfRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val ivf = ivfTopK(spark, dir, k)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -208,7 +217,7 @@ object SimilarityOps {
     */
   def ivfNdcg(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val ivf = ivfTopK(spark, dir, k).select(col("q_id"), col("vec_id"), col("rn"))
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -246,8 +255,7 @@ object SimilarityOps {
     * training batch — constant-bounded by construction.
     */
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = embDouble(spark, dir) // carries (vec_id, label, v)
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir) // carries (vec_id, label, v, nv)
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nv").as("nq"), col("label").as("q_label"))
@@ -275,7 +283,7 @@ object SimilarityOps {
     */
   def ivfMrr(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val ivf = ivfTopK(spark, dir, k).select(col("q_id"), col("vec_id"), col("rn"))
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val q = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -310,7 +318,7 @@ object SimilarityOps {
     * centroids / 5 queries / 3 literals).
     */
   def ivfNprobeRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
@@ -386,8 +394,7 @@ object SimilarityOps {
   private[operators] def nearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame =
     DedupOps.cachedFrame(spark, dir, s"nearDupPairs:$threshold") {
-      val e = embDouble(spark, dir)
-        .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      val e = embNormed(spark, dir)
         .withColumn("bucket", bucketExpr)
       val a = e.select(col("bucket"), col("vec_id").as("a_id"),
         col("v").as("av"), col("nv").as("na"))
@@ -487,8 +494,7 @@ object SimilarityOps {
   def hammingRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val bitsOf = (c: org.apache.spark.sql.Column) =>
       transform(c, x => when(x >= 0, 1).otherwise(0))
-    val e = embDouble(spark, dir)
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
       .withColumn("bits", bitsOf(col("v")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -991,7 +997,7 @@ object SimilarityOps {
     */
   def semDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.3, cap: Int = 250): DataFrame = {
-    val e = embDouble(spark, dir).withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val e = embNormed(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nv").as("nc"))
     val wAssign = Window.partitionBy(col("vec_id"))
