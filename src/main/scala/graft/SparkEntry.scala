@@ -4781,7 +4781,7 @@ object SparkEntry {
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-         dims AS (SELECT unnest(range(1, 65)) AS i),
+         dims AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
          st AS (
            SELECT label, i, round(avg(v[CAST(i AS INTEGER)]), 6) AS mu,
              round(stddev_samp(v[CAST(i AS INTEGER)]), 4) AS sd
@@ -5150,8 +5150,8 @@ object SparkEntry {
            FROM e JOIN cohort c USING (user_id)
            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
          cum AS (
-           SELECT cd, wk, sum(cents) OVER (PARTITION BY cd ORDER BY wk
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+           SELECT cd, wk, CAST(sum(cents) OVER (PARTITION BY cd ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
            FROM rev)
          SELECT cd AS cohort_day, wk, cum_cents, n_users,
            round(cum_cents / (n_users * 100.0), 4) AS ltv
@@ -5626,7 +5626,7 @@ object SparkEntry {
              n16 AS qn16, n32 AS qn32 FROM n WHERE vec_id < 5),
          p AS (
            SELECT n.vec_id, q.q_id,
-             round(list_sum(list_transform(range(1, 65),
+             round(list_sum(list_transform(range(1, len(v) + 1),
                i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (n64 * qn64), 6) AS c64,
              round(list_sum(list_transform(range(1, 9),
                i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) / (n8 * qn8), 6) AS c8,
@@ -5756,7 +5756,8 @@ object SparkEntry {
            FROM dur JOIN g ON t >= day GROUP BY 1)
          SELECT CAST(day AS BIGINT) AS day, at_risk, n_events, n_censored,
            round(n_events / at_risk, 6) AS hazard,
-           round(exp(sum(ln(1.0 - n_events / at_risk)) OVER (ORDER BY day
+           round(exp(sum(CASE WHEN n_events < at_risk
+               THEN ln(1.0 - n_events / at_risk) ELSE -1e9 END) OVER (ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
          FROM km ORDER BY day""",
     // zone-map pruning payoff over the q_zorder_layout bucket table

@@ -24,6 +24,39 @@ object BehaviorOps {
     Tables.fanOut(Tables.events(spark, dir))
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
 
+  /** Shared per-(user, day, event_type) activity cube — the session's
+    * materialized daily-activity rollup. Eight registry queries
+    * (rfm, cohort LTV, CUPED, A/B z, power/MDE, lift deciles, growth
+    * accounting, DAU/WAU, retention) all start by reducing the raw
+    * event log to a per-user or per-(user, day) frame; each reduction
+    * is a coarsening of THIS cube, so the event scan + first shuffle
+    * are paid once per session instead of once per query. Money enters
+    * as exact per-row integer CENTS before the first sum (the repo
+    * money invariant — long addition is order-independent, so any
+    * further regrouping of cube cells is hash-stable). At 100 TB this
+    * is the canonical pre-aggregated activity table a warehouse would
+    * maintain anyway: ~users × active-days × 4 event types, orders of
+    * magnitude smaller than the event log.
+    */
+  private[graft] def userDayCube(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "userDayCube") {
+      Tables.fanOut(Tables.events(spark, dir))
+        .select(col("user_id"),
+          expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
+          col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents_row"))
+        .groupBy(col("user_id"), col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents_row")).as("cents"))
+    }
+
+  /** Distinct (user, day) activity frame — the cube coarsened once
+    * more, shared by the active-user family (DAU/WAU, growth
+    * accounting, retention cohorts). */
+  private[graft] def userDays(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "userDays") {
+      userDayCube(spark, dir).select(col("user_id"), col("day")).distinct()
+    }
+
   /** Conversion funnel view → click → purchase, strictly ordered in
     * time per user: stage N counts users whose earliest stage-N event
     * happens AFTER their earliest qualifying stage-(N-1) event. Each
@@ -80,9 +113,7 @@ object BehaviorOps {
     * exchanges total at any scale.
     */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val days = ev(spark, dir)
-      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
-      .distinct()
+    val days = userDays(spark, dir)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
     days
       .withColumn("cohort_day", min(col("day")).over(w))
@@ -513,13 +544,13 @@ object BehaviorOps {
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     // monetary lives in exact integer CENTS from the first aggregate on:
     // ranking and averaging 2-dp doubles would land on half-cent
-    // boundaries where the engines' double sums disagree by one ulp
-    val perUser = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
-        col("value"))
+    // boundaries where the engines' double sums disagree by one ulp.
+    // The user reduction coarsens the shared [[userDayCube]] (regrouping
+    // exact longs — associative, so values match the direct reduction).
+    val perUser = userDayCube(spark, dir)
       .groupBy(col("user_id"))
-      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
-        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .agg(max(col("day")).as("last_day"), sum(col("n")).as("freq"),
+        sum(col("cents")).as("cents"))
     val scored = Seq(
       ("r_score", Seq(col("last_day").desc, col("user_id"))),
       ("f_score", Seq(col("freq").desc, col("user_id"))),
@@ -618,12 +649,11 @@ object BehaviorOps {
 
   def abTestZ(spark: SparkSession, dir: String): DataFrame = {
     val isA = substring(md5(col("user_id").cast("string")), 1, 1) <= "7"
-    val perUser = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"))
+    val perUser = userDayCube(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        count(lit(1)).as("n_ev"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_pur"),
+        sum(col("n")).as("n_ev"),
+        sum(when(col("event_type") === "purchase", col("n")).otherwise(0L)).as("n_pur"),
       )
       .withColumn("converted",
         when(col("n_pur") * 5 > col("n_ev"), 1L).otherwise(0L))
@@ -666,15 +696,15 @@ object BehaviorOps {
     * Same md5 arm assignment as the z-test; one final round per output.
     */
   def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
-    val cutoffUs = 1704412800000000L // 2024-01-05T00:00:00Z, the CDC cutoff
-    val pu = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    // 2024-01-05T00:00:00Z, the CDC cutoff — an exact day boundary
+    // (1704412800 s / 86400 = 19727), so the day-grain [[userDayCube]]
+    // splits pre/post identically to the per-event µs comparison
+    val cutoffDay = 19727L
+    val pu = userDayCube(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        sum(when(col("ts_us") < cutoffUs,
-          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("x"),
-        sum(when(col("ts_us") >= cutoffUs,
-          round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
+        sum(when(col("day") < cutoffDay, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= cutoffDay, col("cents")).otherwise(0L)).as("y"))
       .withColumn("in_a",
         substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
     val m = pu.agg(
@@ -720,11 +750,7 @@ object BehaviorOps {
     * dashboard semantics); stickiness is DAU/WAU rounded once.
     */
   def dauWau(spark: SparkSession, dir: String): DataFrame = {
-    val dayUser = Tables.fanOut(Tables.events(spark, dir))
-      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
-        col("user_id"))
-      .distinct()
-      .localCheckpoint()
+    val dayUser = userDays(spark, dir).select(col("day"), col("user_id"))
     val dau = dayUser.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = dayUser
       .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
@@ -748,11 +774,11 @@ object BehaviorOps {
     * unpartitioned window); each share is one final division.
     */
   def liftDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val perUser = Tables.fanOut(Tables.events(spark, dir))
+    val perUser = userDayCube(spark, dir)
       .groupBy(col("user_id"))
       .agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        sum(when(col("event_type") === "click", col("n")).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", col("n")).otherwise(0L))
           .as("purchases"))
     val dec = distributedNtile(perUser, k, "decile")(
         col("clicks").desc, col("user_id"))
@@ -793,9 +819,9 @@ object BehaviorOps {
     * identical doubles.
     */
   def powerMde(spark: SparkSession, dir: String): DataFrame = {
-    val pu = Tables.fanOut(Tables.events(spark, dir))
+    val pu = userDayCube(spark, dir)
       .groupBy(col("user_id"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      .agg(sum(col("cents")).as("y"))
       .withColumn("in_a",
         substring(md5(col("user_id").cast("string")), 1, 1) <= "7")
     val m = pu.agg(
@@ -957,11 +983,7 @@ object BehaviorOps {
     */
   def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val du = Tables.fanOut(Tables.events(spark, dir))
-      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
-        col("user_id"))
-      .distinct()
-      .localCheckpoint()
+    val du = userDays(spark, dir).select(col("day"), col("user_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val l = du
       .withColumn("prev_day", lag(col("day"), 1).over(w))
@@ -1186,17 +1208,15 @@ object BehaviorOps {
     * integer cents until the single per-row LTV division.
     */
   def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
-          col("event_type"), col("value")))
-      .localCheckpoint() // feeds the cohort assignment AND the revenue cells
-    val cohort = e.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(min(col("day")).as("cd"))
+    // purchase cells of the shared [[userDayCube]] — cohort day and the
+    // weekly revenue buckets both only need day grain, and the cube's
+    // cents are already the exact per-row integer conversion
+    val e = userDayCube(spark, dir).filter(col("event_type") === "purchase")
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cd"))
     val sizes = cohort.groupBy(col("cd")).agg(count(lit(1)).as("n_users"))
     val rev = e.join(Tables.maybeBroadcast(cohort), Seq("user_id"))
-      .filter(col("event_type") === "purchase")
       .groupBy(col("cd"), expr("(day - cd) div 7").as("wk"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .agg(sum(col("cents")).as("cents"))
     val wCum = Window.partitionBy(col("cd")).orderBy(col("wk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rev
@@ -1448,10 +1468,19 @@ object BehaviorOps {
           .as("n_censored"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Degenerate-day guard: if an entire risk set converts (hazard = 1)
+    // Spark's log(0) would yield NULL while DuckDB's ln(0) raises — the
+    // engines would diverge instead of failing together. A finite large
+    // negative sentinel makes exp(running sum) underflow to exactly 0.0
+    // in BOTH engines from that day onward, which is the KM semantics
+    // (survival pinned to 0 once everyone at risk has converted).
     km
       .withColumn("hazard", round(col("n_events") / col("at_risk"), 6))
       .withColumn("survival",
-        round(exp(sum(log(lit(1.0) - col("n_events") / col("at_risk"))).over(w)), 6))
+        round(exp(sum(
+          when(col("n_events") < col("at_risk"),
+            log(lit(1.0) - col("n_events") / col("at_risk")))
+            .otherwise(lit(-1.0e9))).over(w)), 6))
       .orderBy(col("day"))
   }
 }

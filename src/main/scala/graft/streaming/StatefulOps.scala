@@ -143,15 +143,19 @@ object StatefulOps {
     *
     * DELIBERATELY TimeMode.None / TTLConfig.NONE: a TTL-evicting
     * variant (ValueState + TTLConfig(duration), TimeMode.ProcessingTime)
-    * was attempted three times and cannot be tested in this environment.
-    * Under ProcessingTime time-mode the micro-batch engine schedules
-    * clock-advancing batches continuously, so `processAllAvailable`
-    * never quiesces — and `Trigger.AvailableNow` + `awaitTermination`
-    * does NOT escape it either: the drained query kept issuing empty
-    * epochs (observed epoch 99+ in 120 s) without terminating. On a
-    * real cluster TTL state is the right retention knob for unbounded
-    * keyspaces; in-process it is untestable, so it stays out rather
-    * than shipping an unverified path.
+    * was attempted three times (and re-attempted with a timeout guard —
+    * see [[RunningRiskProcessorTtl]]) and cannot be tested in this
+    * environment. Under ProcessingTime time-mode the micro-batch engine
+    * schedules clock-advancing batches continuously, so
+    * `processAllAvailable` never quiesces — and `Trigger.AvailableNow`
+    * + `awaitTermination` does NOT escape it either: the drained query
+    * kept issuing empty epochs (observed epoch 99+ in 120 s) without
+    * terminating. Re-verified on Spark 4.1.2's stabilized state-v2 TTL
+    * config: the skip-guarded spec still times out at 90 s and cancels
+    * with this note. On a real cluster TTL state is the right retention
+    * knob for unbounded keyspaces; in-process it is untestable, so the
+    * wired [[RunningRiskProcessorTtl]] path stays guarded rather than
+    * asserted.
     */
   class RunningRiskProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -193,5 +197,55 @@ object StatefulOps {
       .groupByKey(_.subreddit)
       .transformWithState(new RunningRiskProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[RunningRiskProcessor]] with a processing-time TTL on the value
+    * state — the retention knob an unbounded keyspace needs (keys that
+    * go quiet longer than the TTL are evicted instead of accumulating
+    * forever; a revived key restarts from zero). Requires
+    * TimeMode.ProcessingTime, which is exactly the mode whose
+    * in-process quiescing has been the documented blocker (see the
+    * [[RunningRiskProcessor]] scaladoc); the spec exercising this is
+    * skip-guarded and cancels with the block note if the engine still
+    * refuses to drain. */
+  class RunningRiskProcessorTtl(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, ScoredPost, SubredditStats] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.ValueState[SubredditState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getValueState[SubredditState]("counts",
+        org.apache.spark.sql.Encoders.product[SubredditState],
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: String, rows: Iterator[ScoredPost],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SubredditStats] = {
+      val prev = if (counts.exists()) counts.get() else SubredditState(0L, 0L, 0L)
+      var n = prev.posts
+      var total = prev.totalRisk
+      var high = prev.highRisk
+      rows.foreach { p =>
+        n += 1
+        total += p.risk_score
+        if (p.risk_score >= 30) high += 1
+      }
+      counts.update(SubredditState(n, total, high))
+      Iterator.single(SubredditStats(key, n, total, high,
+        if (n == 0) 0.0 else total.toDouble / n))
+    }
+  }
+
+  /** Wire [[RunningRiskProcessorTtl]] onto the post stream (RocksDB
+    * provider required, as with the non-TTL variant). */
+  def runningSubredditStatsTtl(spark: SparkSession,
+      posts: Dataset[ScoredPost], ttlMs: Long): Dataset[SubredditStats] = {
+    import spark.implicits._
+    posts
+      .groupByKey(_.subreddit)
+      .transformWithState(new RunningRiskProcessorTtl(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update())
   }
 }

@@ -13,13 +13,11 @@ class RobustnessSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sf0001
 
-  test("results are invariant under the shuffle partition count") {
-    // A 1000-executor cluster picks very different partition counts than
-    // local[4]; any query whose result moves with that knob is broken at
-    // scale. Exact-arithmetic queries are asserted bit-identical here;
-    // float-aggregating queries are excluded deliberately (their
-    // stability is post-round and the DuckDB oracle gate covers it).
-    val exactQueries = Seq(
+  // Exact-arithmetic queries: asserted bit-identical under a different
+  // shuffle-partition count. Everything else in the registry lands in
+  // the quantize-then-compare twin test below, so EVERY registry query
+  // carries a partition-count invariance assertion.
+  private val exactQueries = Seq(
       "q_topn_per_group",    // per-row window rank, no cross-row float agg
       "q_retention_cohorts", // counts over integer day buckets
       "q_minhash_bands",     // md5-derived buckets + counts
@@ -158,16 +156,68 @@ class RobustnessSpec extends AnyFunSuite {
       "q_sample_psi",        // integer cells; terms row-local on exact counts
       "q_cluster_span",      // integer CC labels + distinct counts
     )
+
+  private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(name)(spark, dir).collect().toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("results are invariant under the shuffle partition count") {
+    // A 1000-executor cluster picks very different partition counts than
+    // local[4]; any query whose result moves with that knob is broken at
+    // scale. These queries are exact-arithmetic end to end, so the
+    // comparison is bit-identical.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val unknown = exactQueries.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"exactQueries names not in registry: $unknown")
     exactQueries.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      def run(parts: String): Seq[String] = {
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
-        try fn(spark, dir).collect().map(_.toString).toSeq
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      }
-      assert(run("7") === run(prev), s"$name result moved with partition count")
+      assert(runAt(name, "7").map(_.toString) === runAt(name, prev).map(_.toString),
+        s"$name result moved with partition count")
     }
+  }
+
+  /** Tolerant cell equality for the float-aggregating family: floats
+    * compare at 1e-9 relative (a partial-aggregation reorder moves a
+    * double sum by ulps, never by more), everything else bit-exact —
+    * recursing through arrays, structs, and maps. */
+  private def cellEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Double, y: Double) =>
+      (x.isNaN && y.isNaN) || x == y ||
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    case (x: Float, y: Float) => cellEq(x.toDouble, y.toDouble)
+    case (x: Seq[_], y: Seq[_]) =>
+      x.length == y.length && x.lazyZip(y).forall(cellEq)
+    case (x: Array[_], y: Array[_]) => cellEq(x.toSeq, y.toSeq)
+    case (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) =>
+      cellEq(x.toSeq, y.toSeq)
+    case (x: scala.collection.Map[_, _], y: scala.collection.Map[_, _]) =>
+      val ym = y.asInstanceOf[scala.collection.Map[Any, Any]]
+      x.size == y.size && x.asInstanceOf[scala.collection.Map[Any, Any]]
+        .forall { case (k, v) => ym.get(k).exists(cellEq(v, _)) }
+    case _ => a == b
+  }
+
+  test("float-output queries are partition-count invariant after quantization") {
+    // The rest of the registry: queries whose outputs pass through a
+    // cross-row float aggregate before the terminal round. A partition
+    // reorder may move the pre-round sum by an ulp, so the assertion is
+    // tolerant on floats and exact on everything else — together with
+    // the test above, all registry queries are partition-invariance
+    // gated.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val floatQueries = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exactQueries.toSet)
+    assert(exactQueries.size + floatQueries.size == SparkEntry.queries.size)
+    val bad = floatQueries.flatMap { name =>
+      val a = runAt(name, "7")
+      val b = runAt(name, prev)
+      if (a.length == b.length && a.lazyZip(b).forall((x, y) => cellEq(x, y))) None
+      else Some(name)
+    }
+    assert(bad.isEmpty, s"results moved with partition count: $bad")
   }
 
   test("AQE splits a skewed join partition at runtime") {

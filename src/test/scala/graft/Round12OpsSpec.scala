@@ -214,12 +214,17 @@ class Round12OpsSpec extends AnyFunSuite {
         (array_max(transform(col("embedding").cast("array<double>"),
           x => abs(x))) / 127.0).as("scale"))
       .groupBy(col("label")).agg(max(col("scale")).as("smax"))
+    // derive the embedding width from the data rather than pinning 64 —
+    // if the synthetic dimension ever changes this stays a real check
+    val dim = graft.model.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0).toLong
     val audit = SimilarityOps.int8QuantAudit(spark, dir)
     audit.join(e, Seq("label")).collect().foreach { r =>
       assert(r.getAs[Double]("max_err") <= r.getAs[Double]("smax") / 2 + 1e-9,
         s"quantization error exceeds half-step: $r")
       assert(r.getAs[Long]("total_err_ppm") >= 0L)
-      assert(r.getAs[Long]("n_cells") === r.getAs[Long]("n_vectors") * 64)
+      assert(r.getAs[Long]("n_cells") === r.getAs[Long]("n_vectors") * dim)
     }
   }
 }

@@ -35,15 +35,35 @@ class SourceLintSpec extends AnyFunSuite {
       }
     }
 
+  /** Whole-file offender scan — matches across line breaks (the per-line
+    * variant missed a multi-line spelling of `round(sum(value)\n * 100`)
+    * and reports the 1-based line of each match start.
+    */
+  private def offendersMultiline(pattern: scala.util.matching.Regex): Seq[String] =
+    mainSources.flatMap { case (path, text) =>
+      pattern.findAllMatchIn(text).map { m =>
+        val line = text.substring(0, m.start).count(_ == '\n') + 1
+        val snippet = text.substring(m.start, math.min(m.end, m.start + 80))
+          .replaceAll("\\s+", " ")
+        s"$path:$line: $snippet"
+      }
+    }
+
   test("no money sum is scaled to cents AFTER a double aggregate") {
-    // forbids `round(sum(<double>) * 100 ...)` in Column algebra and
-    // `round(sum(<double>) * 100, 0)` in oracle SQL — both must convert
-    // per row first. The `* 100` anchor plus the no-`/` guard keeps the
-    // LEGIT spellings out of scope: a terminal division of an exact
-    // integer-cents sum (`round(sum(cents) / (n * 100.0), 2)`) is
-    // order-independent arithmetic on longs, only MULTIPLYING a double
-    // sum back to cents is the order-dependent bug.
-    val bad = offenders("""round\(sum\([^/\n]*\*\s*100""".r)
+    // forbids `round(sum(<double>) * 100, 0)` (and the `* 100)` shape) in
+    // Column algebra and oracle SQL alike — both must convert per row
+    // first. Two anchors keep the LEGIT spellings out of scope:
+    //  - no `/` between sum( and * 100: a terminal division of an exact
+    //    integer-cents sum (`round(sum(cents) / (n * 100.0), 2)`) is
+    //    order-independent arithmetic on longs;
+    //  - `100` must be immediately followed by `,` or `)` (not `100.0 /`):
+    //    percentage math like `round(sum(cnt) * 100.0 / total, 2)` is a
+    //    rounded float output, not a cents cast. Only MULTIPLYING a
+    //    double sum back to integer cents is the order-dependent bug.
+    // The char class [^/] spans newlines (so a line-broken spelling is
+    // still caught) while refusing to cross a division — the percentage
+    // guard that matters.
+    val bad = offendersMultiline("""round\(sum\([^/]{0,200}?\*\s*100\s*[,)]""".r)
     assert(bad.isEmpty,
       s"sum-then-scale-then-round money pattern (convert per row instead):\n${bad.mkString("\n")}")
   }
@@ -55,5 +75,207 @@ class SourceLintSpec extends AnyFunSuite {
     val bad = offenders("""CAST\(round\(sum\(""".r)
     assert(bad.isEmpty,
       s"round-after-sum integer cast in oracle SQL:\n${bad.mkString("\n")}")
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle window-sum output-type lint.
+  //
+  // DuckDB types `sum(BIGINT) OVER (...)` as HUGEINT, which surfaces in
+  // Arrow as decimal128(38,0) — while Spark's identical window sum is
+  // int64. The driver's hash is type-sensitive, so a window sum whose
+  // RAW value reaches the oracle's output column list diverges even when
+  // every cell is bit-identical (the exact defect that kept q_cohort_ltv
+  // red for two rounds after the values were already right: the inner
+  // `rev` sum was dutifully CAST to BIGINT, the cumulative `cum` window
+  // sum was not, and its alias flowed bare into the final SELECT).
+  //
+  // The lint below is paren-aware, not a line grep: it finds every
+  // `sum(...) OVER ...` in every registered oracle, decides whether it
+  // is wrapped in a type-fixing CAST(...)/round(...) (looking outward
+  // through type-transparent coalesce(...) and grouping parens), and
+  // flags any unwrapped one that either sits directly in the final
+  // SELECT list or whose alias is passed through the final SELECT list
+  // bare (with at most a rename).
+  // ---------------------------------------------------------------------
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def isIdent(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Offsets of each depth-0 occurrence of a bare keyword (case-insensitive). */
+  private def topLevelKeyword(sql: String, kw: String): Seq[Int] = {
+    val lower = sql.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var i = 0
+    while (i < lower.length) {
+      lower.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && lower.startsWith(kw, i) &&
+              (i == 0 || !isIdent(lower.charAt(i - 1))) &&
+              (i + kw.length >= lower.length || !isIdent(lower.charAt(i + kw.length))))
+            { out += i; i += kw.length }
+          else i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Column identifiers that pass through the final SELECT list bare
+    * (possibly qualified, possibly renamed — both preserve the type). */
+  private def bareFinalSelectIdents(sql: String): (Int, Int, Set[String]) = {
+    val selects = topLevelKeyword(sql, "select")
+    if (selects.isEmpty) return (0, 0, Set.empty)
+    val sel = selects.last
+    val froms = topLevelKeyword(sql, "from").filter(_ > sel)
+    val end = if (froms.isEmpty) sql.length else froms.head
+    val span = sql.substring(sel + "select".length, end)
+    // split at depth-0 commas within the span
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    for (i <- span.indices) span.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => items += span.substring(start, i); start = i + 1
+      case _ =>
+    }
+    items += span.substring(start)
+    val bare = """(?is)^\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+as\s+\w+)?\s*$""".r
+    val idents = items.flatMap {
+      case bare(_, col) => Some(col.toLowerCase)
+      case _ => None
+    }.toSet
+    (sel, end, idents)
+  }
+
+  /** True when the window sum starting before `sumIdx` is ultimately
+    * enclosed in a CAST( or round( — walking outward through ANY other
+    * enclosing call or grouping paren (coalesce/exp/greatest/... — if a
+    * call consumes the sum, what reaches the output is that call's
+    * result, and the terminating CAST/round is what fixes its type; a
+    * chain that never hits one is reported). */
+  private def typeWrapped(sql: String, sumIdx: Int): Boolean = {
+    var p = sumIdx
+    while (true) {
+      while (p > 0 && sql.charAt(p - 1).isWhitespace) p -= 1
+      if (p == 0 || sql.charAt(p - 1) != '(') return false
+      var q = p - 1 // the '('
+      while (q > 0 && sql.charAt(q - 1).isWhitespace) q -= 1
+      var r = q
+      while (r > 0 && isIdent(sql.charAt(r - 1))) r -= 1
+      val fn = sql.substring(r, q).toLowerCase
+      if (fn == "cast" || fn == "round") return true
+      p = r // transparent or unknown call / grouping paren — keep walking out
+    }
+    false
+  }
+
+  /** All `sum(...) OVER ...` occurrences: (startIdx, endIdx, alias, wrapped). */
+  private def windowSums(sql: String): Seq[(Int, Int, Option[String], Boolean)] = {
+    val lower = sql.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Option[String], Boolean)]
+    var i = 0
+    while (i >= 0) {
+      i = lower.indexOf("sum", i)
+      if (i >= 0) {
+        val boundary = i == 0 || !isIdent(lower.charAt(i - 1))
+        var j = i + 3
+        while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
+        if (boundary && j < lower.length && lower.charAt(j) == '(') {
+          val close = matchingParen(sql, j)
+          if (close > 0) {
+            var k = close + 1
+            while (k < lower.length && lower.charAt(k).isWhitespace) k += 1
+            if (lower.startsWith("over", k) &&
+                (k + 4 >= lower.length || !isIdent(lower.charAt(k + 4)))) {
+              var m = k + 4
+              while (m < lower.length && lower.charAt(m).isWhitespace) m += 1
+              val end =
+                if (m < lower.length && lower.charAt(m) == '(') matchingParen(sql, m) + 1
+                else { var e = m; while (e < lower.length && isIdent(lower.charAt(e))) e += 1; e }
+              // optional `AS alias` (only a *direct* alias marks output position)
+              var a = end
+              while (a < lower.length && lower.charAt(a).isWhitespace) a += 1
+              val alias =
+                if (lower.startsWith("as", a) && a + 2 < lower.length &&
+                    lower.charAt(a + 2).isWhitespace) {
+                  var s0 = a + 2
+                  while (s0 < lower.length && lower.charAt(s0).isWhitespace) s0 += 1
+                  var e0 = s0
+                  while (e0 < lower.length && isIdent(lower.charAt(e0))) e0 += 1
+                  if (e0 > s0) Some(lower.substring(s0, e0)) else None
+                } else None
+              out += ((i, end, alias, typeWrapped(sql, i)))
+            }
+          }
+        }
+        i = i + 3
+      }
+    }
+    out.toSeq
+  }
+
+  /** Unwrapped window sums whose raw value becomes an output column:
+    * either the sum IS a final-select item (modulo its alias), or its
+    * alias flows into the final select list bare AND is never shadowed
+    * by a downstream re-definition (`CAST(seq AS BIGINT) AS seq` in a
+    * later CTE re-types the name — that shape is legal). */
+  private def windowSumOffenders(sql: String): Seq[String] = {
+    val (selStart, selEnd, bareIdents) = bareFinalSelectIdents(sql)
+    windowSums(sql).collect {
+      case (start, end, alias, wrapped) if !wrapped =>
+        val directOutput = start >= selStart && start < selEnd
+        val aliasOutput = alias.exists { a =>
+          val defs = s"""(?i)\\bas\\s+$a\\b""".r.findAllMatchIn(sql).size
+          bareIdents.contains(a) && defs <= 1
+        }
+        if (directOutput || aliasOutput)
+          Some(sql.substring(start, math.min(end, start + 70)).replaceAll("\\s+", " "))
+        else None
+    }.flatten
+  }
+
+  test("window-sum lint flags the exact pre-fix q_cohort_ltv shape") {
+    // self-check on the historical offender: the cumulative window sum is
+    // aliased in a CTE and its alias flows bare through the final SELECT.
+    val preFix =
+      """WITH rev AS (SELECT cd, wk, CAST(sum(x) AS BIGINT) AS cents FROM t GROUP BY 1, 2),
+         cum AS (
+           SELECT cd, wk, sum(cents) OVER (PARTITION BY cd ORDER BY wk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+           FROM rev)
+         SELECT cd AS cohort_day, wk, cum_cents, round(cum_cents / 100.0, 4) AS ltv
+         FROM cum ORDER BY cohort_day, wk"""
+    assert(windowSumOffenders(preFix).nonEmpty,
+      "lint failed to flag the un-CAST cumulative window sum that kept q_cohort_ltv red")
+    // and the one-line fix silences it
+    val postFix = preFix.replace(
+      "sum(cents) OVER (PARTITION BY cd ORDER BY wk\n             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents",
+      "CAST(sum(cents) OVER (PARTITION BY cd ORDER BY wk\n             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents")
+    assert(postFix != preFix, "self-check replacement did not apply")
+    assert(windowSumOffenders(postFix).isEmpty,
+      s"lint still fires after the CAST fix: ${windowSumOffenders(postFix)}")
+  }
+
+  test("no oracle lets a raw window sum reach the output column list") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      windowSumOffenders(sql).map(s => s"$name: $s")
+    }
+    assert(bad.isEmpty,
+      s"un-CAST window sum in output position (DuckDB HUGEINT vs Spark int64):\n${bad.mkString("\n")}")
   }
 }

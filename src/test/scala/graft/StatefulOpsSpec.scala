@@ -69,6 +69,57 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL evicts idle state (skip-guarded)") {
+    // TTL (state-v2 ProcessingTime time-mode) was documented-blocked in
+    // r5: the micro-batch engine kept scheduling clock-advancing epochs
+    // and processAllAvailable never quiesced in-process. This re-attempt
+    // is guarded: each drain runs under a hard timeout and the test
+    // CANCELS (keeping the documented block current) instead of hanging
+    // the suite if the engine still refuses to drain.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ScoredPost]
+      val out = StatefulOps.runningSubredditStatsTtl(spark, input.toDS(), ttlMs = 2000L)
+      val q = out.writeStream.format("memory").queryName("substats_ttl")
+        .outputMode("update").start()
+      def drainOrCancel(): Unit =
+        try Await.result(Future(q.processAllAvailable()), 90.seconds)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            try q.stop() finally {}
+            cancel("ProcessingTime time-mode still does not quiesce in-process — " +
+              "documented block in StatefulOps.RunningRiskProcessor stands")
+        }
+      try {
+        input.addData(ScoredPost("depression", 40), ScoredPost("depression", 20))
+        drainOrCancel()
+        // let the TTL lapse with the key idle, then revive it
+        Thread.sleep(3000L)
+        input.addData(ScoredPost("depression", 100))
+        drainOrCancel()
+        val rows = spark.table("substats_ttl")
+          .collect().map(r => (r.getAs[Long]("posts"), r.getAs[Long]("total_risk")))
+          .toSet
+        // batch 1 emitted the accumulated (2, 60); batch 2 must restart
+        // from zero — (1, 100), NOT (3, 160) — because the idle state
+        // outlived its TTL and was evicted
+        assert(rows.contains((2L, 60L)), s"first batch totals missing: $rows")
+        assert(rows.contains((1L, 100L)) && !rows.contains((3L, 160L)),
+          s"state survived past its TTL: $rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("update function is pure: fold semantics without a stream") {
     // GroupState is stream-bound; exercise the arithmetic via the typed
     // API on a one-key batch instead.

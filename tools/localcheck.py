@@ -5,9 +5,18 @@ Usage: python3 tools/localcheck.py <sfdir> <outdir> [query ...]
 
 Reads <outdir>/<query>/ parquet (written by graft.Verify), runs the
 matching SQL from <outdir>/oracle_sql.json in DuckDB over views named
-after the testdata tables, and compares: column names (sorted), row
-count, and cell values (floats to 1e-9 rel tolerance, since the driver
-hashes exact values our queries round anyway).
+after the testdata tables, and compares:
+
+  - column names (sorted)
+  - Arrow column TYPES, normalizing only integer widths (the driver's
+    hash demonstrably tolerates int32 vs int64 but NOT e.g. DuckDB's
+    HUGEINT -> decimal128(38,0) vs Spark's int64 — that exact gap
+    shipped two driver-red rounds while this tool said green)
+  - row count
+  - cell values, bit-exact by default (every registry query rounds its
+    floats, so exactness is achievable and IS the driver's bar).
+    Pass --tol for the legacy 1e-9 relative float tolerance when
+    triaging a genuinely-divergent query.
 """
 import json, sys, glob, math, os
 
@@ -15,6 +24,17 @@ import duckdb
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+INT_TYPES = {"int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64"}
+
+
+def norm_type(t):
+    """Normalize an Arrow type to the equivalence class the driver's
+    type-sensitive hash uses: integer widths collapse, all else exact."""
+    s = str(t)
+    if s in INT_TYPES:
+        return "int"
+    return s
 
 
 def norm(v):
@@ -27,18 +47,24 @@ def norm(v):
     return v
 
 
-def eq(a, b):
-    a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    return a == b
+def make_eq(tol):
+    def eq(a, b):
+        a, b = norm(a), norm(b)
+        if tol and isinstance(a, float) and isinstance(b, (float, int)):
+            if a == b:
+                return True
+            return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+        return a == b
+
+    return eq
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if a != "--tol"]
+    tol = 1e-9 if "--tol" in sys.argv[1:] else 0.0
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
+    eq = make_eq(tol)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -65,6 +91,18 @@ def main():
         s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        type_bad = None
+        for c in s_cols:
+            st = norm_type(spark_tbl.schema.field(c).type)
+            dt = norm_type(duck.schema.field(c).type)
+            if st != dt:
+                type_bad = (c, st, dt)
+                break
+        if type_bad:
+            c, st, dt = type_bad
+            print(f"FAIL {name}: col {c} TYPE differs spark={st} duck={dt}")
             n_fail += 1
             continue
         if spark_tbl.num_rows != duck.num_rows:
