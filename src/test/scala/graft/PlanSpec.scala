@@ -293,6 +293,22 @@ class PlanSpec extends AnyFunSuite {
         unpartitioned.mkString(", "))
   }
 
+  test("behavior family reads the shared user-day cube, not the event log") {
+    // Nine queries (rfm, cohort LTV, CUPED, A/B z, power/MDE, lift
+    // deciles, growth accounting, DAU/WAU, retention) reduce events to a
+    // per-user/per-day frame. They must all coarsen the ONE materialized
+    // session cube — visible in the plan as a Scan ExistingRDD (the
+    // localCheckpoint) with NO parquet FileScan left anywhere.
+    graft.operators.BehaviorOps.userDayCube(spark, dir).count() // warm once
+    Seq("q_rfm_segments", "q_cohort_ltv", "q_cuped", "q_ab_ztest",
+      "q_power_mde", "q_lift_deciles", "q_growth_accounting", "q_dau_wau",
+      "q_retention_cohorts").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      assert(!p.contains("FileScan"), s"$name re-scans parquet instead of the cube:\n$p")
+      assert(p.contains("ExistingRDD"), s"$name does not read the checkpointed cube:\n$p")
+    }
+  }
+
   test("rfm quintile scoring plans no single-partition stage") {
     // The distributedNtile contract: three exact ntile(5) scorings with
     // parallel range shuffles + bucket-partitioned windows — the
