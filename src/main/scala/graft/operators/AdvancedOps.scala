@@ -15,8 +15,8 @@ object AdvancedOps {
   /** Events with exact nanosecond timestamps (unique in practice — the
     * deterministic as-of tiebreak). */
   private def ev(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.events(spark, dir))
-      .select(col("event_id"), col("ts").as("ts_ns"), col("user_id"),
+    BehaviorOps.eventSeq(spark, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
         col("event_type"), col("value"))
 
   /** As-of join: for every purchase, the most recent click by the same
@@ -528,9 +528,9 @@ object AdvancedOps {
     * output).
     */
   def asofNative(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("ts").as("tsn"), col("event_type"), col("value"))
-      .localCheckpoint() // both sides read this one pass
+    // both sides read the one materialized session frame
+    val e = BehaviorOps.eventSeq(spark, dir)
+      .select(col("user_id"), col("ts_ns").as("tsn"), col("event_type"), col("value"))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tsn"), col("value"))
     val c = e.filter(col("event_type") === "click")
@@ -606,8 +606,8 @@ object AdvancedOps {
     */
   def burnRate(spark: SparkSession, dir: String, budgetPct: Int = 25): DataFrame = {
     val w6 = Window.orderBy(col("hr")).rowsBetween(-5, Window.currentRow)
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(expr("ts div 3600000000000").as("hr"), col("event_type")))
+    BehaviorOps.eventSeq(spark, dir)
+      .select(expr("ts_ns div 3600000000000").as("hr"), col("event_type"))
       .groupBy(col("hr"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
@@ -630,8 +630,8 @@ object AdvancedOps {
   def dailyBands(spark: SparkSession, dir: String): DataFrame = {
     val byVal = Window.partitionBy(col("day")).orderBy(col("value"), col("event_id"))
     val wDay = Window.partitionBy(col("day"))
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(expr("ts div 86400000000000").as("day"), col("value"), col("event_id")))
+    BehaviorOps.eventSeq(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("value"), col("event_id"))
       .withColumn("rk", row_number().over(byVal))
       .withColumn("n", count(lit(1)).over(wDay))
       .groupBy(col("day"))
@@ -680,7 +680,7 @@ object AdvancedOps {
     * window instead of a driver scalar.
     */
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
-    val obs = Tables.fanOut(Tables.events(spark, dir).select(col("value")))
+    val obs = BehaviorOps.eventSeq(spark, dir).select(col("value"))
       .filter(col("value") > 0)
       .select(substring(round(col("value") * 100, 0).cast("long").cast("string"), 1, 1)
         .cast("long").as("d"))

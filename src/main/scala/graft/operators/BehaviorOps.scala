@@ -20,9 +20,29 @@ import graft.model.Tables
   */
 object BehaviorOps {
 
+  /** Session-cached canonical event-sequence frame: the full event
+    * projection (event_id, user_id, event_type, ts_ns, ts_us, value),
+    * hash-partitioned on user_id and sorted (user_id, ts_us, event_id)
+    * within partitions, materialized once per session. The checkpoint
+    * keeps the partitioning AND the sort order visible (see
+    * [[DedupOps.cachedPartitionedFrame]]), so the ~20 queries that run
+    * user-keyed windows or per-user aggregates over the event log do so
+    * with NO exchange — and those ordering by (ts_us, event_id) skip
+    * the sort too. This is the 100-TB shape: one clustered, time-sorted
+    * event table maintained once, every sequence analysis reading it
+    * co-partitioned instead of re-shuffling the raw log.
+    */
+  private[graft] def eventSeq(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedPartitionedFrame(spark, dir, "eventSeq") {
+      Tables.fanOut(Tables.events(spark, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").as("ts_ns"), expr("ts div 1000").as("ts_us"), col("value"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+    }
+
   private def ev(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    eventSeq(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
 
   /** Shared per-(user, day, event_type) activity cube — the session's
     * materialized daily-activity rollup. Eight registry queries
@@ -40,9 +60,18 @@ object BehaviorOps {
     */
   private[graft] def userDayCube(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedFrame(spark, dir, "userDayCube") {
-      Tables.fanOut(Tables.events(spark, dir))
+      // coarsens the already-partitioned [[eventSeq]] — user_id is a
+      // subset of the grouping key, so the BUILD aggregate is
+      // exchange-free. The cube itself is cached WITHOUT pinned
+      // partitioning on purpose: it is orders of magnitude smaller than
+      // the log, so downstream exchanges over it are cheap and AQE's
+      // runtime coalescing beats a fixed 32-way layout (measured: the
+      // ntile consumers pay ~2.5 s extra when the pinned partitioning
+      // forces every range-shuffle sampling pass over 32 tiny
+      // partitions)
+      eventSeq(spark, dir)
         .select(col("user_id"),
-          expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
+          expr("CAST(ts_ns div 86400000000000 AS BIGINT)").as("day"),
           col("event_type"),
           round(col("value") * 100, 0).cast("long").as("cents_row"))
         .groupBy(col("user_id"), col("day"), col("event_type"))
@@ -55,6 +84,18 @@ object BehaviorOps {
   private[graft] def userDays(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedFrame(spark, dir, "userDays") {
       userDayCube(spark, dir).select(col("user_id"), col("day")).distinct()
+    }
+
+  /** Per-(event_type, day) census — the cube coarsened to the daily
+    * time-series grain shared by the trend/seasonality family
+    * (Theil–Sen, ACF, Mann–Kendall, OLS forecast, calendars, bands…).
+    * Exact counts and exact integer cents; at 100 TB this is the daily
+    * rollup mart those queries would read anyway. */
+  private[graft] def typeDaily(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "typeDaily") {
+      userDayCube(spark, dir)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
     }
 
   /** Conversion funnel view → click → purchase, strictly ordered in
@@ -138,9 +179,8 @@ object BehaviorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+    eventSeq(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
       .withColumn("n_1h", count(lit(1)).over(w))
       .withColumn("value_1h", round(sum(col("value")).over(w), 2))
       .select(col("event_id"), col("user_id"), col("ts_us"),
@@ -165,9 +205,8 @@ object BehaviorOps {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val runs = Window.partitionBy(col("user_id")).orderBy(col("seq"))
-    Tables.fanOut(Tables.events(spark, dir))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+    eventSeq(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
       .withColumn("chg",
         when(col("prev_type").isNull
@@ -197,10 +236,9 @@ object BehaviorOps {
   def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val runs = Window.partitionBy(col("user_id")).orderBy(col("s"))
-    val e = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
-      .localCheckpoint() // feeds the dimension build AND the probe side
+    // the shared [[eventSeq]] frame feeds the dimension build AND the
+    // probe side (already materialized + user-partitioned)
+    val e = eventSeq(spark, dir)
     val iv = e.filter(col("event_type").isin("signup", "error"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTime).isNull ||
@@ -256,10 +294,9 @@ object BehaviorOps {
       .withColumn("rn", row_number().over(byRecency))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("value").as(valueAs))
-    val events = Tables.fanOut(Tables.events(spark, dir))
+    val events = eventSeq(spark, dir)
       .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("value"),
-        expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
     val base = latest(events.filter(col("ts_us") < cutoffUs), "base_value")
     val delta = latest(events.filter(
       col("ts_us") >= cutoffUs && col("ts_us") < deltaEndUs), "delta_value")
@@ -348,10 +385,9 @@ object BehaviorOps {
     * to days that actually occur so sparse calendars don't invent rows.
     */
   def decayedDailyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("event_type"), expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    // daily counts come from the shared [[typeDaily]] census: sum of
+    // per-cell counts == per-day event count, exactly
+    val daily = typeDaily(spark, dir).select(col("event_type"), col("day"), col("n"))
     val contrib = daily
       .select(col("event_type"), col("day"), col("n"),
         explode(sequence(lit(0), lit(6))).as("age"))
@@ -383,10 +419,7 @@ object BehaviorOps {
     * nothing); the anomaly FLAG uses 1.5 sigmas.
     */
   def weekdayAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("event_type"), expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = typeDaily(spark, dir).select(col("event_type"), col("day"), col("n"))
       .withColumn("dow", col("day") % 7)
     val base = daily.groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("nd"), sum(col("n")).as("sx"),
@@ -417,13 +450,8 @@ object BehaviorOps {
     * 1-row broadcast would plan the registry-banned nested loop).
     */
   def seasonalIndex(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("event_type"),
-        expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = typeDaily(spark, dir).select(col("event_type"), col("day"), col("n"))
       .withColumn("dow", col("day") % 7)
-      .localCheckpoint()
     val spine = daily.select(col("day"), col("dow")).distinct()
       .groupBy(col("dow")).agg(count(lit(1)).as("days_dow"))
     val daysAll = spine.agg(sum(col("days_dow"))).head().getLong(0)
@@ -577,9 +605,8 @@ object BehaviorOps {
     */
   def sessionFunnel(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+    val e = eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val sessioned = e
@@ -861,9 +888,9 @@ object BehaviorOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.fanOut(Tables.events(spark, dir))
+    eventSeq(spark, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        col("ts_us"), col("value"))
       .withColumn("last_touch", last(
         when(col("event_type") =!= "purchase", col("event_type")),
         ignoreNulls = true).over(w))
@@ -887,9 +914,8 @@ object BehaviorOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val cells = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+    val cells = eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
@@ -915,9 +941,8 @@ object BehaviorOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("ts_us"))
+    eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
       .withColumn("gap_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
       .groupBy(col("event_type"))
       .agg(count(col("gap_us")).as("n_gaps"),
@@ -939,7 +964,7 @@ object BehaviorOps {
     */
   def timedFunnel(spark: SparkSession, dir: String): DataFrame = {
     val windowUs = 259200L * 1000000L // 72 h
-    val e = ev(spark, dir).localCheckpoint()
+    val e = ev(spark, dir) // projection of the materialized [[eventSeq]]
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
     val c = e.filter(col("event_type") === "click")
@@ -1022,9 +1047,7 @@ object BehaviorOps {
     * integer counts, one division per output row.
     */
   def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
-    val du = Tables.fanOut(Tables.events(spark, dir))
-      .select(expr("CAST(ts div 86400000000000 AS BIGINT)").as("day"),
-        col("user_id"))
+    val du = userDays(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
     val lt = du.select((col("ld") - col("fd")).as("lifetime"))
@@ -1158,8 +1181,8 @@ object BehaviorOps {
     */
   def pathTrigrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))
+    eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns").as("ts"), col("event_id"))
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))
       .filter(col("t3").isNotNull)
@@ -1182,8 +1205,8 @@ object BehaviorOps {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
     val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts div 1000000000").as("ts_s"), col("event_id")))
+    val sess = eventSeq(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000000000").as("ts_s"), col("event_id"))
       .withColumn("brk",
         when(col("ts_s") - lag(col("ts_s"), 1).over(w) >= gapSec ||
           lag(col("ts_s"), 1).over(w).isNull, 1L).otherwise(0L))
@@ -1279,8 +1302,8 @@ object BehaviorOps {
     val half = lit(1.96) *
       sqrt(col("x") * lit(1.0) * (col("n") - col("x")) / col("n") + 0.9604) /
       (col("n") + 3.8416)
-    Tables.fanOut(Tables.events(spark, dir)
-        .select((expr("ts div 3600000000000") % 24).as("hr"), col("event_type")))
+    eventSeq(spark, dir)
+      .select((expr("ts_ns div 3600000000000") % 24).as("hr"), col("event_type"))
       .groupBy(col("hr"))
       .agg(
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
@@ -1305,9 +1328,8 @@ object BehaviorOps {
     val byGap = Window.partitionBy(col("event_type"))
       .orderBy(col("gap_us"), col("user_id"), col("event_id"))
     val wType = Window.partitionBy(col("event_type"))
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"), col("event_id")))
+    eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byTime))
       .filter(col("gap_us").isNotNull)
       .withColumn("rk", row_number().over(byGap))
@@ -1335,9 +1357,9 @@ object BehaviorOps {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bySid = Window.partitionBy(col("user_id")).orderBy(col("sid"))
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), substring(col("event_type"), 1, 1).as("c"),
-          expr("ts div 1000000000").as("ts_s"), col("event_id")))
+    eventSeq(spark, dir)
+      .select(col("user_id"), substring(col("event_type"), 1, 1).as("c"),
+        expr("ts_ns div 1000000000").as("ts_s"), col("event_id"))
       .withColumn("brk",
         when(col("ts_s") - lag(col("ts_s"), 1).over(w) >= gapSec ||
           lag(col("ts_s"), 1).over(w).isNull, 1L).otherwise(0L))
@@ -1364,8 +1386,8 @@ object BehaviorOps {
     */
   def markovSteps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val cells = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))
+    val cells = eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns").as("ts"), col("event_id"))
       .withColumn("b", lead(col("event_type"), 1).over(w))
       .filter(col("b").isNotNull)
       .groupBy(col("event_type").as("a"), col("b"))
@@ -1410,10 +1432,9 @@ object BehaviorOps {
     * rounding.
     */
   def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), (expr("ts div 86400000000000") % 7).as("wd")))
-      .groupBy(col("event_type"), col("wd"))
-      .agg(count(lit(1)).as("n"))
+    val cells = typeDaily(spark, dir)
+      .groupBy(col("event_type"), (col("day") % 7).as("wd"))
+      .agg(sum(col("n")).as("n"))
       .localCheckpoint() // feeds both marginals and the total
     val rowsM = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rn"))
     val colsM = cells.groupBy(col("wd")).agg(sum(col("n")).as("cn"))
@@ -1445,8 +1466,8 @@ object BehaviorOps {
   def survivalKm(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dayNs = 86400000000000L
-    val u = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("user_id"), col("event_type"), col("ts")))
+    val u = eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns").as("ts"))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("t0"),
         min(when(col("event_type") === "purchase", col("ts"))).as("tp"))

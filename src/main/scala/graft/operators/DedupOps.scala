@@ -36,6 +36,28 @@ object DedupOps {
     frameCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, key),
       build.localCheckpoint())
 
+  /** [[cachedFrame]] variant for frames whose VALUE includes their
+    * physical layout: the build runs with AQE momentarily disabled so
+    * the localCheckpoint's LogicalRDD captures the child plan's
+    * hash-partitioning and sort order (under AQE the pre-execution
+    * physical plan reports UnknownPartitioning and the checkpoint
+    * records neither). Downstream keyed windows and aggregates over the
+    * cached frame then meet their distribution/ordering requirements
+    * with NO exchange and NO sort — the exchange reuse that makes a
+    * shared partitioned+sorted frame worth materializing once per
+    * session (probe-verified: a user-keyed lag window over the frame
+    * plans Window ← Scan ExistingRDD directly).
+    */
+  private[operators] def cachedPartitionedFrame(spark: SparkSession, dir: String,
+      key: String)(build: => DataFrame): DataFrame =
+    frameCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, key), {
+      val aqe = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(aqe)
+      spark.conf.set(aqe, "false")
+      try build.localCheckpoint()
+      finally spark.conf.set(aqe, prev)
+    })
+
   /** Distinct non-empty whitespace tokens as an array column. */
   private def tokensCol = array_remove(array_distinct(split(col("text"), " ")), "")
 

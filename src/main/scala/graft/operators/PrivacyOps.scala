@@ -40,7 +40,7 @@ object PrivacyOps {
     * even crosses the shuffle.
     */
   def pseudonymizedActivity(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.events(spark, dir))
+    BehaviorOps.eventSeq(spark, dir)
       .select(
         pseudo(col("user_id")).as("pid"),
         col("event_type"),
@@ -63,10 +63,10 @@ object PrivacyOps {
     * shuffles (cell, user) pairs once.
     */
   def kAnonymityCells(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    Tables.fanOut(Tables.events(spark, dir))
+    BehaviorOps.eventSeq(spark, dir)
       .select(
         col("event_type"),
-        (expr("ts div 3600000000000") % 24).as("hr"),
+        (expr("ts_ns div 3600000000000") % 24).as("hr"),
         floor(col("value") / 100.0).cast("long").as("vband"),
         col("user_id"),
       )

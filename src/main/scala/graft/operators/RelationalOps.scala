@@ -122,9 +122,9 @@ object RelationalOps {
   def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
-    Tables.events(spark, dir)
+    graft.operators.BehaviorOps.eventSeq(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        col("ts_us"), col("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -139,7 +139,7 @@ object RelationalOps {
   def runningSumPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
+    graft.operators.BehaviorOps.eventSeq(spark, dir)
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("running_value", round(sum(col("value")).over(w), 2))
       .orderBy(col("user_id"), col("event_id"))
@@ -148,7 +148,7 @@ object RelationalOps {
   /** W-3 lag/lead delta: per-user value delta between consecutive events. */
   def lagDeltaPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(spark, dir)
+    graft.operators.BehaviorOps.eventSeq(spark, dir)
       .select(col("user_id"), col("event_id"), col("value"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("delta", round(col("value") - col("prev_value"), 2))
@@ -174,7 +174,7 @@ object RelationalOps {
     * purchase, union'd with tags. Spark plans these as semi/anti joins.
     */
   def userSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = graft.operators.BehaviorOps.userDayCube(spark, dir)
     val clickers   = e.filter(col("event_type") === "click").select(col("user_id")).distinct()
     val purchasers = e.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
     val both = clickers.intersect(purchasers).withColumn("set_op", lit("click_and_purchase"))

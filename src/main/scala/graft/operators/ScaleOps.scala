@@ -120,10 +120,10 @@ object ScaleOps {
     * broadcast of the totals row would plan the registry-banned
     * nested-loop join). */
   def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.fanOut(Tables.events(spark, dir))
-      .select(col("user_id"), col("event_type"))
+    val ev = BehaviorOps.userDayCube(spark, dir)
+      .select(col("user_id"), col("event_type"), col("n"))
     def side(t: String, as: String) = ev.filter(col("event_type") === t)
-      .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+      .groupBy(col("user_id")).agg(sum(col("n")).as(as))
     val k = side("view", "n_left").join(side("purchase", "n_right"), Seq("user_id"))
       .withColumn("pairs", col("n_left") * col("n_right"))
       .localCheckpoint()
@@ -318,10 +318,8 @@ object ScaleOps {
     * one hash aggregate over day-bounded input — the grouped sibling of
     * the global Zipf/Heaps fits. */
   def volumeTrend(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_days"),
@@ -340,11 +338,8 @@ object ScaleOps {
     * slope with a (day, day) tie-break, pick the lower median by rank.
     */
   def theilSen(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // both sides of the pair join — one count pass
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n")) // shared daily census
     val a = daily.select(col("event_type"), col("day").as("a_day"), col("n").as("a_n"))
     val b = daily.select(col("event_type"), col("day").as("b_day"), col("n").as("b_n"))
     val pairs = a.join(b, Seq("event_type"))
@@ -373,11 +368,8 @@ object ScaleOps {
     * with a zero-variance guard.
     */
   def acfLags(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("ts div 86400000000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("y"))
-      .localCheckpoint() // both sides of the shifted self-join
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n").as("y"))
     val a = daily.select(col("event_type"), col("day"), col("y").as("ya"),
       explode(sequence(lit(1L), lit(maxLag.toLong))).as("k"))
     // fully renamed right side: both frames descend from one checkpoint,
@@ -411,9 +403,8 @@ object ScaleOps {
     val n = col("n")
     val n1 = col("n1")
     val mid = lit(2.0) * n1 * (n - n1)
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(expr("ts div 86400000000000").as("day")))
-      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    BehaviorOps.typeDaily(spark, dir)
+      .groupBy(col("day")).agg(sum(col("n")).as("y"))
       .withColumn("up",
         when(col("y") > lag(col("y"), 1).over(byDay), 1L)
           .when(col("y") < lag(col("y"), 1).over(byDay), 0L))
@@ -436,11 +427,8 @@ object ScaleOps {
     * corpus — the test correctly refuses to call noise a trend.
     */
   def mannKendall(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("ts div 86400000000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("y"))
-      .localCheckpoint() // both sides of the pair join + the day count
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n").as("y"))
     val a = daily.select(col("event_type"), col("day").as("a_day"), col("y").as("a_y"))
     val b = daily.select(col("event_type"), col("day").as("b_day"), col("y").as("b_y"))
     val s = a.join(b, Seq("event_type"))
@@ -475,10 +463,8 @@ object ScaleOps {
       .rowsBetween(-3, 3)
     val midIdx = ((size(col("win")) + 1) / 2).cast("int") // Column `/` is double division
     val medCol = element_at(sort_array(col("win")), midIdx)
-    Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("cents"))
       .withColumn("win", collect_list(col("cents")).over(w))
       .filter(size(col("win")) === 7)
       .withColumn("med", medCol)
@@ -502,10 +488,8 @@ object ScaleOps {
     * bounded explode.
     */
   def olsForecast(spark: SparkSession, dir: String, horizon: Int = 3): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("ts div 86400000000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("y"))
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n").as("y"))
     val base = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
     val f = daily.join(Tables.maybeBroadcast(base), Seq("event_type"))
       .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
@@ -546,12 +530,11 @@ object ScaleOps {
   def rollingCorr(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("day")).rowsBetween(-7, 7)
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(expr("ts div 86400000000000").as("day"), col("event_type")))
+    val daily = BehaviorOps.typeDaily(spark, dir)
       .groupBy(col("day"))
       .agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        sum(when(col("event_type") === "click", col("n")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", col("n")).otherwise(0L)).as("y"))
     val vx = col("n") * col("sxx") - col("sx") * col("sx")
     val vy = col("n") * col("syy") - col("sy") * col("sy")
     daily
@@ -583,10 +566,8 @@ object ScaleOps {
     import org.apache.spark.sql.expressions.Window
     val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-3, 3)
-    val tr = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val tr = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("cents"))
       .withColumn("trend",
         when(count(lit(1)).over(wMa) === 7, sum(col("cents")).over(wMa) / 7.0))
       .filter(col("trend").isNotNull)
@@ -619,10 +600,9 @@ object ScaleOps {
     * linear-model edition: the full fit is a mergeable aggregate.
     */
   def olsDaily(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(expr("ts div 86400000000000").as("day"), col("value")))
+    val daily = BehaviorOps.typeDaily(spark, dir)
       .groupBy(col("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      .agg(sum(col("cents")).as("y"))
     val minDay = daily.agg(min(col("day"))).head().getLong(0) // bounded scalar
     daily
       .select(
@@ -673,10 +653,8 @@ object ScaleOps {
     val wAll = Window.partitionBy(col("event_type"))
     val meanL = col("p").cast("double") / col("i")
     val meanR = (col("t") - col("p")).cast("double") / (col("nd") - col("i"))
-    val scored = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    val scored = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
       .withColumn("i", row_number().over(wIdx))
       .withColumn("p", sum(col("n")).over(wCum))
       .withColumn("t", sum(col("n")).over(wAll))
@@ -706,9 +684,9 @@ object ScaleOps {
   def consistentSample(spark: SparkSession, dir: String): DataFrame = {
     def keep(c: org.apache.spark.sql.Column) =
       (conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100) < 5
-    val ev = Tables.events(spark, dir)
+    val ev = BehaviorOps.userDayCube(spark, dir)
       .filter(keep(col("user_id")))
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id")).agg(sum(col("n")).as("n_events"))
     val ord = Tables.customer(spark, dir)
       .filter(keep(col("c_custkey")))
       .select(col("c_custkey").as("user_id"), col("c_acctbal"))
@@ -731,9 +709,9 @@ object ScaleOps {
     * DuckDB HLL twin); the spec bounds the relative error and pins
     * reagg-consistency. */
   def hllUnion(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.fanOut(Tables.events(spark, dir)
+    val e = BehaviorOps.eventSeq(spark, dir)
       .select(col("event_type"),
-        expr("(ts div 1000) div 3600000000").as("hour"), col("user_id")))
+        expr("ts_us div 3600000000").as("hour"), col("user_id"))
     val hourly = e.groupBy(col("event_type"), col("hour"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
     hourly
@@ -903,11 +881,8 @@ object ScaleOps {
     */
   def denseCalendar(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the spine bounds AND the fill join
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
     val spine = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(col("event_type"),
@@ -938,11 +913,8 @@ object ScaleOps {
     */
   def interpolateGaps(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("ts div 86400000000000").as("day"), col("value")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-      .localCheckpoint() // feeds the spine bounds AND the observation join
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("cents"))
     val spine = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
@@ -986,10 +958,8 @@ object ScaleOps {
     */
   def acf1(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.fanOut(Tables.events(spark, dir)
-        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day")))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n"))
     val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val lagged = daily.withColumn("next_n", lead(col("n"), 1).over(byDay))
     val sums = lagged.groupBy(col("event_type")).agg(

@@ -61,9 +61,8 @@ object TimeWindowOps {
     * per-partition sort is trivially safe at any corpus scale.
     */
   def ewmaDaily(spark: SparkSession, dir: String, horizon: Int = 20): DataFrame = {
-    val daily = Tables.fanOut(Tables.events(spark, dir))
-      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = BehaviorOps.typeDaily(spark, dir)
+      .select(col("event_type"), col("day"), col("n").as("cnt"))
     val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val frame = byDay.rowsBetween(-(horizon - 1), Window.currentRow)
     daily

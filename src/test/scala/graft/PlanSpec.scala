@@ -420,15 +420,16 @@ class PlanSpec extends AnyFunSuite {
     assert(kmv.contains("WindowGroupLimit"), s"KMV k-cap not pushed:\n$kmv")
   }
 
-  test("sessionized funnel reuses one user-keyed exchange across all windows") {
+  test("sessionized funnel runs on the shared event frame with NO hash exchange") {
     // sessionization partitions by user; the three funnel windows
-    // partition by (user, session). HashPartitioning(user) satisfies
-    // clustering on the superset, so the whole chain must run on a
-    // SINGLE data exchange (plus the round-robin fan-out and the final
-    // single-row aggregate's exchange).
+    // partition by (user, session) — HashPartitioning(user) satisfies
+    // clustering on the superset. Since the query reads the session's
+    // user-partitioned, time-sorted eventSeq checkpoint, the whole
+    // window chain now plans with ZERO data exchanges (only the final
+    // single-row aggregate's SinglePartition exchange remains).
     val p = plan(graft.operators.BehaviorOps.sessionFunnel(spark, dir))
     val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(dataExchanges == 1,
-      s"expected exactly 1 hash exchange under the window chain, got $dataExchanges:\n$p")
+    assert(dataExchanges == 0,
+      s"expected no hash exchange over the shared event frame, got $dataExchanges:\n$p")
   }
 }
