@@ -245,17 +245,11 @@ object GraphOps {
   def kCorePeel(spark: SparkSession, dir: String, k: Int = 2,
       rounds: Int = 3, minSupport: Long = 2L): DataFrame = {
     import spark.implicits._
-    val baskets = graft.model.Tables.fanOut(
-        graft.model.Tables.lineitem(spark, dir))
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    var edges = baskets.select(col("l_orderkey"), col("l_partkey").as("a_id"))
-      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("b_id")),
-        Seq("l_orderkey"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= minSupport)
-      .select(col("a_id"), col("b_id"))
+    // thresholds the session-cached basket-pair table (shared with the
+    // association-rule miner) instead of re-running the basket self-join
+    var edges = graft.operators.MlOps.basketPairs(spark, dir)
+      .filter(col("c_ab") >= minSupport)
+      .select(col("a_item").as("a_id"), col("b_item").as("b_id"))
       .localCheckpoint()
     val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {

@@ -818,21 +818,37 @@ object MlOps {
     * until the three final divisions; the top-50 cliff ranks on the
     * ROUNDED lift with the pair as tie-break.
     */
+  /** Session-cached distinct (order, item) basket table — the base of
+    * both the association-rule miner and the k-core co-purchase graph.
+    */
+  private[graft] def baskets(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "baskets") {
+      Tables.fanOut(
+          Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
+        .distinct()
+    }
+
+  /** Session-cached full basket-pair count table (a < b, every observed
+    * pair): [[assocRules]] and the k-core peel both threshold THIS one
+    * self-join instead of each paying it — the pair space stays bounded
+    * by basket size squared, keyed on the order. */
+  private[graft] def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "basketPairs") {
+      val b = baskets(spark, dir)
+      b.select(col("o"), col("item").as("a_item"))
+        .join(b.select(col("o"), col("item").as("b_item")), Seq("o"))
+        .filter(col("a_item") < col("b_item"))
+        .groupBy(col("a_item"), col("b_item"))
+        .agg(count(lit(1)).as("c_ab"))
+    }
+
   def assocRules(spark: SparkSession, dir: String,
       minPairs: Int = 3): DataFrame = {
-    val basket = Tables.fanOut(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("item"))
-      .distinct()
-      .localCheckpoint() // feeds supports AND both sides of the pair join
+    val basket = baskets(spark, dir)
     val nOrders = basket.select(col("o")).distinct().count()
     val support = basket.groupBy(col("item")).agg(count(lit(1)).as("c"))
-    val pairs = basket.select(col("o"), col("item").as("a_item"))
-      .join(basket.select(col("o"), col("item").as("b_item")), Seq("o"))
-      .filter(col("a_item") < col("b_item"))
-      .groupBy(col("a_item"), col("b_item"))
-      .agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minPairs)
+    val pairs = basketPairs(spark, dir).filter(col("c_ab") >= minPairs)
     val scored = pairs
       .join(Tables.maybeBroadcast(support.select(col("item").as("a_item"),
         col("c").as("c_a"))), Seq("a_item"))
