@@ -353,9 +353,8 @@ object SparkEntry {
   private[graft] def cmsCountsRaw(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val probes = array(cmsProbeTerms.map(lit): _*)
-    Tables.fanOut(Tables.documents(spark, dir).select(col("source"), col("text")))
-      .select(col("source"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    graft.operators.MlOps.docTermsWide(spark, dir)
+      .select(col("source"), col("term"))
       .groupBy(col("source"))
       .agg(call_function("cms_counts", col("term"), probes).as("ests"),
         count(lit(1)).as("n_terms"))
@@ -378,14 +377,10 @@ object SparkEntry {
     * `no_oracle`. Raw estimates via [[cmsCountsRaw]] (spec-pinned).
     */
   private def cmsCountsQuery(spark: SparkSession, dir: String): DataFrame = {
-    // one tokenize+explode pass feeds both the sketch and the exact
-    // counts (the cached-feature discipline; the frame is the same one
-    // cmsCountsRaw aggregates)
-    val terms = Tables.fanOut(
-        Tables.documents(spark, dir).select(col("source"), col("text")))
-      .select(col("source"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .localCheckpoint()
+    // the session-cached token stream feeds both the sketch and the
+    // exact counts (the same frame cmsCountsRaw aggregates)
+    val terms = graft.operators.MlOps.docTermsWide(spark, dir)
+      .select(col("source"), col("term"))
     graft.functions.GraftFunctions.register(spark)
     val probes = array(cmsProbeTerms.map(lit): _*)
     val ests = terms.groupBy(col("source"))

@@ -49,11 +49,10 @@ object DivergenceOps {
       (spark.sparkContext.applicationId, dir), buildCorpus(spark, dir))
 
   private def buildCorpus(spark: SparkSession, dir: String): Corpus = {
-    // the one corpus-scale pass: tokenize + (source, term) partial agg
-    val st = Tables.fanOut(
-        Tables.documents(spark, dir).select(col("source"), col("text")))
-      .select(col("source"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    // the one corpus-scale pass: the session's cached token stream +
+    // (source, term) partial agg
+    val st = MlOps.docTermsWide(spark, dir)
+      .select(col("source"), col("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -186,11 +185,8 @@ object DivergenceOps {
     val cp = corpus(spark, dir)
     val lm = cp.grid.select(col("source").as("cand"), col("term"),
       log((col("c0") + lit(1.0)) / (col("ts") + lit(cp.v))).as("lp"))
-    val dtf = Tables.fanOut(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")))
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    val dtf = MlOps.docTermsWide(spark, dir)
+      .select(col("doc_id"), col("source"), col("term"))
       .groupBy(col("doc_id"), col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val scored = dtf.join(broadcast(lm), Seq("term"))
@@ -264,11 +260,8 @@ object DivergenceOps {
     val cp = corpus(spark, dir)
     val lm = cp.grid.select(col("source").as("cand"), col("term"),
       log((col("c0") + lit(1.0)) / (col("ts") + lit(cp.v))).as("lp"))
-    val dtf = Tables.fanOut(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text")))
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    val dtf = MlOps.docTermsWide(spark, dir)
+      .select(col("doc_id"), col("source"), col("term"))
       .groupBy(col("doc_id"), col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val scored = dtf.join(broadcast(lm), Seq("term"))

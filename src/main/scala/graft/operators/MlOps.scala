@@ -14,11 +14,26 @@ import graft.model.Tables
   */
 object MlOps {
 
-  /** (doc_id, term) pairs — whitespace tokenization with empties dropped. */
+  /** (doc_id, term) pairs — whitespace tokenization with empties
+    * dropped. Session-cached: ~16 call sites across the term-statistics
+    * family (term counts, df/idf, TF-IDF, BM25, keyness, stopwords,
+    * inverted index…) otherwise each pay the tokenize+explode scan.
+    * Everything downstream is exact integer counting, so the shared
+    * materialization cannot move a hash. */
   def docTerms(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    docTermsWide(spark, dir).select(col("doc_id"), col("term"))
+
+  /** The cached token stream with its document metadata — the
+    * (doc, source, lang, term) long table every per-source divergence /
+    * mixture query re-derived with its own explode. */
+  private[graft] def docTermsWide(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "docTerms") {
+      Tables.fanOut(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text")))
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+    }
 
   /** ML-1: corpus term counts, top 20. TakeOrderedAndProject after one
     * hash agg — no global sort. */
@@ -408,10 +423,8 @@ object MlOps {
       .select(col("term"),
         size(split(reprFinal, " ")).as("n_syms"),
         length(col("term")).as("n_chars"))
-    val stf = Tables.fanOut(Tables.documents(spark, dir)
-        .select(col("source"), col("text")))
-      .select(col("source"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    val stf = docTermsWide(spark, dir)
+      .select(col("source"), col("term"))
       .groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
     stf.join(Tables.maybeBroadcast(encoded), Seq("term"))

@@ -231,9 +231,8 @@ object TextAnalysisOps {
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables.fanOut(Tables.documents(spark, dir).select(col("lang"), col("text")))
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    MlOps.docTermsWide(spark, dir)
+      .select(col("lang"), col("term"))
       .groupBy(col("lang"))
       .agg(array_join(
         call_function("freq_items", col("term"), lit(10)), ",").as("heavy_hitters"))
@@ -254,11 +253,8 @@ object TextAnalysisOps {
     */
   def heavyHittersAudit(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val terms = Tables.fanOut(
-        Tables.documents(spark, dir).select(col("lang"), col("text")))
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .localCheckpoint() // feeds the sketch AND the exact census
+    // the cached token stream feeds the sketch AND the exact census
+    val terms = MlOps.docTermsWide(spark, dir).select(col("lang"), col("term"))
     val sk = terms.groupBy(col("lang"))
       .agg(call_function("freq_items", col("term"), lit(k)).as("cands"),
         count(lit(1)).as("n_tokens"))
@@ -347,11 +343,8 @@ object TextAnalysisOps {
     * share can flip membership.
     */
   def stopwordDiscovery(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.fanOut(Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "")
-      .localCheckpoint() // feeds both frequency aggregates
+    // the cached token stream feeds both frequency aggregates
+    val tok = MlOps.docTerms(spark, dir).select(col("doc_id"), col("term").as("t"))
     val tf = tok.groupBy(col("t")).agg(count(lit(1)).as("cf"))
     val dfreq = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
     val nDocs = Tables.documents(spark, dir).count() // metadata count
