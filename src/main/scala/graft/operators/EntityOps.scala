@@ -32,7 +32,19 @@ object EntityOps {
     * distance and a normalized similarity = 1 - d/maxlen.
     */
   def fuzzyPartPairs(spark: SparkSession, dir: String,
-      maxDist: Int = 3, cap: Int = 40): DataFrame = {
+      maxDist: Int = 3, cap: Int = 40): DataFrame =
+    if (maxDist <= 3 && cap == 40)
+      // the d≤3 pair table subsumes every tighter threshold, so the
+      // fuzzy join and the cluster build share ONE cached blocked
+      // self-join and filter it (dist is emitted per pair anyway)
+      DedupOps.cachedFrame(spark, dir, "fuzzyPartPairs") {
+        buildFuzzyPairs(spark, dir, 3, 40)
+      }.filter(col("dist") <= maxDist)
+        .orderBy(col("a_key"), col("b_key")) // re-assert the output order
+    else buildFuzzyPairs(spark, dir, maxDist, cap)
+
+  private def buildFuzzyPairs(spark: SparkSession, dir: String,
+      maxDist: Int, cap: Int): DataFrame = {
     val parts = Tables.fanOut(
         Tables.part(spark, dir).select(col("p_partkey"), col("p_name")))
       .withColumn("noun", element_at(split(col("p_name"), " "), 2))
