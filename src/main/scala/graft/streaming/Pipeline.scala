@@ -62,6 +62,17 @@ object Pipeline {
   def serialize(posts: DataFrame): DataFrame =
     posts.select(to_json(struct(posts.columns.map(col): _*)).as("value"))
 
+  /** SRC-2 with the producer's record KEY: (key, value) in the Kafka
+    * producer-record shape `KafkaSpoolSink` consumes. Keying by post id
+    * is what gives per-post total order within a partition — the
+    * guarantee the reference leans on implicitly by publishing from one
+    * single-threaded producer loop.
+    */
+  def serializeKeyed(posts: DataFrame, keyCol: String = "id"): DataFrame =
+    posts.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(posts.columns.map(col): _*)).as("value"))
+
   /** P-7 as streaming state: watermarked dedup by post id — the scalable
     * twin of the producer's in-memory `seen_ids` set (reference:
     * kafka_producer/reddit_collector_kafka.py:48,78-81), with state the
