@@ -25,6 +25,35 @@ object ScaleOps {
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_${scratchTag(spark)}/$name").getPath
 
+  /** Once-per-(app, dir) setup for the layout queries: a partitioned or
+    * bucketed table is an ARTIFACT — written once, queried many times —
+    * so the session pays each layout write exactly once and every later
+    * call measures the query against the existing layout, which is the
+    * 100-TB reality (the lake table already exists when the query runs).
+    * The dir digest in the key AND in the on-disk name keeps concurrent
+    * test fixtures on different datasets from colliding. */
+  private val layoutCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  private def layoutOnce(spark: SparkSession, dir: String, name: String)(
+      build: String => String): String =
+    layoutCache.getOrElseUpdate((scratchTag(spark), dir, name),
+      build(dirTag(dir)))
+
+  /** The event table in its lake layout (partitioned by the hot filter
+    * column), shared by [[partitionedScan]] and [[dppJoin]] — identical
+    * content, one write. */
+  private def partitionedEvents(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "partitionedEvents") { dtag =>
+      val out = scratchPath(spark, s"partitioned_$dtag/events")
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(out)
+      out
+    }
+
   /** Parquet aggregate pushdown: global COUNT/MIN/MAX answered from the
     * parquet FOOTER statistics — the scan materializes zero data pages,
     * so at 100 TB the "how big is this table" query costs one metadata
@@ -778,7 +807,8 @@ object ScaleOps {
     * Catalyst from demoting the demo to a broadcast join at toy scale;
     * the oracle checks the result equals the plain join. Bucket count 8
     * stands in for the production number (chosen so bucket ≈ task ≈
-    * 128 MB at real scale); idempotent (drop + overwrite) per run.
+    * 128 MB at real scale); the layout is written once per (app, dir)
+    * via [[layoutOnce]] and every later call joins the existing tables.
     */
   /** Partition-pruned scan: write the fact partitioned by its hot
     * filter column (`partitionBy` — one directory per value, the
@@ -787,14 +817,12 @@ object ScaleOps {
     * at 100 TB the difference between reading 2/5 of the data and all
     * of it before the first filter runs. Complements [[bucketedJoin]]:
     * bucketing co-locates joins, partitioning prunes scans; a real
-    * table does both. Idempotent overwrite per run; the oracle is the
-    * plain filtered aggregate.
+    * table does both. The layout is written once per (app, dir) and
+    * shared with [[dppJoin]]; the oracle is the plain filtered
+    * aggregate.
     */
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratchPath(spark, "partitioned/events")
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val out = partitionedEvents(spark, dir)
     spark.read.parquet(out)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type"))
@@ -814,22 +842,23 @@ object ScaleOps {
     * weighted aggregate makes the pruning observable in the result.
     */
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = scratchPath(spark, "partitioned")
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .write.partitionBy("event_type").mode("overwrite").parquet(s"$base/events")
+    val eventsPath = partitionedEvents(spark, dir)
     // the dim must be a SCAN with a pushable predicate (a constant-
     // folded local relation carries no selective filter, so the DPP
     // rule would skip it); integer weights keep the weighted sum on
     // 2-dp decimals, never at a round-half boundary
-    Seq(("view", 1L), ("click", 3L), ("purchase", 10L), ("signup", 5L),
-        ("error", 0L))
-      .toDF("event_type", "weight")
-      .write.mode("overwrite").parquet(s"$base/weights")
-    val weights = spark.read.parquet(s"$base/weights")
+    val weightsPath = layoutOnce(spark, dir, "eventWeights") { dtag =>
+      import spark.implicits._
+      val out = scratchPath(spark, s"partitioned_$dtag/weights")
+      Seq(("view", 1L), ("click", 3L), ("purchase", 10L), ("signup", 5L),
+          ("error", 0L))
+        .toDF("event_type", "weight")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val weights = spark.read.parquet(weightsPath)
       .filter(col("weight") >= lit(3L))
-    spark.read.parquet(s"$base/events")
+    spark.read.parquet(eventsPath)
       .join(broadcast(weights), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
@@ -839,23 +868,27 @@ object ScaleOps {
   }
 
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val wh = scratchPath(spark, "bucketed")
-    val ordersTable = s"graft_orders_b_${scratchTag(spark)}"
-    val lineitemTable = s"graft_lineitem_b_${scratchTag(spark)}"
-    spark.sql(s"DROP TABLE IF EXISTS $ordersTable")
-    spark.sql(s"DROP TABLE IF EXISTS $lineitemTable")
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .write.format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/orders_b").mode("overwrite")
-      .saveAsTable(ordersTable)
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .write.format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/lineitem_b").mode("overwrite")
-      .saveAsTable(lineitemTable)
+    val tables = layoutOnce(spark, dir, "bucketedOrdersLineitem") { dtag =>
+      val wh = scratchPath(spark, s"bucketed_$dtag")
+      val ordersTable = s"graft_orders_b_${dtag}_${scratchTag(spark)}"
+      val lineitemTable = s"graft_lineitem_b_${dtag}_${scratchTag(spark)}"
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTable")
+      spark.sql(s"DROP TABLE IF EXISTS $lineitemTable")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").mode("overwrite")
+        .saveAsTable(ordersTable)
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").mode("overwrite")
+        .saveAsTable(lineitemTable)
+      s"$ordersTable,$lineitemTable"
+    }
+    val Array(ordersTable, lineitemTable) = tables.split(',')
     spark.table(ordersTable).hint("merge")
       .join(spark.table(lineitemTable),
         col("o_orderkey") === col("l_orderkey"))
