@@ -144,6 +144,49 @@ class KafkaSpoolSinkSpec extends AnyFunSuite {
     assert(eFirst < eSecond, "per-key order preserved across epochs")
   }
 
+  test("full reference topology: replay source → producer sink → processing job") {
+    // The reference wire end to end: the collector polls posts (SRC-1,
+    // here the DSv2 replay source), the producer publishes them keyed by
+    // post id (SRC-2, the spool sink), and the processing job consumes
+    // the topic and scores them (SRC-3/P-1..P-5). Every hop is the real
+    // engine component; only the broker is a directory.
+    def post(id: String, title: String, text: String): String =
+      s"""{"id":"$id","title":"$title","text":"$text","author":"u","subreddit":"s","created_utc":1.0,"score":1,"num_comments":0,"url":"","timestamp":"2025-01-01T00:00:00"}"""
+    val spool = Files.createTempFile("wire-in", ".jsonl")
+    Files.writeString(spool, Seq(
+      post("a", "feeling depressed", "and hopeless"),
+      post("b", "nice day", "sunshine"),
+      post("c", "panic attack", "so scared"),
+    ).mkString("\n"))
+    val topic = Files.createTempDirectory("wire-topic").toString
+    val cp = Files.createTempDirectory("wire-cp").toString
+
+    val raw = spark.readStream
+      .format("graft.sources.ReplaySourceProvider")
+      .option("path", spool.toString)
+      .option("rowsPerBatch", "2")
+      .load()
+    val produce = raw.select(
+      org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("value"), "$.id").as("key"),
+      org.apache.spark.sql.functions.col("value"))
+      .writeStream
+      .format(classOf[KafkaSpoolSinkProvider].getName)
+      .option("path", topic)
+      .option("numPartitions", "3")
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .start()
+    try produce.processAllAvailable() finally produce.stop()
+
+    // consumer side: the processing job over the committed topic view
+    val scored = Pipeline.process(
+      KafkaSpool.readCommitted(spark, topic).select("value"))
+      .collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Int]("risk_score")).toMap
+    assert(scored === Map("a" -> 20, "b" -> 0, "c" -> 20))
+  }
+
   test("epoch replay is idempotent: re-commit is a no-op, no duplicates") {
     import graft.streaming.{KafkaSpoolStreamingWrite, SpoolStaged}
     val root = Files.createTempDirectory("kspool3").toString
