@@ -311,6 +311,7 @@ object SparkEntry {
     "q_source_dedup_matrix" -> ((s, d) => MlOps.sourceDedupMatrix(s, d)),
     "q_survival_km"     -> ((s, d) => BehaviorOps.survivalKm(s, d)),
     "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
+    "q_time_travel"     -> ((s, d) => graft.operators.ScaleOps.timeTravel(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
@@ -5794,6 +5795,24 @@ object SparkEntry {
             round(sum(CASE WHEN skip THEN n_orders ELSE 0 END) * 1.0
               / sum(n_orders), 6) AS skip_ratio
           FROM sk GROUP BY 1 ORDER BY 1""",
+    // Each snapshot recomputed from the raw table + the deterministic
+    // md5 membership predicate — matching rows proves the commit log
+    // reconstructs exactly the committed states.
+    "q_time_travel" ->
+      """WITH v0 AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+            GROUP BY source),
+          v1 AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source)
+          SELECT CAST(0 AS BIGINT) AS version, source, n_docs, total_chars FROM v0
+          UNION ALL
+          SELECT CAST(1 AS BIGINT) AS version, source, n_docs, total_chars FROM v1
+          ORDER BY version, source""",
     // the composed curation pipeline: quality gate -> exact dedup ->
     // decontaminate -> md5 split -> per-split census
     "q_corpus_freeze" ->

@@ -900,6 +900,41 @@ object ScaleOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Time travel over the snapshot-isolated versioned table
+    * ([[graft.sources.VersionedTable]] — the commit-log lake pattern):
+    * build the corpus store in two commits (v0 = the deterministic
+    * md5-addressed train subset via `overwrite`, v1 = `append` of the
+    * remainder, the nightly-ingest shape), then read BOTH versions back
+    * through the log fold and aggregate per source. The oracle
+    * recomputes each snapshot from the raw table and the same md5
+    * predicate, so the hash check proves the commit log reconstructs
+    * exactly the states that were committed — the reproducibility
+    * contract ("training run X read version N") that an in-place
+    * overwrite store cannot make. The table is an artifact: built once
+    * per (app, dir) via [[layoutOnce]], read-only afterwards.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = layoutOnce(spark, dir, "versionedDocs") { dtag =>
+      val path = scratchPath(spark, s"versioned_$dtag/docs")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val t = new graft.sources.VersionedTable(path)
+      t.overwrite(spark, docs.filter(h <= "b"))
+      t.append(spark, docs.filter(h > "b"))
+      path
+    }
+    val t = new graft.sources.VersionedTable(root)
+    Seq(0L, 1L).map { v =>
+      t.readAsOf(spark, v)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(lit(v).as("version"), col("source"),
+          col("n_docs"), col("total_chars"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("version"), col("source"))
+  }
+
   /** Dense-calendar gap fill with day-over-day change: sparse daily
     * counts joined onto the FULL calendar spine (sequence over each
     * type's observed [min, max] day range, exploded) so missing days

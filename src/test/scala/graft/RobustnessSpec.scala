@@ -155,6 +155,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_packing_audit",     // integer offsets/bins, terminal divisions
       "q_sample_psi",        // integer cells; terms row-local on exact counts
       "q_cluster_span",      // integer CC labels + distinct counts
+      // round-13 additions
+      "q_time_travel",       // log-fold file sets, integer counts/sums
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

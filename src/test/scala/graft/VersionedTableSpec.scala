@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+
+/** Snapshot isolation, time travel, and optimistic concurrency of the
+  * commit-log versioned table.
+  */
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def table(): VersionedTable =
+    new VersionedTable(Files.createTempDirectory("vtab").toString)
+
+  test("append grows the snapshot; every old version stays readable") {
+    val t = table()
+    assert(t.version === -1L)
+    assert(t.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v")) === 0L)
+    assert(t.append(spark, Seq((3, "c")).toDF("id", "v")) === 1L)
+    assert(t.readAsOf(spark, 0L).count() === 2)
+    assert(t.read(spark).count() === 3)
+    assert(t.read(spark).select("id").as[Int].collect().sorted === Array(1, 2, 3))
+    assert(t.history.map(h => (h._1, h._2)) === Seq((0L, "append"), (1L, "append")))
+  }
+
+  test("overwrite replaces the head but not history") {
+    val t = table()
+    t.append(spark, Seq((1, "old")).toDF("id", "v"))
+    val v = t.overwrite(spark, Seq((9, "new"), (10, "new")).toDF("id", "v"))
+    assert(v === 1L)
+    assert(t.read(spark).select("id").as[Int].collect().sorted === Array(9, 10))
+    // time travel across the overwrite: version 0 is intact
+    assert(t.readAsOf(spark, 0L).select("v").as[String].collect() === Array("old"))
+  }
+
+  test("staged-but-uncommitted data files are invisible to readers") {
+    val t = table()
+    t.append(spark, Seq((1, "a")).toDF("id", "v"))
+    // a writer crashed after staging: drop an orphan parquet into data/
+    val orphanSrc = Files.createTempDirectory("orphan")
+    Seq((99, "ghost")).toDF("id", "v").write.mode("overwrite")
+      .parquet(orphanSrc.toString + "/p")
+    val part = Files.list(Paths.get(orphanSrc.toString + "/p")).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.copy(f, Paths.get(t.root, "data", "orphan.parquet"))
+        moved = true
+      }
+    }
+    assert(moved)
+    // the snapshot folds the LOG, not the directory: the orphan is invisible
+    assert(t.read(spark).count() === 1)
+  }
+
+  test("optimistic concurrency: one writer wins a version, the loser retries") {
+    val t = table()
+    t.append(spark, Seq((1, "a")).toDF("id", "v"))
+    // two writers race for version 1 at the commit layer
+    assert(t.commit(1L, Seq("""{"op":"meta","operation":"append"}""")))
+    assert(!t.commit(1L, Seq("""{"op":"meta","operation":"append"}""")),
+      "second commit of the same version must lose")
+    // the public API retries past the conflict: this append lands at 2
+    assert(t.append(spark, Seq((2, "b")).toDF("id", "v")) === 2L)
+    assert(t.read(spark).count() === 2)
+  }
+
+  test("concurrent append + overwrite rebase: overwrite owns the final state") {
+    val t = table()
+    t.append(spark, Seq((1, "a")).toDF("id", "v"))       // v0
+    t.append(spark, Seq((2, "b")).toDF("id", "v"))       // v1 (the "concurrent" append)
+    val v = t.overwrite(spark, Seq((7, "x")).toDF("id", "v"))
+    assert(v === 2L)
+    // overwrite removed BOTH earlier files (its remove set rebased to the head)
+    assert(t.read(spark).select("id").as[Int].collect() === Array(7))
+    assert(t.readAsOf(spark, 1L).count() === 2)
+  }
+}
