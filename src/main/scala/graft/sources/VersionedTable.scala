@@ -107,33 +107,67 @@ class VersionedTable(val root: String) {
     }
   }
 
-  /** Stage the frame's parquet files into data/ under unique names;
-    * invisible until some commit references them. */
-  private def stage(spark: SparkSession, df: DataFrame): Seq[String] = {
+  /** Per-file min/max of an INT64 column straight from the parquet
+    * FOOTER — metadata only, zero data pages (at 100 TB these numbers
+    * come from the writer's own row-group stats; here we read them back
+    * the same way any lake engine's stats collector does). */
+  private def footerMinMax(file: Path, column: String): Option[(Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val stats = r.getFooter.getBlocks.asScala.toList.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .map(_.getStatistics)
+      }
+      if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
+      else Some((
+        stats.map(_.genericGetMin match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }).min,
+        stats.map(_.genericGetMax match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }).max))
+    } finally r.close()
+  }
+
+  /** Stage the frame's parquet files into data/ under unique names
+    * (invisible until some commit references them), harvesting footer
+    * min/max of `statsCol` for the commit log's skipping index. */
+  private def stage(spark: SparkSession, df: DataFrame,
+      statsCol: Option[String]): Seq[String] = {
     Files.createDirectories(dataDir)
     val tmp = Paths.get(root, s"_tmp-${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-    val names = parts.zipWithIndex.map { case (p, i) =>
+    val actions = parts.zipWithIndex.map { case (p, i) =>
       val name = s"${UUID.randomUUID().toString.take(8)}-$i.parquet"
+      val stats = statsCol.flatMap(c => footerMinMax(p, c).map((c, _)))
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      name
+      stats match {
+        case Some((c, (lo, hi))) =>
+          s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
+        case None => s"""{"op":"add","file":"$name"}"""
+      }
     }
     listDir(tmp).foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(tmp)
-    names
+    actions
   }
 
-  private def act(op: String, file: String): String =
-    s"""{"op":"$op","file":"$file"}"""
+  private def fileOf(action: String): Option[String] =
+    "\"file\":\"([^\"]+)\"".r.findFirstMatchIn(action).map(_.group(1))
 
   /** Append: stage once, then race for the next version number (an
     * append's actions are head-independent, so a lost race just retries
     * the rename). Returns the committed version. */
-  def append(spark: SparkSession, df: DataFrame): Long = {
-    val names = stage(spark, df)
+  def append(spark: SparkSession, df: DataFrame,
+      statsCol: Option[String] = None): Long = {
     val actions = """{"op":"meta","operation":"append"}""" +:
-      names.map(act("add", _))
+      stage(spark, df, statsCol)
     var v = version + 1
     while (!commit(v, actions)) v = math.max(v + 1, version + 1)
     v
@@ -142,8 +176,9 @@ class VersionedTable(val root: String) {
   /** Overwrite: stage once; the remove set is REBASED against the head
     * on every retry so a concurrent append's files are removed too —
     * overwrite means "the table becomes exactly this frame". */
-  def overwrite(spark: SparkSession, df: DataFrame): Long = {
-    val names = stage(spark, df)
+  def overwrite(spark: SparkSession, df: DataFrame,
+      statsCol: Option[String] = None): Long = {
+    val adds = stage(spark, df, statsCol)
     var committed = -1L
     while (committed < 0) {
       val head = version
@@ -151,9 +186,53 @@ class VersionedTable(val root: String) {
         if (head < 0) Nil
         else filesAt(head).map(p => Paths.get(p).getFileName.toString)
       val actions = """{"op":"meta","operation":"overwrite"}""" +:
-        (removes.map(act("remove", _)) ++ names.map(act("add", _)))
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
   }
+
+  /** The live (file, stats) set at v: the same log fold as [[filesAt]]
+    * but keeping each add's recorded skipping interval. */
+  def filesWithStatsAt(v: Long): Seq[(String, Option[(String, Long, Long)])] = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val stat =
+      "\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)".r
+    val live = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[(String, Long, Long)]]
+    (0L to v).foreach { i =>
+      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
+        fileOf(l).foreach { f =>
+          if (l.contains("\"op\":\"add\"")) live(f) =
+            stat.findFirstMatchIn(l).map(m =>
+              (m.group(1), m.group(2).toLong, m.group(3).toLong))
+          else if (l.contains("\"op\":\"remove\"")) live -= f
+        }
+      }
+    }
+    live.toSeq.map { case (n, s) => (dataDir.resolve(n).toString, s) }
+  }
+
+  /** Data-skipping read: files whose recorded [min, max] interval on
+    * `column` cannot intersect [lo, hi] are never opened (files with no
+    * recorded stats are always read — skipping must be sound, not
+    * complete). The residual filter still applies row-level, so the
+    * result is exact regardless of how coarse the file intervals are.
+    */
+  def readWhere(spark: SparkSession, v: Long, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = prunedFiles(v, column, lo, hi)
+    require(files.nonEmpty, s"no candidate files for [$lo, $hi] at version $v")
+    spark.read.parquet(files: _*)
+      .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
+  }
+
+  /** The candidate file list [[readWhere]] would open — exposed so the
+    * skipping ratio is testable and auditable. */
+  def prunedFiles(v: Long, column: String, lo: Long, hi: Long): Seq[String] =
+    filesWithStatsAt(v).collect {
+      case (path, None) => path
+      case (path, Some((c, fLo, fHi))) if c != column || (fHi >= lo && fLo <= hi) =>
+        path
+    }
 }

@@ -58,6 +58,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 1)
   }
 
+  test("footer-stats skipping: narrow range reads a strict file subset, exactly") {
+    val t = table()
+    // range-clustered layout: 4 files with tight disjoint id intervals —
+    // what a writer clustering on its skipping key produces
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("payload", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("id").cast("string")))
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id"))
+    t.append(spark, df, statsCol = Some("id"))
+    val all = t.filesWithStatsAt(0L)
+    assert(all.size === 4)
+    assert(all.forall(_._2.nonEmpty), "every add must carry footer stats")
+    // a 10%-selectivity range must not open every file
+    val candidates = t.prunedFiles(0L, "id", 0L, 99L)
+    assert(candidates.size < all.size,
+      s"no skipping happened: ${candidates.size} of ${all.size}")
+    // and the pruned read is EXACT vs the full-scan filter
+    val skipped = t.readWhere(spark, 0L, "id", 0L, 99L)
+      .select("id").as[Long].collect().sorted
+    assert(skipped === (0L to 99L).toArray)
+    // a column with no recorded stats always reads everything (sound)
+    assert(t.prunedFiles(0L, "payload", 0L, 1L).size === all.size)
+  }
+
+  test("stats-free commits skip nothing but stay correct") {
+    val t = table()
+    t.append(spark, spark.range(0, 100).toDF("id"))
+    assert(t.filesWithStatsAt(0L).forall(_._2.isEmpty))
+    assert(t.prunedFiles(0L, "id", 5L, 6L).size === t.filesAt(0L).size)
+    assert(t.readWhere(spark, 0L, "id", 5L, 6L)
+      .select("id").as[Long].collect().sorted === Array(5L, 6L))
+  }
+
   test("optimistic concurrency: one writer wins a version, the loser retries") {
     val t = table()
     t.append(spark, Seq((1, "a")).toDF("id", "v"))
