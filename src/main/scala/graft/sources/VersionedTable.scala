@@ -235,4 +235,48 @@ class VersionedTable(val root: String) {
       case (path, Some((c, fLo, fHi))) if c != column || (fHi >= lo && fLo <= hi) =>
         path
     }
+
+  /** Change feed between two snapshots: every row whose file was added
+    * in (fromV, toV] tagged `insert`, every row whose file was removed
+    * tagged `delete` — the incremental-consumer read (downstream dedup
+    * admission, index refresh, cache invalidation) that replaces a full
+    * snapshot diff. File-granularity identity is exact for this table's
+    * only two operations (append = pure adds, overwrite = remove-all +
+    * add-all); a file both added and removed INSIDE the window is net
+    * invisible and contributes nothing, matching the snapshot algebra.
+    */
+  def changesBetween(spark: SparkSession, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV && toV <= version,
+      s"window ($fromV, $toV] outside history [0, $version]")
+    val file = "\"file\":\"([^\"]+)\"".r
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val removed = scala.collection.mutable.LinkedHashSet.empty[String]
+    ((fromV + 1) to toV).foreach { i =>
+      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
+        file.findFirstMatchIn(l).foreach { m =>
+          val f = m.group(1)
+          if (l.contains("\"op\":\"add\"")) added += f
+          else if (l.contains("\"op\":\"remove\"")) {
+            // removing a file added inside the window cancels it; a file
+            // from BEFORE the window is a real delete
+            if (added.contains(f)) added -= f else removed += f
+          }
+        }
+      }
+    }
+    import org.apache.spark.sql.functions.lit
+    def tagged(names: Iterable[String], tag: String): Option[DataFrame] =
+      if (names.isEmpty) None
+      else Some(spark.read
+        .parquet(names.map(n => dataDir.resolve(n).toString).toSeq: _*)
+        .withColumn("_change_type", lit(tag)))
+    (tagged(added, "insert"), tagged(removed, "delete")) match {
+      case (Some(a), Some(r)) => a.unionAll(r)
+      case (Some(a), None) => a
+      case (None, Some(r)) => r
+      case (None, None) =>
+        throw new IllegalArgumentException(
+          s"window ($fromV, $toV] contains no file changes")
+    }
+  }
 }

@@ -103,6 +103,30 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 2)
   }
 
+  test("change feed: appends are inserts, an overwrite is deletes + inserts") {
+    val t = table()
+    t.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"))   // v0
+    t.append(spark, Seq((3, "c")).toDF("id", "v"))             // v1
+    t.overwrite(spark, Seq((9, "z")).toDF("id", "v"))          // v2
+
+    // pure-append window: only inserts
+    val w01 = t.changesBetween(spark, 0L, 1L)
+      .select("_change_type", "id").as[(String, Int)].collect().sorted
+    assert(w01 === Array(("insert", 3)))
+
+    // overwrite window: everything prior deleted, the new state inserted
+    val w12 = t.changesBetween(spark, 1L, 2L)
+      .select("_change_type", "id").as[(String, Int)].collect().sorted
+    assert(w12 === Array(("delete", 1), ("delete", 2), ("delete", 3), ("insert", 9)))
+
+    // whole-history window: v0/v1 files were added AND removed inside
+    // the window, so they cancel — the feed nets to the head snapshot
+    val w02 = t.changesBetween(spark, -1L, 2L)
+      .select("_change_type", "id").as[(String, Int)].collect().sorted
+    assert(w02 === Array(("insert", 9)),
+      "intra-window add+remove must cancel to the net change")
+  }
+
   test("concurrent append + overwrite rebase: overwrite owns the final state") {
     val t = table()
     t.append(spark, Seq((1, "a")).toDF("id", "v"))       // v0
