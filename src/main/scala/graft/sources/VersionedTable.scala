@@ -236,6 +236,46 @@ class VersionedTable(val root: String) {
         path
     }
 
+  /** Compaction (the OPTIMIZE step): rewrite the current snapshot's
+    * files into `targetFiles` larger ones and commit remove-all/add-all
+    * — logically a no-op (the snapshot's rows are identical before and
+    * after, which the spec asserts), physically the small-files repair
+    * every streaming-ingested table needs. Older versions still resolve
+    * to the ORIGINAL files, so time travel survives compaction until an
+    * explicit [[vacuum]] reclaims them.
+    */
+  def compact(spark: SparkSession, targetFiles: Int = 1): Long = {
+    val head = version
+    require(head >= 0, "nothing to compact")
+    val adds = stage(spark,
+      readAsOf(spark, head).repartition(targetFiles), None)
+    val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
+    val actions = """{"op":"meta","operation":"compact"}""" +:
+      (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+    var v = head + 1
+    while (!commit(v, actions)) v = math.max(v + 1, version + 1)
+    v
+  }
+
+  /** Physical cleanup: delete every data file not live in ANY version
+    * >= `keepFrom` (and not referenced by the head). Versions before
+    * the horizon stop being readable — vacuum is the explicit,
+    * operator-chosen end of their time-travel guarantee; the log itself
+    * stays intact as the audit record. Returns the deleted file names.
+    */
+  def vacuum(keepFrom: Long): Seq[String] = {
+    val head = version
+    require(keepFrom >= 0 && keepFrom <= head,
+      s"horizon $keepFrom outside [0, $head]")
+    val live = (keepFrom to head)
+      .flatMap(filesAt(_)).map(p => Paths.get(p).getFileName.toString).toSet
+    val victims = listDir(dataDir)
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !live.contains(n))
+    victims.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
+    victims
+  }
+
   /** Change feed between two snapshots: every row whose file was added
     * in (fromV, toV] tagged `insert`, every row whose file was removed
     * tagged `delete` — the incremental-consumer read (downstream dedup

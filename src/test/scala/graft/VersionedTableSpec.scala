@@ -127,6 +127,34 @@ class VersionedTableSpec extends AnyFunSuite {
       "intra-window add+remove must cancel to the net change")
   }
 
+  test("compact is a physical rewrite, logical no-op; vacuum ends time travel explicitly") {
+    val t = table()
+    // simulate a streaming-ingested small-files table: 3 appends,
+    // each range-partitioned into 2 files
+    (0 until 3).foreach { i =>
+      t.append(spark, spark.range(i * 100, (i + 1) * 100).toDF("id")
+        .repartition(2))
+    }
+    val before = t.read(spark).select("id").as[Long].collect().sorted
+    assert(t.filesAt(2L).size === 6)
+
+    val cv = t.compact(spark, targetFiles = 1)
+    assert(cv === 3L)
+    assert(t.filesAt(cv).size === 1, "compaction must coalesce the file set")
+    assert(t.read(spark).select("id").as[Long].collect().sorted === before,
+      "compaction must not change the snapshot")
+    // time travel still resolves the ORIGINAL files
+    assert(t.readAsOf(spark, 1L).count() === 200)
+    assert(t.history.last._2 === "compact")
+
+    // vacuum to the compacted horizon: the 6 originals go away...
+    val deleted = t.vacuum(keepFrom = cv)
+    assert(deleted.size === 6)
+    // ...the head still reads, and pre-horizon time travel now fails
+    assert(t.read(spark).count() === 300)
+    intercept[Exception] { t.readAsOf(spark, 1L).count() }
+  }
+
   test("concurrent append + overwrite rebase: overwrite owns the final state") {
     val t = table()
     t.append(spark, Seq((1, "a")).toDF("id", "v"))       // v0
