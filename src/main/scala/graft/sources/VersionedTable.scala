@@ -173,6 +173,40 @@ class VersionedTable(val root: String) {
     v
   }
 
+  /** Micro-batch ids already committed — the dedup ledger for
+    * [[appendBatch]], read straight from the log's meta lines. */
+  def committedBatchIds: Set[Long] = {
+    val id = "\"batchId\":(-?\\d+)".r
+    (0L to version).flatMap { v =>
+      Files.readAllLines(logDir.resolve(logName(v))).asScala
+        .flatMap(l => id.findFirstMatchIn(l).map(_.group(1).toLong))
+    }.toSet
+  }
+
+  /** Exactly-once streaming ingest: append one micro-batch under its
+    * batchId, skipping if that id is already in the log — the
+    * foreachBatch idempotence contract that turns Structured Streaming's
+    * at-least-once batch re-delivery into exactly-once TABLE state. The
+    * id re-check sits INSIDE the commit retry loop, so even two racing
+    * deliveries of the same batch commit it exactly once (the rename
+    * loser re-reads the ledger and finds the winner's id). Returns the
+    * committed version, or None when the batch was already in.
+    */
+  def appendBatch(spark: SparkSession, df: DataFrame,
+      batchId: Long): Option[Long] = {
+    if (committedBatchIds.contains(batchId)) return None
+    val actions =
+      s"""{"op":"meta","operation":"append","batchId":$batchId}""" +:
+        stage(spark, df, None)
+    var v = version + 1
+    while (true) {
+      if (commit(v, actions)) return Some(v)
+      if (committedBatchIds.contains(batchId)) return None
+      v = math.max(v + 1, version + 1)
+    }
+    None // unreachable
+  }
+
   /** Overwrite: stage once; the remove set is REBASED against the head
     * on every retry so a concurrent append's files are removed too —
     * overwrite means "the table becomes exactly this frame". */

@@ -127,6 +127,36 @@ class VersionedTableSpec extends AnyFunSuite {
       "intra-window add+remove must cancel to the net change")
   }
 
+  test("streaming ingest: batchId-keyed appends are exactly-once under re-delivery") {
+    implicit val sc = spark.sqlContext
+    val t = table()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val cp = Files.createTempDirectory("vtab-cp").toString
+    val q = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        t.appendBatch(spark, b, id); ()
+      }
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      input.addData(4, 5)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(t.read(spark).count() === 5)
+    assert(t.committedBatchIds === Set(0L, 1L))
+    assert(t.history.forall(_._2 === "append"))
+
+    // at-least-once re-delivery of batch 0 (post-crash replay): skipped
+    import spark.implicits._
+    assert(t.appendBatch(spark, Seq(1, 2, 3).toDF("value"), 0L) === None)
+    assert(t.read(spark).count() === 5, "replayed batch must not duplicate")
+    // a genuinely new batch still lands
+    assert(t.appendBatch(spark, Seq(6).toDF("value"), 2L).nonEmpty)
+    assert(t.read(spark).count() === 6)
+  }
+
   test("compact is a physical rewrite, logical no-op; vacuum ends time travel explicitly") {
     val t = table()
     // simulate a streaming-ingested small-files table: 3 appends,
