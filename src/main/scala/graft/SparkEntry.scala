@@ -312,6 +312,7 @@ object SparkEntry {
     "q_survival_km"     -> ((s, d) => BehaviorOps.survivalKm(s, d)),
     "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
     "q_time_travel"     -> ((s, d) => graft.operators.ScaleOps.timeTravel(s, d)),
+    "q_change_feed"     -> ((s, d) => graft.operators.ScaleOps.changeFeed(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
@@ -5813,6 +5814,25 @@ object SparkEntry {
           UNION ALL
           SELECT CAST(1 AS BIGINT) AS version, source, n_docs, total_chars FROM v1
           ORDER BY version, source""",
+    // Net change set over the commit window (0, 2]: v1's append is added
+    // and removed inside the window (cancels), v0 surfaces as deletes,
+    // the v2 quality re-freeze as inserts — recomputed here from the raw
+    // table and the same membership predicates.
+    "q_change_feed" ->
+      """WITH ins AS (
+            SELECT 'insert' AS change_type, source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents WHERE n_chars >= 300 GROUP BY 2),
+          del AS (
+            SELECT 'delete' AS change_type, source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+            GROUP BY 2)
+          SELECT * FROM ins UNION ALL SELECT * FROM del
+          ORDER BY change_type, source""",
     // the composed curation pipeline: quality gate -> exact dedup ->
     // decontaminate -> md5 split -> per-split census
     "q_corpus_freeze" ->

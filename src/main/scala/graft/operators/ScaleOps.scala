@@ -913,17 +913,21 @@ object ScaleOps {
     * overwrite store cannot make. The table is an artifact: built once
     * per (app, dir) via [[layoutOnce]], read-only afterwards.
     */
-  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val root = layoutOnce(spark, dir, "versionedDocs") { dtag =>
+  private def versionedDocs(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "versionedDocs") { dtag =>
       val path = scratchPath(spark, s"versioned_$dtag/docs")
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
       val t = new graft.sources.VersionedTable(path)
-      t.overwrite(spark, docs.filter(h <= "b"))
-      t.append(spark, docs.filter(h > "b"))
+      t.overwrite(spark, docs.filter(h <= "b"))          // v0: train subset
+      t.append(spark, docs.filter(h > "b"))              // v1: nightly ingest
+      t.overwrite(spark, docs.filter(col("n_chars") >= 300)) // v2: quality re-freeze
       path
     }
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = versionedDocs(spark, dir)
     val t = new graft.sources.VersionedTable(root)
     Seq(0L, 1L).map { v =>
       t.readAsOf(spark, v)
@@ -933,6 +937,29 @@ object ScaleOps {
           col("n_docs"), col("total_chars"))
     }.reduce(_ unionAll _)
       .orderBy(col("version"), col("source"))
+  }
+
+  /** Change feed over the same versioned table ([[timeTravel]]'s
+    * artifact): the incremental-consumer read that replaces a full
+    * snapshot diff. The window (0, 2] spans the nightly append (v1) and
+    * the quality re-freeze overwrite (v2), so the feed exercises the
+    * full commit algebra: v1's files are added AND removed inside the
+    * window and cancel to nothing, v0's files surface as `delete` rows,
+    * v2's as `insert` rows — exactly the net state transition a
+    * downstream index/dedup/cache consumer must apply. The oracle
+    * recomputes both sides from the raw table and the same membership
+    * predicates, proving the log fold's net-change set is exact. Feed
+    * rows aggregate per (change_type, source) before leaving the scan —
+    * at 100 TB the consumer reads only the files named by the log
+    * window, never the table.
+    */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = versionedDocs(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    t.changesBetween(spark, 0L, 2L)
+      .groupBy(col("_change_type").as("change_type"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("change_type"), col("source"))
   }
 
   /** Dense-calendar gap fill with day-over-day change: sparse daily

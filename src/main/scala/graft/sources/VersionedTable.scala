@@ -86,6 +86,25 @@ class VersionedTable(val root: String) {
     live.toSeq.map(n => dataDir.resolve(n).toString)
   }
 
+  /** Files ADDED by commit v alone — the micro-batch a log-tailing
+    * streaming consumer ([[VersionedStreamProvider]]) serves for that
+    * version. Fails loudly when the window's files were vacuumed:
+    * silently skipping history would break the consumer's exactly-once
+    * story. */
+  def filesAddedAt(v: Long): Seq[String] = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val file = "\"file\":\"([^\"]+)\"".r
+    Files.readAllLines(logDir.resolve(logName(v))).asScala.toSeq
+      .filter(_.contains("\"op\":\"add\""))
+      .flatMap(l => file.findFirstMatchIn(l).map(_.group(1)))
+      .map { n =>
+        val p = dataDir.resolve(n)
+        require(Files.exists(p),
+          s"commit $v data file $n was vacuumed; this window is no longer streamable")
+        p.toString
+      }
+  }
+
   def read(spark: SparkSession): DataFrame = readAsOf(spark, version)
 
   def readAsOf(spark: SparkSession, v: Long): DataFrame = {

@@ -157,6 +157,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_cluster_span",      // integer CC labels + distinct counts
       // round-13 additions
       "q_time_travel",       // log-fold file sets, integer counts/sums
+      "q_change_feed",       // net log-window file sets, integer counts/sums
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
