@@ -69,6 +69,35 @@ class VersionedStreamSpec extends AnyFunSuite {
       "resume must serve exactly the unseen commits, never re-serve v0")
   }
 
+  test("full lake loop: stream in via appendBatch, stream out via the log tail") {
+    implicit val sc = spark.sqlContext
+    val root = freshDir("vloop")
+    val t = new VersionedTable(root)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+
+    // producer leg: micro-batches land as exactly-once commits
+    val ingest = input.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        t.appendBatch(spark, b, id); ()
+      }
+      .option("checkpointLocation", freshDir("vloop-ick"))
+      .outputMode("append").start()
+    try {
+      input.addData(1, 2, 3)
+      ingest.processAllAvailable()
+      input.addData(4, 5)
+      ingest.processAllAvailable()
+    } finally ingest.stop()
+
+    // consumer leg: tail the commit log the producer just wrote
+    val q = stream(root).writeStream.format("memory").queryName("vloop")
+      .option("checkpointLocation", freshDir("vloop-ock"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("vloop").as[Int].collect().sorted === Array(1, 2, 3, 4, 5),
+      "every ingested micro-batch must round-trip through the table exactly once")
+  }
+
   test("startingVersion skips history; vacuumed windows fail loudly") {
     val root = freshDir("vstream3")
     val t = new VersionedTable(root)
