@@ -15,8 +15,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,11 +43,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * instead. Tailing a window whose files were [[VersionedTable.vacuum]]ed
   * fails loudly rather than silently skipping history.
   *
+  * The same provider also serves BATCH reads with planner-integrated
+  * pruning (`versionAsOf` time travel, zone-map file skipping from
+  * pushed filters, physical column pruning down to the parquet chunks)
+  * — see [[VersionedScanBuilder]].
+  *
   * Usage:
   * {{{
   * spark.readStream.format("graft.sources.VersionedStreamProvider")
   *   .option("path", tableRoot)           // required
   *   .option("startingVersion", "0")      // default 0 = full history
+  *   .load()
+  * spark.read.format("graft.sources.VersionedStreamProvider")
+  *   .option("path", tableRoot)
+  *   .option("versionAsOf", "1")          // default: head version
   *   .load()
   * }}}
   */
@@ -59,6 +69,7 @@ class VersionedStreamProvider extends TableProvider {
     new VersionedStreamTable(
       properties.get("path"),
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      Option(properties.get("versionAsOf")).map(_.toLong),
       schema)
 }
 
@@ -106,20 +117,108 @@ object VersionedStreamProvider {
 }
 
 private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
-    schema0: StructType) extends Table with SupportsRead {
+    versionAsOf: Option[Long], schema0: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_versioned($root)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedMicroBatchStream(root, startingVersion, schema0)
-      }
+    new VersionedScanBuilder(root, startingVersion, versionAsOf, schema0)
+}
+
+/** Planner-integrated pruning: column pruning reaches the parquet CHUNK
+  * reads (only projected columns' pages are decoded) and comparison
+  * filters on integer columns reach the commit log's zone maps (files
+  * whose recorded [min, max] cannot match are never opened). Both arrive
+  * through the standard DSv2 pushdown hooks, so `.explain` shows them on
+  * the scan — no out-of-band `readWhere` call needed. Filters are also
+  * kept as residuals (Spark re-evaluates row-level), so skipping only
+  * has to be SOUND, never complete. */
+private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
+    versionAsOf: Option[Long], schema0: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var requested: StructType = schema0
+  private var skipping: Array[Filter] = Array.empty
+
+  private def intBound(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
+
+  private def statsUsable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => intBound(v)
+    case GreaterThan(_, v) => intBound(v)
+    case GreaterThanOrEqual(_, v) => intBound(v)
+    case LessThan(_, v) => intBound(v)
+    case LessThanOrEqual(_, v) => intBound(v)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipping = filters.filter(statsUsable)
+    filters // every filter stays a residual: zone maps skip files, not rows
+  }
+
+  override def pushedFilters(): Array[Filter] = skipping
+
+  override def pruneColumns(required: StructType): Unit = requested = required
+
+  override def build(): Scan =
+    new VersionedScan(root, startingVersion, versionAsOf, requested, skipping)
+}
+
+private[graft] class VersionedScan(root: String, startingVersion: Long,
+    versionAsOf: Option[Long], requested: StructType, skipping: Array[Filter])
+    extends Scan with Batch {
+  private val table = new VersionedTable(root)
+
+  override def readSchema(): StructType = requested
+
+  override def description(): String = {
+    val v = versionAsOf.map(v => s"versionAsOf=$v").getOrElse("head")
+    s"graft_versioned($root, $v, skipFilters=${skipping.mkString("[", ",", "]")})"
+  }
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new VersionedMicroBatchStream(root, startingVersion, requested)
+
+  /** Per-column [lo, hi] bounds implied by the pushed comparisons —
+    * the intersection of every constraint on that column. */
+  private def bounds: Map[String, (Long, Long)] = {
+    def num(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalStateException(s"non-integer bound $other")
     }
+    skipping.foldLeft(Map.empty[String, (Long, Long)]) { (acc, f) =>
+      val (c, lo, hi) = f match {
+        case EqualTo(c, v) => (c, num(v), num(v))
+        case GreaterThan(c, v) => (c, num(v) + 1, Long.MaxValue)
+        case GreaterThanOrEqual(c, v) => (c, num(v), Long.MaxValue)
+        case LessThan(c, v) => (c, Long.MinValue, num(v) - 1)
+        case LessThanOrEqual(c, v) => (c, Long.MinValue, num(v))
+        case other => throw new IllegalStateException(s"unexpected filter $other")
+      }
+      val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      acc.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val v = versionAsOf.getOrElse(table.version)
+    val bs = bounds
+    table.filesWithStatsAt(v).collect {
+      case (path, None) => path
+      case (path, Some((c, fLo, fHi)))
+        if bs.get(c).forall { case (lo, hi) => fHi >= lo && fLo <= hi } => path
+    }.map(f => VersionedFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedReaderFactory(requested)
 }
 
 /** Offset = highest table version already served. */
@@ -171,9 +270,11 @@ private[graft] class VersionedMicroBatchStream(root: String,
 private[graft] case class VersionedFilePartition(file: String) extends InputPartition
 
 /** Reads one committed parquet file into InternalRows via the public
-  * parquet-mr record API, driven by the stream's inferred schema (the
-  * table's own writer produced these files, so positions line up). */
-private[graft] class VersionedReaderFactory(schema: StructType)
+  * parquet-mr record API. Column pruning is physical: the projected
+  * subset is handed to `setRequestedSchema`, so only those columns'
+  * chunks are read and decoded; an EMPTY projection (count(*)) reads no
+  * data pages at all and emits the footer's row count. */
+private[graft] class VersionedReaderFactory(requested: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[VersionedFilePartition].file
@@ -181,23 +282,39 @@ private[graft] class VersionedReaderFactory(schema: StructType)
       private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), new Configuration()))
       private val fileSchema = reader.getFooter.getFileMetaData.getSchema
-      private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+      // projection in FILE order (parquet contract), then a positional
+      // map back to the REQUESTED order for the output row
+      private val wanted = requested.fieldNames.toSet
+      private val projected = new MessageType(fileSchema.getName,
+        fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
+      private val outPos: Array[Int] = requested.fieldNames
+        .map(n => projected.getFields.asScala.indexWhere(_.getName == n))
+      reader.setRequestedSchema(projected)
+      private val columnIO = new ColumnIOFactory().getColumnIO(projected)
       private var groupReader: org.apache.parquet.io.RecordReader[Group] = _
       private var rowsLeft: Long = 0L
       private var current: Group = _
+      // count(*) path: no columns requested — serve the footer count
+      private var emptyRowsLeft: Long =
+        if (requested.isEmpty) reader.getRecordCount else 0L
 
       private def advanceRowGroup(): Boolean = {
         val pages = reader.readNextRowGroup()
         if (pages == null) false
         else {
           groupReader = columnIO.getRecordReader(
-            pages, new GroupRecordConverter(fileSchema))
+            pages, new GroupRecordConverter(projected))
           rowsLeft = pages.getRowCount
           true
         }
       }
 
       override def next(): Boolean = {
+        if (requested.isEmpty) {
+          if (emptyRowsLeft == 0L) return false
+          emptyRowsLeft -= 1
+          return true
+        }
         while (rowsLeft == 0L) if (!advanceRowGroup()) return false
         current = groupReader.read()
         rowsLeft -= 1
@@ -205,20 +322,22 @@ private[graft] class VersionedReaderFactory(schema: StructType)
       }
 
       override def get(): InternalRow = {
-        val vals = new Array[Any](schema.length)
+        if (requested.isEmpty) return new GenericInternalRow(Array.empty[Any])
+        val vals = new Array[Any](requested.length)
         var i = 0
-        while (i < schema.length) {
+        while (i < requested.length) {
+          val p = outPos(i)
           vals(i) =
-            if (current.getFieldRepetitionCount(i) == 0) null
-            else schema(i).dataType match {
-              case LongType => current.getLong(i, 0)
-              case IntegerType => current.getInteger(i, 0)
-              case DoubleType => current.getDouble(i, 0)
-              case FloatType => current.getFloat(i, 0)
-              case BooleanType => current.getBoolean(i, 0)
+            if (current.getFieldRepetitionCount(p) == 0) null
+            else requested(i).dataType match {
+              case LongType => current.getLong(p, 0)
+              case IntegerType => current.getInteger(p, 0)
+              case DoubleType => current.getDouble(p, 0)
+              case FloatType => current.getFloat(p, 0)
+              case BooleanType => current.getBoolean(p, 0)
               case StringType =>
-                UTF8String.fromBytes(current.getBinary(i, 0).getBytes)
-              case BinaryType => current.getBinary(i, 0).getBytes
+                UTF8String.fromBytes(current.getBinary(p, 0).getBytes)
+              case BinaryType => current.getBinary(p, 0).getBytes
               case other =>
                 throw new IllegalStateException(s"unsupported type $other")
             }

@@ -98,6 +98,39 @@ class VersionedStreamSpec extends AnyFunSuite {
       "every ingested micro-batch must round-trip through the table exactly once")
   }
 
+  test("batch face: versionAsOf, zone-map file skipping, physical column pruning") {
+    import org.apache.spark.sql.functions._
+    val root = freshDir("vbatch")
+    val t = new VersionedTable(root)
+    // three single-file commits with disjoint id ranges + footer stats
+    Seq((0L, 50L), (50L, 100L), (100L, 150L)).foreach { case (lo, hi) =>
+      t.append(spark,
+        spark.range(lo, hi).toDF("id")
+          .withColumn("v", concat(lit("r"), col("id").cast("string")))
+          .repartition(1),
+        statsCol = Some("id"))
+    }
+    def batch(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.VersionedStreamProvider")
+        .option("path", root)
+      opts.foldLeft(r) { case (b, (k, x)) => b.option(k, x) }.load()
+    }
+
+    assert(batch().count() === 150, "count(*) reads only footers, still exact")
+    assert(batch("versionAsOf" -> "0").select("id").as[Long].collect().sorted
+      === (0L until 50L).toArray, "time travel through the batch face")
+
+    // a pushed comparison must open ONE of the three files
+    val hit = batch().filter(col("id") === 120L)
+    assert(hit.rdd.getNumPartitions === 1, "zone maps did not skip files")
+    assert(hit.select("v").as[String].collect() === Array("r120"))
+    assert(batch().rdd.getNumPartitions === 3, "unfiltered scan reads all files")
+
+    // projection reordered vs file order exercises the positional map
+    assert(batch().select("v", "id").where(col("id") === 7L)
+      .as[(String, Long)].collect() === Array(("r7", 7L)))
+  }
+
   test("startingVersion skips history; vacuumed windows fail loudly") {
     val root = freshDir("vstream3")
     val t = new VersionedTable(root)
