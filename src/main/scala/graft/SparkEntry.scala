@@ -313,6 +313,7 @@ object SparkEntry {
     "q_zonemap_skip"    -> ((s, d) => graft.operators.ScaleOps.zonemapSkip(s, d)),
     "q_time_travel"     -> ((s, d) => graft.operators.ScaleOps.timeTravel(s, d)),
     "q_change_feed"     -> ((s, d) => graft.operators.ScaleOps.changeFeed(s, d)),
+    "q_versioned_scan"  -> ((s, d) => graft.operators.ScaleOps.versionedScan(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
@@ -5833,6 +5834,16 @@ object SparkEntry {
             GROUP BY 2)
           SELECT * FROM ins UNION ALL SELECT * FROM del
           ORDER BY change_type, source""",
+    // the v2 snapshot re-read through the DSv2 batch provider with a
+    // pushed doc_id range — recomputed here from the raw table and the
+    // same predicates the commits encode
+    "q_versioned_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM documents WHERE n_chars >= 300 AND doc_id < 250
+         GROUP BY source ORDER BY source""",
     // the composed curation pipeline: quality gate -> exact dedup ->
     // decontaminate -> md5 split -> per-split census
     "q_corpus_freeze" ->

@@ -920,9 +920,18 @@ object ScaleOps {
         .select(col("doc_id"), col("source"), col("n_chars"))
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
       val t = new graft.sources.VersionedTable(path)
-      t.overwrite(spark, docs.filter(h <= "b"))          // v0: train subset
-      t.append(spark, docs.filter(h > "b"))              // v1: nightly ingest
-      t.overwrite(spark, docs.filter(col("n_chars") >= 300)) // v2: quality re-freeze
+      // every commit harvests doc_id zone maps; the re-freeze clusters
+      // by doc_id (repartitionByRange) so its intervals are DISJOINT —
+      // the cluster-by discipline that makes a lake table's skipping
+      // index selective instead of decorative
+      t.overwrite(spark, docs.filter(h <= "b"),
+        statsCol = Some("doc_id"))                       // v0: train subset
+      t.append(spark, docs.filter(h > "b"),
+        statsCol = Some("doc_id"))                       // v1: nightly ingest
+      t.overwrite(spark,
+        docs.filter(col("n_chars") >= 300)
+          .repartitionByRange(4, col("doc_id")),
+        statsCol = Some("doc_id"))                       // v2: quality re-freeze
       path
     }
 
@@ -953,6 +962,28 @@ object ScaleOps {
     * at 100 TB the consumer reads only the files named by the log
     * window, never the table.
     */
+  /** Registry face of the DSv2 BATCH path ([[graft.sources.VersionedStreamProvider]]):
+    * the quality re-freeze snapshot read back `versionAsOf=2` through the
+    * provider with a doc_id range predicate — the comparison is PUSHED to
+    * the scan builder, zone maps drop files whose recorded interval
+    * cannot intersect (the v2 files are range-clustered, so the skip is
+    * selective), projection is pruned to the four referenced columns at
+    * the parquet-chunk level, and the hash gate then proves the custom
+    * record decode returns exactly the committed state. At 100 TB this
+    * is the point-lookup/small-range shape a lake serves from metadata:
+    * files opened scale with the predicate's span, not the table.
+    */
+  def versionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = versionedDocs(spark, dir)
+    spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("versionAsOf", "2").load()
+      .filter(col("doc_id") < 250)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val root = versionedDocs(spark, dir)
     val t = new graft.sources.VersionedTable(root)

@@ -158,6 +158,7 @@ class RobustnessSpec extends AnyFunSuite {
       // round-13 additions
       "q_time_travel",       // log-fold file sets, integer counts/sums
       "q_change_feed",       // net log-window file sets, integer counts/sums
+      "q_versioned_scan",    // zone-map pruned scan, integer counts/sums
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

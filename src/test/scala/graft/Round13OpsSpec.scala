@@ -31,4 +31,20 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(side("delete") === del, "delete side is not the v0 snapshot")
     assert(feed.map(_.getString(0)).toSet === Set("insert", "delete"))
   }
+
+  test("versionedScan rides the DSv2 batch scan and matches a direct recompute") {
+    val q = graft.operators.ScaleOps.versionedScan(spark, dir)
+    assert(q.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "the registry query must go through the custom DSv2 batch path")
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = graft.model.Tables.documents(spark, dir)
+      .filter(col("n_chars") >= 300 && col("doc_id") < 250)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got === want)
+  }
 }
