@@ -74,15 +74,17 @@ class VersionedStreamProvider extends TableProvider {
 }
 
 object VersionedStreamProvider {
-  /** Table schema straight from the parquet FOOTER of one live file at
-    * the head version — metadata only. The supported lattice is the
-    * engine's primitive surface (the versioned table stores columnar
-    * relational data, not nested documents). */
+  /** Table schema: the LOG-CARRIED schema of the head version when
+    * recorded (so evolved columns appear even though old files lack
+    * them), else straight from one parquet FOOTER — metadata only either
+    * way. The supported lattice is the engine's primitive surface (the
+    * versioned table stores columnar relational data, not nested
+    * documents). */
   def tableSchema(root: String): StructType = {
     val t = new VersionedTable(root)
     val head = t.version
     require(head >= 0, s"cannot infer a schema from empty table $root")
-    fromParquet(footerSchema(t.filesAt(head).head))
+    t.schemaAt(head).getOrElse(fromParquet(footerSchema(t.filesAt(head).head)))
   }
 
   private[sources] def footerSchema(file: String): MessageType = {
@@ -294,9 +296,11 @@ private[graft] class VersionedReaderFactory(requested: StructType)
       private var groupReader: org.apache.parquet.io.RecordReader[Group] = _
       private var rowsLeft: Long = 0L
       private var current: Group = _
-      // count(*) path: no columns requested — serve the footer count
+      // footer-count path: no columns requested (count(*)), or the file
+      // predates every requested column — no data pages to read either way
+      private val noChunks = projected.getFieldCount == 0
       private var emptyRowsLeft: Long =
-        if (requested.isEmpty) reader.getRecordCount else 0L
+        if (noChunks) reader.getRecordCount else 0L
 
       private def advanceRowGroup(): Boolean = {
         val pages = reader.readNextRowGroup()
@@ -310,7 +314,7 @@ private[graft] class VersionedReaderFactory(requested: StructType)
       }
 
       override def next(): Boolean = {
-        if (requested.isEmpty) {
+        if (noChunks) {
           if (emptyRowsLeft == 0L) return false
           emptyRowsLeft -= 1
           return true
@@ -322,13 +326,15 @@ private[graft] class VersionedReaderFactory(requested: StructType)
       }
 
       override def get(): InternalRow = {
-        if (requested.isEmpty) return new GenericInternalRow(Array.empty[Any])
+        if (noChunks)
+          return new GenericInternalRow(Array.fill[Any](requested.length)(null))
         val vals = new Array[Any](requested.length)
         var i = 0
         while (i < requested.length) {
           val p = outPos(i)
           vals(i) =
-            if (current.getFieldRepetitionCount(p) == 0) null
+            // p < 0: the column was born after this file was written
+            if (p < 0 || current.getFieldRepetitionCount(p) == 0) null
             else requested(i).dataType match {
               case LongType => current.getLong(p, 0)
               case IntegerType => current.getInteger(p, 0)

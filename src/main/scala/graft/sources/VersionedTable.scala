@@ -6,6 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Snapshot-isolated versioned parquet table — the transactional-lake
   * discipline (the public Delta/Iceberg commit-log pattern) in its
@@ -107,11 +108,56 @@ class VersionedTable(val root: String) {
 
   def read(spark: SparkSession): DataFrame = readAsOf(spark, version)
 
+  /** Snapshot read under the LOG-CARRIED schema of that version (the
+    * public Delta pattern: schema evolution lives in the commit meta,
+    * not in a footer union scan). Files written before a column existed
+    * are null-filled by the parquet reader; commits from before schema
+    * tracking fall back to footer inference. */
   def readAsOf(spark: SparkSession, v: Long): DataFrame = {
     val files = filesAt(v)
     require(files.nonEmpty, s"version $v has no live files")
-    spark.read.parquet(files: _*)
+    schemaAt(v).map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
   }
+
+  /** The table schema AS OF version v — the newest schema recorded in
+    * `_log/0..v`. None for logs written before schema tracking. */
+  def schemaAt(v: Long): Option[StructType] = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val b64 = "\"schemaB64\":\"([^\"]+)\"".r
+    (0L to v).reverse.iterator.flatMap { i =>
+      Files.readAllLines(logDir.resolve(logName(i))).asScala
+        .flatMap(l => b64.findFirstMatchIn(l).map(_.group(1)))
+    }.nextOption().map(s => DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
+      .asInstanceOf[StructType])
+  }
+
+  private def metaLine(op: String, schema: StructType, extra: String = ""): String = {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(schema.json.getBytes("UTF-8"))
+    s"""{"op":"meta","operation":"$op"$extra,"schemaB64":"$b64"}"""
+  }
+
+  /** Widen the table schema by the incoming frame: columns shared with
+    * the table must agree on type (schema ENFORCEMENT — a silent type
+    * flip is corpus corruption), incoming-only columns are appended
+    * (schema EVOLUTION — old files null-fill them at read), and an
+    * incoming frame may omit existing columns (its rows read as null
+    * there). */
+  private def unionSchema(current: Option[StructType], incoming: StructType): StructType =
+    current match {
+      case None => incoming
+      case Some(cur) =>
+        incoming.fields.foreach { f =>
+          cur.find(_.name == f.name).foreach { c =>
+            require(c.dataType == f.dataType,
+              s"schema conflict on '${f.name}': table has ${c.dataType}, " +
+                s"incoming has ${f.dataType}")
+          }
+        }
+        StructType(cur.fields ++
+          incoming.fields.filterNot(f => cur.exists(_.name == f.name)))
+    }
 
   /** Atomic commit of version v. Returns false when v was taken by a
     * concurrent writer (caller re-reads the head and retries). */
@@ -185,11 +231,14 @@ class VersionedTable(val root: String) {
     * the rename). Returns the committed version. */
   def append(spark: SparkSession, df: DataFrame,
       statsCol: Option[String] = None): Long = {
-    val actions = """{"op":"meta","operation":"append"}""" +:
-      stage(spark, df, statsCol)
-    var v = version + 1
-    while (!commit(v, actions)) v = math.max(v + 1, version + 1)
-    v
+    val adds = stage(spark, df, statsCol)
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      val s = unionSchema(if (head < 0) None else schemaAt(head), df.schema)
+      if (commit(head + 1, metaLine("append", s) +: adds)) committed = head + 1
+    }
+    committed
   }
 
   /** Micro-batch ids already committed — the dedup ledger for
@@ -214,14 +263,13 @@ class VersionedTable(val root: String) {
   def appendBatch(spark: SparkSession, df: DataFrame,
       batchId: Long): Option[Long] = {
     if (committedBatchIds.contains(batchId)) return None
-    val actions =
-      s"""{"op":"meta","operation":"append","batchId":$batchId}""" +:
-        stage(spark, df, None)
-    var v = version + 1
+    val adds = stage(spark, df, None)
     while (true) {
-      if (commit(v, actions)) return Some(v)
+      val head = version
+      val s = unionSchema(if (head < 0) None else schemaAt(head), df.schema)
+      val actions = metaLine("append", s, s""","batchId":$batchId""") +: adds
+      if (commit(head + 1, actions)) return Some(head + 1)
       if (committedBatchIds.contains(batchId)) return None
-      v = math.max(v + 1, version + 1)
     }
     None // unreachable
   }
@@ -238,7 +286,45 @@ class VersionedTable(val root: String) {
       val removes =
         if (head < 0) Nil
         else filesAt(head).map(p => Paths.get(p).getFileName.toString)
-      val actions = """{"op":"meta","operation":"overwrite"}""" +:
+      // overwrite REPLACES the state, so the schema resets to the frame's
+      // (earlier versions keep reading under their own recorded schema)
+      val actions = metaLine("overwrite", df.schema) +:
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      if (commit(head + 1, actions)) committed = head + 1
+    }
+    committed
+  }
+
+  /** MERGE (upsert): the head snapshot's rows whose `key` appears in
+    * `updates` are REPLACED, the rest kept, unmatched updates inserted —
+    * committed as one new version tagged `merge`. Physically: one keyed
+    * left-anti join (the survivors) unioned with the updates, staged,
+    * then remove-head/add-all — the transactional upsert an SCD1 /
+    * latest-state corpus store runs nightly. Unlike [[overwrite]], a
+    * lost commit race cannot just retry the rename: the merged frame was
+    * computed AGAINST the old head, so the loop re-reads the new head
+    * and recomputes before re-staging (the serializable-transaction
+    * retry discipline; a lost attempt's staged files stay invisible and
+    * fall to [[vacuum]]). At 100 TB the join shuffles on the key with
+    * the update side typically broadcast — never a snapshot rewrite per
+    * updated row.
+    */
+  def merge(spark: SparkSession, updates: DataFrame, key: String,
+      statsCol: Option[String] = None): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      val s = unionSchema(if (head < 0) None else schemaAt(head), updates.schema)
+      val merged =
+        if (head < 0) updates
+        else readAsOf(spark, head)
+          .join(updates.select(key), Seq(key), "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
+      val adds = stage(spark, merged, statsCol)
+      val removes =
+        if (head < 0) Nil
+        else filesAt(head).map(p => Paths.get(p).getFileName.toString)
+      val actions = metaLine("merge", s) +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
       if (commit(head + 1, actions)) committed = head + 1
     }
@@ -303,7 +389,9 @@ class VersionedTable(val root: String) {
     val adds = stage(spark,
       readAsOf(spark, head).repartition(targetFiles), None)
     val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
-    val actions = """{"op":"meta","operation":"compact"}""" +:
+    val metaL = schemaAt(head).map(metaLine("compact", _))
+      .getOrElse("""{"op":"meta","operation":"compact"}""")
+    val actions = metaL +:
       (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
     var v = head + 1
     while (!commit(v, actions)) v = math.max(v + 1, version + 1)
@@ -358,9 +446,12 @@ class VersionedTable(val root: String) {
       }
     }
     import org.apache.spark.sql.functions.lit
+    // both sides read under the window-end schema: deletes from an older
+    // layout null-fill columns born later, mirroring the snapshot reads
+    val reader = schemaAt(toV).map(spark.read.schema).getOrElse(spark.read)
     def tagged(names: Iterable[String], tag: String): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(spark.read
+      else Some(reader
         .parquet(names.map(n => dataDir.resolve(n).toString).toSeq: _*)
         .withColumn("_change_type", lit(tag)))
     (tagged(added, "insert"), tagged(removed, "delete")) match {

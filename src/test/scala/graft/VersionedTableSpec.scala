@@ -127,6 +127,55 @@ class VersionedTableSpec extends AnyFunSuite {
       "intra-window add+remove must cancel to the net change")
   }
 
+  test("merge upserts on the key; history keeps the pre-merge state") {
+    val t = table()
+    t.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(t.merge(spark, Seq((2, "B"), (3, "C")).toDF("id", "v"), "id") === 1L)
+    assert(t.read(spark).as[(Int, String)].collect().sorted ===
+      Array((1, "a"), (2, "B"), (3, "C")),
+      "matched row replaced, unmatched kept, new row inserted")
+    assert(t.readAsOf(spark, 0L).as[(Int, String)].collect().sorted ===
+      Array((1, "a"), (2, "b")), "pre-merge state stays time-travelable")
+    assert(t.history.map(_._2) === Seq("append", "merge"))
+
+    // merge into an empty table is a plain insert
+    val t2 = table()
+    t2.merge(spark, Seq((9, "z")).toDF("id", "v"), "id")
+    assert(t2.read(spark).as[(Int, String)].collect() === Array((9, "z")))
+  }
+
+  test("schema evolution rides the log; type conflicts are refused") {
+    val t = table()
+    t.append(spark, Seq((1, "a")).toDF("id", "v"))
+    t.append(spark, Seq((2, "b", 7.5)).toDF("id", "v", "score"))
+
+    // head reads under the widened schema, old rows null-fill
+    val head = t.read(spark)
+    assert(head.schema.fieldNames === Array("id", "v", "score"))
+    assert(head.as[(Int, String, Option[Double])].collect().sortBy(_._1) ===
+      Array((1, "a", None), (2, "b", Some(7.5))))
+    // the old version still reads under ITS schema
+    assert(t.readAsOf(spark, 0L).schema.fieldNames === Array("id", "v"))
+
+    // an upsert frame may OMIT existing columns (they read as null)
+    t.merge(spark, Seq((1, 9.9)).toDF("id", "score"), "id")
+    assert(t.read(spark).as[(Int, Option[String], Option[Double])]
+      .collect().sortBy(_._1) ===
+      Array((1, None, Some(9.9)), (2, Some("b"), Some(7.5))))
+
+    // enforcement: a type flip on a shared column is corpus corruption
+    assertThrows[IllegalArgumentException](
+      t.append(spark, Seq((3, 5)).toDF("id", "v")))
+
+    // the DSv2 face sees the log-carried schema too, null-filling files
+    // that predate the evolved column
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    assert(dsv2.schema.fieldNames === Array("id", "v", "score"))
+    assert(dsv2.select("id", "score").as[(Int, Option[Double])]
+      .collect().sortBy(_._1) === Array((1, Some(9.9)), (2, Some(7.5))))
+  }
+
   test("streaming ingest: batchId-keyed appends are exactly-once under re-delivery") {
     implicit val sc = spark.sqlContext
     val t = table()
