@@ -13,7 +13,8 @@ import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -64,12 +65,17 @@ class VersionedStreamProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     VersionedStreamProvider.tableSchema(options.get("path"))
 
+  // writes hand us the frame's schema directly instead of forcing an
+  // inferSchema on a possibly-empty table
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new VersionedStreamTable(
       properties.get("path"),
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
       Option(properties.get("versionAsOf")).map(_.toLong),
+      Option(properties.get("statsCol")),
       schema)
 }
 
@@ -119,15 +125,20 @@ object VersionedStreamProvider {
 }
 
 private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
-    versionAsOf: Option[Long], schema0: StructType)
-    extends Table with SupportsRead {
+    versionAsOf: Option[Long], statsCol: Option[String], schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned($root)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(root, startingVersion, versionAsOf, schema0)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new VersionedWriteBuilder(root, info, statsCol)
 }
 
 /** Planner-integrated pruning: column pruning reaches the parquet CHUNK

@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 class VersionedTable(val root: String) {
   private def logDir: Path = Paths.get(root, "_log")
-  private def dataDir: Path = Paths.get(root, "data")
+  private[sources] def dataDir: Path = Paths.get(root, "data")
 
   private def listDir(p: Path): List[Path] =
     if (!Files.isDirectory(p)) Nil
@@ -132,7 +132,7 @@ class VersionedTable(val root: String) {
       .asInstanceOf[StructType])
   }
 
-  private def metaLine(op: String, schema: StructType, extra: String = ""): String = {
+  private[sources] def metaLine(op: String, schema: StructType, extra: String = ""): String = {
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     s"""{"op":"meta","operation":"$op"$extra,"schemaB64":"$b64"}"""
@@ -144,7 +144,7 @@ class VersionedTable(val root: String) {
     * (schema EVOLUTION — old files null-fill them at read), and an
     * incoming frame may omit existing columns (its rows read as null
     * there). */
-  private def unionSchema(current: Option[StructType], incoming: StructType): StructType =
+  private[sources] def unionSchema(current: Option[StructType], incoming: StructType): StructType =
     current match {
       case None => incoming
       case Some(cur) =>

@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+/** DSv2 WRITE path into [[VersionedTable]] — the two-phase lake writer:
+  * every task streams its partition into its own parquet file under
+  * `data/` (content-unique name, INVISIBLE until some commit references
+  * it — staging is free by construction), its commit message carries the
+  * file name, row count and optional min/max of the `statsCol` option
+  * (harvested DURING the write, so the zone map costs nothing extra),
+  * and the DRIVER then folds all messages into ONE atomic commit-log
+  * rename. Task retries/speculation are safe: a losing attempt's file is
+  * simply never referenced (and falls to vacuum). This is exactly the
+  * Delta/Iceberg commit protocol shape; on a 1000-executor cluster the
+  * only serialization point is the final single-file rename.
+  *
+  * Batch: `df.write.format("graft.sources.VersionedStreamProvider")
+  * .option("path", root).mode("append"|"overwrite").save()` — append
+  * commits add-only; overwrite arrives as SupportsTruncate and rebases
+  * its remove set against the head on every race retry.
+  *
+  * Streaming: `df.writeStream.format(...)` — each epoch commits under
+  * its epochId through the SAME batchId ledger [[VersionedTable.appendBatch]]
+  * uses, so a replayed epoch (post-crash re-delivery) is recognized and
+  * its staged files are dropped instead of committed: exactly-once table
+  * state from an at-least-once stream, now as a first-class sink.
+  */
+private[graft] class VersionedWriteBuilder(root: String, info: LogicalWriteInfo,
+    statsCol: Option[String]) extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new VersionedBatchWrite(root, info.schema(), replace, statsCol)
+    override def toStreaming: StreamingWrite =
+      new VersionedStreamingWrite(root, info.schema(), statsCol)
+  }
+}
+
+/** One staged file's coordinates, shipped task → driver. */
+private[graft] case class StagedFileMessage(name: String, rows: Long,
+    stats: Option[(String, Long, Long)]) extends WriterCommitMessage
+
+private[graft] class VersionedBatchWrite(root: String, schema: StructType,
+    replace: Boolean, statsCol: Option[String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new VersionedWriterFactory(root, schema, statsCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val t = new VersionedTable(root)
+    val adds = VersionedWriteCommit.addActions(messages)
+    var committed = false
+    while (!committed) {
+      val head = t.version
+      val current = if (head < 0) None else t.schemaAt(head)
+      val actions =
+        if (replace) {
+          val removes =
+            if (head < 0) Nil
+            else t.filesAt(head).map(p => Paths.get(p).getFileName.toString)
+          t.metaLine("overwrite", schema) +:
+            (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+        } else
+          t.metaLine("append", t.unionSchema(current, schema)) +: adds
+      committed = t.commit(head + 1, actions)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    VersionedWriteCommit.dropStaged(root, messages)
+}
+
+private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
+    statsCol: Option[String]) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new VersionedWriterFactory(root, schema, statsCol)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val t = new VersionedTable(root)
+    val adds = VersionedWriteCommit.addActions(messages)
+    var done = false
+    while (!done) {
+      if (t.committedBatchIds.contains(epochId)) {
+        // replayed epoch: the first delivery won — drop the duplicates
+        VersionedWriteCommit.dropStaged(root, messages)
+        done = true
+      } else {
+        val head = t.version
+        val current = if (head < 0) None else t.schemaAt(head)
+        val actions = t.metaLine("append",
+          t.unionSchema(current, schema), s""","batchId":$epochId""") +: adds
+        done = t.commit(head + 1, actions)
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    VersionedWriteCommit.dropStaged(root, messages)
+}
+
+private[graft] object VersionedWriteCommit {
+  def addActions(messages: Array[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.collect {
+      case StagedFileMessage(name, rows, stats) if rows > 0 => stats match {
+        case Some((c, lo, hi)) =>
+          s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
+        case None => s"""{"op":"add","file":"$name"}"""
+      }
+    }
+
+  def dropStaged(root: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedFileMessage(name, _, _) =>
+        Files.deleteIfExists(Paths.get(root, "data", name))
+      case _ =>
+    }
+
+  /** StructType → parquet message type for the engine's primitive
+    * lattice (inverse of [[VersionedStreamProvider.fromParquet]]). */
+  def toParquet(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType => b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
+        case other => throw new IllegalArgumentException(
+          s"unsupported type $other for field ${f.name}")
+      }
+    }
+    b.named("spark_schema")
+  }
+}
+
+private[graft] class VersionedWriterFactory(root: String, schema: StructType,
+    statsCol: Option[String])
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new VersionedDataWriter(root, schema, statsCol, partitionId, taskId)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new VersionedDataWriter(root, schema, statsCol, partitionId, taskId)
+}
+
+private[graft] class VersionedDataWriter(root: String, schema: StructType,
+    statsCol: Option[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val name =
+    s"${UUID.randomUUID().toString.take(8)}-p$partitionId-t$taskId.parquet"
+  private val file = Paths.get(root, "data", name)
+  Files.createDirectories(file.getParent)
+
+  private val messageType = VersionedWriteCommit.toParquet(schema)
+  private val groups = new SimpleGroupFactory(messageType)
+  private val writer = ExampleParquetWriter
+    .builder(new HPath(file.toString)).withType(messageType).build()
+
+  private val statsIdx = statsCol.map(schema.fieldIndex)
+  private var rows = 0L
+  private var lo = Long.MaxValue
+  private var hi = Long.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    val g = groups.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val n = schema(i).name
+        schema(i).dataType match {
+          case LongType => g.append(n, row.getLong(i))
+          case IntegerType => g.append(n, row.getInt(i))
+          case DoubleType => g.append(n, row.getDouble(i))
+          case FloatType => g.append(n, row.getFloat(i))
+          case BooleanType => g.append(n, row.getBoolean(i))
+          case StringType => g.append(n,
+            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType => g.append(n,
+            Binary.fromConstantByteArray(row.getBinary(i)))
+          case other => throw new IllegalStateException(s"unsupported $other")
+        }
+      }
+      i += 1
+    }
+    statsIdx.foreach { s =>
+      if (!row.isNullAt(s)) {
+        val v = schema(s).dataType match {
+          case LongType => row.getLong(s)
+          case IntegerType => row.getInt(s).toLong
+          case other => throw new IllegalStateException(
+            s"statsCol must be integer-typed, got $other")
+        }
+        if (v < lo) lo = v
+        if (v > hi) hi = v
+      }
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (rows == 0) { Files.deleteIfExists(file); StagedFileMessage(name, 0L, None) }
+    else StagedFileMessage(name, rows,
+      statsCol.filter(_ => lo <= hi).map((_, lo, hi)))
+  }
+
+  override def abort(): Unit = { writer.close(); Files.deleteIfExists(file) }
+
+  override def close(): Unit = ()
+}
