@@ -331,6 +331,44 @@ class VersionedTable(val root: String) {
     committed
   }
 
+  /** Row-level DELETE of `column IN [lo, hi]`, copy-on-write with
+    * file-granularity pruning: only live files whose recorded zone map
+    * CAN intersect the predicate are rewritten (minus the matching
+    * rows); every other file is carried by reference, untouched. On a
+    * 100-TB table a targeted delete (the GDPR/right-to-be-forgotten
+    * shape) then rewrites the few files holding the key range instead
+    * of the snapshot. NULLs survive (the predicate is three-valued:
+    * only rows provably inside the range are removed). Returns the new
+    * version, or the current head when no file can match. The deleted
+    * rows stay time-travelable until [[vacuum]] — an explicit,
+    * operator-visible retention decision, exactly like the lake
+    * engines' vacuum-completes-the-delete contract.
+    */
+  def deleteWhere(spark: SparkSession, column: String, lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(head >= 0, "nothing to delete from")
+      val touched = filesWithStatsAt(head).collect {
+        case (p, None) => p
+        case (p, Some((c, fLo, fHi))) if c != column || (fHi >= lo && fLo <= hi) => p
+      }
+      if (touched.isEmpty) return head
+      val reader = schemaAt(head).map(spark.read.schema).getOrElse(spark.read)
+      val survivors = reader.parquet(touched: _*)
+        .filter(!col(column).between(lo, hi) || col(column).isNull)
+      val adds = stage(spark, survivors, Some(column))
+      val removes = touched.map(p => Paths.get(p).getFileName.toString)
+      val metaL = schemaAt(head).map(metaLine("delete", _))
+        .getOrElse("""{"op":"meta","operation":"delete"}""")
+      val actions = metaL +:
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      if (commit(head + 1, actions)) committed = head + 1
+    }
+    committed
+  }
+
   /** The live (file, stats) set at v: the same log fold as [[filesAt]]
     * but keeping each add's recorded skipping interval. */
   def filesWithStatsAt(v: Long): Seq[(String, Option[(String, Long, Long)])] = {

@@ -144,6 +144,32 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t2.read(spark).as[(Int, String)].collect() === Array((9, "z")))
   }
 
+  test("deleteWhere rewrites only the files the zone maps implicate") {
+    import org.apache.spark.sql.functions._
+    val t = table()
+    // three single-file commits with disjoint id ranges + stats
+    Seq((0L, 50L), (50L, 100L), (100L, 150L)).foreach { case (lo, hi) =>
+      t.append(spark, spark.range(lo, hi).toDF("id").repartition(1),
+        statsCol = Some("id"))
+    }
+    val before = t.filesAt(2L).toSet
+
+    val v = t.deleteWhere(spark, "id", 60L, 80L)
+    assert(v === 3L)
+    assert(t.history.last._2 === "delete")
+    assert(t.read(spark).count() === 129, "exactly [60, 80] removed")
+    assert(t.read(spark).filter(col("id").between(60, 80)).count() === 0)
+
+    // the two non-intersecting files are carried BY REFERENCE
+    val after = t.filesAt(3L).toSet
+    assert((before & after).size === 2, "untouched files must not be rewritten")
+    // the deleted rows stay time-travelable until vacuum
+    assert(t.readAsOf(spark, 2L).count() === 150)
+    // a provably-miss predicate commits nothing
+    assert(t.deleteWhere(spark, "id", 900L, 999L) === 3L)
+    assert(t.version === 3L)
+  }
+
   test("schema evolution rides the log; type conflicts are refused") {
     val t = table()
     t.append(spark, Seq((1, "a")).toDF("id", "v"))
