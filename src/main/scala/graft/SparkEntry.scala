@@ -314,6 +314,7 @@ object SparkEntry {
     "q_time_travel"     -> ((s, d) => graft.operators.ScaleOps.timeTravel(s, d)),
     "q_change_feed"     -> ((s, d) => graft.operators.ScaleOps.changeFeed(s, d)),
     "q_versioned_scan"  -> ((s, d) => graft.operators.ScaleOps.versionedScan(s, d)),
+    "q_lake_upsert"     -> ((s, d) => graft.operators.ScaleOps.lakeUpsert(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
@@ -5844,6 +5845,20 @@ object SparkEntry {
            CAST(max(doc_id) AS BIGINT) AS max_doc
          FROM documents WHERE n_chars >= 300 AND doc_id < 250
          GROUP BY source ORDER BY source""",
+    // the table head after delete [100,199] + merge of re-scored low-id
+    // docs, rebuilt relationally: kept survivors UNION the upserts
+    "q_lake_upsert" ->
+      """WITH kept AS (
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE n_chars >= 300 AND doc_id NOT BETWEEN 100 AND 199
+             AND doc_id >= 50),
+         upd AS (
+           SELECT doc_id, source, n_chars + 10000 AS n_chars
+           FROM documents WHERE doc_id < 50),
+         state AS (SELECT * FROM kept UNION ALL SELECT * FROM upd)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM state GROUP BY source ORDER BY source""",
     // the composed curation pipeline: quality gate -> exact dedup ->
     // decontaminate -> md5 split -> per-split census
     "q_corpus_freeze" ->

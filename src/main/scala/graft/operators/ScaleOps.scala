@@ -932,6 +932,15 @@ object ScaleOps {
         docs.filter(col("n_chars") >= 300)
           .repartitionByRange(4, col("doc_id")),
         statsCol = Some("doc_id"))                       // v2: quality re-freeze
+      // v3: targeted erasure — zone maps implicate only the files whose
+      // doc_id interval intersects, the rest carry by reference
+      t.deleteWhere(spark, "doc_id", 100L, 199L)
+      // v4 (head): nightly upsert — re-scored low-id docs replace their
+      // snapshot rows, never-admitted ones insert
+      t.merge(spark,
+        docs.filter(col("doc_id") < 50)
+          .withColumn("n_chars", col("n_chars") + 10000),
+        "doc_id")
       path
     }
 
@@ -981,6 +990,23 @@ object ScaleOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** The lake's write-path semantics under the hash gate: the HEAD of
+    * the versioned-docs table after the full commit chain — overwrite,
+    * append, re-freeze, zone-map-pruned row DELETE, keyed MERGE upsert —
+    * aggregated per source. The oracle rebuilds the same end state from
+    * the raw table with plain relational algebra (kept ∪ updated), so a
+    * matching hash proves deleteWhere removed exactly the predicate
+    * range (and nothing else, despite rewriting whole implicated files)
+    * and merge replaced matched keys while inserting unmatched ones.
+    */
+  def lakeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = versionedDocs(spark, dir)
+    new graft.sources.VersionedTable(root).read(spark)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"))
   }
 

@@ -159,6 +159,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_time_travel",       // log-fold file sets, integer counts/sums
       "q_change_feed",       // net log-window file sets, integer counts/sums
       "q_versioned_scan",    // zone-map pruned scan, integer counts/sums
+      "q_lake_upsert",       // delete+merge end state, integer counts/sums
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
