@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     semantically; overwrite rebases its remove set).
   *   - A snapshot is the fold of actions over `_log/0..v` — so
   *     `readAsOf(v)` is total history reconstruction, and the latest
-  *     read is just the fold at the head. Nothing is ever rewritten;
-  *     old versions stay readable until an explicit vacuum (not
-  *     implemented — retention policy is an operational choice).
+  *     read is just the fold at the head. Nothing is ever rewritten in
+  *     place; old versions stay readable until an explicit [[vacuum]]
+  *     ends their time-travel guarantee (a deliberate operator call,
+  *     never a side effect).
   *
   * This composes with the rest of the engine: the incremental dedup/
   * admission jobs (`q_incremental_dedup`/`_neardup`) read "history" —
