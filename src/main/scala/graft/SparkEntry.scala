@@ -127,7 +127,7 @@ object SparkEntry {
     "q_dedup_rate_by_source" -> ((s, d) => MlOps.dedupRateBySource(s, d)),
     "q_schema_profile"  -> ((s, d) => RelationalOps.schemaProfile(s, d)),
     "q_left_join_nulls" -> ((s, d) => RelationalOps.customerOrderSummary(s, d)),
-    "q_scalar_subquery" -> ((s, d) => RelationalOps.outlierOrders(s, d)),
+    "q_correlated_subquery" -> ((s, d) => RelationalOps.correlatedOutliers(s, d)),
     // ---- round-5 training-data pipeline tier: packing, sampling,
     //      substring-dedup census, LM quality, layout, clustering
     "q_seq_pack"        -> ((s, d) => graft.operators.CorpusOps.seqPack(s, d)),
@@ -1387,12 +1387,18 @@ object SparkEntry {
           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
           GROUP BY c_custkey ORDER BY c_custkey""",
-    "q_scalar_subquery" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-          FROM orders o
-          WHERE o_totalprice > (
-            SELECT avg(o2.o_totalprice) * 1.5 FROM orders o2
-            WHERE o2.o_custkey = o.o_custkey)
+    // cross-multiplied integer-cents threshold: exact on both engines
+    "q_correlated_subquery" ->
+      """WITH o AS (
+            SELECT o_orderkey, o_custkey,
+              CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders)
+          SELECT o_orderkey, o_custkey, cents
+          FROM o
+          WHERE cents * 2 * (SELECT count(*) FROM o o2
+                             WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT CAST(sum(o2.cents) AS BIGINT) FROM o o2
+                     WHERE o2.o_custkey = o.o_custkey)
           ORDER BY o_orderkey""",
     "q_topk_values" ->
       """SELECT event_type,

@@ -235,17 +235,34 @@ object RelationalOps {
       )
       .orderBy(col("c_custkey"))
 
-  /** Correlated scalar subquery: orders priced above 1.5x their own
-    * customer's average — Catalyst decorrelates this into an aggregate +
-    * join rather than re-running the subquery per row. */
-  def outlierOrders(spark: SparkSession, dir: String): DataFrame = {
+  /** CORRELATED scalar subqueries (the TPC-H Q2/Q17 shape): orders
+    * priced above 1.5x their own customer's average. Catalyst
+    * decorrelates each subquery into a per-custkey aggregate joined back
+    * on the correlation key (RewriteCorrelatedScalarSubquery), and
+    * MergeScalarSubqueries fuses the two aggregates over the same
+    * correlated source into ONE — so the plan is a single grouped
+    * aggregate + equi-join, never a per-row re-execution.
+    *
+    * The "1.5x the average" predicate is spelled cross-multiplied in
+    * integer cents (`cents * 2 * n > 3 * sum_cents`) so the comparison
+    * is exact 64-bit arithmetic on both engines — an avg-of-doubles
+    * threshold can flip boundary rows between engines on partial-sum
+    * order alone (the reason the original double spelling of this query
+    * was retired in round 7).
+    */
+  def correlatedOutliers(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
     spark.sql(
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-         FROM graft_orders o
-         WHERE o_totalprice > (
-           SELECT avg(o2.o_totalprice) * 1.5 FROM graft_orders o2
-           WHERE o2.o_custkey = o.o_custkey)
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM graft_orders)
+         SELECT o_orderkey, o_custkey, cents
+         FROM o
+         WHERE cents * 2 * (SELECT count(*) FROM o o2
+                            WHERE o2.o_custkey = o.o_custkey)
+             > 3 * (SELECT sum(o2.cents) FROM o o2
+                    WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""")
   }
 
