@@ -320,6 +320,10 @@ object SparkEntry {
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
     "q_sample_psi"      -> ((s, d) => graft.operators.CorpusOps.samplePsi(s, d)),
     "q_cluster_span"    -> ((s, d) => graft.operators.GraphOps.nearDupClusterSpan(s, d)),
+    // ---- round 9 (driver): sequence mining, mechanism design, link
+    //      analysis, forecast evaluation, native UDTF
+    "q_seq_mining"      -> ((s, d) => BehaviorOps.seqMining(s, d)),
+    "q_event_runs"      -> ((s, d) => BehaviorOps.eventRuns(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6037,5 +6041,62 @@ object SparkEntry {
             CAST(min(node) AS BIGINT) AS first_doc
           FROM comp JOIN meta m ON m.doc_id = comp.node
           GROUP BY component ORDER BY component""",
+    // ---- round 9 (driver) ----
+    // Gap-constrained 2-sequence support: next-occurrence-per-type via
+    // five mins over ONE shared forward window, then distinct
+    // (user, a, b). ts compares at µs (the engine-wide granularity).
+    "q_seq_mining" ->
+      """WITH e AS (
+            SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+              event_id
+            FROM events),
+          nxt AS (
+            SELECT user_id, event_type AS a_type, ts_us,
+              min(CASE WHEN event_type = 'click' THEN ts_us END) OVER w AS n_click,
+              min(CASE WHEN event_type = 'error' THEN ts_us END) OVER w AS n_error,
+              min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER w AS n_purchase,
+              min(CASE WHEN event_type = 'signup' THEN ts_us END) OVER w AS n_signup,
+              min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w AS n_view
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+          pairs AS (
+            SELECT DISTINCT user_id, a_type, b.b_type
+            FROM nxt, LATERAL (VALUES
+                ('click', n_click), ('error', n_error),
+                ('purchase', n_purchase), ('signup', n_signup),
+                ('view', n_view)) AS b(b_type, b_us)
+            WHERE b.b_us IS NOT NULL AND b.b_us - ts_us <= 1800000000),
+          u AS (SELECT count(DISTINCT user_id) AS n_users FROM e)
+          SELECT a_type, b_type, CAST(count(*) AS BIGINT) AS support,
+            round(count(*) / CAST((SELECT n_users FROM u) AS DOUBLE), 6)
+              AS support_ratio
+          FROM pairs GROUP BY a_type, b_type ORDER BY a_type, b_type""",
+    // gaps-and-islands RLE: break flag -> running-sum run ids -> run
+    // lengths -> (type, length) histogram; all integer counts
+    "q_event_runs" ->
+      """WITH e AS (
+            SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+              event_id
+            FROM events),
+          flag AS (
+            SELECT user_id, event_type, ts_us, event_id,
+              CASE WHEN lag(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id)
+                IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+            FROM e),
+          runs AS (
+            SELECT user_id, event_type,
+              CAST(sum(brk) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+            FROM flag),
+          rl AS (
+            SELECT user_id, event_type, run_id,
+              CAST(count(*) AS BIGINT) AS run_len
+            FROM runs GROUP BY user_id, event_type, run_id)
+          SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+          FROM rl GROUP BY event_type, run_len
+          ORDER BY event_type, run_len""",
   )
 }

@@ -1504,4 +1504,73 @@ object BehaviorOps {
             .otherwise(lit(-1.0e9))).over(w)), 6))
       .orderBy(col("day"))
   }
+
+  /** Gap-constrained sequential-pattern mining (the GSP/SPADE 2-sequence
+    * support census): for every ordered event-type pair (a, b), the
+    * number of users with some b occurring strictly after some a within
+    * a 30-minute gap. One pass over [[eventSeq]] computes, per event,
+    * the NEXT occurrence timestamp of each of the 5 types via five
+    * `min(when(type=X, ts))` columns over a single shared
+    * (1 FOLLOWING, UNBOUNDED FOLLOWING) user window — the frame is
+    * already user-partitioned and time-sorted, so the window runs with
+    * no exchange and no sort, and the candidate step is O(events × 5)
+    * instead of the O(events²/user) self-join a naive pattern miner
+    * pays. Support counting then reduces to a distinct over
+    * (user, a, b) — at most 25 rows per user regardless of log depth.
+    */
+  def seqMining(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(1L, Window.unboundedFollowing)
+    val withNext = types.foldLeft(e) { (df, t) =>
+      df.withColumn(s"n_$t",
+        min(when(col("event_type") === t, col("ts_us"))).over(w))
+    }
+    // bounded driver scalar (PlanSpec: never cross-join a 1-row frame)
+    val nUsers = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    withNext
+      .select(col("user_id"), col("event_type").as("a_type"), col("ts_us"),
+        explode(array(types.map(t =>
+          struct(lit(t).as("b_type"), col(s"n_$t").as("b_us"))): _*)).as("b"))
+      .where(col("b.b_us").isNotNull &&
+        col("b.b_us") - col("ts_us") <= 1800000000L) // 30 min in µs
+      .select(col("user_id"), col("a_type"), col("b.b_type").as("b_type"))
+      .distinct()
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(
+        count(lit(1)).as("support"),
+        round(count(lit(1)) / lit(nUsers).cast("double"), 6)
+          .as("support_ratio"))
+      .orderBy(col("a_type"), col("b_type"))
+  }
+
+  /** Run-length encoding of per-user behavior sequences (the SQL
+    * gaps-and-islands pattern): consecutive same-type events collapse to
+    * runs via a break flag + running sum over the user timeline, then a
+    * (type, run_length) histogram. Both windows and the first groupBy
+    * key on user_id, so everything up to the final ≤|types×lengths|-row
+    * histogram is exchange-free over the pinned [[eventSeq]] layout —
+    * the repetition-structure profile of a 100-TB event log costs one
+    * linear pass. */
+  def eventRuns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventSeq(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("brk",
+        when(lag(col("event_type"), 1).over(w) <=> col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("run_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("event_type"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"), col("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy(col("event_type"), col("run_len"))
+  }
 }
