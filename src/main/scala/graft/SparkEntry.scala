@@ -324,6 +324,7 @@ object SparkEntry {
     //      analysis, forecast evaluation, native UDTF
     "q_seq_mining"      -> ((s, d) => BehaviorOps.seqMining(s, d)),
     "q_event_runs"      -> ((s, d) => BehaviorOps.eventRuns(s, d)),
+    "q_dp_release"      -> ((s, d) => graft.operators.PrivacyOps.dpCountRelease(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6098,5 +6099,39 @@ object SparkEntry {
           SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
           FROM rl GROUP BY event_type, run_len
           ORDER BY event_type, run_len""",
+    // truncated two-sided geometric mechanism, alpha = 1/2: integer
+    // inverse-CDF walk over exact thresholds at grain 3*2^20 — band k
+    // spans grain/(3*2^k), outcomes ordered 0, +1, -1, ..., +-10, the
+    // 2048-grain tail clipping to 0. No float log/exp on either engine.
+    "q_dp_release" ->
+      """WITH cnt AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+            FROM events GROUP BY event_type),
+          draw AS (
+            SELECT event_type, true_n,
+              CAST(('0x' || substring(md5('dp:' || event_type), 1, 8))
+                AS BIGINT) % 3145728 AS u
+            FROM cnt),
+          noise AS (
+            SELECT event_type, true_n,
+              CASE
+                WHEN u < 1048576 THEN 0
+                WHEN u < 1572864 THEN 1    WHEN u < 2097152 THEN -1
+                WHEN u < 2359296 THEN 2    WHEN u < 2621440 THEN -2
+                WHEN u < 2752512 THEN 3    WHEN u < 2883584 THEN -3
+                WHEN u < 2949120 THEN 4    WHEN u < 3014656 THEN -4
+                WHEN u < 3047424 THEN 5    WHEN u < 3080192 THEN -5
+                WHEN u < 3096576 THEN 6    WHEN u < 3112960 THEN -6
+                WHEN u < 3121152 THEN 7    WHEN u < 3129344 THEN -7
+                WHEN u < 3133440 THEN 8    WHEN u < 3137536 THEN -8
+                WHEN u < 3139584 THEN 9    WHEN u < 3141632 THEN -9
+                WHEN u < 3142656 THEN 10   WHEN u < 3143680 THEN -10
+                ELSE 0 END AS k
+            FROM draw)
+          SELECT event_type, true_n,
+            CAST(true_n + k AS BIGINT) AS noisy_n,
+            CAST(abs(k) AS BIGINT) AS abs_err,
+            abs(k) * 200 <= true_n AS within_half_pct
+          FROM noise ORDER BY event_type""",
   )
 }
