@@ -325,6 +325,7 @@ object SparkEntry {
     "q_seq_mining"      -> ((s, d) => BehaviorOps.seqMining(s, d)),
     "q_event_runs"      -> ((s, d) => BehaviorOps.eventRuns(s, d)),
     "q_dp_release"      -> ((s, d) => graft.operators.PrivacyOps.dpCountRelease(s, d)),
+    "q_backtest"        -> ((s, d) => graft.operators.ScaleOps.forecastBacktest(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6133,5 +6134,24 @@ object SparkEntry {
             CAST(abs(k) AS BIGINT) AS abs_err,
             abs(k) * 200 <= true_n AS within_half_pct
           FROM noise ORDER BY event_type""",
+    // rolling-origin backtest: integer-cents daily revenue, lag-1 and
+    // lag-7 forecasts, MAE as integer floor division (both positive)
+    "q_backtest" ->
+      """WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM orders GROUP BY 1),
+          lagged AS (
+            SELECT d, cents,
+              lag(cents, 1) OVER (ORDER BY d) AS naive_f,
+              lag(cents, 7) OVER (ORDER BY d) AS snaive_f
+            FROM daily)
+          SELECT m.model, CAST(count(*) AS BIGINT) AS n_origins,
+            CAST(sum(abs(cents - f)) AS BIGINT) AS sum_abs_err_cents,
+            CAST(sum(abs(cents - f)) // count(*) AS BIGINT) AS mae_cents
+          FROM lagged, LATERAL (VALUES ('naive', naive_f),
+            ('snaive7', snaive_f)) AS m(model, f)
+          WHERE f IS NOT NULL GROUP BY m.model ORDER BY m.model""",
   )
 }

@@ -547,6 +547,40 @@ object ScaleOps {
       .orderBy(col("event_type"), col("day_index"))
   }
 
+  /** Rolling-origin forecast backtest (time-series cross-validation):
+    * every day is an evaluation origin, the naive (yesterday) and
+    * seasonal-naive (same weekday last week) forecasts score against
+    * the realized daily revenue, and the harness reports per-model MAE.
+    * Revenue enters as exact per-row integer cents, errors are |long −
+    * long|, and MAE is an integer floor division — bit-stable under any
+    * partitioning. The two lag forecasts come from ONE ordered window
+    * over the day-bounded daily table (bounded by the observation span,
+    * never corpus-sized), and the model dimension is a 2-way stack()
+    * unpivot, so adding models costs columns, not scans. This is the
+    * evaluation loop every forecasting deployment runs; at 100 TB the
+    * per-day reduction happens map-side and the backtest itself touches
+    * |days| rows. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("cents"))
+    val w = Window.orderBy(col("d"))
+    daily
+      .withColumn("naive_f", lag(col("cents"), 1).over(w))
+      .withColumn("snaive_f", lag(col("cents"), 7).over(w))
+      .select(col("cents"),
+        expr("stack(2, 'naive', naive_f, 'snaive7', snaive_f) AS (model, f)"))
+      .where(col("f").isNotNull)
+      .groupBy(col("model"))
+      .agg(
+        count(lit(1)).as("n_origins"),
+        sum(abs(col("cents") - col("f"))).as("sum_abs_err_cents"))
+      .withColumn("mae_cents", expr("sum_abs_err_cents div n_origins"))
+      .orderBy(col("model"))
+  }
+
   /** Rolling Pearson correlation between the click and purchase daily
     * volumes over a ±7-day window — "do conversions track traffic this
     * fortnight" as a time series. All five window moments (Σx Σy Σxy
