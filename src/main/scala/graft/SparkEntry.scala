@@ -326,6 +326,7 @@ object SparkEntry {
     "q_event_runs"      -> ((s, d) => BehaviorOps.eventRuns(s, d)),
     "q_dp_release"      -> ((s, d) => graft.operators.PrivacyOps.dpCountRelease(s, d)),
     "q_backtest"        -> ((s, d) => graft.operators.ScaleOps.forecastBacktest(s, d)),
+    "q_hits"            -> ((s, d) => graft.operators.GraphOps.hitsNationTrade(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6153,5 +6154,33 @@ object SparkEntry {
           FROM lagged, LATERAL (VALUES ('naive', naive_f),
             ('snaive7', snaive_f)) AS m(model, f)
           WHERE f IS NOT NULL GROUP BY m.model ORDER BY m.model""",
+    // HITS hubs/authorities, 2 integer power iterations over the
+    // customer-nation -> supplier-nation trade graph; floor division by
+    // 2^10 per iteration replaces the float normalization (positive
+    // values, so DuckDB // and Spark div agree)
+    "q_hits" ->
+      """WITH edges AS (
+            SELECT cn.n_name AS src, sn.n_name AS dst,
+              CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2),
+          h1 AS (SELECT src, CAST(sum(w) AS BIGINT) AS h
+                 FROM edges GROUP BY src),
+          a1 AS (SELECT dst, CAST(sum(w * h1.h) // 1024 AS BIGINT) AS a
+                 FROM edges JOIN h1 ON edges.src = h1.src GROUP BY dst),
+          h2 AS (SELECT src, CAST(sum(w * a1.a) // 1024 AS BIGINT) AS h
+                 FROM edges JOIN a1 ON edges.dst = a1.dst GROUP BY src),
+          a2 AS (SELECT dst, CAST(sum(w * h2.h) // 1024 AS BIGINT) AS a
+                 FROM edges JOIN h2 ON edges.src = h2.src GROUP BY dst)
+          SELECT coalesce(h2.src, a2.dst) AS nation,
+            coalesce(h2.h, 0) AS hub_score,
+            coalesce(a2.a, 0) AS auth_score
+          FROM h2 FULL OUTER JOIN a2 ON h2.src = a2.dst
+          ORDER BY nation""",
   )
 }

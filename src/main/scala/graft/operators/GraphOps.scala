@@ -444,4 +444,57 @@ object GraphOps {
         min(col("node")).as("first_doc"))
       .orderBy(col("component"))
   }
+
+  /** HITS link analysis (Kleinberg's hubs & authorities) over the
+    * customer-nation → supplier-nation trade graph: who routes demand
+    * (hubs) and who absorbs it (authorities). Two full h→a power
+    * iterations in EXACT integer arithmetic — edge weights are lineitem
+    * counts, each iteration is one equi-join + one grouped sum, and the
+    * conventional float normalization is replaced by a floor division
+    * by 2^10 per iteration, which is engine-deterministic where a
+    * float 1/√Σx² rescale is not, and bounds the magnitude growth the
+    * same way. The expensive part is building the edge list (fact-fact
+    * equi-join + broadcast dims, shuffled once on the nation pair and
+    * then checkpointed so the 4 iteration consumers reread ~|nations|²
+    * rows, not the lineitem table); the iterations themselves touch
+    * frames bounded by |nations|², independent of corpus size.
+    */
+  def hitsNationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.fanOut(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey")))
+      .join(Tables.maybeBroadcast(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // 4 iteration consumers reread |nations|² rows
+    val h1 = edges.groupBy(col("src")).agg(sum(col("w")).as("h"))
+    val a1 = edges.join(h1, "src")
+      .groupBy(col("dst")).agg(expr("sum(w * h) div 1024").as("a"))
+    val h2 = edges.join(a1, "dst")
+      .groupBy(col("src")).agg(expr("sum(w * a) div 1024").as("h"))
+      .select(col("src").as("hub_node"), col("h").as("hub_score"))
+      .localCheckpoint() // consumed by a2 AND the final join
+    val a2 = edges.join(h2, col("src") === col("hub_node"))
+      .groupBy(col("dst")).agg(expr("sum(w * hub_score) div 1024").as("a"))
+      .select(col("dst").as("auth_node"), col("a").as("auth_score"))
+    h2.join(a2, col("hub_node") === col("auth_node"), "full_outer")
+      .select(
+        coalesce(col("hub_node"), col("auth_node")).as("nation"),
+        coalesce(col("hub_score"), lit(0L)).as("hub_score"),
+        coalesce(col("auth_score"), lit(0L)).as("auth_score"))
+      .orderBy(col("nation"))
+  }
 }
