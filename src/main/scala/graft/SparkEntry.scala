@@ -327,6 +327,7 @@ object SparkEntry {
     "q_dp_release"      -> ((s, d) => graft.operators.PrivacyOps.dpCountRelease(s, d)),
     "q_backtest"        -> ((s, d) => graft.operators.ScaleOps.forecastBacktest(s, d)),
     "q_hits"            -> ((s, d) => graft.operators.GraphOps.hitsNationTrade(s, d)),
+    "q_udtf_ngrams"     -> ((s, d) => TextAnalysisOps.udtfNgramCensus(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6182,5 +6183,24 @@ object SparkEntry {
             coalesce(a2.a, 0) AS auth_score
           FROM h2 FULL OUTER JOIN a2 ON h2.src = a2.dst
           ORDER BY nation""",
+    // positional trigram census (native ngram_pos generator on the
+    // Spark side); pos is the 1-based trigram start index
+    "q_udtf_ngrams" ->
+      """WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+          g AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              array_to_string(list_slice(toks, CAST(i AS INTEGER),
+                CAST(i + 2 AS INTEGER)), ' ') AS gram
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 3))
+          SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(min(pos) AS BIGINT) AS min_pos,
+            CAST(max(pos) AS BIGINT) AS max_pos
+          FROM g GROUP BY gram HAVING count(*) >= 3
+          ORDER BY n_occ DESC, gram LIMIT 40""",
   )
 }

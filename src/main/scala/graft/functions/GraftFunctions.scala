@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expr.{ByteStats, ChunkSplit, CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, RiskScore, TopKValuesAgg}
+import graft.expr.{ByteStats, ChunkSplit, CountMinAgg, DotProduct, Fingerprint, FreqItemsAgg, IntersectSize, IntersectSizeSorted, NGramPos, RiskScore, TopKValuesAgg}
 
 /** Registration of graft's native expressions into the Catalyst function
   * registry, both per-session (for externally built sessions like the
@@ -81,6 +81,16 @@ object GraftFunctions {
     ByteStats(exprs.head)
   }
 
+  private[functions] val ngramPosBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "ngram_pos expects (tokens, n)")
+    val n = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"ngram_pos n must be an integer literal, got $other")
+    }
+    NGramPos(exprs.head, n)
+  }
+
   // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
   // runtime-filter rewrite but keeps them off the SQL search path;
   // expose both so the Bloom prefilter pattern is writable as plain
@@ -126,6 +136,8 @@ object GraftFunctions {
       "chunk_split", chunkSplitBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_stats", byteStatsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_pos", ngramPosBuilder, "built-in")
   }
 }
 
@@ -200,6 +212,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "cms_counts"),
       GraftFunctions.cmsBuilder,
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_pos"),
+      new ExpressionInfo(classOf[NGramPos].getName, "ngram_pos"),
+      GraftFunctions.ngramPosBuilder,
     ))
     // Fold the 16-way Column-algebra risk shape into the native
     // expression wherever user code spelled it out by hand.

@@ -382,4 +382,33 @@ object TextAnalysisOps {
         concat_ws(" ", slice(col("toks"), start, end - start + 1)).as("context"))
       .orderBy(col("doc_id"), col("pos"))
   }
+
+  /** Positional trigram census on the NATIVE generator
+    * [[graft.expr.NGramPos]] (`ngram_pos(tokens, 3)` — the UDTF leg of
+    * the extension surface): where in documents do repeated trigrams
+    * sit? Each (pos, gram) row streams out of GenerateExec without the
+    * per-document gram array a transform-then-explode spelling would
+    * materialize; the census is then one hash aggregate on the gram and
+    * a top-k cliff (TakeOrdered, never a global sort). Burst-repeated
+    * boilerplate shows up as a tight [min_pos, max_pos] band across many
+    * docs — the positional signal the span census (q_dup_ngram_spans)
+    * aggregates away.
+    */
+  def udtfNgramCensus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .select(col("doc_id"), expr("ngram_pos(toks, 3) AS (pos, gram)"))
+      .groupBy(col("gram"))
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+      .where(col("n_occ") >= 3)
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(40)
+  }
 }
