@@ -160,6 +160,14 @@ class RobustnessSpec extends AnyFunSuite {
       "q_change_feed",       // net log-window file sets, integer counts/sums
       "q_versioned_scan",    // zone-map pruned scan, integer counts/sums
       "q_lake_upsert",       // delete+merge end state, integer counts/sums
+      // round-14 additions
+      "q_correlated_subquery", // exact-cents integer cross-multiply
+      "q_seq_mining",        // window minima + distinct counts; ratio int/int
+      "q_event_runs",        // gaps-and-islands integer histogram
+      "q_dp_release",        // integer inverse-CDF geometric noise
+      "q_backtest",          // integer-cents errors, floor-div MAE
+      "q_hits",              // integer power iterations, floor-div rescale
+      "q_udtf_ngrams",       // generator rows, integer census, top-k cliff
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
