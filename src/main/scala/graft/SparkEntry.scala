@@ -328,6 +328,10 @@ object SparkEntry {
     "q_backtest"        -> ((s, d) => graft.operators.ScaleOps.forecastBacktest(s, d)),
     "q_hits"            -> ((s, d) => graft.operators.GraphOps.hitsNationTrade(s, d)),
     "q_udtf_ngrams"     -> ((s, d) => TextAnalysisOps.udtfNgramCensus(s, d)),
+    "q_sax_motifs"      -> ((s, d) => graft.operators.ScaleOps.saxMotifs(s, d)),
+    "q_decision_stump"  -> ((s, d) => MlOps.decisionStump(s, d)),
+    "q_token_fertility" -> ((s, d) => TextAnalysisOps.tokenFertility(s, d)),
+    "q_interval_union"  -> ((s, d) => BehaviorOps.intervalUnion(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6202,5 +6206,114 @@ object SparkEntry {
             CAST(max(pos) AS BIGINT) AS max_pos
           FROM g GROUP BY gram HAVING count(*) >= 3
           ORDER BY n_occ DESC, gram LIMIT 40""",
+    // SAX symbolization by exact rank binning (ntile over (cents, d)),
+    // then sliding 3-day motif census; null motifs are the last 2 days
+    "q_sax_motifs" ->
+      """WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM orders GROUP BY 1),
+          sym AS (
+            SELECT d, chr(CAST(96 + ntile(4) OVER (ORDER BY cents, d)
+              AS INTEGER)) AS s
+            FROM daily),
+          words AS (
+            SELECT s || lead(s, 1) OVER (ORDER BY d)
+                     || lead(s, 2) OVER (ORDER BY d) AS motif
+            FROM sym)
+          SELECT motif, CAST(count(*) AS BIGINT) AS n
+          FROM words WHERE motif IS NOT NULL
+          GROUP BY motif ORDER BY motif""",
+    // decision stump: all candidate splits in ONE aggregate row, gini
+    // assembled row-locally from exact BIGINT counts, argmin on the
+    // 6-dp-rounded key with the threshold tie-break
+    "q_decision_stump" ->
+      """WITH agg AS (
+            SELECT count(*) AS n,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+              sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS nl_50,
+              sum(CASE WHEN value <= 50 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_50,
+              sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS nl_100,
+              sum(CASE WHEN value <= 100 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_100,
+              sum(CASE WHEN value <= 150 THEN 1 ELSE 0 END) AS nl_150,
+              sum(CASE WHEN value <= 150 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_150,
+              sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END) AS nl_200,
+              sum(CASE WHEN value <= 200 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_200,
+              sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) AS nl_250,
+              sum(CASE WHEN value <= 250 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_250,
+              sum(CASE WHEN value <= 300 THEN 1 ELSE 0 END) AS nl_300,
+              sum(CASE WHEN value <= 300 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_300,
+              sum(CASE WHEN value <= 350 THEN 1 ELSE 0 END) AS nl_350,
+              sum(CASE WHEN value <= 350 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_350,
+              sum(CASE WHEN value <= 400 THEN 1 ELSE 0 END) AS nl_400,
+              sum(CASE WHEN value <= 400 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_400,
+              sum(CASE WHEN value <= 450 THEN 1 ELSE 0 END) AS nl_450,
+              sum(CASE WHEN value <= 450 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS pl_450
+            FROM events),
+          cand AS (
+            SELECT CAST(t.th AS BIGINT) AS threshold,
+              CAST(t.nl AS BIGINT) AS n_left, CAST(t.pl AS BIGINT) AS pos_left,
+              CAST(agg.n - t.nl AS BIGINT) AS n_right,
+              CAST(agg.p - t.pl AS BIGINT) AS pos_right
+            FROM agg, LATERAL (VALUES
+              (50, nl_50, pl_50), (100, nl_100, pl_100), (150, nl_150, pl_150),
+              (200, nl_200, pl_200), (250, nl_250, pl_250), (300, nl_300, pl_300),
+              (350, nl_350, pl_350), (400, nl_400, pl_400), (450, nl_450, pl_450))
+              AS t(th, nl, pl)),
+          sc AS (
+            SELECT threshold, n_left, pos_left, n_right, pos_right,
+              round(2.0 * pos_left * (n_left - pos_left) / n_left
+                  + 2.0 * pos_right * (n_right - pos_right) / n_right, 6) AS gini
+            FROM cand WHERE n_left > 0 AND n_right > 0)
+          SELECT threshold, n_left, pos_left, n_right, pos_right, gini,
+            rank() OVER (ORDER BY gini, threshold) = 1 AS is_best
+          FROM sc ORDER BY threshold""",
+    // tokenizer fertility by language: words, chars, ceil(len/4) pieces
+    "q_token_fertility" ->
+      """WITH tok AS (
+            SELECT doc_id, lang,
+              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+            FROM documents),
+          per AS (
+            SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(len(t)) AS BIGINT) AS n_chars,
+              CAST(sum((len(t) + 3) // 4) AS BIGINT) AS n_pieces
+            FROM tok GROUP BY lang)
+          SELECT lang, n_docs, n_tokens, n_chars, n_pieces,
+            round(n_chars / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token,
+            round(n_pieces / CAST(n_tokens AS DOUBLE), 6) AS pieces_per_token
+          FROM per ORDER BY lang""",
+    // interval union: merge overlapping 5-min activity intervals per
+    // user via the running-max-of-ends sweep, then histogram by island
+    // count; exact integer microseconds
+    "q_interval_union" ->
+      """WITH e AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS s_us,
+              epoch_ns(ts) // 1000 + 300000000 AS e_us, event_id
+            FROM events),
+          m AS (
+            SELECT user_id, s_us, e_us, event_id,
+              max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM e),
+          isl AS (
+            SELECT user_id, s_us, e_us,
+              CAST(sum(CASE WHEN prev_max IS NULL OR s_us > prev_max
+                  THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+            FROM m),
+          per_island AS (
+            SELECT user_id, island, max(e_us) - min(s_us) AS busy_us
+            FROM isl GROUP BY user_id, island),
+          per_user AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+              CAST(sum(busy_us) AS BIGINT) AS busy_us
+            FROM per_island GROUP BY user_id)
+          SELECT n_islands, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(busy_us) AS BIGINT) AS total_busy_us
+          FROM per_user GROUP BY n_islands ORDER BY n_islands""",
   )
 }

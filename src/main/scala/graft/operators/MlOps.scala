@@ -1001,4 +1001,52 @@ object MlOps {
       .select(col("rk"), col("item"), col("n_ratings"), col("sum_r"), col("v_factor"))
       .orderBy(col("rk"))
   }
+
+  /** Decision-stump training (1R / depth-1 CART): pick the `value`
+    * threshold that best splits purchases from the rest by weighted Gini
+    * impurity. All 9 candidate splits evaluate in ONE scan — each
+    * candidate is a conditional-count pair in a single aggregate row, so
+    * training cost is one map-side-combined pass regardless of how many
+    * thresholds the grid carries (the column-per-candidate trick; a
+    * per-candidate scan or a threshold×events join would be the 100-TB
+    * anti-pattern). The impurity per candidate assembles row-locally
+    * from exact BIGINT counts — 2·p·(n−p)/n per side, two deterministic
+    * divisions and one fixed-order add — and the argmin ranks on the
+    * 6-dp-rounded key with the threshold as tie-break (the repo's
+    * rank-on-rounded-keys convention). The candidate frame is 9 literal
+    * rows exploded from the aggregate row itself (never a 1-row cross
+    * join), so the rank window is bounded by the grid, not the data.
+    */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ths = 50 to 450 by 50
+    val isPos = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val aggCols = Seq(
+      count(lit(1)).as("n"), sum(isPos).as("p")) ++
+      ths.flatMap { t =>
+        Seq(
+          sum(when(col("value") <= t, 1L).otherwise(0L)).as(s"nl_$t"),
+          sum(when(col("value") <= t, isPos).otherwise(0L)).as(s"pl_$t"))
+      }
+    val agg = Tables.fanOut(
+        Tables.events(spark, dir).select(col("event_type"), col("value")))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val cand = agg.select(col("n"), col("p"),
+        explode(array(ths.map(t => struct(lit(t.toLong).as("th"),
+          col(s"nl_$t").as("nl"), col(s"pl_$t").as("pl"))): _*)).as("c"))
+      .select(
+        col("c.th").as("threshold"),
+        col("c.nl").as("n_left"), col("c.pl").as("pos_left"),
+        (col("n") - col("c.nl")).as("n_right"),
+        (col("p") - col("c.pl")).as("pos_right"))
+      .where(col("n_left") > 0 && col("n_right") > 0)
+      .withColumn("gini", round(
+        lit(2.0) * col("pos_left") * (col("n_left") - col("pos_left")) / col("n_left")
+          + lit(2.0) * col("pos_right") * (col("n_right") - col("pos_right")) / col("n_right"),
+        6))
+    val byGini = Window.orderBy(col("gini"), col("threshold"))
+    cand
+      .withColumn("is_best", rank().over(byGini) === 1)
+      .orderBy(col("threshold"))
+  }
 }

@@ -560,12 +560,21 @@ object ScaleOps {
     * evaluation loop every forecasting deployment runs; at 100 TB the
     * per-day reduction happens map-side and the backtest itself touches
     * |days| rows. */
+  /** Session-cached daily order revenue in exact integer cents — the
+    * per-day rollup the forecasting family (backtest, SAX motifs) reads;
+    * at 100 TB this is the map-side-combined daily table a warehouse
+    * maintains, orders of magnitude smaller than the order log. */
+  private[operators] def ordersDaily(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "ordersDaily") {
+      Tables.orders(spark, dir)
+        .select(col("o_orderdate").cast("date").as("d"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("cents"))
+    }
+
   def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(spark, dir)
-      .select(col("o_orderdate").cast("date").as("d"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
-      .groupBy(col("d")).agg(sum(col("c")).as("cents"))
+    val daily = ordersDaily(spark, dir)
     val w = Window.orderBy(col("d"))
     daily
       .withColumn("naive_f", lag(col("cents"), 1).over(w))
@@ -579,6 +588,31 @@ object ScaleOps {
         sum(abs(col("cents") - col("f"))).as("sum_abs_err_cents"))
       .withColumn("mae_cents", expr("sum_abs_err_cents div n_origins"))
       .orderBy(col("model"))
+  }
+
+  /** SAX-style time-series symbolization + motif census: each day's
+    * revenue becomes one of 4 symbols by EXACT rank binning (ntile over
+    * (cents, d) — the classic z-normalized PAA breakpoints replaced by
+    * order statistics, which are engine- and partitioning-deterministic
+    * where a float mean/std normalization is not), then sliding 3-day
+    * words are counted — the motif-discovery primitive behind symbolic
+    * time-series indexing (SAX). Both windows run over the day-bounded
+    * [[ordersDaily]] frame (observation span, never corpus-sized); the
+    * census output is at most 4³ rows. */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alphabet = array(lit("a"), lit("b"), lit("c"), lit("d"))
+    val byVal = Window.orderBy(col("cents"), col("d"))
+    val byDay = Window.orderBy(col("d"))
+    ordersDaily(spark, dir)
+      .withColumn("s", element_at(alphabet, ntile(4).over(byVal)))
+      .withColumn("motif",
+        concat(col("s"), lead(col("s"), 1).over(byDay),
+          lead(col("s"), 2).over(byDay)))
+      .where(col("motif").isNotNull)
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("motif"))
   }
 
   /** Rolling Pearson correlation between the click and purchase daily

@@ -411,4 +411,30 @@ object TextAnalysisOps {
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(40)
   }
+
+  /** Tokenizer fertility by language — the tokenizer-efficiency metric
+    * every multilingual training pipeline tracks (how many characters /
+    * subword pieces one word costs per language; a high-fertility
+    * language pays more sequence length for the same text). Words are
+    * whitespace tokens; the subword proxy is fixed 4-char chunking
+    * (ceil(len/4), the BPE-free stand-in available without a trained
+    * vocab). One explode + one hash aggregate on the ≤|langs| key;
+    * ratios are row-local single divisions over exact BIGINT sums. */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("t")).cast("long")).as("n_chars"),
+        sum(expr("(length(t) + 3) div 4").cast("long")).as("n_pieces"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("n_tokens").cast("double"), 6))
+      .withColumn("pieces_per_token",
+        round(col("n_pieces") / col("n_tokens").cast("double"), 6))
+      .orderBy(col("lang"))
 }

@@ -168,6 +168,10 @@ class RobustnessSpec extends AnyFunSuite {
       "q_backtest",          // integer-cents errors, floor-div MAE
       "q_hits",              // integer power iterations, floor-div rescale
       "q_udtf_ngrams",       // generator rows, integer census, top-k cliff
+      "q_sax_motifs",        // rank-binned symbols, integer motif counts
+      "q_decision_stump",    // BIGINT split counts; gini row-local on them
+      "q_token_fertility",   // integer sums, row-local divisions
+      "q_interval_union",    // running-max sweep, exact integer µs
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

@@ -48,6 +48,32 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decision stump: argmin unique, split counts consistent") {
+    val rows = graft.operators.MlOps.decisionStump(spark, dir).collect()
+    assert(rows.count(_.getBoolean(6)) === 1, "exactly one best split")
+    rows.foreach { r =>
+      val (nl, pl, nr, pr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pl <= nl && pr <= nr)
+      assert(nl + nr === rows.head.getLong(1) + rows.head.getLong(3),
+        "every split partitions the same universe")
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("interval union: busy time bounded by interval-sum and span") {
+    val rows = graft.operators.BehaviorOps.intervalUnion(spark, dir).collect()
+    val users = rows.map(_.getLong(1)).sum
+    val nUsers = graft.model.Tables.events(spark, dir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(users === nUsers, "every user lands in exactly one bucket")
+    rows.foreach { r =>
+      val (islands, n, busy) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // each island is at least one 5-min interval long
+      assert(busy >= islands * n * 300000000L)
+    }
+  }
+
   test("hits matches an independent driver-side recomputation") {
     // the tiny graph fits on the driver: recompute the two integer
     // power iterations in plain Scala and compare every score.
