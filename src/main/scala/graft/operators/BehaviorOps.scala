@@ -1525,10 +1525,12 @@ object BehaviorOps {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(1L, Window.unboundedFollowing)
-    val withNext = types.foldLeft(e) { (df, t) =>
-      df.withColumn(s"n_$t",
-        min(when(col("event_type") === t, col("ts_us"))).over(w))
-    }
+    // all 5 next-occurrence minima in ONE select → ONE WindowExec (a
+    // per-type withColumn chain plans 5 stacked Window nodes instead)
+    val withNext = e.select(
+      Seq(col("user_id"), col("event_type"), col("ts_us")) ++
+        types.map(t =>
+          min(when(col("event_type") === t, col("ts_us"))).over(w).as(s"n_$t")): _*)
     // bounded driver scalar (PlanSpec: never cross-join a 1-row frame)
     val nUsers = e.select(countDistinct(col("user_id"))).head().getLong(0)
     withNext
