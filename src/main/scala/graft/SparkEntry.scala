@@ -332,6 +332,8 @@ object SparkEntry {
     "q_decision_stump"  -> ((s, d) => MlOps.decisionStump(s, d)),
     "q_token_fertility" -> ((s, d) => TextAnalysisOps.tokenFertility(s, d)),
     "q_interval_union"  -> ((s, d) => BehaviorOps.intervalUnion(s, d)),
+    "q_cumulative_reach" -> ((s, d) => BehaviorOps.cumulativeReach(s, d)),
+    "q_mom_growth"      -> ((s, d) => graft.operators.ScaleOps.momGrowth(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6315,5 +6317,39 @@ object SparkEntry {
           SELECT n_islands, CAST(count(*) AS BIGINT) AS n_users,
             CAST(sum(busy_us) AS BIGINT) AS total_busy_us
           FROM per_user GROUP BY n_islands ORDER BY n_islands""",
+    // first-touch reach curve: per-user min hour, then a running sum
+    // over the hour-bounded frame (the distributable spelling of
+    // count(DISTINCT user) OVER cumulative)
+    "q_cumulative_reach" ->
+      """WITH fh AS (
+            SELECT user_id, min(epoch_ns(ts) // 3600000000000) AS first_hr
+            FROM events GROUP BY user_id),
+          per AS (
+            SELECT first_hr AS hr, CAST(count(*) AS BIGINT) AS new_users
+            FROM fh GROUP BY first_hr)
+          SELECT hr, new_users,
+            CAST(sum(new_users) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS reach
+          FROM per ORDER BY hr""",
+    // MoM + YoY growth from exact monthly cents; months without a full
+    // 12-month lookback excluded so both rates are always defined
+    "q_mom_growth" ->
+      """WITH m AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS cents,
+              CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1),
+          g AS (
+            SELECT month, n_orders, cents,
+              lag(cents, 1) OVER (ORDER BY month) AS prev_cents,
+              lag(cents, 12) OVER (ORDER BY month) AS yoy_cents
+            FROM m)
+          SELECT month, n_orders, cents,
+            round((cents - prev_cents) / CAST(prev_cents AS DOUBLE), 6)
+              AS mom_growth,
+            round((cents - yoy_cents) / CAST(yoy_cents AS DOUBLE), 6)
+              AS yoy_growth
+          FROM g WHERE yoy_cents IS NOT NULL ORDER BY month""",
   )
 }

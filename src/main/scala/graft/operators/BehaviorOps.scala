@@ -1608,4 +1608,26 @@ object BehaviorOps {
       .agg(count(lit(1)).as("n_users"), sum(col("busy_us")).as("total_busy_us"))
       .orderBy(col("n_islands"))
   }
+
+  /** Cumulative reach curve: per hour, how many users touched the
+    * product for the FIRST time, and the running total — the launch
+    * readout every growth dashboard opens with. Each user reduces to
+    * their first hour (a per-user min over the user-partitioned
+    * [[eventSeq]] — exchange-free), then the curve is one hash
+    * aggregate on the ≤|hours| key and one running sum over the
+    * hour-bounded frame. The naive spelling — COUNT(DISTINCT user)
+    * OVER a cumulative window — re-scans the user set per hour and
+    * cannot distribute; first-touch attribution makes reach a plain
+    * SUM, which is why warehouses store it this way. */
+  def cumulativeReach(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventSeq(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts_ns div 3600000000000")).as("hr"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("reach", sum(col("new_users")).over(w))
+      .orderBy(col("hr"))
+  }
 }

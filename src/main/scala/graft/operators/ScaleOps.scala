@@ -615,6 +615,31 @@ object ScaleOps {
       .orderBy(col("motif"))
   }
 
+  /** Month-over-month and year-over-year revenue growth — the two lag
+    * comparisons every finance rollup reports. Revenue reduces to exact
+    * integer cents per month (map-side at 100 TB), both lags come from
+    * ONE ordered window over the month-bounded frame, and each growth
+    * rate is a single row-local division. Months without a full-year
+    * lookback are excluded so every output row carries both rates. */
+  def momGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("month"))
+    Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("yoy_cents", lag(col("cents"), 12).over(w))
+      .where(col("yoy_cents").isNotNull)
+      .select(col("month"), col("n_orders"), col("cents"),
+        round((col("cents") - col("prev_cents")) /
+          col("prev_cents").cast("double"), 6).as("mom_growth"),
+        round((col("cents") - col("yoy_cents")) /
+          col("yoy_cents").cast("double"), 6).as("yoy_growth"))
+      .orderBy(col("month"))
+  }
+
   /** Rolling Pearson correlation between the click and purchase daily
     * volumes over a ±7-day window — "do conversions track traffic this
     * fortnight" as a time series. All five window moments (Σx Σy Σxy

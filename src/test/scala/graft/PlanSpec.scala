@@ -255,6 +255,8 @@ class PlanSpec extends AnyFunSuite {
       "q_backtest",        // per-day cells (observation span)
       "q_sax_motifs",      // per-day cells (observation span)
       "q_decision_stump",  // 9 candidate rows (literal threshold grid)
+      "q_cumulative_reach", // per-hour cells (observation span)
+      "q_mom_growth",      // per-month cells (observation span)
       "q_benford",         // 9 first-digit rows
       "q_bootstrap_ci",    // B resample-statistic rows (B a literal)
       "q_burn_rate",       // per-day burn cells (observation span)

@@ -172,6 +172,8 @@ class RobustnessSpec extends AnyFunSuite {
       "q_decision_stump",    // BIGINT split counts; gini row-local on them
       "q_token_fertility",   // integer sums, row-local divisions
       "q_interval_union",    // running-max sweep, exact integer µs
+      "q_cumulative_reach",  // first-touch mins, ordered integer sum
+      "q_mom_growth",        // exact monthly cents, row-local ratios
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {
