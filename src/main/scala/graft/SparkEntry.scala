@@ -6118,7 +6118,7 @@ object SparkEntry {
             FROM events GROUP BY event_type),
           draw AS (
             SELECT event_type, true_n,
-              CAST(('0x' || substring(md5('dp:' || event_type), 1, 8))
+              CAST(('0x' || substring(md5('dp:' || event_type), 1, 12))
                 AS BIGINT) % 3145728 AS u
             FROM cnt),
           noise AS (
@@ -6142,19 +6142,27 @@ object SparkEntry {
             CAST(abs(k) AS BIGINT) AS abs_err,
             abs(k) * 200 <= true_n AS within_half_pct
           FROM noise ORDER BY event_type""",
-    // rolling-origin backtest: integer-cents daily revenue, lag-1 and
-    // lag-7 forecasts, MAE as integer floor division (both positive)
+    // rolling-origin backtest: integer-cents daily revenue on the DENSE
+    // calendar spine (order-less days are zero-revenue rows, keeping
+    // lag(7) weekday-aligned), lag-1/lag-7 forecasts, integer MAE
     "q_backtest" ->
       """WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                 AS cents
             FROM orders GROUP BY 1),
+          spine AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+              AS DATE) AS d
+            FROM (SELECT min(d) AS lo, max(d) AS hi FROM daily)),
+          dense AS (
+            SELECT s.d, coalesce(daily.cents, 0) AS cents
+            FROM spine s LEFT JOIN daily ON daily.d = s.d),
           lagged AS (
             SELECT d, cents,
               lag(cents, 1) OVER (ORDER BY d) AS naive_f,
               lag(cents, 7) OVER (ORDER BY d) AS snaive_f
-            FROM daily)
+            FROM dense)
           SELECT m.model, CAST(count(*) AS BIGINT) AS n_origins,
             CAST(sum(abs(cents - f)) AS BIGINT) AS sum_abs_err_cents,
             CAST(sum(abs(cents - f)) // count(*) AS BIGINT) AS mae_cents
@@ -6208,18 +6216,26 @@ object SparkEntry {
             CAST(max(pos) AS BIGINT) AS max_pos
           FROM g GROUP BY gram HAVING count(*) >= 3
           ORDER BY n_occ DESC, gram LIMIT 40""",
-    // SAX symbolization by exact rank binning (ntile over (cents, d)),
-    // then sliding 3-day motif census; null motifs are the last 2 days
+    // SAX symbolization by exact rank binning (ntile over (cents, d))
+    // on the dense day spine, then sliding 3-day motif census; null
+    // motifs are the last 2 days
     "q_sax_motifs" ->
       """WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                 AS cents
             FROM orders GROUP BY 1),
+          spine AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+              AS DATE) AS d
+            FROM (SELECT min(d) AS lo, max(d) AS hi FROM daily)),
+          dense AS (
+            SELECT s.d, coalesce(daily.cents, 0) AS cents
+            FROM spine s LEFT JOIN daily ON daily.d = s.d),
           sym AS (
             SELECT d, chr(CAST(96 + ntile(4) OVER (ORDER BY cents, d)
               AS INTEGER)) AS s
-            FROM daily),
+            FROM dense),
           words AS (
             SELECT s || lead(s, 1) OVER (ORDER BY d)
                      || lead(s, 2) OVER (ORDER BY d) AS motif

@@ -44,6 +44,10 @@ object BehaviorOps {
   private def ev(spark: SparkSession, dir: String): DataFrame =
     eventSeq(spark, dir).select(col("user_id"), col("event_type"), col("ts_us"))
 
+  /** Session-memoized distinct-user count, keyed like the frame cache. */
+  private val nUsersCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
   /** Shared per-(user, day, event_type) activity cube — the session's
     * materialized daily-activity rollup. Eight registry queries
     * (rfm, cohort LTV, CUPED, A/B z, power/MDE, lift deciles, growth
@@ -1531,8 +1535,13 @@ object BehaviorOps {
       Seq(col("user_id"), col("event_type"), col("ts_us")) ++
         types.map(t =>
           min(when(col("event_type") === t, col("ts_us"))).over(w).as(s"n_$t")): _*)
-    // bounded driver scalar (PlanSpec: never cross-join a 1-row frame)
-    val nUsers = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    // bounded driver scalar (PlanSpec: never cross-join a 1-row frame),
+    // memoized per session like the frames — an unmemoized .head() here
+    // would rerun a full pass every time the query is merely CONSTRUCTED
+    // (plan audits, smoke tests, both robustness partition settings)
+    val nUsers = nUsersCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      e.select(countDistinct(col("user_id"))).head().getLong(0))
     withNext
       .select(col("user_id"), col("event_type").as("a_type"), col("ts_us"),
         explode(array(types.map(t =>

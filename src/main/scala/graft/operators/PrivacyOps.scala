@@ -102,9 +102,13 @@ object PrivacyOps {
     * GEOMETRIC mechanism — the discrete analogue of the Laplace
     * mechanism, ε = ln 2 per released cell at sensitivity 1. The draw is
     * an integer inverse-CDF walk over exact integer thresholds
-    * ([[geomBands]]), fed by a keyed-md5 uniform in [0, 3·2^20): no
-    * floating-point log/exp ever enters, so the released value is exact
-    * 64-bit arithmetic on any engine and any partitioning. (A real
+    * ([[geomBands]]), fed by a keyed-md5 48-bit value reduced mod
+    * 3·2^20 — a power-of-two domain can't divide the grain exactly, so
+    * the reduction carries a modulo bias, kept negligible by the width
+    * (band probabilities off by ≤ 2^-28; a 32-bit draw would already be
+    * off by 2^-12 on P(0)). No floating-point log/exp ever enters, so
+    * the released value is exact 64-bit arithmetic on any engine and
+    * any partitioning. (A real
     * deployment keys the draw with a secret nonce per release; here the
     * key is the cell label so the oracle can replay it.) Noise is
     * per-CELL, post-aggregation — one map-side-combined count per type,
@@ -112,7 +116,7 @@ object PrivacyOps {
     * at 100 TB. The realized |noise| and a ≤0.5%-relative-error audit
     * column ship with the release, the sketch-audit convention. */
   def dpCountRelease(spark: SparkSession, dir: String): DataFrame = {
-    val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+    val u = (conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 12),
       16, 10).cast("long") % GeomGrain).as("u")
     val noise = geomBands.reverse.foldLeft(lit(0L)) { case (els, (hi, k)) =>
       when(col("u") < hi, lit(k)).otherwise(els)

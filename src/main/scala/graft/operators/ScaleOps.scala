@@ -547,10 +547,33 @@ object ScaleOps {
       .orderBy(col("event_type"), col("day_index"))
   }
 
+  /** Session-cached daily order revenue in exact integer cents over the
+    * DENSE calendar spine — the per-day rollup the forecasting family
+    * (backtest, SAX motifs) reads. Calendar days with no orders are
+    * explicit zero rows (a day without orders IS a zero-revenue day;
+    * leaving it out would silently misalign every row-based lag — the
+    * q_dense_calendar lesson applied at the frame level). At 100 TB this
+    * is the map-side-combined daily table a warehouse maintains, orders
+    * of magnitude smaller than the order log. */
+  private[operators] def ordersDaily(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "ordersDaily") {
+      val observed = Tables.orders(spark, dir)
+        .select(col("o_orderdate").cast("date").as("d"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+        .groupBy(col("d")).agg(sum(col("c")).as("cents"))
+      val spine = observed
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      spine.join(observed, Seq("d"), "left_outer")
+        .select(col("d"), coalesce(col("cents"), lit(0L)).as("cents"))
+    }
+
   /** Rolling-origin forecast backtest (time-series cross-validation):
     * every day is an evaluation origin, the naive (yesterday) and
     * seasonal-naive (same weekday last week) forecasts score against
     * the realized daily revenue, and the harness reports per-model MAE.
+    * The lags run over the DENSE [[ordersDaily]] spine, so lag(7) is
+    * always the same weekday last week even across order-less days.
     * Revenue enters as exact per-row integer cents, errors are |long −
     * long|, and MAE is an integer floor division — bit-stable under any
     * partitioning. The two lag forecasts come from ONE ordered window
@@ -560,18 +583,6 @@ object ScaleOps {
     * evaluation loop every forecasting deployment runs; at 100 TB the
     * per-day reduction happens map-side and the backtest itself touches
     * |days| rows. */
-  /** Session-cached daily order revenue in exact integer cents — the
-    * per-day rollup the forecasting family (backtest, SAX motifs) reads;
-    * at 100 TB this is the map-side-combined daily table a warehouse
-    * maintains, orders of magnitude smaller than the order log. */
-  private[operators] def ordersDaily(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.cachedFrame(spark, dir, "ordersDaily") {
-      Tables.orders(spark, dir)
-        .select(col("o_orderdate").cast("date").as("d"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("c"))
-        .groupBy(col("d")).agg(sum(col("c")).as("cents"))
-    }
-
   def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val daily = ordersDaily(spark, dir)
