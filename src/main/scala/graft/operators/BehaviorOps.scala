@@ -525,8 +525,20 @@ object BehaviorOps {
       order: org.apache.spark.sql.Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // The checkpoint below is CORRECTNESS, not caching: `bucketed` feeds
+    // both the counts pass and the rank pass, and without materializing
+    // it the two passes each re-execute the range exchange. Column
+    // pruning makes those two exchanges non-identical (no reuse), and
+    // RangePartitioner samples its bounds with an rddId-derived seed, so
+    // the two executions can pick DIFFERENT bounds — a boundary row then
+    // gets COUNTED in partition i but RANKED in partition i+1, and every
+    // downstream offset is off by one. The drift is session-structure-
+    // dependent (rddIds shift as unrelated queries run first), which is
+    // exactly how it escaped seven rounds of per-session gates before
+    // surfacing as run-to-run flips in the ntile family.
     val bucketed = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val counts = bucketed.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
     // cumulative offsets + grand total over the ≤`parts`-row counts
     // frame with NO window node and NO non-equi join (both would trip
