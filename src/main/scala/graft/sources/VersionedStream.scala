@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +54,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * spark.readStream.format("graft.sources.VersionedStreamProvider")
   *   .option("path", tableRoot)           // required
   *   .option("startingVersion", "0")      // default 0 = full history
-  *   .load()
+  *   .option("maxFilesPerTrigger", "8")   // optional admission control:
+  *   .option("maxRowsPerTrigger", "100000") // cap commits per batch by
+  *   .load()                              //   file / footer-row budget
   * spark.read.format("graft.sources.VersionedStreamProvider")
   *   .option("path", tableRoot)
   *   .option("versionAsOf", "1")          // default: head version
@@ -76,6 +78,8 @@ class VersionedStreamProvider extends TableProvider {
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
       Option(properties.get("versionAsOf")).map(_.toLong),
       Option(properties.get("statsCol")),
+      Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(properties.get("maxRowsPerTrigger")).map(_.toLong),
       schema)
 }
 
@@ -125,7 +129,9 @@ object VersionedStreamProvider {
 }
 
 private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
-    versionAsOf: Option[Long], statsCol: Option[String], schema0: StructType)
+    versionAsOf: Option[Long], statsCol: Option[String],
+    maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
+    schema0: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned($root)"
   override def schema(): StructType = schema0
@@ -135,7 +141,8 @@ private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VersionedScanBuilder(root, startingVersion, versionAsOf, schema0)
+    new VersionedScanBuilder(root, startingVersion, versionAsOf,
+      maxFilesPerTrigger, maxRowsPerTrigger, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VersionedWriteBuilder(root, info, statsCol)
@@ -150,7 +157,8 @@ private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
   * kept as residuals (Spark re-evaluates row-level), so skipping only
   * has to be SOUND, never complete. */
 private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
-    versionAsOf: Option[Long], schema0: StructType)
+    versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
+    maxRowsPerTrigger: Option[Long], schema0: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -178,11 +186,14 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
   override def pruneColumns(required: StructType): Unit = requested = required
 
   override def build(): Scan =
-    new VersionedScan(root, startingVersion, versionAsOf, requested, skipping)
+    new VersionedScan(root, startingVersion, versionAsOf,
+      maxFilesPerTrigger, maxRowsPerTrigger, requested, skipping)
 }
 
 private[graft] class VersionedScan(root: String, startingVersion: Long,
-    versionAsOf: Option[Long], requested: StructType, skipping: Array[Filter])
+    versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
+    maxRowsPerTrigger: Option[Long], requested: StructType,
+    skipping: Array[Filter])
     extends Scan with Batch {
   private val table = new VersionedTable(root)
 
@@ -196,7 +207,8 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new VersionedMicroBatchStream(root, startingVersion, requested)
+    new VersionedMicroBatchStream(root, startingVersion,
+      maxFilesPerTrigger, maxRowsPerTrigger, requested)
 
   /** Per-column [lo, hi] bounds implied by the pushed comparisons —
     * the intersection of every constraint on that column. */
@@ -240,7 +252,8 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
 }
 
 private[graft] class VersionedMicroBatchStream(root: String,
-    startingVersion: Long, schema: StructType)
+    startingVersion: Long, maxFilesPerTrigger: Option[Int],
+    maxRowsPerTrigger: Option[Long], schema: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val table = new VersionedTable(root)
 
@@ -260,8 +273,62 @@ private[graft] class VersionedMicroBatchStream(root: String,
     throw new UnsupportedOperationException(
       "admission-control source: use latestOffset(start, limit)")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    VersionOffset(availableNowCap.fold(table.version)(math.min(table.version, _)))
+  /** The engine's requested rate limit, from the source options. With
+    * neither option set every trigger drains all outstanding commits. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val head = availableNowCap.fold(table.version)(math.min(table.version, _))
+    VersionOffset(admitUpTo(s, head, limit))
+  }
+
+  /** Admission control: walk the commits in (s, head] and stop BEFORE
+    * the commit that would overflow the limit. A commit is the atomic
+    * publication unit (offset = version), so the first outstanding
+    * commit is always admitted whole even when it alone exceeds the
+    * cap — rate limiting bounds batches, it cannot split a commit.
+    * Costs one log-file read per considered commit (ReadMaxRows adds a
+    * footer-metadata read per file); never a data scan. */
+  private def admitUpTo(s: Long, head: Long, limit: ReadLimit): Long =
+    limit match {
+      case _: ReadAllAvailable => head
+      case mf: ReadMaxFiles =>
+        admitWhile(s, head, mf.maxFiles())(v => table.filesAddedAt(v).size.toLong)
+      case mr: ReadMaxRows =>
+        admitWhile(s, head, mr.maxRows())(v =>
+          table.filesAddedAt(v).map(footerRowCount).sum)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(admitUpTo(s, head, _)).min
+      case _ => head // ReadMinRows etc.: this source has no rate floor
+    }
+
+  private def admitWhile(s: Long, head: Long, cap: Long)(
+      cost: Long => Long): Long = {
+    var v = s
+    var used = 0L
+    var stop = false
+    while (!stop && v < head) {
+      val c = cost(v + 1)
+      if (v > s && used + c > cap) stop = true
+      else { v += 1; used += c }
+    }
+    v
+  }
+
+  private def footerRowCount(file: String): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), new Configuration()))
+    try r.getRecordCount finally r.close()
+  }
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
 

@@ -183,10 +183,19 @@ class VersionedTable(val root: String) {
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val stats = r.getFooter.getBlocks.asScala.toList.flatMap { b =>
+      val chunks = r.getFooter.getBlocks.asScala.toList.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column)
-          .map(_.getStatistics)
       }
+      // mirror VersionedDataWriter's guard: anything but INT32/INT64
+      // (double, string, boolean, ...) gets a diagnosable error, not a
+      // bare MatchError out of the stats accessors below
+      chunks.foreach { c =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val p = c.getPrimitiveType.getPrimitiveTypeName
+        require(p == INT64 || p == INT32,
+          s"statsCol must be integer-typed, got $p for column '$column'")
+      }
+      val stats = chunks.map(_.getStatistics)
       if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
       else Some((
         stats.map(_.genericGetMin match {
@@ -421,20 +430,30 @@ class VersionedTable(val root: String) {
     * every streaming-ingested table needs. Older versions still resolve
     * to the ORIGINAL files, so time travel survives compaction until an
     * explicit [[vacuum]] reclaims them.
+    *
+    * Like [[merge]] (and unlike [[append]]), a lost commit race cannot
+    * just retry the rename: the staged rewrite and the remove set were
+    * computed against the OLD head, and re-committing them over a
+    * concurrent deleteWhere/overwrite/merge would resurrect rows the
+    * winner removed and duplicate its survivor files. The loop re-reads
+    * the new head and recomputes both sides before retrying; a lost
+    * attempt's staged files stay invisible and fall to [[vacuum]].
     */
   def compact(spark: SparkSession, targetFiles: Int = 1): Long = {
-    val head = version
-    require(head >= 0, "nothing to compact")
-    val adds = stage(spark,
-      readAsOf(spark, head).repartition(targetFiles), None)
-    val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
-    val metaL = schemaAt(head).map(metaLine("compact", _))
-      .getOrElse("""{"op":"meta","operation":"compact"}""")
-    val actions = metaL +:
-      (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
-    var v = head + 1
-    while (!commit(v, actions)) v = math.max(v + 1, version + 1)
-    v
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(head >= 0, "nothing to compact")
+      val adds = stage(spark,
+        readAsOf(spark, head).repartition(targetFiles), None)
+      val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
+      val metaL = schemaAt(head).map(metaLine("compact", _))
+        .getOrElse("""{"op":"meta","operation":"compact"}""")
+      val actions = metaL +:
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      if (commit(head + 1, actions)) committed = head + 1
+    }
+    committed
   }
 
   /** Physical cleanup: delete every data file not live in ANY version

@@ -201,28 +201,58 @@ private[graft] class KafkaSpoolStreamingWrite(root: String, numPartitions: Int,
     * committed names, then write the commit marker atomically. A replay
     * of an already-marked epoch is a no-op; a replay of a half-moved
     * epoch re-moves bit-identical files to the same names.
+    *
+    * A replay is NOT guaranteed the same task layout as the crashed
+    * attempt (task ids shift, a null-key fallback partition follows the
+    * Spark partition id) — so before the marker is written, any
+    * `epoch-$epochId-*` file the crashed attempt moved under a name THIS
+    * commit does not produce is swept, otherwise it would become visible
+    * as duplicate records the moment the marker lands. The epoch's
+    * `_staging` directory is removed after publication; both sweeps key
+    * on the epoch id, so concurrent epochs are untouched.
     */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val marker = Paths.get(root, "_commits", epochId.toString)
     if (Files.exists(marker)) return // idempotent replay
+    val produced = scala.collection.mutable.Set.empty[Path]
     messages.foreach {
       case SpoolStaged(files, pid) => files.foreach { case (k, staged) =>
         val from = Paths.get(staged)
+        val dir = Paths.get(root, s"p=$k")
+        val dst = dir.resolve(s"epoch-$epochId-task-$pid.txt")
         if (Files.exists(from)) {
-          val dir = Paths.get(root, s"p=$k")
           Files.createDirectories(dir)
-          Files.move(from, dir.resolve(s"epoch-$epochId-task-$pid.txt"),
-            StandardCopyOption.REPLACE_EXISTING)
+          Files.move(from, dst, StandardCopyOption.REPLACE_EXISTING)
         }
+        // an already-moved replay (staged gone, dst present) still OWNS
+        // its committed name — record it either way
+        produced += dst.toAbsolutePath.normalize
       }
       case _ => ()
     }
+    // sweep the crashed attempt's orphans: epoch files nobody re-produced
+    listDir(Paths.get(root))
+      .filter(_.getFileName.toString.startsWith("p="))
+      .flatMap(listDir)
+      .filter(_.getFileName.toString.startsWith(s"epoch-$epochId-"))
+      .filterNot(f => produced.contains(f.toAbsolutePath.normalize))
+      .foreach(Files.deleteIfExists(_))
+    val stagingDir = Paths.get(root, "_staging", s"epoch-$epochId")
+    listDir(stagingDir).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(stagingDir)
     Files.createDirectories(marker.getParent)
     val tmp = marker.getParent.resolve(s".${epochId}.tmp")
     Files.write(tmp, Array.emptyByteArray)
     Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def listDir(p: Path): List[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {

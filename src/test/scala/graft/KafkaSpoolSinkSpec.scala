@@ -220,4 +220,44 @@ class KafkaSpoolSinkSpec extends AnyFunSuite {
     assert(Files.readAllLines(committedFiles.head).asScala.toList ===
       List("v1", "v2"))
   }
+
+  test("layout-shifted replay sweeps the crashed attempt's orphan segments") {
+    import graft.streaming.{KafkaSpoolStreamingWrite, SpoolStaged}
+    val root = Files.createTempDirectory("kspool4").toString
+    val write = new KafkaSpoolStreamingWrite(root, 2, KafkaSpool.wireSchema)
+
+    // the CRASHED first attempt: task 3 moved its segment to its
+    // committed name (null-key fallback partition p=0), then died
+    // before the marker landed
+    val p0 = Paths.get(root, "p=0")
+    Files.createDirectories(p0)
+    Files.write(p0.resolve("epoch-7-task-3.txt"),
+      "stale\n".getBytes(StandardCharsets.UTF_8))
+    // an unrelated, already-committed epoch in the same partition — the
+    // sweep must be epoch-scoped and leave it alone
+    Files.write(p0.resolve("epoch-6-task-3.txt"),
+      "keep\n".getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(root, "_commits"))
+    Files.write(Paths.get(root, "_commits", "6"), Array.emptyByteArray)
+
+    // the replay's task layout differs: the same records now come from
+    // spark partition 1, so the committed name is epoch-7-task-1.txt
+    val staging = Paths.get(root, "_staging", "epoch-7")
+    Files.createDirectories(staging)
+    val seg = staging.resolve("task-1-1-p0.txt")
+    Files.write(seg, "fresh\n".getBytes(StandardCharsets.UTF_8))
+    write.commit(7L, Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+      SpoolStaged(Seq((0, seg.toString)), 1)))
+
+    val names = Files.list(p0).iterator().asScala
+      .map(_.getFileName.toString).toList.sorted
+    assert(names === List("epoch-6-task-3.txt", "epoch-7-task-1.txt"),
+      "the first attempt's differently-named segment must be swept, " +
+        "other epochs untouched")
+    assert(!Files.exists(staging), "the epoch's _staging dir must be removed")
+    assert(KafkaSpool.committedEpochs(root) === Seq(6L, 7L))
+    // read-committed view: exactly one copy of the epoch's records
+    assert(KafkaSpool.readCommitted(spark, root)
+      .select("value").as[String].collect().sorted === Array("fresh", "keep"))
+  }
 }

@@ -203,4 +203,55 @@ class VersionedStreamSpec extends AnyFunSuite {
     t.vacuum(keepFrom = 2L)
     assertThrows[IllegalArgumentException](t.filesAddedAt(0L))
   }
+
+  test("admission control: ReadLimit caps the commits claimed per batch") {
+    import graft.sources.{VersionOffset, VersionedMicroBatchStream}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshDir("vstream-rl")
+    val t = new VersionedTable(root)
+    // 3 commits × 1 file × 100 rows
+    (0 until 3).foreach(i => t.append(spark,
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id").repartition(1)))
+
+    val s = new VersionedMicroBatchStream(root, 0L, None, None,
+      t.read(spark).schema)
+    def latest(from: Long, l: ReadLimit): Long =
+      s.latestOffset(VersionOffset(from), l).asInstanceOf[VersionOffset].v
+
+    assert(latest(-1, ReadLimit.allAvailable()) === 2)
+    assert(latest(-1, ReadLimit.maxFiles(1)) === 0)
+    assert(latest(-1, ReadLimit.maxFiles(2)) === 1)
+    assert(latest(0, ReadLimit.maxFiles(2)) === 2, "the cap slides with start")
+    // the rows budget comes from footer metadata: 100 per commit
+    assert(latest(-1, ReadLimit.maxRows(150)) === 0)
+    assert(latest(-1, ReadLimit.maxRows(200)) === 1)
+    // a commit is the atomic publication unit: the first outstanding one
+    // is admitted whole even when it alone overflows the budget
+    assert(latest(-1, ReadLimit.maxRows(10)) === 0)
+    assert(latest(-1, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(3), ReadLimit.maxRows(150)))) === 0,
+      "a composite limit admits the intersection")
+    // nothing outstanding → the offset holds still
+    assert(latest(2, ReadLimit.maxFiles(1)) === 2)
+  }
+
+  test("maxFilesPerTrigger paces an AvailableNow drain into per-commit batches") {
+    val root = freshDir("vstream-rl2")
+    val t = new VersionedTable(root)
+    (0 until 3).foreach(i => t.append(spark,
+      spark.range(i * 10L, (i + 1) * 10L).toDF("id").repartition(1)))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("maxFilesPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += b.count() }; ()
+      }
+      .option("checkpointLocation", freshDir("vsrl2ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.toList === List(10L, 10L, 10L),
+      "one commit (one file) per micro-batch under maxFilesPerTrigger=1")
+  }
 }

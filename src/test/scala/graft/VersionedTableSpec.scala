@@ -260,6 +260,52 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[Exception] { t.readAsOf(spark, 1L).count() }
   }
 
+  test("compact lost race rebases: a concurrent delete's rows stay deleted") {
+    val root = Files.createTempDirectory("vtab").toString
+    val plain = new VersionedTable(root)
+    // two id-clustered files with footer stats, so deleteWhere can prune
+    plain.append(spark, spark.range(0, 100).toDF("id").repartition(1),
+      statsCol = Some("id"))                                           // v0
+    plain.append(spark, spark.range(100, 200).toDF("id").repartition(1),
+      statsCol = Some("id"))                                           // v1
+
+    // a compacting writer whose FIRST commit attempt loses the race to a
+    // concurrent deleteWhere (injected between stage and rename)
+    var injected = false
+    val racy = new VersionedTable(root) {
+      override private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
+        if (!injected && actions.exists(_.contains("\"operation\":\"compact\""))) {
+          injected = true
+          plain.deleteWhere(spark, "id", 50L, 149L) // wins version v
+        }
+        super.commit(v, actions)
+      }
+    }
+    val cv = racy.compact(spark, targetFiles = 1)
+
+    // the retry must have recomputed against the post-delete head: the
+    // deleted rows stay deleted and the survivors appear exactly once
+    assert(cv === 3L)
+    assert(plain.history.map(_._2) ===
+      Seq("append", "append", "delete", "compact"))
+    val ids = plain.read(spark).select("id").as[Long].collect().sorted
+    assert(ids === ((0L to 49L) ++ (150L to 199L)).toArray,
+      "a rebased compact must not resurrect deleted rows or duplicate survivors")
+    assert(plain.filesAt(cv).size === 1)
+    // pre-race versions still time-travel to their own state
+    assert(plain.readAsOf(spark, 1L).count() === 200)
+  }
+
+  test("footer stats on a non-integer column fail with a diagnosable error") {
+    val t = table()
+    val df = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException](
+      t.append(spark, df, statsCol = Some("score")))
+    assert(e.getMessage.contains("integer-typed"),
+      s"want the writer-path message, got: ${e.getMessage}")
+    assert(t.version === -1L, "the failed append must not commit")
+  }
+
   test("concurrent append + overwrite rebase: overwrite owns the final state") {
     val t = table()
     t.append(spark, Seq((1, "a")).toDF("id", "v"))       // v0
