@@ -334,6 +334,18 @@ object SparkEntry {
     "q_interval_union"  -> ((s, d) => BehaviorOps.intervalUnion(s, d)),
     "q_cumulative_reach" -> ((s, d) => BehaviorOps.cumulativeReach(s, d)),
     "q_mom_growth"      -> ((s, d) => graft.operators.ScaleOps.momGrowth(s, d)),
+    "q_cusum"           -> ((s, d) => BehaviorOps.cusumChangepoint(s, d)),
+    "q_peak_concurrency" -> ((s, d) => BehaviorOps.peakConcurrency(s, d)),
+    "q_did"             -> ((s, d) => graft.operators.CausalOps.diffInDiff(s, d)),
+    "q_qini"            -> ((s, d) => graft.operators.CausalOps.qiniCurve(s, d)),
+    "q_multitouch"      -> ((s, d) => graft.operators.CausalOps.multiTouch(s, d)),
+    "q_cv_folds"        -> ((s, d) => graft.operators.CausalOps.cvFolds(s, d)),
+    "q_conformal"       -> ((s, d) => graft.operators.CausalOps.conformal(s, d)),
+    "q_rake_phrases"    -> ((s, d) => graft.operators.CorpusOps.rakePhrases(s, d)),
+    "q_cluster_compare" -> ((s, d) => graft.operators.ScaleOps.clusteringCompare(s, d)),
+    "q_neyman_alloc"    -> ((s, d) => graft.operators.ScaleOps.neymanAlloc(s, d)),
+    "q_aes_sample"      -> ((s, d) => graft.operators.ScaleOps.aesSample(s, d)),
+    "q_twohop_reach"    -> ((s, d) => graft.operators.GraphOps.twoHopReach(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6367,5 +6379,380 @@ object SparkEntry {
             round((cents - yoy_cents) / CAST(yoy_cents AS DOUBLE), 6)
               AS yoy_growth
           FROM g WHERE yoy_cents IS NOT NULL ORDER BY month""",
+    // CUSUM mean-shift detection on daily purchase cents, scaled through
+    // the day count so S stays exact integer; argmax |S| flagged
+    "q_cusum" ->
+      """WITH daily AS (
+            SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day,
+              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(cents) AS BIGINT) AS total FROM daily),
+          cu AS (
+            SELECT day, cents,
+              CAST(sum(cents * (SELECT n_days FROM tot) - (SELECT total FROM tot))
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_scaled
+            FROM daily)
+          SELECT day, cents, s_scaled,
+            CAST(CASE WHEN abs(s_scaled) = (SELECT max(abs(s_scaled)) FROM cu)
+              THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+          FROM cu ORDER BY day""",
+    // peak concurrent 30-min-gap sessions per day: +1/-1 boundary sweep
+    // in (t, starts-before-ends, user, session) order
+    "q_peak_concurrency" ->
+      """WITH e AS (
+            SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id FROM events),
+          s AS (
+            SELECT user_id, ts_us, event_id,
+              CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                  IS NULL OR ts_us - lag(ts_us)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS brk
+            FROM e),
+          sess AS (
+            SELECT user_id, ts_us,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM s),
+          iv AS (
+            SELECT user_id, sid, min(ts_us) AS t0, max(ts_us) AS t1
+            FROM sess GROUP BY 1, 2),
+          pts AS (
+            SELECT t0 AS t, 1 AS delta, user_id, sid FROM iv
+            UNION ALL SELECT t1, -1, user_id, sid FROM iv),
+          sweep AS (
+            SELECT t, delta,
+              CAST(sum(delta) OVER (ORDER BY t, delta DESC, user_id, sid
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+            FROM pts)
+          SELECT (t // 1000) // 86400000 AS day,
+            CAST(max(conc) AS BIGINT) AS peak_concurrent,
+            CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_sessions_started
+          FROM sweep GROUP BY 1 ORDER BY day""",
+    // difference-in-differences on purchase spend: md5-parity arms,
+    // 2024-01-15 rollout boundary, exact integer micro-cent cell means
+    "q_did" ->
+      """WITH e AS (
+            SELECT
+              CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 1
+                THEN 1 ELSE 0 END AS treat,
+              CASE WHEN (epoch_ns(ts) // 1000) // 86400000000 >= 19738
+                THEN 1 ELSE 0 END AS post,
+              CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'),
+          m AS (
+            SELECT
+              CAST(sum(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END) * 1000000
+                // sum(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS t_post,
+              CAST(sum(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END) * 1000000
+                // sum(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pre,
+              CAST(sum(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END) * 1000000
+                // sum(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS c_post,
+              CAST(sum(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END) * 1000000
+                // sum(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pre
+            FROM e)
+          SELECT t_post, t_pre, c_post, c_pre,
+            (t_post - t_pre) - (c_post - c_pre) AS did_micro FROM m""",
+    // Qini uplift curve on post-period purchase revenue over exact
+    // pre-period-activity deciles; control arm scaled by integer division
+    "q_qini" ->
+      """WITH u AS (
+            SELECT user_id,
+              max(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 1
+                THEN 1 ELSE 0 END) AS treat,
+              CAST(count(CASE WHEN (epoch_ns(ts) // 1000) // 86400000000 < 19738
+                THEN 1 END) AS BIGINT) AS score,
+              CAST(coalesce(sum(CASE
+                WHEN (epoch_ns(ts) // 1000) // 86400000000 >= 19738
+                  AND event_type = 'purchase'
+                THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS cents
+            FROM events GROUP BY 1),
+          d AS (
+            SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile FROM u),
+          per AS (
+            SELECT decile,
+              CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+              CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+              CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS y_t,
+              CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS y_c
+            FROM d GROUP BY 1),
+          run AS (
+            SELECT decile,
+              CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+              CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+              CAST(sum(y_t) OVER w AS BIGINT) AS cy_t,
+              CAST(sum(y_c) OVER w AS BIGINT) AS cy_c
+            FROM per WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+          SELECT decile, cn_t, cn_c, cy_t, cy_c,
+            CASE WHEN cn_c = 0 THEN NULL
+              ELSE cy_t - (cy_c * cn_t) // cn_c END AS qini_cents
+          FROM run ORDER BY decile""",
+    // U-shaped multi-touch attribution: 40/20/40 in exact basis points,
+    // middle pool divided remainder-to-earliest; purchase cents credited
+    // by integer bps division
+    "q_multitouch" ->
+      """WITH e AS (
+            SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us,
+              CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+          seq AS (
+            SELECT *,
+              first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pid
+            FROM e),
+          touches AS (
+            SELECT event_type, event_id, ts_us, next_pid
+            FROM seq WHERE event_type <> 'purchase' AND next_pid IS NOT NULL),
+          pc AS (SELECT event_id AS next_pid, cents FROM e
+                 WHERE event_type = 'purchase'),
+          tt AS (
+            SELECT t.event_type, pc.cents,
+              row_number() OVER (PARTITION BY t.next_pid
+                ORDER BY t.ts_us, t.event_id) AS rn,
+              CAST(count(*) OVER (PARTITION BY t.next_pid) AS BIGINT) AS n
+            FROM touches t JOIN pc USING (next_pid)),
+          credit AS (
+            SELECT event_type, cents,
+              CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+                WHEN rn = 1 OR rn = n THEN 4000
+                ELSE 2000 // (n - 2)
+                  + CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+              END AS bps
+            FROM tt)
+          SELECT event_type AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+            CAST(sum(bps) AS BIGINT) AS total_bps,
+            CAST(sum(cents * bps // 10000) AS BIGINT) AS credited_cents
+          FROM credit GROUP BY 1 ORDER BY touch_type""",
+    // user-grouped 5-fold CV of the per-type mean model: out-of-fold
+    // means from one aggregate, exact integer cents errors
+    "q_cv_folds" ->
+      """WITH e AS (
+            SELECT user_id % 5 AS fold, event_type,
+              CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+          ft AS (SELECT fold, event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s
+                 FROM e GROUP BY 1, 2),
+          g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ng,
+                  CAST(sum(s) AS BIGINT) AS sg FROM ft GROUP BY 1),
+          pred AS (
+            SELECT ft.fold, ft.event_type, (g.sg - ft.s) // (g.ng - ft.n) AS mean_oof
+            FROM ft JOIN g USING (event_type)),
+          err AS (
+            SELECT e.fold, abs(e.cents - p.mean_oof) AS ae
+            FROM e JOIN pred p ON e.fold = p.fold AND e.event_type = p.event_type)
+          SELECT fold, CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(sum(ae) AS BIGINT) AS total_abs_err_cents,
+            CAST(sum(ae) * 100 // count(*) AS BIGINT) AS mae_centicents
+          FROM err GROUP BY 1 ORDER BY fold""",
+    // split conformal: even-day per-type mean, odd-day calibration, q_hat
+    // as the exact rank-selected 90% residual, realized coverage in bps
+    "q_conformal" ->
+      """WITH e AS (
+            SELECT event_type, event_id,
+              ((epoch_ns(ts) // 1000) // 86400000000) % 2 AS cal,
+              CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+          mu AS (
+            SELECT event_type,
+              CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+            FROM e WHERE cal = 0 GROUP BY 1),
+          ranked AS (
+            SELECT event_type, r,
+              row_number() OVER (PARTITION BY event_type ORDER BY r, event_id) AS rn,
+              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM (
+              SELECT e.event_type, abs(e.cents - mu.mean_cents) AS r, e.event_id
+              FROM e JOIN mu USING (event_type) WHERE e.cal = 1)),
+          qh AS (
+            SELECT event_type,
+              CAST(min(CASE WHEN rn = ((n + 1) * 9) // 10 THEN r END) AS BIGINT)
+                AS q_hat,
+              CAST(min(n) AS BIGINT) AS n_cal
+            FROM ranked GROUP BY 1)
+          SELECT q.event_type, q.n_cal, q.q_hat,
+            CAST(sum(CASE WHEN rk.r <= q.q_hat THEN 1 ELSE 0 END) * 10000
+              // q.n_cal AS BIGINT) AS coverage_bps
+          FROM qh q JOIN ranked rk USING (event_type)
+          GROUP BY 1, 2, 3 ORDER BY event_type""",
+    // RAKE keyphrases: corpus-discovered top-5-df stopwords delimit
+    // candidate runs (<=4 tokens); score = sum of deg*1e6 div freq
+    "q_rake_phrases" ->
+      """WITH tok AS MATERIALIZED (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INTEGER)] AS word
+            FROM (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                  FROM documents),
+                 unnest(range(1, len(toks) + 1)) AS r(i)),
+          stop AS MATERIALIZED (
+            SELECT word FROM (
+              SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+            ORDER BY df DESC, word LIMIT 5),
+          grp AS MATERIALIZED (
+            SELECT doc_id, pos, word, g FROM (
+              SELECT m.doc_id, m.pos, m.word, m.is_stop,
+                CAST(sum(m.is_stop) OVER (PARTITION BY m.doc_id ORDER BY m.pos
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS g
+              FROM (SELECT t.doc_id, t.pos, t.word,
+                      CASE WHEN s.word IS NOT NULL THEN 1 ELSE 0 END AS is_stop
+                    FROM tok t LEFT JOIN stop s ON t.word = s.word) m)
+            WHERE is_stop = 0),
+          ph AS MATERIALIZED (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS plen,
+              string_agg(word, ' ' ORDER BY pos) AS phrase
+            FROM grp GROUP BY 1, 2),
+          kept AS MATERIALIZED (
+            SELECT gr.doc_id, gr.g, gr.word, ph.plen, ph.phrase
+            FROM grp gr JOIN ph ON gr.doc_id = ph.doc_id AND gr.g = ph.g
+            WHERE ph.plen <= 4),
+          stats AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(plen) AS BIGINT) AS deg
+            FROM kept GROUP BY 1),
+          scored AS (
+            SELECT k.doc_id, k.g, k.phrase,
+              CAST(sum(s.deg * 1000000 // s.freq) AS BIGINT) AS score_micro
+            FROM kept k JOIN stats s ON k.word = s.word
+            GROUP BY 1, 2, 3)
+          SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+            CAST(min(score_micro) AS BIGINT) AS score_micro
+          FROM scored GROUP BY 1 ORDER BY score_micro DESC, phrase LIMIT 20""",
+    // linear vs z-order clustering: 64 rank-cut files per layout, 8
+    // probe ranges per dimension, candidate files under min/max zone maps
+    "q_cluster_compare" ->
+      """WITH base AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+              CAST(ntile(1024) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+                - 1 AS BIGINT) AS bxv,
+              CAST(ntile(1024) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber)
+                - 1 AS BIGINT) AS byv
+            FROM lineitem),
+          s1 AS MATERIALIZED (
+            SELECT *, (bxv | (bxv << 8)) & 16711935 AS x1,
+              (byv | (byv << 8)) & 16711935 AS y1 FROM base),
+          s2 AS MATERIALIZED (
+            SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+              (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+          s3 AS MATERIALIZED (
+            SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+              (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+          s4 AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+              (((x3 | (x3 << 1)) & 1431655765)
+                | (((y3 | (y3 << 1)) & 1431655765) * 2)) AS morton
+            FROM s3),
+          files AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey,
+              CAST(ntile(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+                AS BIGINT) AS f_linear,
+              CAST(ntile(64) OVER (ORDER BY morton, l_orderkey, l_linenumber)
+                AS BIGINT) AS f_zorder
+            FROM s4),
+          stats AS MATERIALIZED (
+            SELECT 'linear' AS layout, f_linear AS f,
+              CAST(min(l_partkey) AS BIGINT) AS p_lo,
+              CAST(max(l_partkey) AS BIGINT) AS p_hi,
+              CAST(min(l_suppkey) AS BIGINT) AS s_lo,
+              CAST(max(l_suppkey) AS BIGINT) AS s_hi
+            FROM files GROUP BY 2
+            UNION ALL
+            SELECT 'zorder', f_zorder,
+              CAST(min(l_partkey) AS BIGINT), CAST(max(l_partkey) AS BIGINT),
+              CAST(min(l_suppkey) AS BIGINT), CAST(max(l_suppkey) AS BIGINT)
+            FROM files GROUP BY 2),
+          dimstats AS MATERIALIZED (
+            SELECT layout, 'partkey' AS dim, p_lo AS lo, p_hi AS hi FROM stats
+            UNION ALL
+            SELECT layout, 'suppkey', s_lo, s_hi FROM stats),
+          dom AS MATERIALIZED (
+            SELECT CAST(max(l_partkey) AS BIGINT) AS pmax,
+              CAST(max(l_suppkey) AS BIGINT) AS smax FROM files),
+          ranges AS MATERIALIZED (
+            SELECT 'partkey' AS dim, CAST(k AS BIGINT) AS range_id,
+              k * ((pmax + 8) // 8) AS r_lo, (k + 1) * ((pmax + 8) // 8) - 1 AS r_hi
+            FROM dom, unnest(range(0, 8)) AS r(k)
+            UNION ALL
+            SELECT 'suppkey', CAST(k AS BIGINT),
+              k * ((smax + 8) // 8), (k + 1) * ((smax + 8) // 8) - 1
+            FROM dom, unnest(range(0, 8)) AS r(k))
+          SELECT s.layout, s.dim,
+            CAST(count(*) * 100 // 8 AS BIGINT) AS avg_candidate_files_x100
+          FROM dimstats s JOIN ranges r ON s.dim = r.dim
+          WHERE s.hi >= r.r_lo AND s.lo <= r.r_hi
+          GROUP BY 1, 2 ORDER BY s.layout, s.dim""",
+    // Neyman allocation: exact centered-integer stratum variance, one
+    // IEEE sqrt per stratum, ordered running total, rounded allocation
+    "q_neyman_alloc" ->
+      """WITH e AS (
+            SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+          mu AS (
+            SELECT event_type,
+              CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+            FROM e GROUP BY 1),
+          ssd AS (
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_h,
+              CAST(sum((e.cents - mu.mu) * (e.cents - mu.mu)) AS BIGINT) AS ssd
+            FROM e JOIN mu USING (event_type) GROUP BY 1),
+          w AS (
+            SELECT event_type, n_h, ssd,
+              n_h * sqrt(CAST(ssd AS DOUBLE) / CAST(n_h - 1 AS DOUBLE)) AS wgt
+            FROM ssd),
+          tw AS (
+            SELECT event_type, n_h, ssd, wgt,
+              sum(wgt) OVER (ORDER BY event_type ROWS UNBOUNDED PRECEDING) AS run_w
+            FROM w)
+          SELECT event_type, n_h, ssd,
+            CAST(round(10000 * wgt / (SELECT max(run_w) FROM tw), 0) AS BIGINT)
+              AS alloc_of_10000
+          FROM tw ORDER BY event_type""",
+    // A-ES weighted sampling: md5-derived uniform, key = -ln(u)/w rounded
+    // to 6 dp before ranking, 20 smallest keys are the sample
+    "q_aes_sample" ->
+      """WITH e AS (
+            SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) + 1 AS w,
+              (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                AS BIGINT) + 1) / 4503599627370497.0 AS u
+            FROM events),
+          k AS (
+            SELECT event_id, w,
+              round(-ln(u) / CAST(w AS DOUBLE) * 1000000, 6) AS key_scaled
+            FROM e)
+          SELECT event_id, w, key_scaled,
+            CAST(row_number() OVER (ORDER BY key_scaled, event_id) AS BIGINT)
+              AS rank
+          FROM k ORDER BY key_scaled, event_id LIMIT 20""",
+    // BFS two-hop reach over the top-100 strongest trade edges (self
+    // loops excluded); per origin: 1-hop partners and <=2-hop reach
+    "q_twohop_reach" ->
+      """WITH ew AS MATERIALIZED (
+            SELECT cn.n_name AS src, sn.n_name AS dst, CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2),
+          edges AS MATERIALIZED (
+            SELECT src, dst FROM ew WHERE src <> dst
+            ORDER BY w DESC, src, dst LIMIT 100),
+          hop2 AS (
+            SELECT DISTINCT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src
+            WHERE b.dst <> a.src),
+          reach AS MATERIALIZED (
+            SELECT src, dst FROM edges UNION SELECT src, dst FROM hop2)
+          SELECT n.n_name AS nation,
+            CAST(coalesce(h1.c, 0) AS BIGINT) AS n_1hop,
+            CAST(coalesce(r.c, 0) AS BIGINT) AS n_2hop
+          FROM nation n
+          LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY 1) h1
+            ON h1.src = n.n_name
+          LEFT JOIN (SELECT src, count(*) AS c FROM reach GROUP BY 1) r
+            ON r.src = n.n_name
+          ORDER BY nation""",
   )
 }

@@ -1651,4 +1651,84 @@ object BehaviorOps {
       .withColumn("reach", sum(col("new_users")).over(w))
       .orderBy(col("hr"))
   }
+
+  /** CUSUM change-point detection on daily purchase revenue — the
+    * classic mean-shift detector (Page's cumulative sum): S_d =
+    * Σ_{d'≤d} (x_d' − μ), with the day of max |S| flagged as the most
+    * likely shift point. All arithmetic stays EXACT integers by scaling
+    * through the day count (x·n − total instead of x − total/n), so no
+    * division ever happens and the flag cannot sit on a float boundary.
+    * The log reduces to the ≤|days| daily grain (shared [[typeDaily]])
+    * before the only window — the same bounded-frame shape as
+    * [[cumulativeReach]]; the grand total and the argmax are bounded
+    * driver scalars, never a cross join. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = typeDaily(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("day"), col("cents"))
+    val t = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot")).head()
+    val (nDays, total) = (t.getLong(0), t.getLong(1))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // checkpoint the ≤|days|-row curve: the argmax scalar and the output
+    // both consume it, and a single materialization keeps them one scan
+    val s = daily
+      .withColumn("s_scaled",
+        sum(col("cents") * lit(nDays) - lit(total)).over(wCum))
+      .localCheckpoint()
+    val maxAbs = s.agg(max(abs(col("s_scaled")))).head().getLong(0)
+    s.select(col("day"), col("cents"), col("s_scaled"),
+        when(abs(col("s_scaled")) === lit(maxAbs), 1L).otherwise(0L)
+          .as("is_changepoint"))
+      .orderBy(col("day"))
+  }
+
+  /** Peak concurrency per day — how many 30-minute-gap sessions overlap
+    * at the busiest instant. The textbook solution is one GLOBAL +1/−1
+    * sweep in boundary order, which does not distribute; this is the
+    * exact two-level decomposition: (1) session intervals reduce on the
+    * user-partitioned [[eventSeq]] (exchange-free); (2) the running sum
+    * is computed INSIDE each day partition (at 100 TB: hour partitions);
+    * (3) the cross-partition carry-in — sessions still open at each
+    * day's start — is the running net (+starts − ends) over the BOUNDED
+    * day grain, added as an offset. Identical to the global sweep by
+    * construction: the global prefix sum at any point splits into
+    * (prior days' net) + (within-day prefix). Ties at one instant order
+    * starts before ends, then by (user, session) — pinned on both
+    * engines so touching intervals count as overlapping everywhere. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val iv = eventSeq(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("brk", when(lag(col("ts_us"), 1).over(wU).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(wU) > 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+    val pts = iv
+      .select(col("t0").as("t"), lit(1L).as("delta"), col("user_id"), col("sid"))
+      .unionAll(iv.select(col("t1").as("t"), lit(-1L).as("delta"),
+        col("user_id"), col("sid")))
+      .withColumn("day", expr("(t div 1000) div 86400000"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta").desc, col("user_id"), col("sid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayAgg = pts
+      .withColumn("run", sum(col("delta")).over(wDay))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("max_run"), sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L))
+          .as("n_sessions_started"))
+    val wCarry = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    dayAgg
+      .withColumn("carry_in", coalesce(sum(col("net")).over(wCarry), lit(0L)))
+      .select(col("day"),
+        (col("carry_in") + col("max_run")).as("peak_concurrent"),
+        col("n_sessions_started"))
+      .orderBy(col("day"))
+  }
 }

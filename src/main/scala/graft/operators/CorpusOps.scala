@@ -960,4 +960,51 @@ object CorpusOps {
         sum(col("np")).as("n_product"),
         sum(col("rl")).as("redacted_len"))
       .orderBy(col("source"))
+
+  /** RAKE keyphrase extraction (Rose et al.'s Rapid Automatic Keyword
+    * Extraction, the public algorithm): candidate phrases are maximal
+    * stopword-free token runs (capped at 4 tokens), each scored by
+    * Σ_w degree(w)/freq(w) over the co-occurrence graph of candidate
+    * words. The stopword list is DISCOVERED from the corpus itself —
+    * the top-5 document-frequency terms, the `q_stopwords` signal fed
+    * back in — so the operator is self-contained on any corpus. The
+    * score is kept exact: per-word degree·10⁶ div freq in integers,
+    * summed per phrase occurrence, so ranking never sits on a float.
+    * Scale shape: one token explode, one ≤5-row broadcast stopword
+    * join, gaps-and-islands phrase ids on a doc-partitioned window,
+    * and word-keyed joins for the stats — no all-pairs stage anywhere.
+    */
+  def rakePhrases(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val tok = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    val stop = tok.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("word")).limit(5)
+      .select(col("word"), lit(1).as("is_stop"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = tok.join(broadcast(stop), Seq("word"), "left")
+      .withColumn("stop", coalesce(col("is_stop"), lit(0)))
+      .withColumn("g", sum(col("stop")).over(wDoc))
+      .filter(col("stop") === 0)
+      .select(col("doc_id"), col("g"), col("pos"), col("word"))
+    val ph = grp.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("phrase"))
+      .filter(col("plen") <= 4)
+    val kept = grp.join(ph, Seq("doc_id", "g"))
+    val stats = kept.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    kept.join(stats, Seq("word"))
+      .groupBy(col("doc_id"), col("g"), col("phrase"))
+      .agg(sum(expr("deg * 1000000 div freq")).as("score_micro"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), min(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+  }
 }

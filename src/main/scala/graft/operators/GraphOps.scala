@@ -459,27 +459,38 @@ object GraphOps {
     * rows, not the lineitem table); the iterations themselves touch
     * frames bounded by |nations|², independent of corpus size.
     */
+  /** Weighted nation→nation trade edges (customer nation → supplier
+    * nation, one row per pair with its lineitem count) — the shared
+    * graph under [[hitsNationTrade]] and [[twoHopReach]]. The fact-fact
+    * equi-join + broadcast dims shuffles once on the nation pair, and
+    * the session frame cache materializes the ≤|nations|² result so
+    * every consumer rereads a tiny checkpoint, never the lineitem
+    * table. */
+  private[graft] def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "tradeEdges") {
+      Tables.fanOut(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")))
+        .join(Tables.maybeBroadcast(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
+          col("c_nationkey") === col("cnk"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
+          col("s_nationkey") === col("snk"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+    }
+
   def hitsNationTrade(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.fanOut(Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_suppkey")))
-      .join(Tables.maybeBroadcast(Tables.orders(spark, dir)
-        .select(col("o_orderkey"), col("o_custkey"))),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)
-        .select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, dir)
-        .select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.nation(spark, dir)
-        .select(col("n_nationkey").as("cnk"), col("n_name").as("src"))),
-        col("c_nationkey") === col("cnk"))
-      .join(broadcast(Tables.nation(spark, dir)
-        .select(col("n_nationkey").as("snk"), col("n_name").as("dst"))),
-        col("s_nationkey") === col("snk"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // 4 iteration consumers reread |nations|² rows
+    val edges = tradeEdges(spark, dir)
     val h1 = edges.groupBy(col("src")).agg(sum(col("w")).as("h"))
     val a1 = edges.join(h1, "src")
       .groupBy(col("dst")).agg(expr("sum(w * h) div 1024").as("a"))
@@ -495,6 +506,41 @@ object GraphOps {
         coalesce(col("hub_node"), col("auth_node")).as("nation"),
         coalesce(col("hub_score"), lit(0L)).as("hub_score"),
         coalesce(col("auth_score"), lit(0L)).as("auth_score"))
+      .orderBy(col("nation"))
+  }
+
+  /** Two-hop frontier expansion over the strongest trade relationships:
+    * keep the top-100 nation→nation edges by weight (a deterministic,
+    * scale-free sparsification — a relative mean-multiple cutoff
+    * degenerates as volume grows and the weight distribution
+    * concentrates), then per origin count the 1-hop partners and the
+    * distinct nations reachable in ≤2 hops. This is one BFS frontier
+    * step — the building block of friend-of-friend / supply-chain-risk
+    * reach — done as a self-join of the bounded edge list: at 100 TB
+    * the heavy part is the edge AGGREGATION (shared, cached
+    * [[tradeEdges]]); the expansion itself touches ≤top-k² rows. */
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val top = tradeEdges(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .orderBy(col("w").desc, col("src"), col("dst"))
+      .limit(100)
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // consumed by both hop joins and the 1-hop census
+    val right = top.select(col("src").as("mid2"), col("dst").as("dst2"))
+    val hop2 = top.select(col("src"), col("dst").as("mid"))
+      .join(right, col("mid") === col("mid2"))
+      .filter(col("dst2") =!= col("src"))
+      .select(col("src"), col("dst2").as("dst"))
+      .distinct()
+    val reach = top.unionByName(hop2).distinct()
+    val h1 = top.groupBy(col("src")).agg(count(lit(1)).as("c1"))
+    val h2r = reach.groupBy(col("src")).agg(count(lit(1)).as("c2"))
+    Tables.nation(spark, dir).select(col("n_name").as("nation"))
+      .join(h1.select(col("src").as("nation"), col("c1")), Seq("nation"), "left")
+      .join(h2r.select(col("src").as("nation"), col("c2")), Seq("nation"), "left")
+      .select(col("nation"),
+        coalesce(col("c1"), lit(0L)).as("n_1hop"),
+        coalesce(col("c2"), lit(0L)).as("n_2hop"))
       .orderBy(col("nation"))
   }
 }

@@ -1237,4 +1237,137 @@ object ScaleOps {
       round(num / den, 4).as("acf1"),
     ).orderBy(col("event_type"))
   }
+
+  /** Linear-vs-z-order clustering COMPARISON — the decision-grade twin
+    * of [[zorderLayout]]/[[zonemapSkip]] (which audit one z-order
+    * layout in isolation): cluster lineitem BOTH ways — linearly by
+    * partkey (the status-quo sort) and by the Morton interleave of
+    * RANK-bucketed partkey and suppkey — cut each ordering into 64
+    * equal "files", and count how many files a fixed 8-range workload
+    * on EACH dimension must open under the per-file min/max zone maps.
+    * Linear clustering prunes its own dimension perfectly and the other
+    * not at all; the space-filling curve buys balanced pruning on both
+    * — the exact trade a 100-TB OPTIMIZE ZORDER decision weighs, as an
+    * oracle-checked number instead of folklore. Rank bucketing (not raw
+    * value bits) makes the curve robust to skewed key distributions;
+    * every rank cut is the exact distributed ntile (never a single-task
+    * global sort), the bit interleave is integer magic-number spreading
+    * (codegen-friendly column algebra, identical on both engines), and
+    * the range probe is a ≤(2·2·64)×16-row broadcast hash join keyed on
+    * the probed dimension. */
+  def clusteringCompare(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(col("l_orderkey"), col("l_linenumber"))
+    val base0 = Tables.lineitem(spark, dir)
+      .select((col("l_partkey") +: col("l_suppkey") +: keys): _*)
+    val bx = BehaviorOps.distributedNtile(base0, 1024, "bxt")(
+      (col("l_partkey") +: keys): _*)
+    val by = BehaviorOps.distributedNtile(bx, 1024, "byt")(
+      (col("l_suppkey") +: keys): _*)
+    // 10-bit Morton spread via the standard magic-number doubling; both
+    // engines evaluate the same BIGINT & | << algebra
+    def spread(c: String): String = {
+      val a = s"((($c | ($c << 8)) & 16711935))"
+      val b = s"((($a | ($a << 4)) & 252645135))"
+      s"((($b | ($b << 2)) & 858993459) | ((($b | ($b << 2)) & 858993459) << 1)) & 1431655765"
+    }
+    val withMorton = by
+      .withColumn("bxv", col("bxt").cast("long") - 1L)
+      .withColumn("byv", col("byt").cast("long") - 1L)
+      .withColumn("sx", expr(spread("bxv")))
+      .withColumn("sy", expr(spread("byv")))
+      .withColumn("morton", expr("sx | (sy * 2)"))
+      .drop("bxt", "byt", "bxv", "byv", "sx", "sy")
+    val fLin = BehaviorOps.distributedNtile(withMorton, 64, "f_linear")(
+      (col("l_partkey") +: keys): _*)
+    val fZ = BehaviorOps.distributedNtile(fLin, 64, "f_zorder")(
+      (col("morton") +: keys): _*)
+    val stats = fZ.groupBy(col("f_linear")).agg(
+        min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
+        min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
+      .withColumn("layout", lit("linear")).drop("f_linear")
+      .unionByName(fZ.groupBy(col("f_zorder")).agg(
+          min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
+          min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
+        .withColumn("layout", lit("zorder")).drop("f_zorder"))
+    // per-dim file intervals + per-dim probe ranges, joined on the dim
+    // name (equi key) with the interval test as the residual condition
+    val dimStats = stats.select(col("layout"), lit("partkey").as("dim"),
+        col("p_lo").as("lo"), col("p_hi").as("hi"))
+      .unionByName(stats.select(col("layout"), lit("suppkey").as("dim"),
+        col("s_lo").as("lo"), col("s_hi").as("hi")))
+    val dom = fZ.agg(max(col("l_partkey")).as("pmax"),
+      max(col("l_suppkey")).as("smax")).head()
+    val (pw, sw) = ((dom.getLong(0) + 8L) / 8L, (dom.getLong(1) + 8L) / 8L)
+    val ranges = spark.range(0, 8)
+      .select(lit("partkey").as("dim"), col("id").as("range_id"),
+        (col("id") * pw).as("r_lo"), ((col("id") + 1) * pw - 1).as("r_hi"))
+      .unionByName(spark.range(0, 8)
+        .select(lit("suppkey").as("dim"), col("id").as("range_id"),
+          (col("id") * sw).as("r_lo"), ((col("id") + 1) * sw - 1).as("r_hi")))
+    dimStats.join(broadcast(ranges), Seq("dim"))
+      .filter(col("hi") >= col("r_lo") && col("lo") <= col("r_hi"))
+      .groupBy(col("layout"), col("dim"))
+      .agg(expr("count(1) * 100 div 8").as("avg_candidate_files_x100"))
+      .orderBy(col("layout"), col("dim"))
+  }
+
+  /** Neyman allocation for stratified sampling: given a 10000-unit
+    * sample budget over the event-type strata, allocate proportional to
+    * N_h·S_h — the variance-minimizing design every large-scale survey
+    * or eval-set sampler uses instead of proportional allocation. The
+    * within-stratum spread is computed EXACTLY in integers first: center
+    * on the integer floor mean, sum squared integer deviations (no
+    * unordered float sum anywhere), and only then take one IEEE sqrt
+    * per stratum — both engines see identical inputs, so the doubles
+    * and the final rounded allocation match bit-for-bit. The stratum
+    * table is ≤|types| rows; the total rides an ordered running sum
+    * (cross-engine-deterministic sequential addition). */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val e = BehaviorOps.eventSeq(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val mu = e.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("mu"))
+    val ssd = e.join(broadcast(mu), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_h"),
+        sum((col("cents") - col("mu")) * (col("cents") - col("mu"))).as("ssd"))
+    val wRun = Window.orderBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = ssd
+      .withColumn("wgt", col("n_h") *
+        sqrt(col("ssd").cast("double") / (col("n_h") - 1).cast("double")))
+      .withColumn("run_w", sum(col("wgt")).over(wRun))
+    val totalW = w.agg(max(col("run_w"))).head().getDouble(0)
+    w.select(col("event_type"), col("n_h"), col("ssd"),
+        round(lit(10000d) * col("wgt") / lit(totalW), 0).cast("long")
+          .as("alloc_of_10000"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Weighted sampling without replacement via exponential keys — the
+    * A-ES / Efraimidis–Spirakis design: each row draws u from its
+    * md5-keyed deterministic uniform, keys on −ln(u)/w, and the k
+    * smallest keys ARE a weight-proportional sample. This is the
+    * one-pass, fully-parallel way to draw a weighted sample from 10⁹
+    * rows (each partition keeps its local top-k, then merge — here the
+    * engine's TakeOrderedAndProject); the md5-derived u makes the draw
+    * replayable by the oracle, the deterministic stand-in for a seeded
+    * RNG. Keys are rounded to 6 dp BEFORE ranking with an event-id tie
+    * break, so an ulp of ln() drift can't reorder the sample. */
+  def aesSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = BehaviorOps.eventSeq(spark, dir)
+      .select(col("event_id"),
+        (round(col("value") * 100, 0).cast("long") + 1L).as("w"))
+      .withColumn("u",
+        (expr("conv(substring(md5(CAST(event_id AS STRING)), 1, 13), 16, 10)")
+          .cast("long") + 1L) / lit(4503599627370497d))
+      .withColumn("key_scaled",
+        round(-log(col("u")) / col("w").cast("double") * 1000000d, 6))
+    val wRank = Window.orderBy(col("key_scaled"), col("event_id"))
+    e.orderBy(col("key_scaled"), col("event_id")).limit(k)
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("event_id"), col("w"), col("key_scaled"), col("rank"))
+      .orderBy(col("key_scaled"), col("event_id"))
+  }
 }

@@ -257,6 +257,11 @@ class PlanSpec extends AnyFunSuite {
       "q_decision_stump",  // 9 candidate rows (literal threshold grid)
       "q_cumulative_reach", // per-hour cells (observation span)
       "q_mom_growth",      // per-month cells (observation span)
+      "q_cusum",           // per-day cells (observation span)
+      "q_peak_concurrency", // carry-in window over per-day cells (span)
+      "q_qini",            // 10 decile rows (decile count a literal)
+      "q_neyman_alloc",    // |event types| stratum rows
+      "q_aes_sample",      // rank window over the TakeOrdered ≤k sample
       "q_benford",         // 9 first-digit rows
       "q_bootstrap_ci",    // B resample-statistic rows (B a literal)
       "q_burn_rate",       // per-day burn cells (observation span)

@@ -174,6 +174,19 @@ class RobustnessSpec extends AnyFunSuite {
       "q_interval_union",    // running-max sweep, exact integer µs
       "q_cumulative_reach",  // first-touch mins, ordered integer sum
       "q_mom_growth",        // exact monthly cents, row-local ratios
+      // round-15 additions
+      "q_cusum",             // count-scaled integer CUSUM, integer argmax
+      "q_peak_concurrency",  // integer sweep + carry-in decomposition
+      "q_did",               // integer micro-cent cell means
+      "q_qini",              // integer cents, floor-div control scaling
+      "q_multitouch",        // integer basis-point credit
+      "q_cv_folds",          // integer cents errors, floor-div MAE
+      "q_conformal",         // rank-selected integer residual quantile
+      "q_rake_phrases",      // integer deg/freq scores, top-k cliff
+      "q_cluster_compare",   // exact ntile cuts + integer bit algebra
+      "q_neyman_alloc",      // exact integer SSD; one IEEE sqrt per stratum
+      "q_aes_sample",        // row-local md5 draw, 6-dp key, top-k cliff
+      "q_twohop_reach",      // top-k edge cliff + distinct integer counts
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

@@ -49,6 +49,33 @@ class SourceLintSpec extends AnyFunSuite {
       }
     }
 
+  test("registry and oracle maps carry no duplicate keys, and map 1:1") {
+    // A duplicate Map key silently SHADOWS the earlier entry (last one
+    // wins) — round 9 shipped a correlated-subquery query that never ran
+    // for two rounds this way, and round 10 nearly shadowed a live query
+    // with a same-named new one. Runtime can't see this (the Map is
+    // legal Scala), so the guard reads the source literal.
+    val src = new String(Files.readAllBytes(
+      Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val qBlock = "(?s)def queries: Map.*?=\\s*Map\\((.*?)\\n  \\)".r
+      .findFirstMatchIn(src).get.group(1)
+    val oBlock = "(?s)def oracleSql: Map.*?=\\s*Map\\((.*)\\n  \\)\\n\\}".r
+      .findFirstMatchIn(src).get.group(1)
+    val qKeys = "\"(q[^\"]*)\"\\s*->".r.findAllMatchIn(qBlock).map(_.group(1)).toSeq
+    val oKeys = "\\n    \"(q[^\"]*)\"\\s*->".r.findAllMatchIn(oBlock).map(_.group(1)).toSeq
+    def dups(ks: Seq[String]): Seq[String] =
+      ks.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSeq.sorted
+    assert(dups(qKeys).isEmpty, s"duplicate registry keys: ${dups(qKeys)}")
+    assert(dups(oKeys).isEmpty, s"duplicate oracle keys: ${dups(oKeys)}")
+    val qs = qKeys.toSet
+    val os = oKeys.toSet ++ SparkEntry.oracleFreeQueries
+    assert((qs -- os).isEmpty, s"queries without an oracle: ${(qs -- os).toSeq.sorted}")
+    assert((oKeys.toSet -- qs).isEmpty,
+      s"oracles without a query: ${(oKeys.toSet -- qs).toSeq.sorted}")
+    // and the parsed keys really are the runtime registry
+    assert(qs === SparkEntry.queries.keySet.filter(_.startsWith("q")))
+  }
+
   test("no money sum is scaled to cents AFTER a double aggregate") {
     // forbids `round(sum(<double>) * 100, 0)` (and the `* 100)` shape) in
     // Column algebra and oracle SQL alike — both must convert per row
