@@ -346,6 +346,9 @@ object SparkEntry {
     "q_neyman_alloc"    -> ((s, d) => graft.operators.ScaleOps.neymanAlloc(s, d)),
     "q_aes_sample"      -> ((s, d) => graft.operators.ScaleOps.aesSample(s, d)),
     "q_twohop_reach"    -> ((s, d) => graft.operators.GraphOps.twoHopReach(s, d)),
+    "q_sem_decontaminate" -> ((s, d) => graft.operators.SimilarityOps.semDecontaminate(s, d)),
+    "q_propensity_strata" -> ((s, d) => graft.operators.CausalOps.propensityStrata(s, d)),
+    "q_simpson"         -> ((s, d) => graft.operators.CausalOps.simpson(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -6726,6 +6729,86 @@ object SparkEntry {
             CAST(row_number() OVER (ORDER BY key_scaled, event_id) AS BIGINT)
               AS rank
           FROM k ORDER BY key_scaled, event_id LIMIT 20""",
+    // semantic decontamination: corpus items above cosine 0.3 to any of
+    // the 5 benchmark probe vectors, per-probe census
+    "q_sem_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          p AS (
+            SELECT q_id, vec_id,
+              round(list_sum(list_transform(range(1, len(v) + 1),
+                  i -> v[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])) /
+                (sqrt(list_sum(list_transform(v, x -> x * x))) *
+                 sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+            FROM e CROSS JOIN q WHERE vec_id >= 5)
+          SELECT q_id, CAST(count(*) AS BIGINT) AS n_checked,
+            CAST(sum(CASE WHEN cosine >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_flagged,
+            max(cosine) AS max_cosine,
+            CAST(min(CASE WHEN cosine >= 0.3 THEN vec_id END) AS BIGINT)
+              AS first_flagged_id
+          FROM p GROUP BY 1 ORDER BY q_id""",
+    // subclassification ATE: 5 exact score strata, per-stratum arm mean
+    // diff in integer micro-cents, stratum 0 = pooled + weighted numerator
+    "q_propensity_strata" ->
+      """WITH u AS (
+            SELECT user_id,
+              max(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 1
+                THEN 1 ELSE 0 END) AS treat,
+              CAST(count(CASE WHEN (epoch_ns(ts) // 1000) // 86400000000 < 19738
+                THEN 1 END) AS BIGINT) AS score,
+              CAST(coalesce(sum(CASE
+                WHEN (epoch_ns(ts) // 1000) // 86400000000 >= 19738
+                  AND event_type = 'purchase'
+                THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS cents
+            FROM events GROUP BY 1),
+          d AS (
+            SELECT *, ntile(5) OVER (ORDER BY score DESC, user_id) AS stratum FROM u),
+          s AS (
+            SELECT stratum,
+              CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+              CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+              CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS y_t,
+              CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS y_c
+            FROM d GROUP BY 1),
+          s2 AS (
+            SELECT *, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+              ELSE y_t * 1000000 // n_t - y_c * 1000000 // n_c END AS diff_micro
+            FROM s),
+          s3 AS (SELECT *, (n_t + n_c) * diff_micro AS w_num FROM s2)
+          SELECT stratum, n_t, n_c, y_t, y_c, diff_micro, w_num FROM s3
+          UNION ALL
+          SELECT 0, CAST(sum(n_t) AS BIGINT), CAST(sum(n_c) AS BIGINT),
+            CAST(sum(y_t) AS BIGINT), CAST(sum(y_c) AS BIGINT),
+            CASE WHEN sum(n_t) = 0 OR sum(n_c) = 0 THEN NULL
+              ELSE CAST(sum(y_t) AS BIGINT) * 1000000 // CAST(sum(n_t) AS BIGINT)
+                - CAST(sum(y_c) AS BIGINT) * 1000000 // CAST(sum(n_c) AS BIGINT) END,
+            CAST(sum(w_num) AS BIGINT)
+          FROM s3 ORDER BY stratum""",
+    // Simpson's-paradox audit: exact integer slope signs (centered weeks
+    // x whole dollars), per priority stratum + the pooled ALL row
+    "q_simpson" ->
+      """WITH o AS (
+            SELECT o_orderpriority AS grp,
+              CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+                AS wk,
+              CAST(round(o_totalprice, 0) AS BIGINT) AS dollars
+            FROM orders),
+          b AS (SELECT CAST(min(wk) AS BIGINT) AS w0 FROM o),
+          c AS (SELECT grp, wk - (SELECT w0 FROM b) AS x, dollars AS y FROM o),
+          per AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM c GROUP BY 1),
+          uni AS (
+            SELECT grp, n, sx, sy, sxy FROM per
+            UNION ALL
+            SELECT 'ALL', CAST(sum(n) AS BIGINT), CAST(sum(sx) AS BIGINT),
+              CAST(sum(sy) AS BIGINT), CAST(sum(sxy) AS BIGINT)
+            FROM per)
+          SELECT grp, n, n * sxy - sx * sy AS slope_num,
+            CAST(sign(n * sxy - sx * sy) AS BIGINT) AS slope_sign
+          FROM uni ORDER BY grp""",
     // BFS two-hop reach over the top-100 strongest trade edges (self
     // loops excluded); per origin: 1-hop partners and <=2-hop reach
     "q_twohop_reach" ->

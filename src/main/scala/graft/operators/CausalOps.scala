@@ -64,6 +64,22 @@ object CausalOps {
           .as("did_micro"))
   }
 
+  /** Per-user (arm, targeting score, post-period purchase cents) frame
+    * shared by the uplift estimators ([[qiniCurve]],
+    * [[propensityStrata]]): one reduction of the shared
+    * [[BehaviorOps.userDayCube]], session-cached so each consumer
+    * rereads ≤|users| rows. */
+  private def userArm(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedFrame(spark, dir, "userArm") {
+      BehaviorOps.userDayCube(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("day") < postDay, col("n")).otherwise(0L)).as("score"),
+          sum(when(col("day") >= postDay && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("cents"))
+        .withColumn("treat", expr(treatExpr))
+    }
+
   /** Qini (uplift) curve on post-period purchase revenue: users ranked
     * by a targeting score (pre-period activity), cut into exact deciles,
     * and the cumulative treated-vs-scaled-control revenue gap read out
@@ -74,13 +90,7 @@ object CausalOps {
     * distributed exact ntile (range shuffle + bucket windows), so the
     * per-user frame (~10⁹ rows at 100 TB) never sorts in one task. */
   def qiniCurve(spark: SparkSession, dir: String): DataFrame = {
-    val u = BehaviorOps.userDayCube(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(
-        sum(when(col("day") < postDay, col("n")).otherwise(0L)).as("score"),
-        sum(when(col("day") >= postDay && col("event_type") === "purchase",
-          col("cents")).otherwise(0L)).as("cents"))
-      .withColumn("treat", expr(treatExpr))
+    val u = userArm(spark, dir)
     val dec = BehaviorOps.distributedNtile(u, 10, "decile")(
       col("score").desc, col("user_id"))
     val perDecile = dec.groupBy(col("decile"))
@@ -181,6 +191,83 @@ object CausalOps {
       .withColumn("mae_centicents",
         expr("total_abs_err_cents * 100 div n_eval"))
       .orderBy(col("fold"))
+  }
+
+  /** Subclassification (propensity-stratified) treatment-effect
+    * estimate: users cut into 5 exact strata on the pre-period activity
+    * score, per-stratum arm means differenced in exact integer
+    * micro-cents, and the overall effect read as the stratum-size-
+    * weighted average — the classic observational-causal design that
+    * removes confounding carried by the stratification score. Arms are
+    * the same md5-parity assignment the DiD/Qini family replays. One
+    * cached per-user reduction ([[userArm]]), one distributed-ntile cut,
+    * one ≤5-row aggregate, one union for the ALL row — the heavy
+    * lifting all rides user-keyed shuffles. */
+  def propensityStrata(spark: SparkSession, dir: String): DataFrame = {
+    val strata = BehaviorOps.distributedNtile(userArm(spark, dir), 5, "stratum")(
+      col("score").desc, col("user_id"))
+      .groupBy(col("stratum"))
+      .agg(
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treat") === 1, col("cents")).otherwise(0L)).as("y_t"),
+        sum(when(col("treat") === 0, col("cents")).otherwise(0L)).as("y_c"))
+      // a stratum with an empty arm has no contrast: NULL diff, NULL
+      // contribution (both engines' sum() skips it in the ALL row)
+      .withColumn("diff_micro",
+        expr("CASE WHEN n_t = 0 OR n_c = 0 THEN NULL" +
+          " ELSE y_t * 1000000 div n_t - y_c * 1000000 div n_c END"))
+      // w_num is the stratum's contribution to the subclassification ATE
+      // numerator; it may be NEGATIVE, so it is never divided (Spark div
+      // truncates where DuckDB // floors — they only agree above zero).
+      // Consumers divide w_num(ALL) by n_t+n_c themselves.
+      .withColumn("w_num", expr("(n_t + n_c) * diff_micro"))
+      .localCheckpoint() // ≤5 rows; consumed by the output AND the ALL row
+    val overall = strata
+      .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        sum(col("y_t")).as("y_t"), sum(col("y_c")).as("y_c"),
+        sum(col("w_num")).as("w_num"))
+      .withColumn("diff_micro",
+        expr("CASE WHEN n_t = 0 OR n_c = 0 THEN NULL" +
+          " ELSE y_t * 1000000 div n_t - y_c * 1000000 div n_c END"))
+      .withColumn("stratum", lit(0))
+    strata.unionByName(overall.select(strata.columns.map(col): _*))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("y_t"), col("y_c"),
+        col("diff_micro"), col("w_num"))
+      .orderBy(col("stratum"))
+  }
+
+  /** Simpson's-paradox detector: the SIGN of the spend-vs-time trend,
+    * pooled and within each order-priority stratum — the canonical
+    * aggregation-reversal audit. Slope signs come from the exact
+    * integer cross-multiplication sign(n·Σxy − Σx·Σy) on centered
+    * integer week indexes and whole dollars (magnitudes chosen so every
+    * product fits int64 at 100× this data) — no float ever enters, so
+    * the verdict cannot sit on a rounding boundary. One hash aggregate
+    * per stratum plus a ≤|strata|-row re-aggregate for the pooled row.
+    */
+  def simpson(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')" +
+          " AS BIGINT) div 7").as("wk"),
+        round(col("o_totalprice"), 0).cast("long").as("dollars"))
+    val w0 = o.agg(min(col("wk"))).head().getLong(0)
+    val c = o.select(col("grp"), (col("wk") - lit(w0)).as("x"), col("dollars").as("y"))
+    val per = c.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .localCheckpoint() // ≤|strata| rows; feeds output AND the pooled row
+    val pooled = per
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
+      .withColumn("grp", lit("ALL"))
+    per.unionByName(pooled.select(per.columns.map(col): _*))
+      .select(col("grp"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        signum((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+          .cast("long").as("slope_sign"))
+      .orderBy(col("grp"))
   }
 
   /** Split conformal prediction: train the per-type mean on even days,

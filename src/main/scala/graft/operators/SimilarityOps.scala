@@ -66,6 +66,35 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Semantic benchmark decontamination: the embedding-space twin of
+    * the exact/bloom n-gram decontaminators (`q_decontaminate`,
+    * `q_bloom_decontaminate`) — paraphrased benchmark leakage survives
+    * string matching, so modern pipelines also sweep the corpus for
+    * training items whose EMBEDDING sits above a cosine threshold to
+    * any held-out benchmark item. Benchmark side = the 5 probe vectors
+    * (constant, broadcast); corpus side streams once through the
+    * codegen'd dot-product kernel; cosines are 6-dp rounded before the
+    * threshold so the flag can't sit on an ulp. Per probe: corpus size
+    * checked, items flagged at τ, the max cosine seen, and the first
+    * flagged id. O(n·q·d) with q a literal — the same constant-probe
+    * shape as the ANN family, never corpus×corpus. */
+  def semDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.3): DataFrame = {
+    val e = embNormed(spark, dir)
+    val bench = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("nq"))
+    e.filter(col("vec_id") >= 5)
+      .join(broadcast(bench))
+      .withColumn("cosine",
+        round(dot(col("v"), col("qv")) / (col("nv") * col("nq")), 6))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("cosine") >= tau, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("cosine")).as("max_cosine"),
+        min(when(col("cosine") >= tau, col("vec_id"))).as("first_flagged_id"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs for a sampled probe set
     * (every 20th vector), derived from the SAME sign-bucket candidate
     * generator as [[bucketedNearDup]]: the sampled side equi-joins the

@@ -244,6 +244,7 @@ class PlanSpec extends AnyFunSuite {
       "q_matryoshka_recall", // broadcast side = 5 fixed probes (vec_id < 5)
       "q_hamming_recall", // broadcast side = 5 fixed probes (vec_id < 5)
       "q_cluster_purity", // broadcast side = k=8 fixed init centroids
+      "q_sem_decontaminate", // broadcast side = 5 fixed benchmark probes
     )
     // Unpartitioned windows tolerated ONLY over frames bounded by
     // construction — a groupBy on an enum/bin/day keyspace, a top-k

@@ -187,6 +187,9 @@ class RobustnessSpec extends AnyFunSuite {
       "q_neyman_alloc",      // exact integer SSD; one IEEE sqrt per stratum
       "q_aes_sample",        // row-local md5 draw, 6-dp key, top-k cliff
       "q_twohop_reach",      // top-k edge cliff + distinct integer counts
+      "q_sem_decontaminate", // per-row 6-dp cosine, integer census + max
+      "q_propensity_strata", // integer micro-cent strata, exact numerator
+      "q_simpson",           // integer cross-multiplied slope signs
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

@@ -164,6 +164,52 @@ class Round15OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) >= 1L && r.getDouble(2) >= 0.0))
   }
 
+  test("semantic decontamination: census exact, flags consistent") {
+    val rows = graft.operators.SimilarityOps.semDecontaminate(spark, dir).collect()
+    assert(rows.length === 5)
+    val corpus = graft.model.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 5).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === corpus, "every probe checks the whole corpus")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= corpus)
+      assert(r.getDouble(3) <= 1.000001)
+      assert(r.isNullAt(4) === (r.getLong(2) === 0L),
+        "first flagged id present exactly when something was flagged")
+    }
+  }
+
+  test("propensity strata: the ALL row aggregates its strata exactly") {
+    val rows = graft.operators.CausalOps.propensityStrata(spark, dir).collect()
+    assert(rows.length === 6)
+    val all = rows.find(_.getInt(0) === 0).get
+    val strata = rows.filter(_.getInt(0) != 0)
+    assert(strata.length === 5)
+    assert(all.getLong(1) === strata.map(_.getLong(1)).sum)
+    assert(all.getLong(2) === strata.map(_.getLong(2)).sum)
+    assert(all.getLong(3) === strata.map(_.getLong(3)).sum)
+    assert(all.getLong(4) === strata.map(_.getLong(4)).sum)
+    val contributing = strata.filterNot(_.isNullAt(6))
+    assert(all.getLong(6) === contributing.map(_.getLong(6)).sum,
+      "the subclassification numerator is the sum of stratum contributions")
+    contributing.foreach { r =>
+      assert(r.getLong(6) === (r.getLong(1) + r.getLong(2)) * r.getLong(5))
+    }
+    strata.foreach(r => assert(r.isNullAt(5) === (r.getLong(1) == 0L || r.getLong(2) == 0L),
+      "diff is NULL exactly when an arm is empty"))
+  }
+
+  test("simpson: pooled row sums the strata; signs match their numerators") {
+    val rows = graft.operators.CausalOps.simpson(spark, dir).collect()
+    assert(rows.length === 6)
+    val all = rows.find(_.getString(0) == "ALL").get
+    val strata = rows.filter(_.getString(0) != "ALL")
+    assert(all.getLong(1) === strata.map(_.getLong(1)).sum)
+    rows.foreach { r =>
+      assert(r.getLong(3) === math.signum(r.getLong(2)),
+        s"${r.getString(0)}: sign must match the exact integer numerator")
+    }
+  }
+
   test("two-hop reach: expansion dominates the frontier and stays bounded") {
     val rows = graft.operators.GraphOps.twoHopReach(spark, dir).collect()
     assert(rows.length === graft.model.Tables.nation(spark, dir).count())
