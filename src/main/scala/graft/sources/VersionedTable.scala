@@ -64,7 +64,7 @@ class VersionedTable(val root: String) {
       val lines = Files.readAllLines(logDir.resolve(logName(v))).asScala
       val op = lines.collectFirst {
         case l if l.contains("\"op\":\"meta\"") =>
-          "\"operation\":\"([a-z]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+          "\"operation\":\"([a-z_]+)\"".r.findFirstMatchIn(l).map(_.group(1))
             .getOrElse("?")
       }.getOrElse("?")
       (v, op,
@@ -160,6 +160,84 @@ class VersionedTable(val root: String) {
           incoming.fields.filterNot(f => cur.exists(_.name == f.name)))
     }
 
+  /** Active CHECK constraints as of version v (name → SQL predicate),
+    * folded add/drop over the log — the Delta-style table-level write
+    * contract: once registered, EVERY writer validates incoming rows
+    * against every active constraint before its commit can land. */
+  def constraintsAt(v: Long): Map[String, String] = {
+    if (v < 0) return Map.empty
+    require(v <= version, s"version $v outside [0, $version]")
+    val add =
+      "\"operation\":\"add_constraint\",\"cname\":\"([^\"]+)\",\"exprB64\":\"([^\"]+)\"".r
+    val drop = "\"operation\":\"drop_constraint\",\"cname\":\"([^\"]+)\"".r
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (0L to v).foreach { i =>
+      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
+        add.findFirstMatchIn(l).foreach(m => live(m.group(1)) = new String(
+          java.util.Base64.getDecoder.decode(m.group(2)), "UTF-8"))
+        drop.findFirstMatchIn(l).foreach(m => live -= m.group(1))
+      }
+    }
+    live.toMap
+  }
+
+  /** Register a CHECK constraint (a boolean SQL expression over the
+    * table's columns). The CURRENT snapshot must already satisfy it —
+    * registering a constraint the data violates would make the contract
+    * a lie — and every subsequent append/appendBatch/merge/overwrite
+    * validates its incoming rows in ONE aggregate scan before
+    * committing. Committed as a meta-only version, so the registration
+    * itself is time-travelable and race-safe like any other commit. */
+  def addConstraint(spark: SparkSession, name: String, sqlExpr: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    val b64 = java.util.Base64.getEncoder.encodeToString(sqlExpr.getBytes("UTF-8"))
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      if (head >= 0 && filesAt(head).nonEmpty)
+        enforce(readAsOf(spark, head), Map(name -> sqlExpr), "existing snapshot")
+      val line = s"""{"op":"meta","operation":"add_constraint","cname":"$name","exprB64":"$b64"}"""
+      if (commit(head + 1, Seq(line))) committed = head + 1
+    }
+    committed
+  }
+
+  /** Drop a CHECK constraint by name (meta-only commit). */
+  def dropConstraint(name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(constraintsAt(head).contains(name), s"no constraint '$name'")
+      val line = s"""{"op":"meta","operation":"drop_constraint","cname":"$name"}"""
+      if (commit(head + 1, Seq(line))) committed = head + 1
+    }
+    committed
+  }
+
+  /** Validate `df` against every constraint in ONE aggregate pass (a
+    * conditional violation count per constraint); throws naming every
+    * violated constraint. A row where the predicate is NULL counts as a
+    * violation — CHECK means provably true, three-valued maybes don't
+    * pass a write gate. */
+  private[sources] def enforce(df: DataFrame, cs: Map[String, String],
+      what: String = "incoming rows"): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, sum, when, lit}
+    val names = cs.keys.toSeq
+    val aggs = names.map { n =>
+      val p = expr(cs(n))
+      sum(when(p.isNull || !p, 1L).otherwise(0L)).as(s"_viol_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = names.zipWithIndex.collect {
+      case (n, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' (${cs(n)}): ${row.getLong(i)} row(s)"
+    }
+    require(violated.isEmpty,
+      s"CHECK constraint(s) violated by $what: ${violated.mkString("; ")}")
+  }
+
   /** Atomic commit of version v. Returns false when v was taken by a
     * concurrent writer (caller re-reads the head and retries). */
   private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
@@ -241,10 +319,15 @@ class VersionedTable(val root: String) {
     * the rename). Returns the committed version. */
   def append(spark: SparkSession, df: DataFrame,
       statsCol: Option[String] = None): Long = {
+    var validated = constraintsAt(version)
+    enforce(df, validated) // before staging: a violating write costs no IO
     val adds = stage(spark, df, statsCol)
     var committed = -1L
     while (committed < 0) {
       val head = version
+      // a constraint registered while we retried must still gate us
+      val cs = constraintsAt(head)
+      if (cs != validated) { enforce(df, cs); validated = cs }
       val s = unionSchema(if (head < 0) None else schemaAt(head), df.schema)
       if (commit(head + 1, metaLine("append", s) +: adds)) committed = head + 1
     }
@@ -273,9 +356,13 @@ class VersionedTable(val root: String) {
   def appendBatch(spark: SparkSession, df: DataFrame,
       batchId: Long): Option[Long] = {
     if (committedBatchIds.contains(batchId)) return None
+    var validated = constraintsAt(version)
+    enforce(df, validated)
     val adds = stage(spark, df, None)
     while (true) {
       val head = version
+      val cs = constraintsAt(head)
+      if (cs != validated) { enforce(df, cs); validated = cs }
       val s = unionSchema(if (head < 0) None else schemaAt(head), df.schema)
       val actions = metaLine("append", s, s""","batchId":$batchId""") +: adds
       if (commit(head + 1, actions)) return Some(head + 1)
@@ -289,10 +376,14 @@ class VersionedTable(val root: String) {
     * overwrite means "the table becomes exactly this frame". */
   def overwrite(spark: SparkSession, df: DataFrame,
       statsCol: Option[String] = None): Long = {
+    var validated = constraintsAt(version)
+    enforce(df, validated)
     val adds = stage(spark, df, statsCol)
     var committed = -1L
     while (committed < 0) {
       val head = version
+      val cs = constraintsAt(head)
+      if (cs != validated) { enforce(df, cs); validated = cs }
       val removes =
         if (head < 0) Nil
         else filesAt(head).map(p => Paths.get(p).getFileName.toString)
@@ -321,9 +412,14 @@ class VersionedTable(val root: String) {
     */
   def merge(spark: SparkSession, updates: DataFrame, key: String,
       statsCol: Option[String] = None): Long = {
+    // survivors were validated when THEY were written; only the updates
+    // bring new values past the gate
+    var validated: Map[String, String] = null
     var committed = -1L
     while (committed < 0) {
       val head = version
+      val cs = constraintsAt(head)
+      if (cs != validated) { enforce(updates, cs); validated = cs }
       val s = unionSchema(if (head < 0) None else schemaAt(head), updates.schema)
       val merged =
         if (head < 0) updates

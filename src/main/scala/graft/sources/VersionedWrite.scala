@@ -64,9 +64,18 @@ private[graft] class VersionedBatchWrite(root: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val t = new VersionedTable(root)
     val adds = VersionedWriteCommit.addActions(messages)
+    var validated: Map[String, String] = null
     var committed = false
     while (!committed) {
       val head = t.version
+      // CHECK constraints gate this path too: staged files are invisible
+      // until the commit, so reading them back pre-commit is race-free;
+      // a violation throws and the engine's abort() drops the staging
+      val cs = t.constraintsAt(head)
+      if (cs != validated) {
+        VersionedWriteCommit.enforceStaged(t, root, messages, cs)
+        validated = cs
+      }
       val current = if (head < 0) None else t.schemaAt(head)
       val actions =
         if (replace) {
@@ -94,6 +103,7 @@ private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val t = new VersionedTable(root)
     val adds = VersionedWriteCommit.addActions(messages)
+    var validated: Map[String, String] = null
     var done = false
     while (!done) {
       if (t.committedBatchIds.contains(epochId)) {
@@ -102,6 +112,11 @@ private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
         done = true
       } else {
         val head = t.version
+        val cs = t.constraintsAt(head)
+        if (cs != validated) {
+          VersionedWriteCommit.enforceStaged(t, root, messages, cs)
+          validated = cs
+        }
         val current = if (head < 0) None else t.schemaAt(head)
         val actions = t.metaLine("append",
           t.unionSchema(current, schema), s""","batchId":$epochId""") +: adds
@@ -130,6 +145,21 @@ private[graft] object VersionedWriteCommit {
         Files.deleteIfExists(Paths.get(root, "data", name))
       case _ =>
     }
+
+  /** Validate the epoch's staged (still-invisible) files against the
+    * table's CHECK constraints — the DSv2 twin of the table-API write
+    * gate. One parquet read-back of just-written files, one aggregate. */
+  def enforceStaged(t: VersionedTable, root: String,
+      messages: Array[WriterCommitMessage], cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) return
+    val files = messages.toSeq.collect {
+      case StagedFileMessage(name, rows, _) if rows > 0 =>
+        Paths.get(root, "data", name).toString
+    }
+    if (files.isEmpty) return
+    t.enforce(org.apache.spark.sql.SparkSession.active.read.parquet(files: _*),
+      cs, "staged DSv2 write")
+  }
 
   /** StructType → parquet message type for the engine's primitive
     * lattice (inverse of [[VersionedStreamProvider.fromParquet]]). */

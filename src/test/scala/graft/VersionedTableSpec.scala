@@ -306,6 +306,83 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.version === -1L, "the failed append must not commit")
   }
 
+  test("CHECK constraints gate every writer; lifecycle rides the log") {
+    val t = table()
+    t.append(spark, Seq((1, 10.0), (2, 20.0)).toDF("id", "score"))
+
+    // registration validates the EXISTING snapshot first
+    val e0 = intercept[IllegalArgumentException](
+      t.addConstraint(spark, "score_high", "score >= 15"))
+    assert(e0.getMessage.contains("score_high"))
+    val cv = t.addConstraint(spark, "score_pos", "score > 0 AND score < 100")
+    assert(t.constraintsAt(cv) === Map("score_pos" -> "score > 0 AND score < 100"))
+    assert(t.history.last._2 === "add_constraint")
+
+    // a violating append fails BEFORE committing, names the constraint,
+    // and leaves the table untouched
+    val e1 = intercept[IllegalArgumentException](
+      t.append(spark, Seq((3, -5.0)).toDF("id", "score")))
+    assert(e1.getMessage.contains("score_pos") && e1.getMessage.contains("1 row(s)"))
+    assert(t.version === cv && t.read(spark).count() === 2)
+    // NULL is not provably true: it is a violation, not a pass
+    val e2 = intercept[IllegalArgumentException](t.append(spark,
+      Seq((4, Some(5.0)), (5, None)).toDF("id", "score")))
+    assert(e2.getMessage.contains("score_pos"))
+    // merge updates pass the same gate
+    assertThrows[IllegalArgumentException](
+      t.merge(spark, Seq((1, 500.0)).toDF("id", "score"), "id"))
+    // clean writes land
+    t.append(spark, Seq((3, 30.0)).toDF("id", "score"))
+    t.merge(spark, Seq((1, 11.0)).toDF("id", "score"), "id")
+    assert(t.read(spark).count() === 3)
+
+    // drop ends enforcement; both commits stay time-travelable
+    t.dropConstraint("score_pos")
+    t.append(spark, Seq((9, -1.0)).toDF("id", "score"))
+    assert(t.constraintsAt(t.version) === Map.empty)
+    assert(t.constraintsAt(cv).contains("score_pos"),
+      "the constraint is still visible AS OF its own epoch")
+  }
+
+  test("CHECK constraints gate the DSv2 write path too") {
+    val t = table()
+    t.append(spark, Seq((1L, 10.0)).toDF("id", "score"))
+    t.addConstraint(spark, "score_pos", "score > 0")
+    val bad = Seq((2L, -3.0)).toDF("id", "score")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.VersionedStreamProvider")
+        .option("path", t.root).mode("append").save()
+    }
+    def rootCause(x: Throwable): Throwable =
+      if (x.getCause == null || x.getCause == x) x else rootCause(x.getCause)
+    assert((e.getMessage + rootCause(e).getMessage).contains("score_pos"))
+    assert(t.read(spark).count() === 1, "the aborted write must not land")
+    // staged file was dropped by the abort
+    Seq((3L, 7.0)).toDF("id", "score")
+      .write.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).mode("append").save()
+    assert(t.read(spark).count() === 2)
+  }
+
+  test("writer storm: concurrent appends all land exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = table()
+    val writers = (0 until 4).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          t.append(spark, Seq((w * 5 + i, s"w$w-$i")).toDF("id", "v"))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(t.version === 19L, "20 appends must take versions 0..19")
+    assert(t.read(spark).select("id").as[Int].collect().sorted ===
+      (0 until 20).toArray, "every writer's rows land exactly once")
+    assert(t.history.forall(_._2 === "append"))
+  }
+
   test("concurrent append + overwrite rebase: overwrite owns the final state") {
     val t = table()
     t.append(spark, Seq((1, "a")).toDF("id", "v"))       // v0
