@@ -6629,9 +6629,9 @@ object SparkEntry {
     "q_cluster_compare" ->
       """WITH base AS MATERIALIZED (
             SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
-              CAST(ntile(1024) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+              CAST(ntile(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
                 - 1 AS BIGINT) AS bxv,
-              CAST(ntile(1024) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber)
+              CAST(ntile(64) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber)
                 - 1 AS BIGINT) AS byv
             FROM lineitem),
           s1 AS MATERIALIZED (
@@ -6644,14 +6644,13 @@ object SparkEntry {
             SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
           s4 AS MATERIALIZED (
-            SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+            SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, bxv,
               (((x3 | (x3 << 1)) & 1431655765)
                 | (((y3 | (y3 << 1)) & 1431655765) * 2)) AS morton
             FROM s3),
           files AS MATERIALIZED (
             SELECT l_partkey, l_suppkey,
-              CAST(ntile(64) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
-                AS BIGINT) AS f_linear,
+              CAST(bxv + 1 AS BIGINT) AS f_linear,
               CAST(ntile(64) OVER (ORDER BY morton, l_orderkey, l_linenumber)
                 AS BIGINT) AS f_zorder
             FROM s4),

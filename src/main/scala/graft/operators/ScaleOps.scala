@@ -1254,34 +1254,69 @@ object ScaleOps {
     * global sort), the bit interleave is integer magic-number spreading
     * (codegen-friendly column algebra, identical on both engines), and
     * the range probe is a ≤(2·2·64)×16-row broadcast hash join keyed on
-    * the probed dimension. */
+    * the probed dimension.
+    *
+    * Cost model: this query SIMULATES two full table re-clusterings, so
+    * its floor is two range shuffles of the entire fact table — that is
+    * the honest price of OPTIMIZE ZORDER, which is why lake engines run
+    * it as a maintenance job, not a query. The third rank cut (z-order
+    * file ids) avoids a shuffle entirely: morton lives on the literal
+    * 64×64 grid, so its ntile decomposes into a bounded cell cumsum +
+    * a cell-keyed window over the already-checkpointed frame. */
   def clusteringCompare(spark: SparkSession, dir: String): DataFrame = {
     val keys = Seq(col("l_orderkey"), col("l_linenumber"))
     val base0 = Tables.lineitem(spark, dir)
       .select((col("l_partkey") +: col("l_suppkey") +: keys): _*)
-    val bx = BehaviorOps.distributedNtile(base0, 1024, "bxt")(
+    // One exact rank cut per dimension (64 buckets): the partkey cut IS
+    // the linear layout's file id, so the two distributed ntiles below
+    // are the ONLY range shuffles in the query.
+    val bx = BehaviorOps.distributedNtile(base0, 64, "f_linear")(
       (col("l_partkey") +: keys): _*)
-    val by = BehaviorOps.distributedNtile(bx, 1024, "byt")(
+    val by = BehaviorOps.distributedNtile(bx, 64, "byt")(
       (col("l_suppkey") +: keys): _*)
-    // 10-bit Morton spread via the standard magic-number doubling; both
+    // 6-bit Morton spread via the standard magic-number doubling; both
     // engines evaluate the same BIGINT & | << algebra
     def spread(c: String): String = {
       val a = s"((($c | ($c << 8)) & 16711935))"
       val b = s"((($a | ($a << 4)) & 252645135))"
       s"((($b | ($b << 2)) & 858993459) | ((($b | ($b << 2)) & 858993459) << 1)) & 1431655765"
     }
-    val withMorton = by
-      .withColumn("bxv", col("bxt").cast("long") - 1L)
+    val m = by
+      .withColumn("bxv", col("f_linear").cast("long") - 1L)
       .withColumn("byv", col("byt").cast("long") - 1L)
       .withColumn("sx", expr(spread("bxv")))
       .withColumn("sy", expr(spread("byv")))
       .withColumn("morton", expr("sx | (sy * 2)"))
-      .drop("bxt", "byt", "bxv", "byv", "sx", "sy")
-    val fLin = BehaviorOps.distributedNtile(withMorton, 64, "f_linear")(
-      (col("l_partkey") +: keys): _*)
-    val fZ = BehaviorOps.distributedNtile(fLin, 64, "f_zorder")(
-      (col("morton") +: keys): _*)
-    val stats = fZ.groupBy(col("f_linear")).agg(
+      .drop("byt", "bxv", "byv", "sx", "sy")
+      .localCheckpoint() // cells pass + rank pass + stats reread this once
+    // Exact ntile(64) over (morton, keys) WITHOUT a third range shuffle:
+    // morton lives on the literal 64×64 grid, so the cross-cell offsets
+    // are a cumsum over ≤4096 bounded cells and the within-cell rank is
+    // a morton-keyed window — the same offset+rank decomposition as
+    // distributedNtile with the grid playing the range partitioner.
+    val cells = m.groupBy(col("morton")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = cells.agg(sum(col("cnt"))).head().getLong(0)
+    val (q, r) = (total / 64, total % 64)
+    val wCell = Window.orderBy(col("morton"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val offsets = cells
+      .withColumn("off", coalesce(sum(col("cnt")).over(wCell), lit(0L)))
+      .select(col("morton"), col("off"))
+    val wIn = Window.partitionBy(col("morton")).orderBy(keys: _*)
+    // the standard ntile boundary in closed form (first n%k tiles get
+    // ⌈n/k⌉); CASE is lazy so the q=0 arm can't divide by zero
+    val tile =
+      s"""CAST(CASE WHEN _rn <= ${r * (q + 1)}
+            THEN (_rn - 1) div ${q + 1} + 1
+            ELSE $r + (_rn - ${r * (q + 1)} - 1) div $q + 1
+          END AS INT)"""
+    val fZ = m.join(broadcast(offsets), Seq("morton"))
+      .withColumn("_rn", row_number().over(wIn).cast("long") + col("off"))
+      .withColumn("f_zorder", expr(tile))
+    // the linear layout's stats need no rank window — its file id is the
+    // checkpointed partkey cut, read straight off m
+    val stats = m.groupBy(col("f_linear")).agg(
         min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"),
         min(col("l_suppkey")).as("s_lo"), max(col("l_suppkey")).as("s_hi"))
       .withColumn("layout", lit("linear")).drop("f_linear")
@@ -1295,7 +1330,7 @@ object ScaleOps {
         col("p_lo").as("lo"), col("p_hi").as("hi"))
       .unionByName(stats.select(col("layout"), lit("suppkey").as("dim"),
         col("s_lo").as("lo"), col("s_hi").as("hi")))
-    val dom = fZ.agg(max(col("l_partkey")).as("pmax"),
+    val dom = m.agg(max(col("l_partkey")).as("pmax"),
       max(col("l_suppkey")).as("smax")).head()
     val (pw, sw) = ((dom.getLong(0) + 8L) / 8L, (dom.getLong(1) + 8L) / 8L)
     val ranges = spark.range(0, 8)

@@ -263,6 +263,7 @@ class PlanSpec extends AnyFunSuite {
       "q_qini",            // 10 decile rows (decile count a literal)
       "q_neyman_alloc",    // |event types| stratum rows
       "q_aes_sample",      // rank window over the TakeOrdered ≤k sample
+      "q_cluster_compare", // cell-offset cumsum over the literal 64×64 grid
       "q_benford",         // 9 first-digit rows
       "q_bootstrap_ci",    // B resample-statistic rows (B a literal)
       "q_burn_rate",       // per-day burn cells (observation span)
