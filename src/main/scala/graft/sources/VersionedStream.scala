@@ -235,10 +235,16 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(table.version)
     val bs = bounds
-    table.filesWithStatsAt(v).collect {
-      case (path, None) => path
-      case (path, Some((c, fLo, fHi)))
-        if bs.get(c).forall { case (lo, hi) => fHi >= lo && fLo <= hi } => path
+    // a file survives only if EVERY bounded column it has stats for can
+    // intersect its bound — multi-column zone maps (z-ordered layouts)
+    // prune on all clustered dimensions at once
+    table.filesWithMultiStatsAt(v).collect {
+      case (path, st) if {
+        val zm = st.toMap
+        bs.forall { case (c, (lo, hi)) =>
+          zm.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        }
+      } => path
     }.map(f => VersionedFilePartition(f): InputPartition).toArray
   }
 

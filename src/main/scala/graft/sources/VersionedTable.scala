@@ -291,19 +291,35 @@ class VersionedTable(val root: String) {
     * (invisible until some commit references them), harvesting footer
     * min/max of `statsCol` for the commit log's skipping index. */
   private def stage(spark: SparkSession, df: DataFrame,
-      statsCol: Option[String]): Seq[String] = {
+      statsCol: Option[String]): Seq[String] =
+    stageMulti(spark, df, statsCol.toSeq)
+
+  /** Multi-column variant: harvest footer min/max for EVERY column in
+    * `statsCols`. One recorded column keeps the legacy single-stat add
+    * action (older logs parse unchanged); two or more land in a packed
+    * `multi` field — the multi-dimensional zone map a z-ordered layout
+    * needs, since its whole point is that BOTH clustered columns have
+    * tight per-file intervals. */
+  private def stageMulti(spark: SparkSession, df: DataFrame,
+      statsCols: Seq[String]): Seq[String] = {
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"stats column '$c' must be [A-Za-z0-9_]+"))
     Files.createDirectories(dataDir)
     val tmp = Paths.get(root, s"_tmp-${UUID.randomUUID()}")
     df.write.parquet(tmp.toString)
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
     val actions = parts.zipWithIndex.map { case (p, i) =>
       val name = s"${UUID.randomUUID().toString.take(8)}-$i.parquet"
-      val stats = statsCol.flatMap(c => footerMinMax(p, c).map((c, _)))
+      val stats = statsCols.flatMap(c => footerMinMax(p, c).map((c, _)))
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       stats match {
-        case Some((c, (lo, hi))) =>
+        case Seq((c, (lo, hi))) =>
           s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
-        case None => s"""{"op":"add","file":"$name"}"""
+        case Seq() => s"""{"op":"add","file":"$name"}"""
+        case many =>
+          val packed = many.map { case (c, (lo, hi)) => s"$c,$lo,$hi" }
+            .mkString("|")
+          s"""{"op":"add","file":"$name","multi":"$packed"}"""
       }
     }
     listDir(tmp).foreach(Files.deleteIfExists(_))
@@ -456,9 +472,11 @@ class VersionedTable(val root: String) {
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to delete from")
-      val touched = filesWithStatsAt(head).collect {
-        case (p, None) => p
-        case (p, Some((c, fLo, fHi))) if c != column || (fHi >= lo && fLo <= hi) => p
+      val touched = filesWithMultiStatsAt(head).collect {
+        // a file dodges the rewrite only when it has stats ON THE
+        // PREDICATE COLUMN and the interval provably misses
+        case (p, st) if st.toMap.get(column)
+          .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => p
       }
       if (touched.isEmpty) return head
       val reader = schemaAt(head).map(spark.read.schema).getOrElse(spark.read)
@@ -476,20 +494,35 @@ class VersionedTable(val root: String) {
   }
 
   /** The live (file, stats) set at v: the same log fold as [[filesAt]]
-    * but keeping each add's recorded skipping interval. */
-  def filesWithStatsAt(v: Long): Seq[(String, Option[(String, Long, Long)])] = {
+    * but keeping each add's recorded skipping interval (first recorded
+    * column when several exist — the legacy single-column view). */
+  def filesWithStatsAt(v: Long): Seq[(String, Option[(String, Long, Long)])] =
+    filesWithMultiStatsAt(v).map { case (p, st) =>
+      (p, st.headOption.map { case (c, (lo, hi)) => (c, lo, hi) })
+    }
+
+  /** The live (file, per-column zone map) set at v — every recorded
+    * (col → [min, max]) interval per file, in recording order. Single-
+    * column adds (the legacy action form) parse as a one-entry map. */
+  def filesWithMultiStatsAt(v: Long): Seq[(String, Seq[(String, (Long, Long))])] = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val stat =
-      "\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)".r
+    val single = "\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)".r
+    val multi = "\"multi\":\"([^\"]+)\"".r
     val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, Option[(String, Long, Long)]]
+      .empty[String, Seq[(String, (Long, Long))]]
     (0L to v).foreach { i =>
       Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
         fileOf(l).foreach { f =>
-          if (l.contains("\"op\":\"add\"")) live(f) =
-            stat.findFirstMatchIn(l).map(m =>
-              (m.group(1), m.group(2).toLong, m.group(3).toLong))
-          else if (l.contains("\"op\":\"remove\"")) live -= f
+          if (l.contains("\"op\":\"add\"")) {
+            val m = multi.findFirstMatchIn(l).map(_.group(1).split('|').toSeq
+              .map { part =>
+                val Array(c, lo, hi) = part.split(',')
+                (c, (lo.toLong, hi.toLong))
+              })
+            val s = single.findFirstMatchIn(l).map(mm =>
+              Seq((mm.group(1), (mm.group(2).toLong, mm.group(3).toLong))))
+            live(f) = m.orElse(s).getOrElse(Nil)
+          } else if (l.contains("\"op\":\"remove\"")) live -= f
         }
       }
     }
@@ -511,12 +544,12 @@ class VersionedTable(val root: String) {
   }
 
   /** The candidate file list [[readWhere]] would open — exposed so the
-    * skipping ratio is testable and auditable. */
+    * skipping ratio is testable and auditable. Multi-column zone maps
+    * prune on whichever recorded column the probe names. */
   def prunedFiles(v: Long, column: String, lo: Long, hi: Long): Seq[String] =
-    filesWithStatsAt(v).collect {
-      case (path, None) => path
-      case (path, Some((c, fLo, fHi))) if c != column || (fHi >= lo && fLo <= hi) =>
-        path
+    filesWithMultiStatsAt(v).collect {
+      case (path, st) if st.toMap.get(column)
+        .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => path
     }
 
   /** Compaction (the OPTIMIZE step): rewrite the current snapshot's
@@ -545,6 +578,57 @@ class VersionedTable(val root: String) {
       val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
       val metaL = schemaAt(head).map(metaLine("compact", _))
         .getOrElse("""{"op":"meta","operation":"compact"}""")
+      val actions = metaL +:
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      if (commit(head + 1, actions)) committed = head + 1
+    }
+    committed
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the current snapshot clustered on the
+    * Morton interleave of two integer columns, recording BOTH columns'
+    * per-file min/max in the commit log — after which
+    * [[prunedFiles]]/[[readWhere]]/the DSv2 scan skip files on EITHER
+    * dimension, where a linear clustering prunes only its sort key
+    * (`q_cluster_compare` measures exactly this trade; this operation
+    * is the maintenance job that buys it). Buckets are equal-width over
+    * each column's observed range (swap in rank buckets for heavily
+    * skewed keys); the rewrite is one range repartition on the morton
+    * key. Logically a no-op like [[compact]], with the same lost-race
+    * rebase discipline and time-travel guarantee. */
+  def compactZOrder(spark: SparkSession, colA: String, colB: String,
+      targetFiles: Int = 8, bits: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{col, expr, min, max}
+    require(bits >= 1 && bits <= 16, s"bits $bits outside [1, 16]")
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(head >= 0, "nothing to compact")
+      val snap = readAsOf(spark, head)
+      val r = snap.agg(
+        min(col(colA).cast("long")), max(col(colA).cast("long")),
+        min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+      val (aLo, aHi, bLo, bHi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val n = 1L << bits
+      def bucket(c: String, lo: Long, hi: Long): String =
+        s"least(${n - 1}L, greatest(0L, ((CAST($c AS BIGINT) - ${lo}L) * ${n}L)" +
+          s" div ${math.max(1L, hi - lo + 1)}L))"
+      def spread(c: String): String = {
+        val a = s"((($c | ($c << 8)) & 16711935))"
+        val b = s"((($a | ($a << 4)) & 252645135))"
+        s"((($b | ($b << 2)) & 858993459) | ((($b | ($b << 2)) & 858993459) << 1)) & 1431655765"
+      }
+      val zdf = snap
+        .withColumn("_bx", expr(bucket(colA, aLo, aHi)))
+        .withColumn("_by", expr(bucket(colB, bLo, bHi)))
+        .withColumn("_mz", expr(s"(${spread("_bx")}) | ((${spread("_by")}) * 2)"))
+        .repartitionByRange(targetFiles, col("_mz"))
+        .drop("_bx", "_by", "_mz")
+      val adds = stageMulti(spark, zdf, Seq(colA, colB))
+      val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
+      val metaL = schemaAt(head).map(metaLine("zorder", _))
+        .getOrElse("""{"op":"meta","operation":"zorder"}""")
       val actions = metaL +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
       if (commit(head + 1, actions)) committed = head + 1

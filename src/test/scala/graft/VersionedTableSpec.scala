@@ -364,6 +364,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 2)
   }
 
+  test("compactZOrder: logical no-op whose multi-column zone maps prune BOTH dims") {
+    val t = table()
+    // two independent query dimensions over an arbitrary pre-layout
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("a", org.apache.spark.sql.functions.col("id") % 100)
+      .withColumn("b", org.apache.spark.sql.functions.expr("id div 100"))
+      .repartition(4)
+    t.append(spark, df)
+    val before = t.read(spark).select("id").as[Long].collect().sorted
+
+    val v = t.compactZOrder(spark, "a", "b", targetFiles = 8)
+    assert(t.history.last._2 === "zorder")
+    assert(t.read(spark).select("id").as[Long].collect().sorted === before,
+      "z-order compaction must not change the snapshot")
+    val nf = t.filesAt(v).size
+    assert(nf >= 2)
+    // every live file carries BOTH zone maps
+    assert(t.filesWithMultiStatsAt(v)
+      .forall(_._2.map(_._1).toSet === Set("a", "b")))
+    // pruning now bites on EITHER dimension...
+    assert(t.prunedFiles(v, "a", 0, 9).size < nf,
+      s"a-range probe must skip some of the $nf files")
+    assert(t.prunedFiles(v, "b", 0, 9).size < nf,
+      s"b-range probe must skip some of the $nf files")
+    // ...and pruned reads stay exact
+    assert(t.readWhere(spark, v, "a", 0, 9).count() === 1000)
+    assert(t.readWhere(spark, v, "b", 0, 9).count() === 1000)
+    // the DSv2 batch face prunes through the same multi-column maps
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).option("versionAsOf", v.toString).load()
+    assert(dsv2.filter("b >= 0 AND b <= 9").count() === 1000)
+    // legacy single-column logs still read (pre-zorder version untouched)
+    assert(t.readAsOf(spark, 0L).count() === 10000)
+  }
+
   test("writer storm: concurrent appends all land exactly once") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
