@@ -315,6 +315,7 @@ object SparkEntry {
     "q_change_feed"     -> ((s, d) => graft.operators.ScaleOps.changeFeed(s, d)),
     "q_versioned_scan"  -> ((s, d) => graft.operators.ScaleOps.versionedScan(s, d)),
     "q_lake_upsert"     -> ((s, d) => graft.operators.ScaleOps.lakeUpsert(s, d)),
+    "q_zorder_compact"  -> ((s, d) => graft.operators.ScaleOps.zorderCompact(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
@@ -5894,6 +5895,23 @@ object SparkEntry {
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM state GROUP BY source ORDER BY source""",
+    // OPTIMIZE ZORDER is a logical no-op and its per-dimension pruned
+    // reads are exact: all three censuses recompute from the raw table
+    "q_zorder_compact" ->
+      """WITH base AS (
+           SELECT o_custkey % 100 AS ck,
+             year(o_orderdate)*12 + month(o_orderdate) AS mo,
+             CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+           FROM orders)
+         SELECT 'all' AS probe, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+         UNION ALL
+         SELECT 'ck', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+         FROM base WHERE ck BETWEEN 10 AND 19
+         UNION ALL
+         SELECT 'mo', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+         FROM base WHERE mo BETWEEN 23953 AND 23964
+         ORDER BY probe""",
     // the composed curation pipeline: quality gate -> exact dedup ->
     // decontaminate -> md5 split -> per-split census
     "q_corpus_freeze" ->

@@ -1114,6 +1114,54 @@ object ScaleOps {
       .orderBy(col("source"))
   }
 
+  /** Orders in a z-ordered lake layout: one arbitrary-layout ingest
+    * commit (v0, no stats — the "as landed" state), then the OPTIMIZE
+    * ZORDER maintenance job ([[graft.sources.VersionedTable.compactZOrder]])
+    * rewrites the snapshot clustered on the Morton interleave of
+    * (customer bucket, order month) and records BOTH columns' per-file
+    * min/max in the commit log. Built once per (app, dir); the table is
+    * an artifact, read-only afterwards. */
+  private[graft] def zorderedOrders(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "zorderedOrders") { dtag =>
+      val path = scratchPath(spark, s"zorder_$dtag/orders")
+      val base = Tables.orders(spark, dir).select(
+        (col("o_custkey") % 100).as("ck"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mo"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val t = new graft.sources.VersionedTable(path)
+      t.append(spark, base.repartition(8))                   // v0: raw ingest
+      t.compactZOrder(spark, "ck", "mo", targetFiles = 16)   // v1: OPTIMIZE
+      path
+    }
+
+  /** OPTIMIZE ZORDER under the hash gate: the registry face of
+    * [[zorderedOrders]]. Three censuses over the z-ordered head — the
+    * full snapshot plus one zone-map-pruned range probe PER clustered
+    * dimension ([[graft.sources.VersionedTable.readWhere]] opens only
+    * files whose recorded (ck | mo) interval can intersect; the residual
+    * filter keeps the read exact). The oracle recomputes all three from
+    * the raw table with the same predicates, so a matching hash proves
+    * the Morton rewrite is a logical no-op AND both dimensions' pruned
+    * reads return exactly the predicate rows — the lossless+skippable
+    * contract OPTIMIZE ZORDER sells. Everything is integer (cents,
+    * counts): exact-tier. At 100 TB the probes open O(selectivity)
+    * files on EITHER dimension, where a linear clustering serves only
+    * its sort key; `q_cluster_compare` measures that trade, this query
+    * pins its write-side correctness. */
+  def zorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    val root = zorderedOrders(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    val v = t.version
+    def census(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        .select(lit(tag).as("probe"), col("n_orders"), col("total_cents"))
+    census("all", t.read(spark))
+      .unionAll(census("ck", t.readWhere(spark, v, "ck", 10L, 19L)))
+      .unionAll(census("mo", t.readWhere(spark, v, "mo", 23953L, 23964L)))
+      .orderBy(col("probe"))
+  }
+
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val root = versionedDocs(spark, dir)
     val t = new graft.sources.VersionedTable(root)

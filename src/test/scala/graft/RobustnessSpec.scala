@@ -190,6 +190,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_sem_decontaminate", // per-row 6-dp cosine, integer census + max
       "q_propensity_strata", // integer micro-cent strata, exact numerator
       "q_simpson",           // integer cross-multiplied slope signs
+      "q_zorder_compact",    // integer cents censuses over the z-ordered lake
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

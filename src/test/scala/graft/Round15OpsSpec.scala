@@ -221,4 +221,27 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum <= 100L,
       "1-hop edges cannot exceed the top-100 sparsification")
   }
+
+  test("zorder compact: head files carry both zone maps; both probes skip files") {
+    val root = graft.operators.ScaleOps.zorderedOrders(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    val v = t.version
+    assert(t.history.map(_._2) === Seq("append", "zorder"))
+    val stats = t.filesWithMultiStatsAt(v)
+    assert(stats.nonEmpty &&
+      stats.forall(_._2.map(_._1).toSet === Set("ck", "mo")),
+      "every post-OPTIMIZE file must record zone maps for BOTH dimensions")
+    val nf = stats.size
+    assert(t.prunedFiles(v, "ck", 10L, 19L).size < nf,
+      s"the ck probe must skip some of the $nf z-ordered files")
+    assert(t.prunedFiles(v, "mo", 23953L, 23964L).size < nf,
+      s"the mo probe must skip some of the $nf z-ordered files")
+    // the registry face: probes are strict subsets of the full census
+    val rows = graft.operators.ScaleOps.zorderCompact(spark, dir).collect()
+    val byProbe = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byProbe.keySet === Set("all", "ck", "mo"))
+    assert(byProbe("ck")._1 > 0 && byProbe("mo")._1 > 0)
+    assert(byProbe("ck")._1 < byProbe("all")._1)
+    assert(byProbe("mo")._1 < byProbe("all")._1)
+  }
 }
