@@ -636,6 +636,67 @@ class VersionedTable(val root: String) {
     committed
   }
 
+  /** name → its governing add action line (the LATEST add), live at v —
+    * the payload [[restore]] replays so recorded zone maps (single- or
+    * multi-column) survive a rollback by reference. */
+  private def addActionsAt(v: Long): scala.collection.mutable.LinkedHashMap[String, String] = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (0L to v).foreach { i =>
+      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
+        fileOf(l).foreach { f =>
+          if (l.contains("\"op\":\"add\"")) live(f) = l
+          else if (l.contains("\"op\":\"remove\"")) live -= f
+        }
+      }
+    }
+    live
+  }
+
+  /** RESTORE TO VERSION AS OF: roll the head back to exactly version
+    * `toVersion`'s snapshot as a NEW commit — the rollback after a bad
+    * ingest, merge, or re-freeze. Pure metadata: live files the two
+    * versions share are left untouched, the head's extras are removed,
+    * and `toVersion`'s missing files are re-added BY REFERENCE, replaying
+    * their ORIGINAL add actions so zone maps ride along and post-restore
+    * pruning stays as selective as it was at `toVersion`. No data file
+    * is moved or rewritten — O(log) work at any table size — and the
+    * undone window remains time-travelable (the restore is itself a
+    * commit) until an explicit [[vacuum]]. CHECK constraints registered
+    * SINCE `toVersion` re-validate the restored snapshot: a rollback may
+    * not resurrect rows the table's CURRENT contract forbids. Lost
+    * commit races rebase — the remove set is recomputed against the new
+    * head while the restore target stays pinned. Fails if the target's
+    * files were vacuumed. */
+  def restore(spark: SparkSession, toVersion: Long): Long = {
+    val adds = addActionsAt(toVersion)
+    require(adds.nonEmpty, s"version $toVersion has no live files")
+    adds.keys.foreach { n =>
+      require(Files.exists(dataDir.resolve(n)),
+        s"version $toVersion data file $n was vacuumed; cannot restore")
+    }
+    val metaL = schemaAt(toVersion).map(metaLine("restore", _))
+      .getOrElse("""{"op":"meta","operation":"restore"}""")
+    var validated: Option[Map[String, String]] = None
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(toVersion <= head, s"version $toVersion outside [0, $head]")
+      val cs = constraintsAt(head)
+      if (!validated.contains(cs)) {
+        enforce(readAsOf(spark, toVersion), cs, s"restored snapshot v$toVersion")
+        validated = Some(cs)
+      }
+      val headNames = filesAt(head).map(p => Paths.get(p).getFileName.toString)
+      val removes = headNames.filterNot(adds.contains)
+      val readds = adds.filterNot { case (n, _) => headNames.contains(n) }
+      val actions = metaL +:
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ readds.values)
+      if (commit(head + 1, actions)) committed = head + 1
+    }
+    committed
+  }
+
   /** Physical cleanup: delete every data file not live in ANY version
     * >= `keepFrom` (and not referenced by the head). Versions before
     * the horizon stop being readable — vacuum is the explicit,

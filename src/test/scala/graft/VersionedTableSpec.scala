@@ -399,6 +399,44 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.readAsOf(spark, 0L).count() === 10000)
   }
 
+  test("restore rolls the head back by reference; zone maps and history survive") {
+    val t = table()
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi).toDF("id").repartition(1)
+    t.append(spark, mk(0, 100), statsCol = Some("id"))     // v0
+    t.append(spark, mk(100, 200), statsCol = Some("id"))   // v1: the good state
+    t.overwrite(spark, mk(900, 903), statsCol = Some("id")) // v2: the bad freeze
+    val goodFiles = t.filesAt(1L).sorted
+    val goodStats = t.filesWithMultiStatsAt(1L).toMap
+
+    val rv = t.restore(spark, 1L)
+    assert(rv === 3L)
+    assert(t.history.map(_._2) === Seq("append", "append", "overwrite", "restore"))
+    // exact v1 snapshot, served by the ORIGINAL files — no rewrite
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 200L).toArray)
+    assert(t.filesAt(rv).sorted === goodFiles,
+      "restore must re-reference v1's files, not rewrite them")
+    // the replayed add actions carry the original zone maps
+    assert(t.filesWithMultiStatsAt(rv).toMap === goodStats)
+    assert(t.prunedFiles(rv, "id", 0L, 50L).size < goodFiles.size)
+    // the undone window stays time-travelable until vacuum
+    assert(t.readAsOf(spark, 2L).count() === 3)
+    // restoring TO the head is a metadata no-op commit
+    assert(t.restore(spark, rv) === 4L)
+    assert(t.filesAt(4L).sorted === goodFiles)
+  }
+
+  test("restore re-validates constraints added since the target version") {
+    val t = table()
+    t.append(spark, Seq((1L, -5L), (2L, 3L)).toDF("id", "score")) // v0: has a negative
+    t.overwrite(spark, Seq((3L, 7L)).toDF("id", "score"))         // v1: clean
+    t.addConstraint(spark, "nonneg", "score >= 0")                // v2: contract
+    val e = intercept[IllegalArgumentException](t.restore(spark, 0L))
+    assert(e.getMessage.contains("nonneg"),
+      s"restore must refuse to resurrect rows the current contract forbids: ${e.getMessage}")
+    assert(t.version === 2L, "the refused restore must not commit")
+  }
+
   test("writer storm: concurrent appends all land exactly once") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
