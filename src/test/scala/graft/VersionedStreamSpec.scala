@@ -204,6 +204,34 @@ class VersionedStreamSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.filesAddedAt(0L))
   }
 
+  test("a restore replays its re-referenced files to log-tailing consumers") {
+    // append-mode CDF semantics (the public Delta behavior): a RESTORE
+    // commit re-ADDS the rolled-back files, so a downstream consumer
+    // tailing the log sees those rows again — by design, since its view
+    // must converge to the restored table state. Consumers that resumed
+    // BEFORE the restore already hold the bad window; the replay is what
+    // lets an idempotent sink (keyed upsert) settle on the target rows.
+    val root = freshDir("vstream-restore")
+    val t = new VersionedTable(root)
+    t.append(spark, Seq((1L, "good")).toDF("id", "v"))   // v0
+    t.overwrite(spark, Seq((2L, "bad")).toDF("id", "v")) // v1
+    val rv = t.restore(spark, 0L)                        // v2: re-adds v0's file
+    assert(rv === 2L)
+    assert(t.filesAddedAt(rv) === t.filesAt(0L),
+      "the restore commit's adds are v0's files by reference")
+
+    // a consumer starting AT the restore version serves exactly the
+    // restored snapshot — one batch, the re-referenced rows
+    val q = spark.readStream
+      .format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("startingVersion", rv.toString).load()
+      .writeStream.format("memory").queryName("vsr")
+      .option("checkpointLocation", freshDir("vsrck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("vsr").as[(Long, String)].collect() === Array((1L, "good")))
+  }
+
   test("admission control: ReadLimit caps the commits claimed per batch") {
     import graft.sources.{VersionOffset, VersionedMicroBatchStream}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
