@@ -608,6 +608,8 @@ class VersionedTable(val root: String) {
       val r = snap.agg(
         min(col(colA).cast("long")), max(col(colA).cast("long")),
         min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+      require(!r.isNullAt(0) && !r.isNullAt(2),
+        s"cannot z-order on '$colA'/'$colB': a clustering column is all NULL")
       val (aLo, aHi, bLo, bHi) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val n = 1L << bits
