@@ -6453,7 +6453,7 @@ object SparkEntry {
               AS n_sessions_started
           FROM sweep GROUP BY 1 ORDER BY day""",
     // difference-in-differences on purchase spend: md5-parity arms,
-    // 2024-01-15 rollout boundary, exact integer micro-cent cell means
+    // 2024-01-16 rollout boundary, exact integer micro-cent cell means
     "q_did" ->
       """WITH e AS (
             SELECT
@@ -6561,7 +6561,9 @@ object SparkEntry {
           g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ng,
                   CAST(sum(s) AS BIGINT) AS sg FROM ft GROUP BY 1),
           pred AS (
-            SELECT ft.fold, ft.event_type, (g.sg - ft.s) // (g.ng - ft.n) AS mean_oof
+            SELECT ft.fold, ft.event_type,
+              CASE WHEN g.ng = ft.n THEN NULL
+                ELSE (g.sg - ft.s) // (g.ng - ft.n) END AS mean_oof
             FROM ft JOIN g USING (event_type)),
           err AS (
             SELECT e.fold, abs(e.cents - p.mean_oof) AS ae
@@ -6720,7 +6722,9 @@ object SparkEntry {
             FROM e JOIN mu USING (event_type) GROUP BY 1),
           w AS (
             SELECT event_type, n_h, ssd,
-              n_h * sqrt(CAST(ssd AS DOUBLE) / CAST(n_h - 1 AS DOUBLE)) AS wgt
+              CASE WHEN n_h > 1
+                THEN n_h * sqrt(CAST(ssd AS DOUBLE) / CAST(n_h - 1 AS DOUBLE))
+                ELSE 0 END AS wgt
             FROM ssd),
           tw AS (
             SELECT event_type, n_h, ssd, wgt,
@@ -6823,8 +6827,10 @@ object SparkEntry {
             SELECT 'ALL', CAST(sum(n) AS BIGINT), CAST(sum(sx) AS BIGINT),
               CAST(sum(sy) AS BIGINT), CAST(sum(sxy) AS BIGINT)
             FROM per)
-          SELECT grp, n, n * sxy - sx * sy AS slope_num,
-            CAST(sign(n * sxy - sx * sy) AS BIGINT) AS slope_sign
+          SELECT grp, n,
+            CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS slope_num,
+            CAST(sign(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+              AS BIGINT) AS slope_sign
           FROM uni ORDER BY grp""",
     // BFS two-hop reach over the top-100 strongest trade edges (self
     // loops excluded); per origin: 1-hop partners and <=2-hop reach

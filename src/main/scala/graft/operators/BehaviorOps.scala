@@ -1667,6 +1667,8 @@ object BehaviorOps {
       .filter(col("event_type") === "purchase")
       .select(col("day"), col("cents"))
     val t = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot")).head()
+    require(t.getLong(0) > 0,
+      "CUSUM needs at least one purchase day (sum is NULL on an empty log)")
     val (nDays, total) = (t.getLong(0), t.getLong(1))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

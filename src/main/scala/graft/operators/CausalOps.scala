@@ -33,7 +33,7 @@ object CausalOps {
     "CASE WHEN ascii(substring(md5(CAST(user_id AS STRING)), 1, 1)) % 2 = 1" +
       " THEN 1 ELSE 0 END"
 
-  /** 2024-01-15 as an epoch day: the pre/post boundary splitting the
+  /** 2024-01-16 as an epoch day: the pre/post boundary splitting the
     * fixed 30-day observation window in half. */
   private val postDay = 19738L
 
@@ -181,8 +181,13 @@ object CausalOps {
     val global = perFold.groupBy(col("event_type"))
       .agg(sum(col("n")).as("ng"), sum(col("s")).as("sg"))
     val oof = perFold.join(global, Seq("event_type"))
+      // a type confined to one fold has NO out-of-fold data: NULL model
+      // (its rows drop from that fold's MAE via null propagation), never
+      // a 0/0 — Spark's div would return NULL but DuckDB's // raises,
+      // so the guard is spelled out on both sides
       .select(col("fold"), col("event_type"),
-        expr("(sg - s) div (ng - n)").as("mean_oof"))
+        expr("CASE WHEN ng = n THEN NULL" +
+          " ELSE (sg - s) div (ng - n) END").as("mean_oof"))
     e.join(broadcast(oof), Seq("fold", "event_type"))
       .withColumn("ae", abs(col("cents") - col("mean_oof")))
       .groupBy(col("fold"))
@@ -240,11 +245,15 @@ object CausalOps {
   /** Simpson's-paradox detector: the SIGN of the spend-vs-time trend,
     * pooled and within each order-priority stratum — the canonical
     * aggregation-reversal audit. Slope signs come from the exact
-    * integer cross-multiplication sign(n·Σxy − Σx·Σy) on centered
-    * integer week indexes and whole dollars (magnitudes chosen so every
-    * product fits int64 at 100× this data) — no float ever enters, so
-    * the verdict cannot sit on a rounding boundary. One hash aggregate
-    * per stratum plus a ≤|strata|-row re-aggregate for the pooled row.
+    * integer cross-multiplication sign(n·Σxy − Σx·Σy) on offset integer
+    * week indexes and whole dollars. The cross products are O(n²·x·y)
+    * and outgrow int64 around 30× this data (n·Σxy wraps silently in
+    * Spark, errors in DuckDB), so they are carried in DECIMAL(38,0) —
+    * Spark decimal128 and DuckDB HUGEINT, the same exact integer
+    * arithmetic with 10³⁸ headroom, safe past any real scale-up — and
+    * still no float ever enters, so the verdict cannot sit on a
+    * rounding boundary. One hash aggregate per stratum plus a
+    * ≤|strata|-row re-aggregate for the pooled row.
     */
   def simpson(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -262,11 +271,12 @@ object CausalOps {
       .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
         sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"))
       .withColumn("grp", lit("ALL"))
+    val num = col("n").cast("decimal(38,0)") * col("sxy") -
+      col("sx").cast("decimal(38,0)") * col("sy")
     per.unionByName(pooled.select(per.columns.map(col): _*))
       .select(col("grp"), col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-        signum((col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
-          .cast("long").as("slope_sign"))
+        num.cast("decimal(38,0)").as("slope_num"),
+        when(num > 0, 1L).when(num < 0, -1L).otherwise(0L).as("slope_sign"))
       .orderBy(col("grp"))
   }
 

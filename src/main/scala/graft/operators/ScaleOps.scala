@@ -1324,11 +1324,7 @@ object ScaleOps {
       (col("l_suppkey") +: keys): _*)
     // 6-bit Morton spread via the standard magic-number doubling; both
     // engines evaluate the same BIGINT & | << algebra
-    def spread(c: String): String = {
-      val a = s"((($c | ($c << 8)) & 16711935))"
-      val b = s"((($a | ($a << 4)) & 252645135))"
-      s"((($b | ($b << 2)) & 858993459) | ((($b | ($b << 2)) & 858993459) << 1)) & 1431655765"
-    }
+    def spread(c: String): String = graft.functions.MortonSql.spread(c)
     val m = by
       .withColumn("bxv", col("f_linear").cast("long") - 1L)
       .withColumn("byv", col("byt").cast("long") - 1L)
@@ -1418,8 +1414,12 @@ object ScaleOps {
     val wRun = Window.orderBy(col("event_type"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val w = ssd
-      .withColumn("wgt", col("n_h") *
+      // a singleton stratum has no within-stratum variance: S_h is 0 by
+      // definition, not 0.0/0.0 (the NaN would poison the running sum
+      // and through totalW every OTHER stratum's allocation)
+      .withColumn("wgt", when(col("n_h") > 1, col("n_h") *
         sqrt(col("ssd").cast("double") / (col("n_h") - 1).cast("double")))
+        .otherwise(lit(0d)))
       .withColumn("run_w", sum(col("wgt")).over(wRun))
     val totalW = w.agg(max(col("run_w"))).head().getDouble(0)
     w.select(col("event_type"), col("n_h"), col("ssd"),

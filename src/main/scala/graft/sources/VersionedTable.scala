@@ -616,11 +616,7 @@ class VersionedTable(val root: String) {
       def bucket(c: String, lo: Long, hi: Long): String =
         s"least(${n - 1}L, greatest(0L, ((CAST($c AS BIGINT) - ${lo}L) * ${n}L)" +
           s" div ${math.max(1L, hi - lo + 1)}L))"
-      def spread(c: String): String = {
-        val a = s"((($c | ($c << 8)) & 16711935))"
-        val b = s"((($a | ($a << 4)) & 252645135))"
-        s"((($b | ($b << 2)) & 858993459) | ((($b | ($b << 2)) & 858993459) << 1)) & 1431655765"
-      }
+      def spread(c: String): String = graft.functions.MortonSql.spread(c)
       val zdf = snap
         .withColumn("_bx", expr(bucket(colA, aLo, aHi)))
         .withColumn("_by", expr(bucket(colB, bLo, bHi)))

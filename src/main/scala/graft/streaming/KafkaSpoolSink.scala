@@ -239,7 +239,11 @@ private[graft] class KafkaSpoolStreamingWrite(root: String, numPartitions: Int,
       .foreach(Files.deleteIfExists(_))
     val stagingDir = Paths.get(root, "_staging", s"epoch-$epochId")
     listDir(stagingDir).foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(stagingDir)
+    // a zombie/speculative task may stage a NEW segment between the
+    // listing and this delete; its file is unreferenced (falls to the
+    // next replay's sweep) and must not fail the commit
+    try Files.deleteIfExists(stagingDir)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     Files.createDirectories(marker.getParent)
     val tmp = marker.getParent.resolve(s".${epochId}.tmp")
     Files.write(tmp, Array.emptyByteArray)

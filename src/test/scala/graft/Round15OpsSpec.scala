@@ -205,8 +205,8 @@ class Round15OpsSpec extends AnyFunSuite {
     val strata = rows.filter(_.getString(0) != "ALL")
     assert(all.getLong(1) === strata.map(_.getLong(1)).sum)
     rows.foreach { r =>
-      assert(r.getLong(3) === math.signum(r.getLong(2)),
-        s"${r.getString(0)}: sign must match the exact integer numerator")
+      assert(r.getLong(3) === r.getDecimal(2).signum.toLong,
+        s"${r.getString(0)}: sign must match the exact decimal numerator")
     }
   }
 
