@@ -316,6 +316,7 @@ object SparkEntry {
     "q_versioned_scan"  -> ((s, d) => graft.operators.ScaleOps.versionedScan(s, d)),
     "q_lake_upsert"     -> ((s, d) => graft.operators.ScaleOps.lakeUpsert(s, d)),
     "q_zorder_compact"  -> ((s, d) => graft.operators.ScaleOps.zorderCompact(s, d)),
+    "q_lake_restore"    -> ((s, d) => graft.operators.ScaleOps.lakeRestore(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
     "q_quality_dup_lift" -> ((s, d) => TextAnalysisOps.qualityDupLift(s, d)),
     "q_packing_audit"   -> ((s, d) => graft.operators.CorpusOps.packingAudit(s, d)),
@@ -5895,6 +5896,14 @@ object SparkEntry {
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM state GROUP BY source ORDER BY source""",
+    // the head after good freeze -> corrupted overwrite -> RESTORE must
+    // equal the raw table exactly: the rollback resurrected nothing and
+    // lost nothing
+    "q_lake_restore" ->
+      """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+         FROM orders GROUP BY 1 ORDER BY pri""",
     // OPTIMIZE ZORDER is a logical no-op and its per-dimension pruned
     // reads are exact: all three censuses recompute from the raw table
     "q_zorder_compact" ->

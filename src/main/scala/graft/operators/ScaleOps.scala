@@ -1162,6 +1162,41 @@ object ScaleOps {
       .orderBy(col("probe"))
   }
 
+  /** Orders through a corrupt-then-rollback commit chain: a good freeze
+    * (v0), a BAD re-freeze that drops rows and shifts every amount (v1 —
+    * the fat-fingered overwrite every lake eventually suffers), then
+    * [[graft.sources.VersionedTable.restore]] back to v0 (v2). Built
+    * once per (app, dir); read-only afterwards. */
+  private[graft] def restoredOrders(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "restoredOrders") { dtag =>
+      val path = scratchPath(spark, s"restored_$dtag/orders")
+      val base = Tables.orders(spark, dir).select(
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val t = new graft.sources.VersionedTable(path)
+      t.append(spark, base)                                // v0: good freeze
+      t.overwrite(spark, base                              // v1: bad freeze
+        .filter(col("pri") <= "3").withColumn("cents", col("cents") + 7L))
+      t.restore(spark, 0L)                                 // v2: rollback
+      path
+    }
+
+  /** RESTORE under the hash gate: the registry face of
+    * [[graft.sources.VersionedTable.restore]] and the last lake
+    * operation to get one (compact → `q_compaction_audit`, zorder →
+    * `q_zorder_compact`, delete+merge → `q_lake_upsert`, time travel →
+    * `q_time_travel`). The head census after good → corrupted → restore
+    * must hash-match the oracle's census of the RAW table — every
+    * corrupt row gone, every original row back exactly once, through
+    * nothing but the metadata commit that re-references v0's files. */
+  def lakeRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = restoredOrders(spark, dir)
+    new graft.sources.VersionedTable(root).read(spark)
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("pri"))
+  }
+
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val root = versionedDocs(spark, dir)
     val t = new graft.sources.VersionedTable(root)

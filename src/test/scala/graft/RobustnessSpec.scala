@@ -191,6 +191,7 @@ class RobustnessSpec extends AnyFunSuite {
       "q_propensity_strata", // integer micro-cent strata, exact numerator
       "q_simpson",           // integer cross-multiplied slope signs
       "q_zorder_compact",    // integer cents censuses over the z-ordered lake
+      "q_lake_restore",      // integer cents census over the restored head
     )
 
   private def runAt(name: String, parts: String): Seq[org.apache.spark.sql.Row] = {

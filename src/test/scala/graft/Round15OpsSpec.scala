@@ -222,6 +222,16 @@ class Round15OpsSpec extends AnyFunSuite {
       "1-hop edges cannot exceed the top-100 sparsification")
   }
 
+  test("lake restore: the head is v0's files by reference after the bad freeze") {
+    val root = graft.operators.ScaleOps.restoredOrders(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    assert(t.history.map(_._2) === Seq("append", "overwrite", "restore"))
+    assert(t.filesAt(2L).sorted === t.filesAt(0L).sorted,
+      "restore must re-reference the good freeze's files, not rewrite them")
+    // the corrupt window stays auditable until vacuum
+    assert(t.readAsOf(spark, 1L).count() < t.read(spark).count())
+  }
+
   test("zorder compact: head files carry both zone maps; both probes skip files") {
     val root = graft.operators.ScaleOps.zorderedOrders(spark, dir)
     val t = new graft.sources.VersionedTable(root)
