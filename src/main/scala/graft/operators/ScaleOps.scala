@@ -1176,7 +1176,8 @@ object ScaleOps {
       val t = new graft.sources.VersionedTable(path)
       t.append(spark, base)                                // v0: good freeze
       t.overwrite(spark, base                              // v1: bad freeze
-        .filter(col("pri") <= "3").withColumn("cents", col("cents") + 7L))
+        .filter(substring(col("pri"), 1, 1) <= "3")        // priorities 1-3
+        .withColumn("cents", col("cents") + 7L))
       t.restore(spark, 0L)                                 // v2: rollback
       path
     }
