@@ -426,6 +426,38 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.filesAt(4L).sorted === goodFiles)
   }
 
+  test("restore lost race rebases: a concurrent append is rolled back too") {
+    val root = Files.createTempDirectory("vtab").toString
+    val plain = new VersionedTable(root)
+    plain.append(spark, spark.range(0, 50).toDF("id"))     // v0: the target
+    plain.overwrite(spark, spark.range(900, 903).toDF("id")) // v1: bad freeze
+
+    // the restore's FIRST commit attempt loses the race to a concurrent
+    // append; the rebase must recompute its remove set against the new
+    // head, so the restored state is EXACTLY v0 — the racing append is
+    // serialized before the restore and undone by it
+    var injected = false
+    val racy = new VersionedTable(root) {
+      override private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
+        if (!injected && actions.exists(_.contains("\"operation\":\"restore\""))) {
+          injected = true
+          plain.append(spark, spark.range(1000, 1010).toDF("id")) // wins v
+        }
+        super.commit(v, actions)
+      }
+    }
+    val rv = racy.restore(spark, 0L)
+    assert(rv === 3L)
+    assert(plain.history.map(_._2) ===
+      Seq("append", "overwrite", "append", "restore"))
+    assert(plain.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 50L).toArray,
+      "the restored head must be exactly v0 — racing append rolled back")
+    assert(plain.filesAt(rv).sorted === plain.filesAt(0L).sorted)
+    // the raced append stays time-travelable until vacuum
+    assert(plain.readAsOf(spark, 2L).count() === 13)
+  }
+
   test("restore re-validates constraints added since the target version") {
     val t = table()
     t.append(spark, Seq((1L, -5L), (2L, 3L)).toDF("id", "score")) // v0: has a negative
