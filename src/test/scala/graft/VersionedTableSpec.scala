@@ -426,6 +426,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.filesAt(4L).sorted === goodFiles)
   }
 
+  test("compactZOrder lost race rebases: a concurrent delete's rows stay deleted") {
+    val root = Files.createTempDirectory("vtab").toString
+    val plain = new VersionedTable(root)
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("a", org.apache.spark.sql.functions.col("id") % 10)
+      .withColumn("b", org.apache.spark.sql.functions.expr("id div 100"))
+    plain.append(spark, df, statsCol = Some("id"))          // v0
+
+    // the z-order rewrite's FIRST commit attempt loses to a concurrent
+    // deleteWhere; the rebase must re-stage against the post-delete head
+    // so the deleted rows are not resurrected by the clustered rewrite
+    var injected = false
+    val racy = new VersionedTable(root) {
+      override private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
+        if (!injected && actions.exists(_.contains("\"operation\":\"zorder\""))) {
+          injected = true
+          plain.deleteWhere(spark, "id", 100L, 199L)        // wins version v
+        }
+        super.commit(v, actions)
+      }
+    }
+    val cv = racy.compactZOrder(spark, "a", "b", targetFiles = 4)
+    assert(cv === 2L)
+    assert(plain.history.map(_._2) === Seq("append", "delete", "zorder"))
+    assert(plain.read(spark).select("id").as[Long].collect().sorted ===
+      ((0L to 99L) ++ (200L to 999L)).toArray,
+      "a rebased z-order rewrite must not resurrect deleted rows")
+    assert(plain.filesWithMultiStatsAt(cv)
+      .forall(_._2.map(_._1).toSet === Set("a", "b")))
+  }
+
   test("restore lost race rebases: a concurrent append is rolled back too") {
     val root = Files.createTempDirectory("vtab").toString
     val plain = new VersionedTable(root)
