@@ -6449,18 +6449,34 @@ object SparkEntry {
             SELECT user_id, sid, min(ts_us) AS t0, max(ts_us) AS t1
             FROM sess GROUP BY 1, 2),
           pts AS (
-            SELECT t0 AS t, 1 AS delta, user_id, sid FROM iv
-            UNION ALL SELECT t1, -1, user_id, sid FROM iv),
-          sweep AS (
-            SELECT t, delta,
-              CAST(sum(delta) OVER (ORDER BY t, delta DESC, user_id, sid
-                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
-            FROM pts)
-          SELECT (t // 1000) // 86400000 AS day,
-            CAST(max(conc) AS BIGINT) AS peak_concurrent,
-            CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_sessions_started
-          FROM sweep GROUP BY 1 ORDER BY day""",
+            SELECT t0 AS t, 1 AS delta, user_id, sid,
+              (t0 // 1000) // 86400000 AS day FROM iv
+            UNION ALL SELECT t1, -1, user_id, sid,
+              (t1 // 1000) // 86400000 FROM iv),
+          runs AS (
+            SELECT day, t, delta,
+              CAST(sum(delta) OVER (PARTITION BY day
+                ORDER BY t, delta DESC, user_id, sid
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+            FROM pts),
+          dayagg AS (
+            SELECT day, CAST(max(run) AS BIGINT) AS max_run,
+              CAST(sum(delta) AS BIGINT) AS net,
+              CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_started
+            FROM runs GROUP BY 1),
+          fin AS (
+            SELECT day,
+              coalesce(CAST(sum(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                0) AS carry_in,
+              max_run, n_started
+            FROM dayagg)
+          SELECT day,
+            CAST(greatest(carry_in, carry_in + max_run) AS BIGINT)
+              AS peak_concurrent,
+            n_started AS n_sessions_started
+          FROM fin ORDER BY day""",
     // difference-in-differences on purchase spend: md5-parity arms,
     // 2024-01-16 rollout boundary, exact integer micro-cent cell means
     "q_did" ->
@@ -6474,14 +6490,18 @@ object SparkEntry {
             FROM events WHERE event_type = 'purchase'),
           m AS (
             SELECT
-              CAST(sum(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END) * 1000000
-                // sum(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS t_post,
-              CAST(sum(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END) * 1000000
-                // sum(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS t_pre,
-              CAST(sum(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END) * 1000000
-                // sum(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS c_post,
-              CAST(sum(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END) * 1000000
-                // sum(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS c_pre
+              CASE WHEN sum(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END) * 1000000
+                  // sum(CASE WHEN treat=1 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) END AS t_post,
+              CASE WHEN sum(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END) * 1000000
+                  // sum(CASE WHEN treat=1 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) END AS t_pre,
+              CASE WHEN sum(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END) * 1000000
+                  // sum(CASE WHEN treat=0 AND post=1 THEN 1 ELSE 0 END) AS BIGINT) END AS c_post,
+              CASE WHEN sum(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END) * 1000000
+                  // sum(CASE WHEN treat=0 AND post=0 THEN 1 ELSE 0 END) AS BIGINT) END AS c_pre
             FROM e)
           SELECT t_post, t_pre, c_post, c_pre,
             (t_post - t_pre) - (c_post - c_pre) AS did_micro FROM m""",
@@ -6837,7 +6857,8 @@ object SparkEntry {
               CAST(sum(sy) AS BIGINT), CAST(sum(sxy) AS BIGINT)
             FROM per)
           SELECT grp, n,
-            CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS slope_num,
+            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS VARCHAR) AS slope_num,
             CAST(sign(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
               AS BIGINT) AS slope_sign
           FROM uni ORDER BY grp""",

@@ -1697,7 +1697,18 @@ object BehaviorOps {
     * construction: the global prefix sum at any point splits into
     * (prior days' net) + (within-day prefix). Ties at one instant order
     * starts before ends, then by (user, session) — pinned on both
-    * engines so touching intervals count as overlapping everywhere. */
+    * engines so touching intervals count as overlapping everywhere.
+    *
+    * Day-boundary semantics (deliberate, mirrored in the oracle): the
+    * carry-in itself is a peak candidate — greatest(carry_in, carry_in
+    * + max_run) — so a day whose busiest instant is its first
+    * microsecond (only session ENDS all day: every prefix run is
+    * negative) reports the true peak, not carry_in + a negative run. A
+    * day with NO boundary points at all (fully inside long sessions)
+    * emits no row; emitting those would take a dense day spine
+    * (cross-join calendar), which the readout deliberately avoids —
+    * consumers joining against [[ScaleOps.denseCalendar]] can forward-fill the
+    * carry level if they need every-day coverage. */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     val wU = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -1729,7 +1740,8 @@ object BehaviorOps {
     dayAgg
       .withColumn("carry_in", coalesce(sum(col("net")).over(wCarry), lit(0L)))
       .select(col("day"),
-        (col("carry_in") + col("max_run")).as("peak_concurrent"),
+        greatest(col("carry_in"), col("carry_in") + col("max_run"))
+          .as("peak_concurrent"),
         col("n_sessions_started"))
       .orderBy(col("day"))
   }

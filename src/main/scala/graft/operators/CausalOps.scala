@@ -41,6 +41,9 @@ object CausalOps {
     * cell means and the DiD estimate — the workhorse quasi-experimental
     * readout when treatment rolls out at a known date. Cell means are
     * exact integer micro-cents (cents·10⁶ div n, no float division);
+    * an EMPTY arm×period cell yields NULL explicitly on BOTH sides
+    * (Spark div returns NULL on /0 where DuckDB // errors — the edge
+    * guard is spelled out even though this data never triggers it);
     * the whole query is ONE hash aggregate over the purchase cells of
     * the shared [[BehaviorOps.userDayCube]] with eight conditional sums,
     * then pure literal arithmetic — no join, no window, one row out. */
@@ -49,16 +52,17 @@ object CausalOps {
       .filter(col("event_type") === "purchase")
       .withColumn("treat", expr(treatExpr))
       .withColumn("post", (col("day") >= postDay).cast("int"))
+    def cellMean(t: Int, p: Int) =
+      expr(s"CASE WHEN sum(CASE WHEN treat=$t AND post=$p THEN n ELSE 0 END) = 0" +
+        " THEN NULL ELSE" +
+        s" CAST(sum(CASE WHEN treat=$t AND post=$p THEN cents ELSE 0 END) * 1000000" +
+        s" div sum(CASE WHEN treat=$t AND post=$p THEN n ELSE 0 END) AS BIGINT) END")
     cells
       .agg(
-        expr("CAST(sum(CASE WHEN treat=1 AND post=1 THEN cents ELSE 0 END) * 1000000" +
-          " div sum(CASE WHEN treat=1 AND post=1 THEN n ELSE 0 END) AS BIGINT)").as("t_post"),
-        expr("CAST(sum(CASE WHEN treat=1 AND post=0 THEN cents ELSE 0 END) * 1000000" +
-          " div sum(CASE WHEN treat=1 AND post=0 THEN n ELSE 0 END) AS BIGINT)").as("t_pre"),
-        expr("CAST(sum(CASE WHEN treat=0 AND post=1 THEN cents ELSE 0 END) * 1000000" +
-          " div sum(CASE WHEN treat=0 AND post=1 THEN n ELSE 0 END) AS BIGINT)").as("c_post"),
-        expr("CAST(sum(CASE WHEN treat=0 AND post=0 THEN cents ELSE 0 END) * 1000000" +
-          " div sum(CASE WHEN treat=0 AND post=0 THEN n ELSE 0 END) AS BIGINT)").as("c_pre"))
+        cellMean(1, 1).as("t_post"),
+        cellMean(1, 0).as("t_pre"),
+        cellMean(0, 1).as("c_post"),
+        cellMean(0, 0).as("c_pre"))
       .select(col("t_post"), col("t_pre"), col("c_post"), col("c_pre"),
         ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
           .as("did_micro"))
@@ -252,7 +256,11 @@ object CausalOps {
     * Spark decimal128 and DuckDB HUGEINT, the same exact integer
     * arithmetic with 10³⁸ headroom, safe past any real scale-up — and
     * still no float ever enters, so the verdict cannot sit on a
-    * rounding boundary. One hash aggregate per stratum plus a
+    * rounding boundary. The numerator leaves the query as an
+    * exact-integer STRING: decimal-to-text is exact in both engines,
+    * whereas a decimal128 output column round-trips DuckDB's parquet
+    * writer as double (HUGEINT has no parquet logical type) and can
+    * never hash-match. One hash aggregate per stratum plus a
     * ≤|strata|-row re-aggregate for the pooled row.
     */
   def simpson(spark: SparkSession, dir: String): DataFrame = {
@@ -275,7 +283,7 @@ object CausalOps {
       col("sx").cast("decimal(38,0)") * col("sy")
     per.unionByName(pooled.select(per.columns.map(col): _*))
       .select(col("grp"), col("n"),
-        num.cast("decimal(38,0)").as("slope_num"),
+        num.cast("decimal(38,0)").cast("string").as("slope_num"),
         when(num > 0, 1L).when(num < 0, -1L).otherwise(0L).as("slope_sign"))
       .orderBy(col("grp"))
   }

@@ -990,13 +990,23 @@ object CorpusOps {
       .withColumn("g", sum(col("stop")).over(wDoc))
       .filter(col("stop") === 0)
       .select(col("doc_id"), col("g"), col("pos"), col("word"))
-    val ph = grp.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("plen"),
+    // Run length comes from a window COUNT and the >4 runs are dropped
+    // BEFORE collect_list, so no per-group array is ever built for an
+    // unbounded run — a boilerplate doc with zero stopwords would
+    // otherwise collect its whole token stream into one array just to
+    // discard it (a per-group memory spike at 100 TB).
+    val wRun = Window.partitionBy(col("doc_id"), col("g"))
+    val bounded = grp
+      .select(col("doc_id"), col("g"), col("pos"), col("word"),
+        count(lit(1)).over(wRun).as("plen"))
+      .filter(col("plen") <= 4)
+    val ph = bounded.groupBy(col("doc_id"), col("g"))
+      .agg(max(col("plen")).as("plen"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("word")))),
           x => x.getField("word")), " ").as("phrase"))
-      .filter(col("plen") <= 4)
-    val kept = grp.join(ph, Seq("doc_id", "g"))
+    val kept = bounded.select(col("doc_id"), col("g"), col("pos"), col("word"))
+      .join(ph, Seq("doc_id", "g"))
     val stats = kept.groupBy(col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
     kept.join(stats, Seq("word"))

@@ -113,11 +113,18 @@ class VersionedTable(val root: String) {
     * public Delta pattern: schema evolution lives in the commit meta,
     * not in a footer union scan). Files written before a column existed
     * are null-filled by the parquet reader; commits from before schema
-    * tracking fall back to footer inference. */
+    * tracking fall back to footer inference. A version with NO live
+    * files (a delete-all, or a restore to one) reads as an empty frame
+    * under its recorded schema — only schema-less empty logs (possible
+    * solely in pre-tracking history) are unreadable. */
   def readAsOf(spark: SparkSession, v: Long): DataFrame = {
     val files = filesAt(v)
-    require(files.nonEmpty, s"version $v has no live files")
-    schemaAt(v).map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    val sch = schemaAt(v)
+    if (files.isEmpty) {
+      require(sch.isDefined, s"version $v has no live files and no recorded schema")
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get)
+    } else sch.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
   }
 
   /** The table schema AS OF version v — the newest schema recorded in
@@ -187,7 +194,14 @@ class VersionedTable(val root: String) {
     * a lie — and every subsequent append/appendBatch/merge/overwrite
     * validates its incoming rows in ONE aggregate scan before
     * committing. Committed as a meta-only version, so the registration
-    * itself is time-travelable and race-safe like any other commit. */
+    * itself is time-travelable and race-safe like any other commit.
+    *
+    * NULL semantics — STRICTER than SQL/Delta CHECK, deliberately: a
+    * row where the predicate evaluates to NULL is REJECTED here, where
+    * SQL's three-valued CHECK (and Delta Lake's) lets the maybe pass.
+    * A write gate means provably true; if migrating a Delta constraint
+    * that relies on NULL-passes, spell the tolerance out —
+    * `col IS NULL OR <predicate>`. */
   def addConstraint(spark: SparkSession, name: String, sqlExpr: String): Long = {
     require(name.matches("[A-Za-z0-9_]+"),
       s"constraint name '$name' must be [A-Za-z0-9_]+")
@@ -612,10 +626,23 @@ class VersionedTable(val root: String) {
         s"cannot z-order on '$colA'/'$colB': a clustering column is all NULL")
       val (aLo, aHi, bLo, bHi) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      require(aHi - aLo >= 0 && bHi - bLo >= 0,
+        s"observed range of '$colA'/'$colB' exceeds the BIGINT span; " +
+          "z-order bucketing needs hi - lo representable")
       val n = 1L << bits
-      def bucket(c: String, lo: Long, hi: Long): String =
-        s"least(${n - 1}L, greatest(0L, ((CAST($c AS BIGINT) - ${lo}L) * ${n}L)" +
-          s" div ${math.max(1L, hi - lo + 1)}L))"
+      // Divide-first: bucket = (v - lo) div ((hi - lo) div n + 1). The
+      // multiply-first spelling ((v - lo) * n div range) overflows BIGINT
+      // once the observed range nears 2^63/n and silently degrades the
+      // rewrite to near-random clustering (pruning stays sound — zone
+      // maps come from real footers — but the layout win evaporates).
+      // width > range/n guarantees (v - lo) div width <= n - 1 for any
+      // in-range v; the clamp below only guards values outside [lo, hi]
+      // (impossible here, cheap insurance).
+      def bucket(c: String, lo: Long, hi: Long): String = {
+        val width = math.max(1L, (hi - lo) / n + 1L)
+        s"least(${n - 1}L, greatest(0L," +
+          s" (CAST($c AS BIGINT) - ${lo}L) div ${width}L))"
+      }
       def spread(c: String): String = graft.functions.MortonSql.spread(c)
       val zdf = snap
         .withColumn("_bx", expr(bucket(colA, aLo, aHi)))
@@ -665,10 +692,12 @@ class VersionedTable(val root: String) {
     * not resurrect rows the table's CURRENT contract forbids. Lost
     * commit races rebase — the remove set is recomputed against the new
     * head while the restore target stays pinned. Fails if the target's
-    * files were vacuumed. */
+    * files were vacuumed. A legitimately-EMPTY snapshot (e.g. right
+    * after a delete-all) is restorable, matching Delta's RESTORE: every
+    * head file becomes a remove and the constraint re-validation scan
+    * is skipped (no rows, nothing to violate). */
   def restore(spark: SparkSession, toVersion: Long): Long = {
     val adds = addActionsAt(toVersion)
-    require(adds.nonEmpty, s"version $toVersion has no live files")
     adds.keys.foreach { n =>
       require(Files.exists(dataDir.resolve(n)),
         s"version $toVersion data file $n was vacuumed; cannot restore")
@@ -681,7 +710,7 @@ class VersionedTable(val root: String) {
       val head = version
       require(toVersion <= head, s"version $toVersion outside [0, $head]")
       val cs = constraintsAt(head)
-      if (!validated.contains(cs)) {
+      if (adds.nonEmpty && !validated.contains(cs)) {
         enforce(readAsOf(spark, toVersion), cs, s"restored snapshot v$toVersion")
         validated = Some(cs)
       }

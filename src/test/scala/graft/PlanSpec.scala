@@ -283,8 +283,24 @@ class PlanSpec extends AnyFunSuite {
     )
     val unkeyed = scala.collection.mutable.ArrayBuffer.empty[String]
     val unpartitioned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val decimalOut = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Decimal output columns are banned registry-wide: DuckDB's HUGEINT
+    // twin demotes to double through the driver's parquet round-trip of
+    // the oracle (no parquet logical type), so a decimal128 output can
+    // never hash-match — the q_cohort_ltv(r8)/q_simpson(r10) class.
+    // Decimals are fine INSIDE a query; re-type (string for exact
+    // integers beyond int64, BIGINT/round otherwise) before the final
+    // select.
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, dir)
+      if (df.schema.fields.exists(f => hasDecimal(f.dataType))) decimalOut += name
       if (!constantSideBnl(name)) {
         val p = plan(df)
         if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
@@ -303,6 +319,10 @@ class PlanSpec extends AnyFunSuite {
     assert(unpartitioned.isEmpty,
       "unpartitioned windows over frames not in the bounded allowlist: " +
         unpartitioned.mkString(", "))
+    assert(decimalOut.isEmpty,
+      "DecimalType in a registry query's OUTPUT schema (oracle HUGEINT " +
+        "demotes to double through the driver's parquet leg — re-type " +
+        s"before the final select): ${decimalOut.mkString(", ")}")
   }
 
   test("behavior family reads the shared user-day cube, not the event log") {

@@ -305,4 +305,96 @@ class SourceLintSpec extends AnyFunSuite {
     assert(bad.isEmpty,
       s"un-CAST window sum in output position (DuckDB HUGEINT vs Spark int64):\n${bad.mkString("\n")}")
   }
+
+  // ---------------------------------------------------------------------
+  // HUGEINT output-type lint (third type-materialization red: q_cohort_ltv
+  // r8, q_simpson r10 — make the class impossible, not remembered).
+  //
+  // DuckDB HUGEINT has NO parquet logical type: the driver materializes
+  // the oracle through `COPY ... TO parquet`, which demotes HUGEINT to
+  // double, so a HUGEINT that reaches the oracle's output list can never
+  // hash-match ANY Spark type — not even decimal128, which the Arrow
+  // fetch path misleadingly reports as equal. The rule here is stricter
+  // than strictly necessary and therefore simple: every explicit
+  // `CAST(... AS HUGEINT)` anywhere in an oracle must itself be enclosed
+  // (walking outward through any call or grouping paren) in a CAST or
+  // round() that re-types the value before it can escape. A future
+  // predicate-internal HUGEINT that genuinely needs no re-CAST can be
+  // allowlisted when it exists; today none does.
+  // ---------------------------------------------------------------------
+
+  /** Function name owning each unmatched '(' enclosing `idx`, inside-out
+    * — the call-ancestor chain of the token at `idx`. */
+  private def enclosingFns(sql: String, idx: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bal = 0
+    var p = idx - 1
+    while (p >= 0) {
+      sql.charAt(p) match {
+        case ')' => bal += 1
+        case '(' =>
+          if (bal == 0) {
+            var q = p
+            while (q > 0 && sql.charAt(q - 1).isWhitespace) q -= 1
+            var r = q
+            while (r > 0 && isIdent(sql.charAt(r - 1))) r -= 1
+            out += sql.substring(r, q).toLowerCase // "" for a grouping paren
+          } else bal -= 1
+        case _ =>
+      }
+      p -= 1
+    }
+    out.toSeq
+  }
+
+  /** HUGEINT casts with NO cast/round ANCESTOR above the owning
+    * `CAST(... AS HUGEINT)` itself: the value escapes un-re-typed. */
+  private def hugeintOffenders(sql: String): Seq[String] = {
+    val lower = sql.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = lower.indexOf("hugeint")
+    while (i >= 0) {
+      val fns = enclosingFns(sql, i)
+      // fns.head is the owning CAST(... AS HUGEINT); re-typed only when
+      // some ANCESTOR call above it is another cast (or a round)
+      if (fns.headOption.contains("cast") &&
+          !fns.drop(1).exists(f => f == "cast" || f == "round")) {
+        val start = math.max(0, i - 30)
+        out += sql.substring(start, math.min(sql.length, i + 40))
+          .replaceAll("\\s+", " ")
+      }
+      i = lower.indexOf("hugeint", i + 7)
+    }
+    out.toSeq
+  }
+
+  test("HUGEINT lint flags the exact pre-fix q_simpson shape") {
+    val preFix =
+      """SELECT grp, n,
+            CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS slope_num,
+            CAST(sign(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+              AS BIGINT) AS slope_sign
+          FROM uni ORDER BY grp"""
+    val hits = hugeintOffenders(preFix)
+    assert(hits.size == 2, // the two bare slope_num casts; the sign() pair is re-CAST
+      s"expected exactly the two un-re-CAST slope_num HUGEINTs, got: $hits")
+    val postFix =
+      """SELECT grp, n,
+            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS VARCHAR) AS slope_num,
+            CAST(sign(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+              AS BIGINT) AS slope_sign
+          FROM uni ORDER BY grp"""
+    assert(hugeintOffenders(postFix).isEmpty,
+      s"lint still fires after the VARCHAR re-CAST: ${hugeintOffenders(postFix)}")
+  }
+
+  test("every oracle HUGEINT is re-typed before it can reach an output column") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      hugeintOffenders(sql).map(s => s"$name: $s")
+    }
+    assert(bad.isEmpty,
+      "HUGEINT expression not enclosed in a re-typing CAST/round (HUGEINT " +
+        s"demotes to double through DuckDB's parquet writer):\n${bad.mkString("\n")}")
+  }
 }

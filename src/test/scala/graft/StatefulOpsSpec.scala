@@ -120,6 +120,38 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TTL unit twin: config plumbing + eviction semantics at the handle level") {
+    // The e2e ProcessingTime TTL path above self-retries every run and
+    // cancels while the engine still can't quiesce in-process; this twin
+    // asserts the two things the processor itself owns, engine-free:
+    // (1) init registers the value state under the EXACT TTLConfig the
+    // operator was built with, and (2) given a store that evicts per
+    // that config, a revived key restarts from zero while an inside-TTL
+    // key accumulates.
+    val ttl = new StatefulOps.RunningRiskProcessorTtl(2000L)
+    val handle = new RecordingHandle
+    ttl.setHandle(handle)
+    ttl.init(org.apache.spark.sql.streaming.OutputMode.Update(),
+      org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+    assert(handle.registered === Seq(("counts",
+      org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(2000L)))),
+      "init must register 'counts' under TTLConfig(ttlMs), not NONE")
+
+    def batch(posts: ScoredPost*) =
+      ttl.handleInputRows("depression", posts.iterator, null).toSeq.head
+    val first = batch(ScoredPost("depression", 40), ScoredPost("depression", 20))
+    assert((first.posts, first.total_risk, first.high_risk) === ((2L, 60L, 1L)))
+    // within the TTL the state accumulates...
+    handle.nowMs = 1500L
+    val second = batch(ScoredPost("depression", 5))
+    assert((second.posts, second.total_risk) === ((3L, 65L)))
+    // ...and once idle past it, the store evicts and the key restarts
+    handle.nowMs = 1500L + 2500L
+    val revived = batch(ScoredPost("depression", 100))
+    assert((revived.posts, revived.total_risk) === ((1L, 100L)),
+      s"state outlived its TTL: $revived")
+  }
+
   test("update function is pure: fold semantics without a stream") {
     // GroupState is stream-bound; exercise the arithmetic via the typed
     // API on a one-key batch instead.
@@ -183,6 +215,57 @@ class StatefulOpsSpec extends AnyFunSuite {
         s"expected exactly user 1's session, got $closed")
     } finally q.stop()
   }
+}
+
+/** Minimal StatefulProcessorHandle stub: records each getValueState
+  * registration and serves a ValueState that honors the registered TTL
+  * against a settable clock — the eviction contract the real RocksDB
+  * store implements, reduced to what a unit test can drive. */
+class RecordingHandle extends org.apache.spark.sql.streaming.StatefulProcessorHandle {
+  import org.apache.spark.sql.streaming.{ListState, MapState, QueryInfo, TTLConfig, ValueState}
+  var nowMs: Long = 0L
+  var registered: Seq[(String, TTLConfig)] = Nil
+
+  private class TtlValueState[T](ttl: TTLConfig) extends ValueState[T] {
+    private var v: Option[(T, Long)] = None
+    private def live: Option[T] = v.collect {
+      case (x, wrote) if ttl.ttlDuration == null ||
+        nowMs - wrote < ttl.ttlDuration.toMillis => x
+    }
+    override def exists(): Boolean = live.isDefined
+    override def get(): T = live.getOrElse(
+      throw new NoSuchElementException("state absent or TTL-evicted"))
+    override def update(newState: T): Unit = v = Some((newState, nowMs))
+    override def clear(): Unit = v = None
+  }
+
+  override def getValueState[T](stateName: String,
+      valEncoder: org.apache.spark.sql.Encoder[T], ttlConfig: TTLConfig): ValueState[T] = {
+    registered :+= ((stateName, ttlConfig))
+    new TtlValueState[T](ttlConfig)
+  }
+  override def getValueState[T](stateName: String, ttlConfig: TTLConfig)(
+      implicit valEncoder: org.apache.spark.sql.Encoder[T]): ValueState[T] =
+    getValueState(stateName, valEncoder, ttlConfig)
+  override def getListState[T](stateName: String,
+      valEncoder: org.apache.spark.sql.Encoder[T], ttlConfig: TTLConfig): ListState[T] =
+    throw new UnsupportedOperationException
+  override def getListState[T](stateName: String, ttlConfig: TTLConfig)(
+      implicit valEncoder: org.apache.spark.sql.Encoder[T]): ListState[T] =
+    throw new UnsupportedOperationException
+  override def getMapState[K, V](stateName: String,
+      userKeyEnc: org.apache.spark.sql.Encoder[K],
+      valEncoder: org.apache.spark.sql.Encoder[V], ttlConfig: TTLConfig): MapState[K, V] =
+    throw new UnsupportedOperationException
+  override def getMapState[K, V](stateName: String, ttlConfig: TTLConfig)(
+      implicit userKeyEnc: org.apache.spark.sql.Encoder[K],
+      valEncoder: org.apache.spark.sql.Encoder[V]): MapState[K, V] =
+    throw new UnsupportedOperationException
+  override def getQueryInfo(): QueryInfo = throw new UnsupportedOperationException
+  override def registerTimer(expiryTimestampMs: Long): Unit = ()
+  override def deleteTimer(expiryTimestampMs: Long): Unit = ()
+  override def listTimers(): Iterator[Long] = Iterator.empty
+  override def deleteIfExists(stateName: String): Unit = ()
 }
 
 /** Minimal GroupState stub for pure-function testing. */

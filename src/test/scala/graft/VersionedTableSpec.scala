@@ -489,6 +489,50 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(plain.readAsOf(spark, 2L).count() === 13)
   }
 
+  test("restore to a legitimately-empty snapshot (post delete-all) works") {
+    val t = table()
+    t.append(spark, spark.range(0, 100).toDF("id"), statsCol = Some("id")) // v0
+    val dv = t.deleteWhere(spark, "id", 0L, 99L)                           // v1: empty
+    assert(t.readAsOf(spark, dv).count() === 0,
+      "a delete-all snapshot must read as an empty frame under its schema")
+    t.append(spark, spark.range(500, 510).toDF("id"))                      // v2
+    // a contract v0 violates but an EMPTY snapshot trivially satisfies —
+    // restore must skip the re-validation scan instead of choking on it
+    t.addConstraint(spark, "big", "id >= 500")                             // v3
+    val rv = t.restore(spark, dv)
+    assert(t.read(spark).count() === 0)
+    assert(t.read(spark).schema.fieldNames === Array("id"))
+    assert(t.history.map(_._2).last === "restore")
+    // the rolled-back window stays time-travelable
+    assert(t.readAsOf(spark, 2L).count() === 10)
+    // and a restore FORWARD out of the empty state works too
+    t.restore(spark, 2L)
+    assert(t.read(spark).count() === 10)
+    assert(rv === 4L)
+  }
+
+  test("compactZOrder buckets huge-range keys without BIGINT overflow") {
+    // values k·2^56: multiply-first bucketing ((v-lo)·256) wraps at
+    // k ≥ 128 and degrades the layout to garbage buckets; divide-first
+    // keeps buckets monotone in v, so the range repartition yields
+    // files whose zone maps on the clustering column are DISJOINT.
+    val t = table()
+    val huge = (0L until 16L).map(k => k << 56)
+    val df = huge.toDF("a").withColumn("b", org.apache.spark.sql.functions.col("a"))
+    t.append(spark, df, statsCol = Some("a"))
+    val v = t.compactZOrder(spark, "a", "b", targetFiles = 4)
+    val maps = t.filesWithMultiStatsAt(v)
+      .map(_._2.toMap.apply("a")).sortBy(_._1)
+    assert(maps.nonEmpty)
+    maps.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2,
+          s"zone maps overlap ($hi1 >= $lo2): bucket expression lost monotonicity (overflow)")
+      case _ =>
+    }
+    assert(t.read(spark).select("a").as[Long].collect().sorted === huge.toArray)
+  }
+
   test("restore re-validates constraints added since the target version") {
     val t = table()
     t.append(spark, Seq((1L, -5L), (2L, 3L)).toDF("id", "score")) // v0: has a negative

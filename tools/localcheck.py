@@ -12,13 +12,21 @@ after the testdata tables, and compares:
     hash demonstrably tolerates int32 vs int64 but NOT e.g. DuckDB's
     HUGEINT -> decimal128(38,0) vs Spark's int64 — that exact gap
     shipped two driver-red rounds while this tool said green)
+
+The oracle result is materialized through `COPY (sql) TO tmp.parquet`
+and read back, NOT fetched via Arrow: the driver's gate hashes the
+oracle AFTER a parquet round-trip, and DuckDB's parquet writer demotes
+HUGEINT to double (no parquet logical type) while the Arrow fetch
+reports it as decimal128(38,0). The Arrow path said PASS on a
+driver-red query (q_simpson, round 10); the parquet path is
+byte-identical to the driver's pipeline.
   - row count
   - cell values, bit-exact by default (every registry query rounds its
     floats, so exactness is achievable and IS the driver's bar).
     Pass --tol for the legacy 1e-9 relative float tolerance when
     triaging a genuinely-divergent query.
 """
-import json, sys, glob, math, os
+import json, sys, glob, math, os, tempfile
 
 import duckdb
 import pyarrow.parquet as pq
@@ -83,7 +91,17 @@ def main():
             continue
         spark_tbl = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(res_dir)
         try:
-            duck = con.execute(sql).fetch_arrow_table()
+            # Round-trip the oracle through parquet exactly like the
+            # driver does — the Arrow fetch types HUGEINT as decimal128
+            # while the parquet writer demotes it to double, and the
+            # driver hashes the parquet side.
+            with tempfile.NamedTemporaryFile(suffix=".parquet", delete=False) as tf:
+                tmp_parquet = tf.name
+            try:
+                con.execute(f"COPY ({sql}) TO '{tmp_parquet}' (FORMAT PARQUET)")
+                duck = pq.read_table(tmp_parquet)
+            finally:
+                os.unlink(tmp_parquet)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
