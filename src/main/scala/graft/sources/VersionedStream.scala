@@ -94,7 +94,13 @@ object VersionedStreamProvider {
     val t = new VersionedTable(root)
     val head = t.version
     require(head >= 0, s"cannot infer a schema from empty table $root")
-    t.schemaAt(head).getOrElse(fromParquet(footerSchema(t.filesAt(head).head)))
+    t.schemaAt(head).getOrElse {
+      val files = t.filesAt(head)
+      require(files.nonEmpty,
+        s"table $root head v$head has no live files and no recorded " +
+          "schema; cannot infer (only possible in pre-schema-tracking logs)")
+      fromParquet(footerSchema(files.head))
+    }
   }
 
   private[sources] def footerSchema(file: String): MessageType = {

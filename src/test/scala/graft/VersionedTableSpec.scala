@@ -505,6 +505,11 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(t.history.map(_._2).last === "restore")
     // the rolled-back window stays time-travelable
     assert(t.readAsOf(spark, 2L).count() === 10)
+    // the DSv2 batch face serves the empty snapshot under the
+    // log-carried schema too (zero input partitions, no footer probe)
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).option("versionAsOf", dv.toString).load()
+    assert(dsv2.schema.fieldNames === Array("id") && dsv2.count() === 0)
     // and a restore FORWARD out of the empty state works too
     t.restore(spark, 2L)
     assert(t.read(spark).count() === 10)
