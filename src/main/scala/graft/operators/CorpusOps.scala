@@ -994,8 +994,13 @@ object CorpusOps {
     // BEFORE collect_list, so no per-group array is ever built for an
     // unbounded run — a boilerplate doc with zero stopwords would
     // otherwise collect its whole token stream into one array just to
-    // discard it (a per-group memory spike at 100 TB).
-    val wRun = Window.partitionBy(col("doc_id"), col("g"))
+    // discard it (a per-group memory spike at 100 TB). The count rides
+    // a PEERS frame (orderBy g, RANGE current..current) partitioned by
+    // doc_id alone, so it reuses the hash exchange already planned for
+    // the gaps-and-islands window above — one extra sort, NO extra
+    // shuffle (partitionBy(doc_id, g) would re-shuffle the corpus).
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
     val bounded = grp
       .select(col("doc_id"), col("g"), col("pos"), col("word"),
         count(lit(1)).over(wRun).as("plen"))
