@@ -630,18 +630,26 @@ class VersionedTable(val root: String) {
         s"observed range of '$colA'/'$colB' exceeds the BIGINT span; " +
           "z-order bucketing needs hi - lo representable")
       val n = 1L << bits
-      // Divide-first: bucket = (v - lo) div ((hi - lo) div n + 1). The
-      // multiply-first spelling ((v - lo) * n div range) overflows BIGINT
-      // once the observed range nears 2^63/n and silently degrades the
-      // rewrite to near-random clustering (pruning stays sound — zone
-      // maps come from real footers — but the layout win evaporates).
-      // width > range/n guarantees (v - lo) div width <= n - 1 for any
-      // in-range v; the clamp below only guards values outside [lo, hi]
+      // Small ranges take the multiply-first cut ((v-lo)·n div range):
+      // it uses the full bucket space. Ranges near 2^63/n would overflow
+      // that product and silently degrade the rewrite to near-random
+      // clustering (pruning stays sound — zone maps come from real
+      // footers — but the layout win evaporates), so they fall back to
+      // divide-first (bucket = (v-lo) div (range div n + 1)), which is
+      // overflow-free but uses only k/(k+1) of the bucket space at
+      // range ≈ k·n. width > range/n guarantees bucket <= n - 1 for any
+      // in-range v; the clamp only guards values outside [lo, hi]
       // (impossible here, cheap insurance).
       def bucket(c: String, lo: Long, hi: Long): String = {
-        val width = math.max(1L, (hi - lo) / n + 1L)
-        s"least(${n - 1}L, greatest(0L," +
-          s" (CAST($c AS BIGINT) - ${lo}L) div ${width}L))"
+        val range = hi - lo
+        val expr =
+          if (range < Long.MaxValue / n)
+            s"((CAST($c AS BIGINT) - ${lo}L) * ${n}L) div ${range + 1L}L"
+          else {
+            val width = math.max(1L, range / n + 1L)
+            s"(CAST($c AS BIGINT) - ${lo}L) div ${width}L"
+          }
+        s"least(${n - 1}L, greatest(0L, $expr))"
       }
       def spread(c: String): String = graft.functions.MortonSql.spread(c)
       val zdf = snap

@@ -261,7 +261,8 @@ class SourceLintSpec extends AnyFunSuite {
     * alias flows into the final select list bare AND is never shadowed
     * by a downstream re-definition (`CAST(seq AS BIGINT) AS seq` in a
     * later CTE re-types the name — that shape is legal). */
-  private def windowSumOffenders(sql: String): Seq[String] = {
+  private def windowSumOffenders(rawSql: String): Seq[String] = {
+    val sql = blankLiterals(rawSql) // a quoted '(' must not skew the walk
     val (selStart, selEnd, bareIdents) = bareFinalSelectIdents(sql)
     windowSums(sql).collect {
       case (start, end, alias, wrapped) if !wrapped =>
@@ -315,13 +316,31 @@ class SourceLintSpec extends AnyFunSuite {
   // double, so a HUGEINT that reaches the oracle's output list can never
   // hash-match ANY Spark type — not even decimal128, which the Arrow
   // fetch path misleadingly reports as equal. The rule here is stricter
-  // than strictly necessary and therefore simple: every explicit
-  // `CAST(... AS HUGEINT)` anywhere in an oracle must itself be enclosed
-  // (walking outward through any call or grouping paren) in a CAST or
-  // round() that re-types the value before it can escape. A future
-  // predicate-internal HUGEINT that genuinely needs no re-CAST can be
-  // allowlisted when it exists; today none does.
+  // than strictly necessary and therefore simple: every HUGEINT token
+  // anywhere in an oracle — whether created by `CAST(... AS HUGEINT)`,
+  // `TRY_CAST(... AS HUGEINT)`, or the `::HUGEINT` suffix shorthand —
+  // must be enclosed (walking outward through any call or grouping
+  // paren) in a CAST/TRY_CAST/round that re-types the value before it
+  // can escape. String literals are blanked (offset-preserving) before
+  // the paren walk so a quoted '(' cannot corrupt the ancestor chain. A
+  // future predicate-internal HUGEINT that genuinely needs no re-CAST
+  // can be allowlisted when it exists; today none does.
   // ---------------------------------------------------------------------
+
+  /** Blank every single-quoted SQL string literal (offset-preserving):
+    * a '(' inside a literal must not participate in the paren walk. The
+    * '' escape toggles twice and stays blanked either way. */
+  private def blankLiterals(sql: String): String = {
+    val b = sql.toCharArray
+    var in = false
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\'') in = !in
+      else if (in) b(i) = ' '
+      i += 1
+    }
+    new String(b)
+  }
 
   /** Function name owning each unmatched '(' enclosing `idx`, inside-out
     * — the call-ancestor chain of the token at `idx`. */
@@ -347,18 +366,32 @@ class SourceLintSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  /** HUGEINT casts with NO cast/round ANCESTOR above the owning
-    * `CAST(... AS HUGEINT)` itself: the value escapes un-re-typed. */
-  private def hugeintOffenders(sql: String): Seq[String] = {
+  /** HUGEINT tokens with NO re-typing cast/round ancestor: the value
+    * escapes un-re-typed. Covers all three creation spellings —
+    * `CAST(x AS HUGEINT)` / `TRY_CAST(x AS HUGEINT)` (token preceded by
+    * AS, owning call excluded from the ancestor set) and `x::HUGEINT`
+    * (no owning call; every enclosing cast counts). Anything else
+    * containing the token is flagged conservatively. */
+  private def hugeintOffenders(rawSql: String): Seq[String] = {
+    val sql = blankLiterals(rawSql)
     val lower = sql.toLowerCase
+    def isCastFn(f: String) = f == "cast" || f == "try_cast"
+    def isRetype(f: String) = isCastFn(f) || f == "round"
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = lower.indexOf("hugeint")
     while (i >= 0) {
+      var p = i
+      while (p > 0 && sql.charAt(p - 1).isWhitespace) p -= 1
+      val afterDoubleColon = p >= 2 && sql.substring(p - 2, p) == "::"
+      val afterAs = p >= 2 && lower.substring(p - 2, p) == "as" &&
+        (p - 2 == 0 || !isIdent(lower.charAt(p - 3)))
       val fns = enclosingFns(sql, i)
-      // fns.head is the owning CAST(... AS HUGEINT); re-typed only when
-      // some ANCESTOR call above it is another cast (or a round)
-      if (fns.headOption.contains("cast") &&
-          !fns.drop(1).exists(f => f == "cast" || f == "round")) {
+      val retyped =
+        if (afterDoubleColon) fns.exists(isRetype)
+        else if (afterAs && fns.headOption.exists(isCastFn))
+          fns.drop(1).exists(isRetype)
+        else false // unknown context: flag conservatively
+      if (!retyped) {
         val start = math.max(0, i - 30)
         out += sql.substring(start, math.min(sql.length, i + 40))
           .replaceAll("\\s+", " ")
@@ -387,6 +420,23 @@ class SourceLintSpec extends AnyFunSuite {
           FROM uni ORDER BY grp"""
     assert(hugeintOffenders(postFix).isEmpty,
       s"lint still fires after the VARCHAR re-CAST: ${hugeintOffenders(postFix)}")
+    // the ::HUGEINT suffix shorthand and TRY_CAST are the same type,
+    // same parquet demotion — the gate must see through both spellings
+    assert(hugeintOffenders("SELECT x::HUGEINT * y AS c FROM t").size == 1,
+      "::HUGEINT shorthand must be flagged when un-re-typed")
+    assert(hugeintOffenders(
+      "SELECT CAST(x::HUGEINT * y AS VARCHAR) AS c FROM t").isEmpty,
+      "a re-CAST ::HUGEINT must pass")
+    assert(hugeintOffenders("SELECT TRY_CAST(a AS HUGEINT) AS c FROM t").size == 1,
+      "TRY_CAST-created HUGEINT must be flagged when un-re-typed")
+    assert(hugeintOffenders(
+      "SELECT CAST(TRY_CAST(a AS HUGEINT) AS VARCHAR) AS c FROM t").isEmpty,
+      "a re-CAST TRY_CAST HUGEINT must pass")
+    // a quoted '(' earlier in the statement must not hand the offender a
+    // phantom cast ancestor through a corrupted paren walk
+    assert(hugeintOffenders(
+      "SELECT replace(s, '(', '') AS r, CAST(x AS HUGEINT) AS c FROM t").size == 1,
+      "string-literal parens must not mask an offender")
   }
 
   test("every oracle HUGEINT is re-typed before it can reach an output column") {
