@@ -351,6 +351,12 @@ object SparkEntry {
     "q_sem_decontaminate" -> ((s, d) => graft.operators.SimilarityOps.semDecontaminate(s, d)),
     "q_propensity_strata" -> ((s, d) => graft.operators.CausalOps.propensityStrata(s, d)),
     "q_simpson"         -> ((s, d) => graft.operators.CausalOps.simpson(s, d)),
+    // ---- round 11: text/columnar source-format round-trip faces (CSV
+    //      quoting + JSONL escaping + ORC type mapping proven lossless
+    //      against the raw-parquet census, adversarial rows included)
+    "q_csv_roundtrip"   -> ((s, d) => graft.operators.FileFormatOps.csvRoundtrip(s, d)),
+    "q_jsonl_roundtrip" -> ((s, d) => graft.operators.FileFormatOps.jsonlRoundtrip(s, d)),
+    "q_orc_roundtrip"   -> ((s, d) => graft.operators.FileFormatOps.orcRoundtrip(s, d)),
   )
 
   /** Custom TypedImperativeAggregate: bounded exact top-k values per
@@ -530,6 +536,28 @@ object SparkEntry {
 
   /** Shared DuckDB SQL fragment: the risk score of documents.text. */
   private val riskSql: String = TextFunctions.riskScoreDuckDbSql("lower(text)")
+
+  /** Shared census SQL for the three source-format round-trip faces —
+    * identical up to the digest salt, which keeps a copy-paste slip
+    * between formats visible as a hash mismatch instead of a silent
+    * pass. The VALUES rows mirror FileFormatOps.advRows exactly. */
+  private def formatRoundtripOracle(salt: String): String =
+    s"""WITH d AS (
+            SELECT doc_id, lang, source, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+              (-1, 'zz', 'adversarial', 'comma, separated, values'),
+              (-2, 'zz', 'adversarial', 'she said "hello" twice'),
+              (-3, 'zz', 'adversarial', 'line one' || chr(10) || 'line two'),
+              (-4, 'zz', 'adversarial',
+                'tab' || chr(9) || 'here and trailing space ')
+            ) v(doc_id, lang, source, text))
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(length(text)) AS BIGINT) AS total_chars,
+            CAST(sum(CAST(('0x' || substring(md5('$salt:'
+              || CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)) AS BIGINT))
+              AS BIGINT) AS content_digest
+          FROM d GROUP BY 1, 2 ORDER BY lang, source"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -6890,5 +6918,11 @@ object SparkEntry {
           LEFT JOIN (SELECT src, count(*) AS c FROM reach GROUP BY 1) r
             ON r.src = n.n_name
           ORDER BY nation""",
+    // format round-trip faces: the oracle recomputes the census from the
+    // RAW parquet + the same four adversarial rows, so a lossy CSV
+    // quote / JSON escape / ORC mapping leg flips the digest
+    "q_csv_roundtrip" -> formatRoundtripOracle("csv"),
+    "q_jsonl_roundtrip" -> formatRoundtripOracle("jsonl"),
+    "q_orc_roundtrip" -> formatRoundtripOracle("orc"),
   )
 }

@@ -21,7 +21,7 @@ object ScaleOps {
   private def scratchTag(spark: SparkSession): String =
     spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
 
-  private def scratchPath(spark: SparkSession, name: String): String =
+  private[operators] def scratchPath(spark: SparkSession, name: String): String =
     new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_${scratchTag(spark)}/$name").getPath
 
@@ -37,7 +37,7 @@ object ScaleOps {
   private def dirTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-  private def layoutOnce(spark: SparkSession, dir: String, name: String)(
+  private[operators] def layoutOnce(spark: SparkSession, dir: String, name: String)(
       build: String => String): String =
     layoutCache.getOrElseUpdate((scratchTag(spark), dir, name),
       build(dirTag(dir)))
