@@ -550,12 +550,14 @@ object SparkEntry {
               (-2, 'zz', 'adversarial', 'she said "hello" twice'),
               (-3, 'zz', 'adversarial', 'line one' || chr(10) || 'line two'),
               (-4, 'zz', 'adversarial',
-                'tab' || chr(9) || 'here and trailing space ')
+                'tab' || chr(9) || 'here and trailing space '),
+              (-5, 'zz', 'adversarial', ''),
+              (-6, 'zz', 'adversarial', NULL)
             ) v(doc_id, lang, source, text))
           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(sum(length(text)) AS BIGINT) AS total_chars,
             CAST(sum(CAST(('0x' || substring(md5('$salt:'
-              || CAST(doc_id AS VARCHAR) || '|' || text), 1, 10)) AS BIGINT))
+              || CAST(doc_id AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT))
               AS BIGINT) AS content_digest
           FROM d GROUP BY 1, 2 ORDER BY lang, source"""
 

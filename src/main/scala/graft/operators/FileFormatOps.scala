@@ -29,12 +29,18 @@ import graft.model.Tables
   */
 object FileFormatOps {
 
-  /** (doc_id, lang, source, text) with the four escaping-hazard rows. */
+  /** (doc_id, lang, source, text) with the escaping-hazard rows, plus
+    * the NULL-vs-empty-string pair — the distinction CSV dialects
+    * classically lose (covered here by the `\\N` null sentinel) and a
+    * property the corpus itself doesn't currently exercise but a
+    * regenerated one might. */
   private val advRows = Seq(
     (-1L, "zz", "adversarial", "comma, separated, values"),
     (-2L, "zz", "adversarial", "she said \"hello\" twice"),
     (-3L, "zz", "adversarial", "line one\nline two"),
-    (-4L, "zz", "adversarial", "tab\there and trailing space "))
+    (-4L, "zz", "adversarial", "tab\there and trailing space "),
+    (-5L, "zz", "adversarial", ""),
+    (-6L, "zz", "adversarial", null))
 
   private def baseDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -48,17 +54,20 @@ object FileFormatOps {
     StructField("source", StringType), StructField("text", StringType)))
 
   /** Per-(lang, source) census with a salted order-independent digest:
-    * Σ over rows of the first 40 md5 bits of salt:doc_id|text — 2^40 ×
-    * cell rows stays far inside int64 at any plausible scale-up, and
-    * long addition is order-independent so partial-aggregation order
-    * can't flip a bit. */
+    * Σ over rows of the first 32 md5 bits of salt:doc_id|text — ≤2^32
+    * per row keeps the int64 sum safe to ~2×10⁹ rows per (lang, source)
+    * cell (≈the whole-corpus cell count at 100 TB; a wider digest
+    * overflowed in DuckDB exactly where Spark's long would wrap
+    * silently), and long addition is order-independent so
+    * partial-aggregation order can't flip a bit. NULL text digests and
+    * counts as NULL-skipped chars on both engines; only n_docs sees it. */
   private def census(df: DataFrame, salt: String): DataFrame =
     df.groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("total_chars"),
         sum(conv(substring(md5(concat(lit(salt + ":"),
-            col("doc_id").cast("string"), lit("|"), col("text"))), 1, 10),
+            col("doc_id").cast("string"), lit("|"), col("text"))), 1, 8),
           16, 10).cast("long")).as("content_digest"))
       .orderBy(col("lang"), col("source"))
 
@@ -72,7 +81,11 @@ object FileFormatOps {
       write(baseDocs(spark, dir), out)
       out
     }
-    census(read(path), fmt)
+    // fanOut: the artifact is written from the single-split documents
+    // scan (and the multiLine CSV leg is non-splittable), so the md5
+    // census would otherwise hash on one core; the digest sum is
+    // order-independent, so redistribution is free of hash risk
+    census(Tables.fanOut(read(path)), fmt)
   }
 
   /** RFC-style CSV (quoteAll + doubled quotes, multiLine read for the
@@ -80,15 +93,20 @@ object FileFormatOps {
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundTrip(spark, dir, "csv") { (df, out) =>
       // the univocity WRITER trims leading/trailing whitespace by
-      // default even under quoteAll — lossy; caught by the digest
+      // default even under quoteAll — lossy; caught by the digest.
+      // nullValue \N (the classic sentinel) keeps NULL distinguishable
+      // from the quoted empty string, which quoteAll alone cannot do.
       df.write.option("header", "true").option("quoteAll", "true")
         .option("escape", "\"")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N")
         .mode("overwrite").csv(out)
     } { path =>
       spark.read.schema(readSchema).option("header", "true")
-        .option("multiLine", "true").option("escape", "\"").csv(path)
+        .option("multiLine", "true").option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(path)
     }
 
   /** JSON-lines round-trip census (control chars ride JSON escapes). */

@@ -327,16 +327,24 @@ class SourceLintSpec extends AnyFunSuite {
   // can be allowlisted when it exists; today none does.
   // ---------------------------------------------------------------------
 
-  /** Blank every single-quoted SQL string literal (offset-preserving):
-    * a '(' inside a literal must not participate in the paren walk. The
-    * '' escape toggles twice and stays blanked either way. */
+  /** Blank every single-quoted SQL string literal AND every `--`
+    * line comment (offset-preserving): a '(' inside a literal must not
+    * participate in the paren walk, an apostrophe inside a comment
+    * ("-- don't ...") must not invert literal tracking (an odd-count
+    * one would silently blank ALL downstream SQL and disable the
+    * gates), and the word HUGEINT in a comment must not spuriously
+    * trip them. The '' escape toggles twice and stays blanked. */
   private def blankLiterals(sql: String): String = {
     val b = sql.toCharArray
-    var in = false
+    var inLit = false
     var i = 0
     while (i < b.length) {
-      if (b(i) == '\'') in = !in
-      else if (in) b(i) = ' '
+      if (inLit) { if (b(i) == '\'') inLit = false else b(i) = ' ' }
+      else if (b(i) == '\'') inLit = true
+      else if (b(i) == '-' && i + 1 < b.length && b(i + 1) == '-') {
+        while (i < b.length && b(i) != '\n') { b(i) = ' '; i += 1 }
+        i -= 1
+      }
       i += 1
     }
     new String(b)
@@ -437,6 +445,14 @@ class SourceLintSpec extends AnyFunSuite {
     assert(hugeintOffenders(
       "SELECT replace(s, '(', '') AS r, CAST(x AS HUGEINT) AS c FROM t").size == 1,
       "string-literal parens must not mask an offender")
+    // an apostrophe in a -- comment must not invert literal tracking
+    // (blanking everything after it) and HUGEINT in a comment is inert
+    assert(hugeintOffenders(
+      "-- don't double count\nSELECT CAST(x AS HUGEINT) AS c FROM t").size == 1,
+      "a comment apostrophe must not blank the offender below it")
+    assert(hugeintOffenders(
+      "-- HUGEINT demotes through parquet\nSELECT CAST(x AS BIGINT) AS c FROM t").isEmpty,
+      "HUGEINT in a comment must not trip the gate")
   }
 
   test("every oracle HUGEINT is re-typed before it can reach an output column") {
