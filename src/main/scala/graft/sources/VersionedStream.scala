@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -172,9 +172,11 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
   private var skipping: Array[Filter] = Array.empty
 
   private def intBound(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
+  private def strBound(v: Any): Boolean = v.isInstanceOf[String]
 
   private def statsUsable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => intBound(v)
+    case EqualTo(_, v) => intBound(v) || strBound(v)
+    case In(_, vs) => vs.nonEmpty && vs.forall(strBound)
     case GreaterThan(_, v) => intBound(v)
     case GreaterThanOrEqual(_, v) => intBound(v)
     case LessThan(_, v) => intBound(v)
@@ -216,42 +218,67 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     new VersionedMicroBatchStream(root, startingVersion,
       maxFilesPerTrigger, maxRowsPerTrigger, requested)
 
-  /** Per-column [lo, hi] bounds implied by the pushed comparisons —
-    * the intersection of every constraint on that column. */
+  /** Per-column [lo, hi] bounds implied by the pushed integer
+    * comparisons — the intersection of every constraint on that column. */
   private def bounds: Map[String, (Long, Long)] = {
     def num(v: Any): Long = v match {
       case l: Long => l
       case i: Int => i.toLong
       case other => throw new IllegalStateException(s"non-integer bound $other")
     }
-    skipping.foldLeft(Map.empty[String, (Long, Long)]) { (acc, f) =>
-      val (c, lo, hi) = f match {
-        case EqualTo(c, v) => (c, num(v), num(v))
-        case GreaterThan(c, v) => (c, num(v) + 1, Long.MaxValue)
-        case GreaterThanOrEqual(c, v) => (c, num(v), Long.MaxValue)
-        case LessThan(c, v) => (c, Long.MinValue, num(v) - 1)
-        case LessThanOrEqual(c, v) => (c, Long.MinValue, num(v))
-        case other => throw new IllegalStateException(s"unexpected filter $other")
-      }
+    skipping.collect {
+      case EqualTo(c, v) if !v.isInstanceOf[String] => (c, num(v), num(v))
+      case GreaterThan(c, v) => (c, num(v) + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v) => (c, num(v), Long.MaxValue)
+      case LessThan(c, v) => (c, Long.MinValue, num(v) - 1)
+      case LessThanOrEqual(c, v) => (c, Long.MinValue, num(v))
+    }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (c, lo, hi)) =>
       val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
       acc.updated(c, (math.max(l0, lo), math.min(h0, hi)))
     }
   }
 
+  /** Per-column candidate value sets implied by pushed string
+    * equality/IN predicates — intersected across predicates, so
+    * `c = 'a' AND c IN ('a','b')` probes only 'a'. */
+  private def strValueSets: Map[String, Set[String]] =
+    skipping.collect {
+      case EqualTo(c, v: String) => (c, Set(v))
+      case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+        (c, vs.map(_.asInstanceOf[String]).toSet)
+    }.foldLeft(Map.empty[String, Set[String]]) { case (acc, (c, vs)) =>
+      acc.updated(c, acc.get(c).map(_ intersect vs).getOrElse(vs))
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(table.version)
     val bs = bounds
+    val svs = strValueSets.map { case (c, vs) =>
+      (c, vs.toSeq.map(_.getBytes("UTF-8")))
+    }
+    val st = table.stateAt(v)
     // a file survives only if EVERY bounded column it has stats for can
     // intersect its bound — multi-column zone maps (z-ordered layouts)
-    // prune on all clustered dimensions at once
-    table.filesWithMultiStatsAt(v).collect {
-      case (path, st) if {
-        val zm = st.toMap
+    // prune on all clustered dimensions at once; string bounds compare
+    // unsigned-lexicographic against the recorded truncated intervals.
+    // Each partition carries the file's deletion vector so the reader
+    // subtracts merge-on-read deletes positionally.
+    st.adds.toSeq.collect {
+      case (name, line) if {
+        val zm = VersionedTable.longStatsOf(line).toMap
+        val sm = VersionedTable.strStatsOf(line).toMap
         bs.forall { case (c, (lo, hi)) =>
           zm.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        } && svs.forall { case (c, vals) =>
+          sm.get(c).forall { case (mn, mx) =>
+            vals.exists(x =>
+              VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
+          }
         }
-      } => path
-    }.map(f => VersionedFilePartition(f): InputPartition).toArray
+      } =>
+        VersionedFilePartition(table.dataDir.resolve(name).toString,
+          st.dv.getOrElse(name, Array.emptyLongArray)): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -359,17 +386,26 @@ private[graft] class VersionedMicroBatchStream(root: String,
     new VersionedReaderFactory(schema)
 }
 
-private[graft] case class VersionedFilePartition(file: String) extends InputPartition
+/** One committed parquet file, plus its deletion vector (sorted row
+  * positions a merge-on-read delete removed — empty for the streaming
+  * feed, which is append-only by contract). */
+private[graft] case class VersionedFilePartition(file: String,
+    deleted: Array[Long] = Array.emptyLongArray) extends InputPartition
 
 /** Reads one committed parquet file into InternalRows via the public
   * parquet-mr record API. Column pruning is physical: the projected
   * subset is handed to `setRequestedSchema`, so only those columns'
   * chunks are read and decoded; an EMPTY projection (count(*)) reads no
-  * data pages at all and emits the footer's row count. */
+  * data pages at all and emits the footer's row count (minus the
+  * deletion vector's). Deletion-vector positions are skipped by a
+  * running row index against the sorted DV — O(1) per row, no lookup
+  * structure. */
 private[graft] class VersionedReaderFactory(requested: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[VersionedFilePartition].file
+    val part = partition.asInstanceOf[VersionedFilePartition]
+    val file = part.file
+    val deleted = part.deleted
     new PartitionReader[InternalRow] {
       private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), new Configuration()))
@@ -387,10 +423,16 @@ private[graft] class VersionedReaderFactory(requested: StructType)
       private var rowsLeft: Long = 0L
       private var current: Group = _
       // footer-count path: no columns requested (count(*)), or the file
-      // predates every requested column — no data pages to read either way
+      // predates every requested column — no data pages to read either
+      // way; DV'd rows never count
       private val noChunks = projected.getFieldCount == 0
       private var emptyRowsLeft: Long =
-        if (noChunks) reader.getRecordCount else 0L
+        if (noChunks) reader.getRecordCount - deleted.length else 0L
+      // running absolute row position in the file (the _metadata.row_index
+      // coordinate the deletion vector is recorded in) and a cursor into
+      // the sorted DV
+      private var rowIdx: Long = -1L
+      private var delPtr: Int = 0
 
       private def advanceRowGroup(): Boolean = {
         val pages = reader.readNextRowGroup()
@@ -409,10 +451,16 @@ private[graft] class VersionedReaderFactory(requested: StructType)
           emptyRowsLeft -= 1
           return true
         }
-        while (rowsLeft == 0L) if (!advanceRowGroup()) return false
-        current = groupReader.read()
-        rowsLeft -= 1
-        true
+        while (true) {
+          while (rowsLeft == 0L) if (!advanceRowGroup()) return false
+          current = groupReader.read()
+          rowsLeft -= 1
+          rowIdx += 1
+          while (delPtr < deleted.length && deleted(delPtr) < rowIdx) delPtr += 1
+          if (delPtr >= deleted.length || deleted(delPtr) != rowIdx) return true
+          // position is deletion-vectored: skip and read on
+        }
+        false // unreachable
       }
 
       override def get(): InternalRow = {

@@ -2,11 +2,26 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The folded table state at one version: the governing add action per
+  * live file (zone maps ride along verbatim), the live deletion vector
+  * per file (sorted row positions deleted merge-on-read), the active
+  * CHECK constraints, the newest recorded schema, and the complete
+  * micro-batch ledger. This is exactly what a log checkpoint serializes
+  * and what every snapshot read folds. */
+private[sources] final class TableState {
+  val adds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  val dv = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+  val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  var schemaB64: Option[String] = None
+  val batchIds = scala.collection.mutable.Set.empty[Long]
+}
 
 /** Snapshot-isolated versioned parquet table — the transactional-lake
   * discipline (the public Delta/Iceberg commit-log pattern) in its
@@ -21,16 +36,27 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - Data files land in `data/` under content-unique names; an
   *     unreferenced data file is invisible, so staging costs nothing.
   *   - A commit is ONE atomic rename into `_log/`: version v is file
-  *     `_log/%012d.json`, whose lines are add/remove actions. The rename
-  *     fails if the version exists — optimistic concurrency; the loser
-  *     re-reads the head and retries on top (append never conflicts
+  *     `_log/%012d.json`, whose lines are add/remove/dvset actions. The
+  *     rename fails if the version exists — optimistic concurrency; the
+  *     loser re-reads the head and retries on top (append never conflicts
   *     semantically; overwrite rebases its remove set).
-  *   - A snapshot is the fold of actions over `_log/0..v` — so
-  *     `readAsOf(v)` is total history reconstruction, and the latest
-  *     read is just the fold at the head. Nothing is ever rewritten in
-  *     place; old versions stay readable until an explicit [[vacuum]]
-  *     ends their time-travel guarantee (a deliberate operator call,
-  *     never a side effect).
+  *   - A snapshot is the fold of actions over the log — and since a fold
+  *     over 10⁵ streaming-epoch commits would make EVERY read pay
+  *     O(versions) metadata I/O, every `checkpointInterval`-th commit
+  *     also writes `_log/%012d.checkpoint`: the folded [[TableState]] to
+  *     that version, serialized as the SAME action lines (adds and
+  *     deletion vectors verbatim, so zone maps and MoR deletes survive
+  *     by reference). A read then folds latest-checkpoint-≤-v plus the
+  *     tail — O(interval) log files at any table age, the Delta
+  *     checkpoint contract. Checkpoints are derived, best-effort, and
+  *     race-safe (same atomic-rename discipline; a missing one only
+  *     means a longer fold). Logs written before checkpointing existed
+  *     (no `.checkpoint` files at all) fold from version 0 unchanged —
+  *     the `fmt` field in the checkpoint header versions the format
+  *     itself.
+  *   - Nothing is ever rewritten in place; old versions stay readable
+  *     until an explicit [[vacuum]] ends their time-travel guarantee (a
+  *     deliberate operator call, never a side effect).
   *
   * This composes with the rest of the engine: the incremental dedup/
   * admission jobs (`q_incremental_dedup`/`_neardup`) read "history" —
@@ -38,7 +64,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * a snapshot — here the snapshot gets a commit. `q_time_travel` is the
   * oracle-checked registry face of this class.
   */
-class VersionedTable(val root: String) {
+class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
+  import VersionedTable._
+
   private def logDir: Path = Paths.get(root, "_log")
   private[sources] def dataDir: Path = Paths.get(root, "data")
 
@@ -50,6 +78,16 @@ class VersionedTable(val root: String) {
     }
 
   private def logName(v: Long): String = f"$v%012d.json"
+  private def checkpointName(v: Long): String = f"$v%012d.checkpoint"
+
+  /** Log + checkpoint files read by this instance — the observable for
+    * the O(interval)-reads-per-snapshot guarantee (asserted in spec). */
+  private[graft] val logFileReads = new AtomicLong(0L)
+
+  private def readLog(p: Path): Seq[String] = {
+    logFileReads.incrementAndGet()
+    Files.readAllLines(p).asScala.toSeq
+  }
 
   /** Latest committed version, -1 for an empty table. */
   def version: Long =
@@ -58,7 +96,10 @@ class VersionedTable(val root: String) {
       .map(_.stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
 
-  /** (version, operation, filesAdded, filesRemoved) per commit. */
+  /** (version, operation, filesAdded, filesRemoved) per commit — the
+    * per-commit audit record, deliberately O(versions): it reads every
+    * commit because it REPORTS every commit. Snapshot reads never come
+    * through here. */
   def history: Seq[(Long, String, Int, Int)] =
     (0L to version).map { v =>
       val lines = Files.readAllLines(logDir.resolve(logName(v))).asScala
@@ -72,21 +113,99 @@ class VersionedTable(val root: String) {
         lines.count(_.contains("\"op\":\"remove\"")))
     }
 
-  /** The live file set at version v: fold add/remove over _log/0..v. */
-  def filesAt(v: Long): Seq[String] = {
-    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val file = "\"file\":\"([^\"]+)\"".r
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    (0L to v).foreach { i =>
-      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
-        file.findFirstMatchIn(l).foreach { m =>
-          if (l.contains("\"op\":\"add\"")) live += m.group(1)
-          else if (l.contains("\"op\":\"remove\"")) live -= m.group(1)
-        }
-      }
+  // ------------------------------------------------------------------
+  // The state fold: checkpoint seed + tail
+  // ------------------------------------------------------------------
+
+  private def foldLine(st: TableState, l: String): Unit = {
+    if (l.contains("\"op\":\"add\"")) fileOf(l).foreach { f =>
+      st.adds(f) = l; st.dv -= f // a (re-)added file starts DV-clean
     }
-    live.toSeq.map(n => dataDir.resolve(n).toString)
+    else if (l.contains("\"op\":\"remove\"")) fileOf(l).foreach { f =>
+      st.adds -= f; st.dv -= f
+    }
+    else if (l.contains("\"op\":\"dvset\"")) fileOf(l).foreach { f =>
+      val pos = DvPosRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+      if (pos.isEmpty) st.dv -= f
+      else st.dv(f) = pos.split(',').map(_.toLong)
+    }
+    if (l.contains("constraint")) {
+      AddConstraintRe.findFirstMatchIn(l).foreach(m => st.constraints(m.group(1)) =
+        new String(java.util.Base64.getDecoder.decode(m.group(2)), "UTF-8"))
+      DropConstraintRe.findFirstMatchIn(l).foreach(m => st.constraints -= m.group(1))
+    }
+    if (l.contains("schemaB64"))
+      SchemaRe.findFirstMatchIn(l).foreach(m => st.schemaB64 = Some(m.group(1)))
+    if (l.contains("batchId"))
+      BatchIdRe.findFirstMatchIn(l).foreach(m => st.batchIds += m.group(1).toLong)
   }
+
+  private def latestCheckpointAtOrBefore(v: Long): Option[Long] =
+    listDir(logDir).map(_.getFileName.toString)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .filter(_ <= v)
+      .maxOption
+
+  /** The folded [[TableState]] at version v: seed from the latest
+    * checkpoint ≤ v (if any), then fold only the tail — O(interval) log
+    * files at any version count instead of O(versions). Logs from
+    * before checkpointing fold from 0, unchanged semantics. */
+  private[sources] def stateAt(v: Long): TableState = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val st = new TableState
+    val cp = latestCheckpointAtOrBefore(v)
+    cp.foreach(c => readLog(logDir.resolve(checkpointName(c))).foreach(foldLine(st, _)))
+    ((cp.getOrElse(-1L) + 1L) to v).foreach { i =>
+      readLog(logDir.resolve(logName(i))).foreach(foldLine(st, _))
+    }
+    st
+  }
+
+  /** Write `_log/%012d.checkpoint` for version v when v is a multiple of
+    * [[checkpointInterval]] — the folded state to v in the SAME line
+    * format the log uses (add actions and dvsets verbatim, constraints
+    * replayed, the batch ledger as `cpbatch` lines), landed with the
+    * same tmp + atomic-rename discipline as a commit. Best-effort and
+    * idempotent: a lost race or failure leaves reads folding a longer
+    * tail, never wrong. */
+  private def maybeCheckpoint(v: Long): Unit = {
+    if (checkpointInterval <= 0 || v <= 0 || v % checkpointInterval != 0) return
+    val target = logDir.resolve(checkpointName(v))
+    if (Files.exists(target)) return
+    try {
+      val st = stateAt(v)
+      val schemaPart = st.schemaB64.map(s => s""","schemaB64":"$s"""").getOrElse("")
+      val lines =
+        Seq(s"""{"op":"cp","fmt":1,"v":$v$schemaPart}""") ++
+          st.constraints.toSeq.map { case (n, sql) =>
+            val b64 = java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8"))
+            s"""{"op":"meta","operation":"add_constraint","cname":"$n","exprB64":"$b64"}"""
+          } ++
+          st.batchIds.toSeq.sorted.map(id => s"""{"op":"cpbatch","batchId":$id}""") ++
+          st.adds.values ++
+          st.dv.toSeq.map { case (f, pos) =>
+            s"""{"op":"dvset","file":"$f","positions":"${pos.mkString(",")}"}"""
+          }
+      val tmp = logDir.resolve(s".cptmp-${UUID.randomUUID()}")
+      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      try Files.move(tmp, target)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot accessors (all ride the checkpointed fold)
+  // ------------------------------------------------------------------
+
+  /** The live file set at version v. */
+  def filesAt(v: Long): Seq[String] =
+    stateAt(v).adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
+
+  /** Live deletion vector per file at v (file name → sorted deleted row
+    * positions) — the merge-on-read state a snapshot read subtracts. */
+  def dvAt(v: Long): Map[String, Seq[Long]] =
+    stateAt(v).dv.map { case (f, a) => (f, a.toSeq) }.toMap
 
   /** Files ADDED by commit v alone — the micro-batch a log-tailing
     * streaming consumer ([[VersionedStreamProvider]]) serves for that
@@ -95,10 +214,9 @@ class VersionedTable(val root: String) {
     * story. */
   def filesAddedAt(v: Long): Seq[String] = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val file = "\"file\":\"([^\"]+)\"".r
     Files.readAllLines(logDir.resolve(logName(v))).asScala.toSeq
       .filter(_.contains("\"op\":\"add\""))
-      .flatMap(l => file.findFirstMatchIn(l).map(_.group(1)))
+      .flatMap(l => fileOf(l))
       .map { n =>
         val p = dataDir.resolve(n)
         require(Files.exists(p),
@@ -111,34 +229,27 @@ class VersionedTable(val root: String) {
 
   /** Snapshot read under the LOG-CARRIED schema of that version (the
     * public Delta pattern: schema evolution lives in the commit meta,
-    * not in a footer union scan). Files written before a column existed
-    * are null-filled by the parquet reader; commits from before schema
+    * not in a footer union scan), minus each file's deletion vector
+    * (merge-on-read). Files written before a column existed are
+    * null-filled by the parquet reader; commits from before schema
     * tracking fall back to footer inference. A version with NO live
     * files (a delete-all, or a restore to one) reads as an empty frame
     * under its recorded schema — only schema-less empty logs (possible
     * solely in pre-tracking history) are unreadable. */
   def readAsOf(spark: SparkSession, v: Long): DataFrame = {
-    val files = filesAt(v)
-    val sch = schemaAt(v)
+    val st = stateAt(v)
+    val files = st.adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
+    val sch = st.schemaB64.map(decodeSchema)
     if (files.isEmpty) {
       require(sch.isDefined, s"version $v has no live files and no recorded schema")
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get)
-    } else sch.map(spark.read.schema).getOrElse(spark.read).parquet(files: _*)
+    } else readFiles(spark, files, sch, st.dv)
   }
 
   /** The table schema AS OF version v — the newest schema recorded in
-    * `_log/0..v`. None for logs written before schema tracking. */
-  def schemaAt(v: Long): Option[StructType] = {
-    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val b64 = "\"schemaB64\":\"([^\"]+)\"".r
-    (0L to v).reverse.iterator.flatMap { i =>
-      Files.readAllLines(logDir.resolve(logName(i))).asScala
-        .flatMap(l => b64.findFirstMatchIn(l).map(_.group(1)))
-    }.nextOption().map(s => DataType.fromJson(
-      new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
-      .asInstanceOf[StructType])
-  }
+    * the log up to v. None for logs written before schema tracking. */
+  def schemaAt(v: Long): Option[StructType] = stateAt(v).schemaB64.map(decodeSchema)
 
   private[sources] def metaLine(op: String, schema: StructType, extra: String = ""): String = {
     val b64 = java.util.Base64.getEncoder
@@ -173,19 +284,7 @@ class VersionedTable(val root: String) {
     * against every active constraint before its commit can land. */
   def constraintsAt(v: Long): Map[String, String] = {
     if (v < 0) return Map.empty
-    require(v <= version, s"version $v outside [0, $version]")
-    val add =
-      "\"operation\":\"add_constraint\",\"cname\":\"([^\"]+)\",\"exprB64\":\"([^\"]+)\"".r
-    val drop = "\"operation\":\"drop_constraint\",\"cname\":\"([^\"]+)\"".r
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    (0L to v).foreach { i =>
-      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
-        add.findFirstMatchIn(l).foreach(m => live(m.group(1)) = new String(
-          java.util.Base64.getDecoder.decode(m.group(2)), "UTF-8"))
-        drop.findFirstMatchIn(l).foreach(m => live -= m.group(1))
-      }
-    }
-    live.toMap
+    stateAt(v).constraints.toMap
   }
 
   /** Register a CHECK constraint (a boolean SQL expression over the
@@ -237,7 +336,7 @@ class VersionedTable(val root: String) {
   private[sources] def enforce(df: DataFrame, cs: Map[String, String],
       what: String = "incoming rows"): Unit = {
     if (cs.isEmpty) return
-    import org.apache.spark.sql.functions.{expr, sum, when, lit}
+    import org.apache.spark.sql.functions.{expr, sum, when}
     val names = cs.keys.toSeq
     val aggs = names.map { n =>
       val p = expr(cs(n))
@@ -253,23 +352,38 @@ class VersionedTable(val root: String) {
   }
 
   /** Atomic commit of version v. Returns false when v was taken by a
-    * concurrent writer (caller re-reads the head and retries). */
+    * concurrent writer (caller re-reads the head and retries). Every
+    * `checkpointInterval`-th landed commit also materializes a log
+    * checkpoint (best-effort, see [[maybeCheckpoint]]). */
   private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, actions.mkString("\n").getBytes("UTF-8"))
-    try { Files.move(tmp, logDir.resolve(logName(v))); true }
-    catch {
+    try {
+      Files.move(tmp, logDir.resolve(logName(v)))
+      maybeCheckpoint(v)
+      true
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp); false
     }
   }
 
-  /** Per-file min/max of an INT64 column straight from the parquet
-    * FOOTER — metadata only, zero data pages (at 100 TB these numbers
-    * come from the writer's own row-group stats; here we read them back
-    * the same way any lake engine's stats collector does). */
-  private def footerMinMax(file: Path, column: String): Option[(Long, Long)] = {
+  // ------------------------------------------------------------------
+  // Footer stats harvesting (zone maps): INT32/INT64 and BYTE_ARRAY
+  // ------------------------------------------------------------------
+
+  /** Per-file min/max of a column straight from the parquet FOOTER —
+    * metadata only, zero data pages (at 100 TB these numbers come from
+    * the writer's own row-group stats; here we read them back the same
+    * way any lake engine's stats collector does). INT32/INT64 yield a
+    * Long interval; BYTE_ARRAY (string) yields truncated-bound byte
+    * intervals (see [[VersionedTable.truncMax]] — the min bound is a
+    * sound prefix, the max bound a sound increment, exactly the
+    * Iceberg/Delta truncate(N) discipline, so pruning on arbitrarily
+    * long values stays correct while the log stays small). */
+  private def footerStats(file: Path,
+      column: String): Option[Either[(Long, Long), (String, String)]] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toString),
       new org.apache.hadoop.conf.Configuration())
@@ -278,26 +392,37 @@ class VersionedTable(val root: String) {
       val chunks = r.getFooter.getBlocks.asScala.toList.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column)
       }
-      // mirror VersionedDataWriter's guard: anything but INT32/INT64
-      // (double, string, boolean, ...) gets a diagnosable error, not a
-      // bare MatchError out of the stats accessors below
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      // anything outside the stats lattice (double, boolean, ...) gets a
+      // diagnosable error, not a bare MatchError out of the accessors
       chunks.foreach { c =>
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
         val p = c.getPrimitiveType.getPrimitiveTypeName
-        require(p == INT64 || p == INT32,
-          s"statsCol must be integer-typed, got $p for column '$column'")
+        require(p == INT64 || p == INT32 || p == BINARY,
+          s"statsCol must be integer- or string-typed, got $p for column '$column'")
       }
       val stats = chunks.map(_.getStatistics)
       if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
-      else Some((
-        stats.map(_.genericGetMin match {
-          case l: java.lang.Long => l.longValue
-          case i: java.lang.Integer => i.longValue
-        }).min,
-        stats.map(_.genericGetMax match {
-          case l: java.lang.Long => l.longValue
-          case i: java.lang.Integer => i.longValue
-        }).max))
+      else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
+        case BINARY =>
+          val mins = stats.map(_.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+          val maxs = stats.map(_.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+          val mn = truncMin(mins.reduce((a, b) => if (ucmp(a, b) <= 0) a else b))
+          truncMax(maxs.reduce((a, b) => if (ucmp(a, b) >= 0) a else b)).map { mx =>
+            Right((b64(mn), b64(mx)))
+          }
+        case _ =>
+          Some(Left((
+            stats.map(_.genericGetMin match {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+            }).min,
+            stats.map(_.genericGetMax match {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+            }).max)))
+      }
     } finally r.close()
   }
 
@@ -309,11 +434,12 @@ class VersionedTable(val root: String) {
     stageMulti(spark, df, statsCol.toSeq)
 
   /** Multi-column variant: harvest footer min/max for EVERY column in
-    * `statsCols`. One recorded column keeps the legacy single-stat add
-    * action (older logs parse unchanged); two or more land in a packed
-    * `multi` field — the multi-dimensional zone map a z-ordered layout
-    * needs, since its whole point is that BOTH clustered columns have
-    * tight per-file intervals. */
+    * `statsCols`. One recorded Long column keeps the legacy single-stat
+    * add action (older logs parse unchanged); one string column lands in
+    * `scol`/`smin`/`smax` (base64 truncated bounds); two or more pack
+    * into `multi` (string entries tagged `s:`) — the multi-dimensional
+    * zone map a z-ordered layout needs, since its whole point is that
+    * BOTH clustered columns have tight per-file intervals. */
   private def stageMulti(spark: SparkSession, df: DataFrame,
       statsCols: Seq[String]): Seq[String] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
@@ -324,15 +450,19 @@ class VersionedTable(val root: String) {
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
     val actions = parts.zipWithIndex.map { case (p, i) =>
       val name = s"${UUID.randomUUID().toString.take(8)}-$i.parquet"
-      val stats = statsCols.flatMap(c => footerMinMax(p, c).map((c, _)))
+      val stats = statsCols.flatMap(c => footerStats(p, c).map((c, _)))
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       stats match {
-        case Seq((c, (lo, hi))) =>
+        case Seq((c, Left((lo, hi)))) =>
           s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
+        case Seq((c, Right((mn, mx)))) =>
+          s"""{"op":"add","file":"$name","scol":"$c","smin":"$mn","smax":"$mx"}"""
         case Seq() => s"""{"op":"add","file":"$name"}"""
         case many =>
-          val packed = many.map { case (c, (lo, hi)) => s"$c,$lo,$hi" }
-            .mkString("|")
+          val packed = many.map {
+            case (c, Left((lo, hi))) => s"$c,$lo,$hi"
+            case (c, Right((mn, mx))) => s"$c,s:$mn,s:$mx"
+          }.mkString("|")
           s"""{"op":"add","file":"$name","multi":"$packed"}"""
       }
     }
@@ -342,7 +472,11 @@ class VersionedTable(val root: String) {
   }
 
   private def fileOf(action: String): Option[String] =
-    "\"file\":\"([^\"]+)\"".r.findFirstMatchIn(action).map(_.group(1))
+    FileRe.findFirstMatchIn(action).map(_.group(1))
+
+  // ------------------------------------------------------------------
+  // Write paths
+  // ------------------------------------------------------------------
 
   /** Append: stage once, then race for the next version number (an
     * append's actions are head-independent, so a lost race just retries
@@ -365,13 +499,11 @@ class VersionedTable(val root: String) {
   }
 
   /** Micro-batch ids already committed — the dedup ledger for
-    * [[appendBatch]], read straight from the log's meta lines. */
+    * [[appendBatch]]. Checkpoints carry the FULL ledger forward
+    * (`cpbatch` lines), so this too is O(interval) log reads. */
   def committedBatchIds: Set[Long] = {
-    val id = "\"batchId\":(-?\\d+)".r
-    (0L to version).flatMap { v =>
-      Files.readAllLines(logDir.resolve(logName(v))).asScala
-        .flatMap(l => id.findFirstMatchIn(l).map(_.group(1).toLong))
-    }.toSet
+    val head = version
+    if (head < 0) Set.empty else stateAt(head).batchIds.toSet
   }
 
   /** Exactly-once streaming ingest: append one micro-batch under its
@@ -467,6 +599,11 @@ class VersionedTable(val root: String) {
     committed
   }
 
+  // ------------------------------------------------------------------
+  // DELETE: copy-on-write (zone-map-pruned rewrite) and merge-on-read
+  // (deletion vectors)
+  // ------------------------------------------------------------------
+
   /** Row-level DELETE of `column IN [lo, hi]`, copy-on-write with
     * file-granularity pruning: only live files whose recorded zone map
     * CAN intersect the predicate are rewritten (minus the matching
@@ -478,70 +615,229 @@ class VersionedTable(val root: String) {
     * version, or the current head when no file can match. The deleted
     * rows stay time-travelable until [[vacuum]] — an explicit,
     * operator-visible retention decision, exactly like the lake
-    * engines' vacuum-completes-the-delete contract.
+    * engines' vacuum-completes-the-delete contract. For a
+    * needle-in-haystack delete that would rewrite whole files for a
+    * handful of rows, prefer [[deleteRowsWhere]] (merge-on-read).
     */
   def deleteWhere(spark: SparkSession, column: String, lo: Long, hi: Long): Long = {
     import org.apache.spark.sql.functions.col
+    deleteCoW(spark, "delete",
+      touched = st => st.adds.toSeq.collect {
+        // a file dodges the rewrite only when it has stats ON THE
+        // PREDICATE COLUMN and the interval provably misses
+        case (n, line) if longStatsOf(line).toMap.get(column)
+          .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => n
+      },
+      survivors = df => df.filter(!col(column).between(lo, hi) || col(column).isNull),
+      statsCols = Seq(column))
+  }
+
+  /** Row-level DELETE of `column IN (values)` for a STRING column,
+    * copy-on-write with string-zone-map pruning: a live file is
+    * rewritten only when its recorded (truncated-bound) byte interval
+    * on `column` can contain at least one of the values — the corpus
+    * shape ("drop these sources / langs") where the predicate column is
+    * text, not a key range. Same carry-by-reference, NULL-survives,
+    * time-travel-until-vacuum contract as [[deleteWhere]]. */
+  def deleteWhereIn(spark: SparkSession, column: String, values: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "deleteWhereIn needs at least one value")
+    val vb = values.map(_.getBytes("UTF-8"))
+    deleteCoW(spark, "delete",
+      touched = st => st.adds.toSeq.collect {
+        case (n, line) if strStatsOf(line).toMap.get(column)
+          .forall { case (mn, mx) =>
+            vb.exists(v => ucmp(mn, v) <= 0 && ucmp(v, mx) <= 0)
+          } => n
+      },
+      survivors = df => df.filter(!col(column).isin(values: _*) || col(column).isNull),
+      statsCols = Seq(column))
+  }
+
+  /** Shared copy-on-write delete skeleton: prune the implicated file set
+    * from the log's zone maps, read ONLY those files (DV-aware — rows a
+    * prior merge-on-read delete removed must not resurrect), rewrite the
+    * survivors, carry everything else by reference. Rebases on a lost
+    * commit race like [[merge]]. */
+  private def deleteCoW(spark: SparkSession, op: String,
+      touched: TableState => Seq[String],
+      survivors: DataFrame => DataFrame,
+      statsCols: Seq[String]): Long = {
     var committed = -1L
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to delete from")
-      val touched = filesWithMultiStatsAt(head).collect {
-        // a file dodges the rewrite only when it has stats ON THE
-        // PREDICATE COLUMN and the interval provably misses
-        case (p, st) if st.toMap.get(column)
-          .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => p
-      }
-      if (touched.isEmpty) return head
-      val reader = schemaAt(head).map(spark.read.schema).getOrElse(spark.read)
-      val survivors = reader.parquet(touched: _*)
-        .filter(!col(column).between(lo, hi) || col(column).isNull)
-      val adds = stage(spark, survivors, Some(column))
-      val removes = touched.map(p => Paths.get(p).getFileName.toString)
-      val metaL = schemaAt(head).map(metaLine("delete", _))
-        .getOrElse("""{"op":"meta","operation":"delete"}""")
+      val st = stateAt(head)
+      val hit = touched(st)
+      if (hit.isEmpty) return head
+      val sch = st.schemaB64.map(decodeSchema)
+      val kept = survivors(
+        readFiles(spark, hit.map(n => dataDir.resolve(n).toString), sch, st.dv))
+      val adds = stageMulti(spark, kept, statsCols)
+      val metaL = sch.map(metaLine(op, _))
+        .getOrElse(s"""{"op":"meta","operation":"$op"}""")
       val actions = metaL +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+        (hit.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
   }
 
+  /** Merge-on-read DELETE (deletion vectors): rows matching the SQL
+    * `predicate` are deleted by COMMITTING THEIR POSITIONS, not by
+    * rewriting files — one `dvset` action per touched file carries the
+    * file's complete deleted-position set, and every read path (library,
+    * DSv2 batch, change feed) subtracts it. The needle-per-file shape
+    * ([[deleteWhere]]'s worst case: one matching row in each of 10⁴
+    * files would rewrite all of them) commits in O(matches) metadata.
+    * Costs at read time: DV'd files are served through a broadcast
+    * anti-join on (file, row position); [[compact]] folds DVs back into
+    * clean files, which is the maintenance step that bounds that tax.
+    * `maxRows` caps the match set (positions travel through the driver
+    * into the log) — a bulk delete past the cap fails loudly and should
+    * use the copy-on-write path instead. NULL predicate rows survive
+    * (three-valued, same as deleteWhere). Rebases on a lost race by
+    * recomputing positions against the new head. Returns the new
+    * version, or the head when nothing matches.
+    */
+  def deleteRowsWhere(spark: SparkSession, predicate: String,
+      maxRows: Int = 100000): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    var committed = -1L
+    while (committed < 0) {
+      val head = version
+      require(head >= 0, "nothing to delete from")
+      val st = stateAt(head)
+      if (st.adds.isEmpty) return head
+      val paths = st.adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
+      val sch = st.schemaB64.map(decodeSchema)
+      val hits = readFilesWithMeta(spark, paths, sch, st.dv)
+        .filter(expr(predicate))
+        .select(col(DvFileCol), col(DvPosCol))
+        .limit(maxRows + 1)
+        .collect()
+      require(hits.length <= maxRows,
+        s"merge-on-read delete matched more than $maxRows rows; " +
+          "use the copy-on-write deleteWhere/deleteWhereIn path for bulk deletes")
+      if (hits.isEmpty) return head
+      val dvsets = hits.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (f, rows) =>
+          val merged = (st.dv.getOrElse(f, Array.empty[Long]) ++
+            rows.map(_.getLong(1))).distinct.sorted
+          s"""{"op":"dvset","file":"$f","positions":"${merged.mkString(",")}"}"""
+        }
+      val metaL = st.schemaB64
+        .map(s => s"""{"op":"meta","operation":"delete_mor","schemaB64":"$s"}""")
+        .getOrElse("""{"op":"meta","operation":"delete_mor"}""")
+      if (commit(head + 1, metaL +: dvsets)) committed = head + 1
+    }
+    committed
+  }
+
+  // ------------------------------------------------------------------
+  // DV-aware file readers
+  // ------------------------------------------------------------------
+
+  private def reader(spark: SparkSession, sch: Option[StructType]) =
+    sch.map(spark.read.schema).getOrElse(spark.read)
+
+  /** Read `paths` under `sch`, subtracting each file's deletion vector.
+    * Files with no DV take the plain parquet scan (bit-identical plan to
+    * the pre-DV engine); DV'd files anti-join a BROADCAST (file, pos)
+    * set on the parquet reader's `_metadata` columns — the deleted set
+    * is bounded by [[deleteRowsWhere]]'s cap, so the join is always a
+    * small-side broadcast hash, never a shuffle. */
+  private[sources] def readFiles(spark: SparkSession, paths: Seq[String],
+      sch: Option[StructType],
+      dv: scala.collection.Map[String, Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirty = paths.filter(p => dv.get(Paths.get(p).getFileName.toString)
+      .exists(_.nonEmpty))
+    if (dirty.isEmpty) return reader(spark, sch).parquet(paths: _*)
+    val clean = paths.filterNot(dirty.contains)
+    val filtered = {
+      val withMeta = readFilesWithMeta(spark, dirty, sch, dv)
+      val cols = withMeta.columns.filterNot(c => c == DvFileCol || c == DvPosCol)
+      withMeta.select(cols.map(col): _*)
+    }
+    if (clean.isEmpty) filtered
+    else reader(spark, sch).parquet(clean: _*).unionByName(filtered)
+  }
+
+  /** Like [[readFiles]] but keeps the (file name, row position) metadata
+    * columns — what [[deleteRowsWhere]] needs to turn matches into
+    * `dvset` positions. Already-deleted positions are subtracted first,
+    * so a second MoR delete never re-deletes or resurrects. */
+  private def readFilesWithMeta(spark: SparkSession, paths: Seq[String],
+      sch: Option[StructType],
+      dv: scala.collection.Map[String, Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val raw = reader(spark, sch).parquet(paths: _*)
+    val base = raw.select(raw.columns.map(col) :+
+      col("_metadata.file_name").as(DvFileCol) :+
+      col("_metadata.row_index").as(DvPosCol): _*)
+    val names = paths.map(p => Paths.get(p).getFileName.toString).toSet
+    val pairs = dv.toSeq.collect { case (f, pos) if names(f) && pos.nonEmpty =>
+      pos.map(p => (f, p)).toSeq
+    }.flatten
+    if (pairs.isEmpty) base
+    else {
+      import spark.implicits._
+      base.join(broadcast(pairs.toDF(DvFileCol, DvPosCol)),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    }
+  }
+
+  /** Read ONLY the given (file → positions) rows — the change feed's
+    * positional read for DV-grown (deleted) and DV-shrunk (restored)
+    * rows. Inner broadcast join on the same metadata pair. */
+  private def readOnlyPositions(spark: SparkSession, sch: Option[StructType],
+      posByFile: Seq[(String, Array[Long])]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val nonEmpty = posByFile.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) return None
+    val paths = nonEmpty.map { case (f, _) => dataDir.resolve(f).toString }
+    val raw = reader(spark, sch).parquet(paths: _*)
+    val cols = raw.columns
+    import spark.implicits._
+    val pairs = nonEmpty.flatMap { case (f, pos) => pos.map(p => (f, p)) }
+      .toDF(DvFileCol, DvPosCol)
+    Some(raw.select(raw.columns.map(col) :+
+        col("_metadata.file_name").as(DvFileCol) :+
+        col("_metadata.row_index").as(DvPosCol): _*)
+      .join(broadcast(pairs), Seq(DvFileCol, DvPosCol), "inner")
+      .select(cols.map(col): _*))
+  }
+
+  // ------------------------------------------------------------------
+  // Zone-map accessors and pruned reads
+  // ------------------------------------------------------------------
+
   /** The live (file, stats) set at v: the same log fold as [[filesAt]]
     * but keeping each add's recorded skipping interval (first recorded
-    * column when several exist — the legacy single-column view). */
+    * Long column when several exist — the legacy single-column view). */
   def filesWithStatsAt(v: Long): Seq[(String, Option[(String, Long, Long)])] =
     filesWithMultiStatsAt(v).map { case (p, st) =>
       (p, st.headOption.map { case (c, (lo, hi)) => (c, lo, hi) })
     }
 
-  /** The live (file, per-column zone map) set at v — every recorded
-    * (col → [min, max]) interval per file, in recording order. Single-
-    * column adds (the legacy action form) parse as a one-entry map. */
-  def filesWithMultiStatsAt(v: Long): Seq[(String, Seq[(String, (Long, Long))])] = {
-    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val single = "\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)".r
-    val multi = "\"multi\":\"([^\"]+)\"".r
-    val live = scala.collection.mutable.LinkedHashMap
-      .empty[String, Seq[(String, (Long, Long))]]
-    (0L to v).foreach { i =>
-      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
-        fileOf(l).foreach { f =>
-          if (l.contains("\"op\":\"add\"")) {
-            val m = multi.findFirstMatchIn(l).map(_.group(1).split('|').toSeq
-              .map { part =>
-                val Array(c, lo, hi) = part.split(',')
-                (c, (lo.toLong, hi.toLong))
-              })
-            val s = single.findFirstMatchIn(l).map(mm =>
-              Seq((mm.group(1), (mm.group(2).toLong, mm.group(3).toLong))))
-            live(f) = m.orElse(s).getOrElse(Nil)
-          } else if (l.contains("\"op\":\"remove\"")) live -= f
-        }
-      }
+  /** The live (file, per-column Long zone map) set at v — every recorded
+    * integer (col → [min, max]) interval per file, in recording order.
+    * Single-column adds (the legacy action form) parse as a one-entry
+    * map; string intervals are served by [[filesWithStringStatsAt]]. */
+  def filesWithMultiStatsAt(v: Long): Seq[(String, Seq[(String, (Long, Long))])] =
+    stateAt(v).adds.toSeq.map { case (n, line) =>
+      (dataDir.resolve(n).toString, longStatsOf(line))
     }
-    live.toSeq.map { case (n, s) => (dataDir.resolve(n).toString, s) }
-  }
+
+  /** The live (file, per-column STRING zone map) set at v — recorded
+    * truncated byte bounds per file, base64-encoded (col → (minB64,
+    * maxB64)). The audit face of string skipping. */
+  def filesWithStringStatsAt(v: Long): Seq[(String, Seq[(String, (String, String))])] =
+    stateAt(v).adds.toSeq.map { case (n, line) =>
+      (dataDir.resolve(n).toString,
+        strStatsOf(line).map { case (c, (mn, mx)) => (c, (b64(mn), b64(mx))) })
+    }
 
   /** Data-skipping read: files whose recorded [min, max] interval on
     * `column` cannot intersect [lo, hi] are never opened (files with no
@@ -553,7 +849,7 @@ class VersionedTable(val root: String) {
       lo: Long, hi: Long): DataFrame = {
     val files = prunedFiles(v, column, lo, hi)
     require(files.nonEmpty, s"no candidate files for [$lo, $hi] at version $v")
-    spark.read.parquet(files: _*)
+    readFiles(spark, files, None, stateAt(v).dv)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
@@ -566,12 +862,46 @@ class VersionedTable(val root: String) {
         .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => path
     }
 
+  /** String-predicate skipping: candidate files for `column IN (values)`
+    * under the recorded truncated byte bounds (unsigned lexicographic,
+    * the parquet BINARY stats order). No stats on the column → always a
+    * candidate (sound). */
+  def prunedFilesIn(v: Long, column: String, values: Seq[String]): Seq[String] = {
+    val vb = values.map(_.getBytes("UTF-8"))
+    stateAt(v).adds.toSeq.collect {
+      case (n, line) if strStatsOf(line).toMap.get(column)
+        .forall { case (mn, mx) =>
+          vb.exists(x => ucmp(mn, x) <= 0 && ucmp(x, mx) <= 0)
+        } => dataDir.resolve(n).toString
+    }
+  }
+
+  /** Data-skipping read on a STRING equality/IN predicate — the
+    * `lang = 'en'` shape a corpus table actually filters on. Same
+    * sound-not-complete contract as [[readWhere]]: the residual filter
+    * keeps the result exact however coarse the truncated bounds are. */
+  def readWhereIn(spark: SparkSession, v: Long, column: String,
+      values: Seq[String]): DataFrame = {
+    val files = prunedFilesIn(v, column, values)
+    require(files.nonEmpty,
+      s"no candidate files for $column IN (${values.mkString(", ")}) at version $v")
+    readFiles(spark, files, None, stateAt(v).dv)
+      .filter(org.apache.spark.sql.functions.col(column).isin(values: _*))
+  }
+
+  // ------------------------------------------------------------------
+  // Maintenance: compaction, z-order, restore, vacuum
+  // ------------------------------------------------------------------
+
   /** Compaction (the OPTIMIZE step): rewrite the current snapshot's
     * files into `targetFiles` larger ones and commit remove-all/add-all
     * — logically a no-op (the snapshot's rows are identical before and
     * after, which the spec asserts), physically the small-files repair
-    * every streaming-ingested table needs. Older versions still resolve
-    * to the ORIGINAL files, so time travel survives compaction until an
+    * every streaming-ingested table needs. Deletion vectors FOLD IN:
+    * the rewrite reads the DV-subtracted snapshot and the new files
+    * start DV-clean, so compaction is also the maintenance step that
+    * retires merge-on-read debt. Older versions still resolve to the
+    * ORIGINAL files, so time travel survives compaction until an
     * explicit [[vacuum]] reclaims them.
     *
     * Like [[merge]] (and unlike [[append]]), a lost commit race cannot
@@ -608,8 +938,18 @@ class VersionedTable(val root: String) {
     * is the maintenance job that buys it). Buckets are equal-width over
     * each column's observed range (swap in rank buckets for heavily
     * skewed keys); the rewrite is one range repartition on the morton
-    * key. Logically a no-op like [[compact]], with the same lost-race
-    * rebase discipline and time-travel guarantee. */
+    * key. Logically a no-op like [[compact]] (DVs fold in the same
+    * way), with the same lost-race rebase discipline and time-travel
+    * guarantee.
+    *
+    * Documented limitation: a clustering column whose OBSERVED span
+    * exceeds the BIGINT range (lo near Long.MinValue AND hi near
+    * Long.MaxValue, so hi - lo wraps negative) is refused with a
+    * diagnosable error rather than bucketed with unsigned arithmetic —
+    * full-span surrogate keys should be bucketed by their high bits
+    * before clustering. Every narrower span (including the full
+    * positive range) takes the overflow-free divide-first branch below.
+    */
   def compactZOrder(spark: SparkSession, colA: String, colB: String,
       targetFiles: Int = 8, bits: Int = 8): Long = {
     import org.apache.spark.sql.functions.{col, expr, min, max}
@@ -669,30 +1009,16 @@ class VersionedTable(val root: String) {
     committed
   }
 
-  /** name → its governing add action line (the LATEST add), live at v —
-    * the payload [[restore]] replays so recorded zone maps (single- or
-    * multi-column) survive a rollback by reference. */
-  private def addActionsAt(v: Long): scala.collection.mutable.LinkedHashMap[String, String] = {
-    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    (0L to v).foreach { i =>
-      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
-        fileOf(l).foreach { f =>
-          if (l.contains("\"op\":\"add\"")) live(f) = l
-          else if (l.contains("\"op\":\"remove\"")) live -= f
-        }
-      }
-    }
-    live
-  }
-
   /** RESTORE TO VERSION AS OF: roll the head back to exactly version
     * `toVersion`'s snapshot as a NEW commit — the rollback after a bad
     * ingest, merge, or re-freeze. Pure metadata: live files the two
     * versions share are left untouched, the head's extras are removed,
-    * and `toVersion`'s missing files are re-added BY REFERENCE, replaying
+    * `toVersion`'s missing files are re-added BY REFERENCE, replaying
     * their ORIGINAL add actions so zone maps ride along and post-restore
-    * pruning stays as selective as it was at `toVersion`. No data file
+    * pruning stays as selective as it was at `toVersion` — and each
+    * surviving file's DELETION VECTOR is reset to its `toVersion` state
+    * (a `dvset` per file whose DV differs), so merge-on-read deletes
+    * roll back and forward exactly like file-level state. No data file
     * is moved or rewritten — O(log) work at any table size — and the
     * undone window remains time-travelable (the restore is itself a
     * commit) until an explicit [[vacuum]]. CHECK constraints registered
@@ -705,28 +1031,42 @@ class VersionedTable(val root: String) {
     * head file becomes a remove and the constraint re-validation scan
     * is skipped (no rows, nothing to violate). */
   def restore(spark: SparkSession, toVersion: Long): Long = {
-    val adds = addActionsAt(toVersion)
+    val target = stateAt(toVersion)
+    val adds = target.adds
     adds.keys.foreach { n =>
       require(Files.exists(dataDir.resolve(n)),
         s"version $toVersion data file $n was vacuumed; cannot restore")
     }
-    val metaL = schemaAt(toVersion).map(metaLine("restore", _))
+    val metaL = target.schemaB64.map(s => metaLine("restore", decodeSchema(s)))
       .getOrElse("""{"op":"meta","operation":"restore"}""")
     var validated: Option[Map[String, String]] = None
     var committed = -1L
     while (committed < 0) {
       val head = version
       require(toVersion <= head, s"version $toVersion outside [0, $head]")
-      val cs = constraintsAt(head)
+      val headSt = stateAt(head)
+      val cs = headSt.constraints.toMap
       if (adds.nonEmpty && !validated.contains(cs)) {
         enforce(readAsOf(spark, toVersion), cs, s"restored snapshot v$toVersion")
         validated = Some(cs)
       }
-      val headNames = filesAt(head).map(p => Paths.get(p).getFileName.toString)
-      val removes = headNames.filterNot(adds.contains)
+      val headNames = headSt.adds.keySet
+      val removes = headNames.toSeq.filterNot(adds.contains)
       val readds = adds.filterNot { case (n, _) => headNames.contains(n) }
+      // DV reconciliation: after the replayed adds, every re-added file
+      // is DV-clean and every kept file carries the HEAD's DV — emit a
+      // dvset wherever the target state differs
+      val dvFixes = adds.keys.toSeq.flatMap { f =>
+        val want = target.dv.getOrElse(f, Array.empty[Long])
+        val have =
+          if (headNames.contains(f)) headSt.dv.getOrElse(f, Array.empty[Long])
+          else Array.empty[Long]
+        if (java.util.Arrays.equals(want, have)) None
+        else Some(s"""{"op":"dvset","file":"$f","positions":"${want.mkString(",")}"}""")
+      }
       val actions = metaL +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ readds.values)
+        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++
+          readds.values ++ dvFixes)
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
@@ -751,50 +1091,159 @@ class VersionedTable(val root: String) {
     victims
   }
 
-  /** Change feed between two snapshots: every row whose file was added
-    * in (fromV, toV] tagged `insert`, every row whose file was removed
-    * tagged `delete` — the incremental-consumer read (downstream dedup
-    * admission, index refresh, cache invalidation) that replaces a full
-    * snapshot diff. File-granularity identity is exact for this table's
-    * only two operations (append = pure adds, overwrite = remove-all +
-    * add-all); a file both added and removed INSIDE the window is net
-    * invisible and contributes nothing, matching the snapshot algebra.
+  /** Change feed between two snapshots: every row visible at `toV` but
+    * not at `fromV` tagged `insert`, every row visible at `fromV` but
+    * not at `toV` tagged `delete` — the incremental-consumer read
+    * (downstream dedup admission, index refresh, cache invalidation)
+    * that replaces a full snapshot diff. File-level churn diffs the two
+    * live sets (a file added AND removed inside the window is net
+    * invisible and contributes nothing, matching the snapshot algebra);
+    * merge-on-read deletes surface POSITIONALLY — rows whose deletion
+    * vector grew across the window are `delete`, rows a restore
+    * un-deleted are `insert` — so the feed is exact under every commit
+    * type the table supports. Removed files are read minus their
+    * `fromV` DV (rows already deleted then were never visible in the
+    * window); added files minus their `toV` DV.
     */
   def changesBetween(spark: SparkSession, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV && toV <= version,
       s"window ($fromV, $toV] outside history [0, $version]")
-    val file = "\"file\":\"([^\"]+)\"".r
-    val added = scala.collection.mutable.LinkedHashSet.empty[String]
-    val removed = scala.collection.mutable.LinkedHashSet.empty[String]
-    ((fromV + 1) to toV).foreach { i =>
-      Files.readAllLines(logDir.resolve(logName(i))).asScala.foreach { l =>
-        file.findFirstMatchIn(l).foreach { m =>
-          val f = m.group(1)
-          if (l.contains("\"op\":\"add\"")) added += f
-          else if (l.contains("\"op\":\"remove\"")) {
-            // removing a file added inside the window cancels it; a file
-            // from BEFORE the window is a real delete
-            if (added.contains(f)) added -= f else removed += f
-          }
-        }
-      }
+    val stTo = stateAt(toV)
+    val stFrom = if (fromV < 0) new TableState else stateAt(fromV)
+    val liveTo = stTo.adds.keySet
+    val liveFrom = stFrom.adds.keySet
+    val added = stTo.adds.keys.toSeq.filterNot(liveFrom.contains)
+    val removed = stFrom.adds.keys.toSeq.filterNot(liveTo.contains)
+    val kept = stTo.adds.keys.toSeq.filter(liveFrom.contains)
+    val grown = kept.map { f =>
+      val before = stFrom.dv.getOrElse(f, Array.empty[Long]).toSet
+      (f, stTo.dv.getOrElse(f, Array.empty[Long]).filterNot(before))
+    }
+    val shrunk = kept.map { f =>
+      val after = stTo.dv.getOrElse(f, Array.empty[Long]).toSet
+      (f, stFrom.dv.getOrElse(f, Array.empty[Long]).filterNot(after))
     }
     import org.apache.spark.sql.functions.lit
     // both sides read under the window-end schema: deletes from an older
     // layout null-fill columns born later, mirroring the snapshot reads
-    val reader = schemaAt(toV).map(spark.read.schema).getOrElse(spark.read)
-    def tagged(names: Iterable[String], tag: String): Option[DataFrame] =
+    val sch = stTo.schemaB64.map(decodeSchema)
+    def tagged(df: Option[DataFrame], tag: String): Option[DataFrame] =
+      df.map(_.withColumn("_change_type", lit(tag)))
+    def fileRead(names: Seq[String],
+        dv: scala.collection.Map[String, Array[Long]]): Option[DataFrame] =
       if (names.isEmpty) None
-      else Some(reader
-        .parquet(names.map(n => dataDir.resolve(n).toString).toSeq: _*)
-        .withColumn("_change_type", lit(tag)))
-    (tagged(added, "insert"), tagged(removed, "delete")) match {
-      case (Some(a), Some(r)) => a.unionAll(r)
+      else Some(readFiles(spark,
+        names.map(n => dataDir.resolve(n).toString), sch, dv))
+    val inserts = (fileRead(added, stTo.dv).toSeq ++
+      readOnlyPositions(spark, sch, shrunk).toSeq).reduceOption(_ unionByName _)
+    val deletes = (fileRead(removed, stFrom.dv).toSeq ++
+      readOnlyPositions(spark, sch, grown).toSeq).reduceOption(_ unionByName _)
+    (tagged(inserts, "insert"), tagged(deletes, "delete")) match {
+      case (Some(a), Some(r)) => a.unionByName(r)
       case (Some(a), None) => a
       case (None, Some(r)) => r
       case (None, None) =>
         throw new IllegalArgumentException(
-          s"window ($fromV, $toV] contains no file changes")
+          s"window ($fromV, $toV] contains no changes")
     }
   }
+}
+
+private[sources] object VersionedTable {
+  private val FileRe = "\"file\":\"([^\"]+)\"".r
+  private val SchemaRe = "\"schemaB64\":\"([^\"]+)\"".r
+  private val BatchIdRe = "\"batchId\":(-?\\d+)".r
+  private val AddConstraintRe =
+    "\"operation\":\"add_constraint\",\"cname\":\"([^\"]+)\",\"exprB64\":\"([^\"]+)\"".r
+  private val DropConstraintRe = "\"operation\":\"drop_constraint\",\"cname\":\"([^\"]+)\"".r
+  private val DvPosRe = "\"positions\":\"([^\"]*)\"".r
+  private val SingleStatRe = "\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)".r
+  private val SingleStrStatRe = "\"scol\":\"([^\"]+)\",\"smin\":\"([^\"]*)\",\"smax\":\"([^\"]*)\"".r
+  private val MultiStatRe = "\"multi\":\"([^\"]+)\"".r
+
+  /** Truncated-bound cap for string zone maps: bounds longer than this
+    * are cut (min: plain prefix, a sound lower bound under unsigned
+    * lexicographic order; max: prefix with its last non-0xFF byte
+    * incremented, a sound upper bound) so a corpus of 100-KB documents
+    * never bloats the commit log with full values. */
+  private val StrStatCap = 64
+
+  private[sources] val DvFileCol = "__graft_dv_file"
+  private[sources] val DvPosCol = "__graft_dv_pos"
+
+  private[sources] def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  private[sources] def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Unsigned lexicographic byte comparison — the order parquet BINARY
+    * statistics use, and therefore the only sound comparator for the
+    * recorded string bounds. */
+  private[sources] def ucmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** A prefix is always <= the full value (unsigned lex): sound min. */
+  private[sources] def truncMin(b: Array[Byte]): Array[Byte] =
+    if (b.length <= StrStatCap) b else java.util.Arrays.copyOf(b, StrStatCap)
+
+  /** Sound truncated UPPER bound: cut to the cap, then increment the
+    * last byte that is < 0xFF and drop everything after it — the result
+    * is strictly greater than every value sharing the prefix. All-0xFF
+    * prefixes are un-incrementable: no sound bound exists, record
+    * nothing (None → the file is always a candidate, still sound). */
+  private[sources] def truncMax(b: Array[Byte]): Option[Array[Byte]] = {
+    if (b.length <= StrStatCap) return Some(b)
+    val p = java.util.Arrays.copyOf(b, StrStatCap)
+    var i = p.length - 1
+    while (i >= 0 && (p(i) & 0xFF) == 0xFF) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** Integer zone maps recorded on an add action (legacy single-stat
+    * field or the packed `multi` form; `s:`-tagged string entries are
+    * skipped here and served by [[strStatsOf]]). */
+  private[sources] def longStatsOf(line: String): Seq[(String, (Long, Long))] = {
+    val m = MultiStatRe.findFirstMatchIn(line).map(_.group(1).split('|').toSeq
+      .flatMap { part =>
+        val fields = part.split(',')
+        if (fields.length == 3 && !fields(1).startsWith("s:"))
+          Some((fields(0), (fields(1).toLong, fields(2).toLong)))
+        else None
+      })
+    val s = SingleStatRe.findFirstMatchIn(line).map(mm =>
+      Seq((mm.group(1), (mm.group(2).toLong, mm.group(3).toLong))))
+    m.orElse(s).getOrElse(Nil)
+  }
+
+  /** String zone maps recorded on an add action (single `scol` form or
+    * `s:`-tagged `multi` entries), decoded to raw bound bytes. */
+  private[sources] def strStatsOf(line: String): Seq[(String, (Array[Byte], Array[Byte]))] = {
+    val m = MultiStatRe.findFirstMatchIn(line).map(_.group(1).split('|').toSeq
+      .flatMap { part =>
+        val fields = part.split(',')
+        if (fields.length == 3 && fields(1).startsWith("s:"))
+          Some((fields(0), (unb64(fields(1).drop(2)), unb64(fields(2).drop(2)))))
+        else None
+      })
+    val s = SingleStrStatRe.findFirstMatchIn(line).map(mm =>
+      Seq((mm.group(1), (unb64(mm.group(2)), unb64(mm.group(3))))))
+    m.orElse(s).getOrElse(Nil)
+  }
+
+  private[sources] def decodeSchema(b64s: String): StructType =
+    DataType.fromJson(new String(java.util.Base64.getDecoder.decode(b64s), "UTF-8"))
+      .asInstanceOf[StructType]
 }

@@ -51,9 +51,12 @@ private[graft] class VersionedWriteBuilder(root: String, info: LogicalWriteInfo,
   }
 }
 
-/** One staged file's coordinates, shipped task → driver. */
+/** One staged file's coordinates, shipped task → driver. `stats` carries
+  * an integer zone map, `sstats` a string one (col, minB64, maxB64 —
+  * truncated bounds, same discipline as the library write path). */
 private[graft] case class StagedFileMessage(name: String, rows: Long,
-    stats: Option[(String, Long, Long)]) extends WriterCommitMessage
+    stats: Option[(String, Long, Long)],
+    sstats: Option[(String, String, String)] = None) extends WriterCommitMessage
 
 private[graft] class VersionedBatchWrite(root: String, schema: StructType,
     replace: Boolean, statsCol: Option[String]) extends BatchWrite {
@@ -132,16 +135,19 @@ private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
 private[graft] object VersionedWriteCommit {
   def addActions(messages: Array[WriterCommitMessage]): Seq[String] =
     messages.toSeq.collect {
-      case StagedFileMessage(name, rows, stats) if rows > 0 => stats match {
-        case Some((c, lo, hi)) =>
-          s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
-        case None => s"""{"op":"add","file":"$name"}"""
-      }
+      case StagedFileMessage(name, rows, stats, sstats) if rows > 0 =>
+        (stats, sstats) match {
+          case (Some((c, lo, hi)), _) =>
+            s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
+          case (_, Some((c, mn, mx))) =>
+            s"""{"op":"add","file":"$name","scol":"$c","smin":"$mn","smax":"$mx"}"""
+          case _ => s"""{"op":"add","file":"$name"}"""
+        }
     }
 
   def dropStaged(root: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case StagedFileMessage(name, _, _) =>
+      case StagedFileMessage(name, _, _, _) =>
         Files.deleteIfExists(Paths.get(root, "data", name))
       case _ =>
     }
@@ -153,7 +159,7 @@ private[graft] object VersionedWriteCommit {
       messages: Array[WriterCommitMessage], cs: Map[String, String]): Unit = {
     if (cs.isEmpty) return
     val files = messages.toSeq.collect {
-      case StagedFileMessage(name, rows, _) if rows > 0 =>
+      case StagedFileMessage(name, rows, _, _) if rows > 0 =>
         Paths.get(root, "data", name).toString
     }
     if (files.isEmpty) return
@@ -210,9 +216,12 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
     .builder(new HPath(file.toString)).withType(messageType).build()
 
   private val statsIdx = statsCol.map(schema.fieldIndex)
+  private val statsIsString = statsIdx.exists(i => schema(i).dataType == StringType)
   private var rows = 0L
   private var lo = Long.MaxValue
   private var hi = Long.MinValue
+  private var sLo: Array[Byte] = null
+  private var sHi: Array[Byte] = null
 
   override def write(row: InternalRow): Unit = {
     val g = groups.newGroup()
@@ -237,14 +246,23 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
     }
     statsIdx.foreach { s =>
       if (!row.isNullAt(s)) {
-        val v = schema(s).dataType match {
-          case LongType => row.getLong(s)
-          case IntegerType => row.getInt(s).toLong
+        schema(s).dataType match {
+          case LongType | IntegerType =>
+            val v = if (schema(s).dataType == LongType) row.getLong(s)
+              else row.getInt(s).toLong
+            if (v < lo) lo = v
+            if (v > hi) hi = v
+          case StringType =>
+            // getBytes may return the row's shared buffer — copy before
+            // keeping a reference across rows
+            val b = row.getUTF8String(s).getBytes
+            if (sLo == null || VersionedTable.ucmp(b, sLo) < 0)
+              sLo = java.util.Arrays.copyOf(b, b.length)
+            if (sHi == null || VersionedTable.ucmp(b, sHi) > 0)
+              sHi = java.util.Arrays.copyOf(b, b.length)
           case other => throw new IllegalStateException(
-            s"statsCol must be integer-typed, got $other")
+            s"statsCol must be integer- or string-typed, got $other")
         }
-        if (v < lo) lo = v
-        if (v > hi) hi = v
       }
     }
     writer.write(g)
@@ -254,7 +272,16 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     writer.close()
     if (rows == 0) { Files.deleteIfExists(file); StagedFileMessage(name, 0L, None) }
-    else StagedFileMessage(name, rows,
+    else if (statsIsString) {
+      // truncated bounds, same soundness discipline as the library path;
+      // an un-incrementable max drops the stat (file stays a candidate)
+      val ss = for {
+        mn <- Option(sLo).map(VersionedTable.truncMin)
+        mx <- Option(sHi).flatMap(VersionedTable.truncMax)
+        c <- statsCol
+      } yield (c, VersionedTable.b64(mn), VersionedTable.b64(mx))
+      StagedFileMessage(name, rows, None, ss)
+    } else StagedFileMessage(name, rows,
       statsCol.filter(_ => lo <= hi).map((_, lo, hi)))
   }
 

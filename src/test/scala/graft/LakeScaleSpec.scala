@@ -1,0 +1,357 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+
+/** Round-12 lake-scale features: log checkpoints (snapshot reads are
+  * O(interval) log files at any version count), string zone maps
+  * (truncated-bound BYTE_ARRAY skipping), merge-on-read DELETE
+  * (deletion vectors — no data-file rewrite), and the generalized
+  * string/IN copy-on-write delete.
+  */
+class LakeScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dir(): String = Files.createTempDirectory("lake").toString
+
+  // ------------------------------------------------------------------
+  // Log checkpoints
+  // ------------------------------------------------------------------
+
+  test("checkpoints bound snapshot reads to O(interval) log files at any version count") {
+    val root = dir()
+    val t = new VersionedTable(root, checkpointInterval = 5)
+    (0 until 23).foreach { i =>
+      t.append(spark, Seq((i, s"v$i")).toDF("id", "v"))
+    }
+    // checkpoints landed at every 5th commit
+    val cps = Files.list(Paths.get(root, "_log")).iterator()
+    var cpNames = List.empty[String]
+    cps.forEachRemaining(p => if (p.getFileName.toString.endsWith(".checkpoint"))
+      cpNames ::= p.getFileName.toString)
+    assert(cpNames.sorted === List("000000000005.checkpoint",
+      "000000000010.checkpoint", "000000000015.checkpoint",
+      "000000000020.checkpoint"))
+
+    // a FRESH instance's head read folds checkpoint-20 + logs 21-22 only
+    val fresh = new VersionedTable(root, checkpointInterval = 5)
+    fresh.logFileReads.set(0L)
+    assert(fresh.read(spark).count() === 23)
+    val readsAt23 = fresh.logFileReads.get()
+    assert(readsAt23 <= 5,
+      s"head read touched $readsAt23 log files; want <= interval (cp + tail)")
+
+    // double the history: the bound DOES NOT grow with version count
+    (23 until 46).foreach(i => t.append(spark, Seq((i, s"v$i")).toDF("id", "v")))
+    val fresh2 = new VersionedTable(root, checkpointInterval = 5)
+    fresh2.logFileReads.set(0L)
+    assert(fresh2.read(spark).count() === 46)
+    assert(fresh2.logFileReads.get() <= 5,
+      s"head read after 2x history touched ${fresh2.logFileReads.get()} log files")
+
+    // structural proof: a head read needs NOTHING before the checkpoint —
+    // park the pre-checkpoint logs elsewhere and the head still serves
+    val bak = Files.createTempDirectory("logbak")
+    val parked = (0L until 45L).map(v => f"$v%012d.json")
+    parked.foreach { n =>
+      Files.move(Paths.get(root, "_log", n), bak.resolve(n))
+    }
+    try {
+      val headOnly = new VersionedTable(root, checkpointInterval = 5)
+      assert(headOnly.read(spark).count() === 46)
+      assert(headOnly.read(spark).select("id").as[Int].collect().sorted ===
+        (0 until 46).toArray)
+    } finally parked.foreach { n =>
+      Files.move(bak.resolve(n), Paths.get(root, "_log", n))
+    }
+  }
+
+  test("checkpoints carry schema, constraints, batch ledger and zone maps forward") {
+    val root = dir()
+    val t = new VersionedTable(root, checkpointInterval = 4)
+    t.append(spark, spark.range(0, 100).toDF("id").repartition(1),
+      statsCol = Some("id"))                                        // v0
+    t.addConstraint(spark, "id_nonneg", "id >= 0")                  // v1
+    assert(t.appendBatch(spark,
+      spark.range(100, 150).toDF("id"), batchId = 7L).contains(2L)) // v2
+    t.append(spark, spark.range(150, 200).toDF("id")
+      .withColumn("tag", org.apache.spark.sql.functions.lit("x"))) // v3: evolve
+    t.append(spark, spark.range(200, 210).toDF("id"))               // v4 → checkpoint
+    t.append(spark, spark.range(210, 220).toDF("id"))               // v5
+    assert(Files.exists(Paths.get(root, "_log", "000000000004.checkpoint")))
+
+    val fresh = new VersionedTable(root, checkpointInterval = 4)
+    // schema (evolved at v3) rides the checkpoint
+    assert(fresh.read(spark).schema.fieldNames === Array("id", "tag"))
+    assert(fresh.read(spark).count() === 220)
+    // constraint still gates writers post-checkpoint
+    assertThrows[IllegalArgumentException](
+      fresh.append(spark, Seq(-5L).toDF("id")))
+    // the batch ledger survives: batch 7 re-delivery is skipped
+    assert(fresh.appendBatch(spark, Seq(999L).toDF("id"), 7L) === None)
+    // v0's zone map is served from the checkpointed add action: a probe
+    // outside its [0, 99] interval skips that file (the stats-free later
+    // files are always candidates — skipping is sound, not complete)
+    assert(fresh.prunedFiles(5L, "id", 500L, 600L).size ===
+      fresh.filesAt(5L).size - 1)
+  }
+
+  test("pre-checkpoint-era logs (no .checkpoint files) read unchanged") {
+    val root = dir()
+    // an r11-era writer: checkpointing did not exist
+    val legacy = new VersionedTable(root, checkpointInterval = 0)
+    legacy.append(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    legacy.overwrite(spark, Seq((3, "c")).toDF("id", "v"))
+    legacy.append(spark, Seq((4, "d")).toDF("id", "v"))
+    val logs = Files.list(Paths.get(root, "_log")).iterator()
+    var names = List.empty[String]
+    logs.forEachRemaining(p => names ::= p.getFileName.toString)
+    assert(names.forall(_.endsWith(".json")), "legacy layout: no checkpoints")
+
+    // a current-format reader folds it from version 0, bit-identical
+    val now = new VersionedTable(root)
+    assert(now.read(spark).select("id").as[Int].collect().sorted === Array(3, 4))
+    assert(now.readAsOf(spark, 0L).count() === 2)
+    assert(now.history.map(_._2) === Seq("append", "overwrite", "append"))
+  }
+
+  // ------------------------------------------------------------------
+  // Merge-on-read DELETE (deletion vectors)
+  // ------------------------------------------------------------------
+
+  test("deleteRowsWhere commits positions, not rewrites: needle delete rewrites zero files") {
+    val t = new VersionedTable(dir())
+    // three single-file commits — the needle-per-file worst case for CoW
+    Seq((0L, 50L), (50L, 100L), (100L, 150L)).foreach { case (lo, hi) =>
+      t.append(spark, spark.range(lo, hi).toDF("id").repartition(1),
+        statsCol = Some("id"))
+    }
+    val before = t.filesAt(2L).toSet
+
+    val v = t.deleteRowsWhere(spark, "id % 50 = 7") // one row in EVERY file
+    assert(v === 3L)
+    assert(t.history.last._2 === "delete_mor")
+    // ZERO data files changed — the delete is pure metadata
+    assert(t.filesAt(v).toSet === before,
+      "merge-on-read delete must not rewrite or add any data file")
+    assert(t.dvAt(v).values.map(_.size).sum === 3)
+    // the read subtracts exactly the matches
+    assert(t.read(spark).count() === 147)
+    assert(t.read(spark).filter("id % 50 = 7").count() === 0)
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 150L).filterNot(_ % 50 == 7).toArray)
+    // the deleted rows stay time-travelable
+    assert(t.readAsOf(spark, 2L).count() === 150)
+
+    // a second MoR delete MERGES into the existing vectors
+    t.deleteRowsWhere(spark, "id IN (7, 12)") // 7 already deleted, 12 fresh
+    assert(t.read(spark).count() === 146)
+    assert(t.filesAt(t.version).toSet === before)
+
+    // the DSv2 batch face serves the post-delete state positionally
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    assert(dsv2.count() === 146)
+    assert(dsv2.filter("id % 50 = 7 OR id = 12").count() === 0)
+    assert(dsv2.select("id").as[Long].collect().sorted ===
+      (0L until 150L).filterNot(i => i % 50 == 7 || i == 12).toArray)
+    // ...including the no-column footer-count path (count(*) shape)
+    assert(dsv2.selectExpr("count(*)").as[Long].head() === 146)
+
+    // a no-match predicate commits nothing
+    val head = t.version
+    assert(t.deleteRowsWhere(spark, "id > 100000") === head)
+    assert(t.version === head)
+  }
+
+  test("deleteRowsWhere caps the match set; bulk deletes are refused loudly") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 100).toDF("id"))
+    val e = intercept[IllegalArgumentException](
+      t.deleteRowsWhere(spark, "id >= 0", maxRows = 10))
+    assert(e.getMessage.contains("copy-on-write"),
+      s"want the redirect to the CoW path, got: ${e.getMessage}")
+    assert(t.version === 0L, "the refused delete must not commit")
+  }
+
+  test("compact folds deletion vectors into clean files") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 100).toDF("id").repartition(2))
+    t.deleteRowsWhere(spark, "id IN (3, 97)")
+    assert(t.dvAt(t.version).nonEmpty)
+    val cv = t.compact(spark, targetFiles = 1)
+    assert(t.dvAt(cv).isEmpty, "compaction must retire the DV debt")
+    assert(t.read(spark).count() === 98)
+    assert(t.read(spark).filter("id IN (3, 97)").count() === 0)
+    // pre-compaction state still time-travels WITH its DV applied
+    assert(t.readAsOf(spark, 1L).count() === 98)
+    assert(t.readAsOf(spark, 0L).count() === 100)
+  }
+
+  test("copy-on-write deletes never resurrect DV-deleted rows") {
+    val t = new VersionedTable(dir())
+    Seq((0L, 50L), (50L, 100L)).foreach { case (lo, hi) =>
+      t.append(spark, spark.range(lo, hi).toDF("id").repartition(1),
+        statsCol = Some("id"))
+    }
+    t.deleteRowsWhere(spark, "id = 60")                 // DV on file 2
+    val v = t.deleteWhere(spark, "id", 55L, 58L)        // CoW touches file 2
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 100L).filterNot(i => i == 60 || (i >= 55 && i <= 58)).toArray,
+      "the rewrite of file 2 must keep its DV'd row deleted")
+    // file 1 carried by reference throughout
+    assert((t.filesAt(0L).toSet & t.filesAt(v).toSet).size === 1)
+  }
+
+  test("restore rolls deletion vectors back and forward exactly") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 100).toDF("id").repartition(1)) // v0
+    val dv1 = t.deleteRowsWhere(spark, "id IN (10, 20)")           // v1
+    val dv2 = t.deleteRowsWhere(spark, "id = 30")                  // v2
+    assert(t.read(spark).count() === 97)
+
+    // back to the pre-delete state: the DV reset is pure metadata
+    val filesBefore = t.filesAt(dv2).toSet
+    t.restore(spark, 0L)                                           // v3
+    assert(t.read(spark).count() === 100)
+    assert(t.dvAt(t.version).isEmpty)
+    assert(t.filesAt(t.version).toSet === filesBefore, "no data file moved")
+
+    // forward again to the mid-delete state
+    t.restore(spark, dv1)                                          // v4
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 100L).filterNot(i => i == 10 || i == 20).toArray)
+    assert(t.readAsOf(spark, dv2).count() === 97, "history intact throughout")
+  }
+
+  test("change feed surfaces DV deletes and restores positionally") {
+    val t = new VersionedTable(dir())
+    t.append(spark, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")) // v0
+    t.deleteRowsWhere(spark, "id = 2")                                 // v1
+    // the window (0,1] has NO file changes — only a DV grew
+    val w01 = t.changesBetween(spark, 0L, 1L)
+      .select("_change_type", "id").as[(String, Int)].collect().sorted
+    assert(w01 === Array(("delete", 2)),
+      "a merge-on-read delete must surface as a positional delete row")
+    t.restore(spark, 0L)                                               // v2
+    val w12 = t.changesBetween(spark, 1L, 2L)
+      .select("_change_type", "id").as[(String, Int)].collect().sorted
+    assert(w12 === Array(("insert", 2)),
+      "a rolled-back DV must surface the row as a positional insert")
+    // net window: delete at v1 cancels against the v2 restore
+    assertThrows[IllegalArgumentException](t.changesBetween(spark, 0L, 2L))
+  }
+
+  // ------------------------------------------------------------------
+  // String zone maps + deleteWhereIn
+  // ------------------------------------------------------------------
+
+  test("string zone maps: a lang-equality probe skips files, read stays exact") {
+    val t = new VersionedTable(dir())
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("lang", org.apache.spark.sql.functions
+        .element_at(org.apache.spark.sql.functions.lit(langs.toArray),
+          (org.apache.spark.sql.functions.col("id") % 5 + 1).cast("int")))
+      .repartitionByRange(5, org.apache.spark.sql.functions.col("lang"))
+    t.append(spark, df, statsCol = Some("lang"))
+    val all = t.filesAt(0L)
+    assert(t.filesWithStringStatsAt(0L).forall(_._2.nonEmpty),
+      "every add must carry string footer stats")
+    val candidates = t.prunedFilesIn(0L, "lang", Seq("en"))
+    assert(candidates.size < all.size,
+      s"no skipping happened: ${candidates.size} of ${all.size}")
+    val got = t.readWhereIn(spark, 0L, "lang", Seq("en"))
+      .select("id").as[Long].collect().sorted
+    assert(got === (0L until 1000L).filter(_ % 5 == 1).toArray)
+    // a column with no recorded string stats always reads everything (sound)
+    assert(t.prunedFilesIn(0L, "missing", Seq("x")).size === all.size)
+
+    // the DSv2 batch face prunes its input partitions on the same maps
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    val en = dsv2.filter("lang = 'en'")
+    assert(en.count() === 200)
+    assert(en.rdd.getNumPartitions === candidates.size,
+      "pushed string equality must plan only the zone-map candidates")
+    val inTwo = dsv2.filter("lang IN ('en', 'zh')")
+    assert(inTwo.count() === 400)
+    assert(inTwo.rdd.getNumPartitions ===
+      t.prunedFilesIn(0L, "lang", Seq("en", "zh")).size)
+  }
+
+  test("string bounds use sound truncation: 64-byte cap never loses a candidate") {
+    val t = new VersionedTable(dir())
+    val longA = "a" * 100 + "x" // shares a 100-byte prefix family
+    val longB = "b" * 100
+    t.append(spark, Seq((1L, longA)).toDF("id", "s").repartition(1),
+      statsCol = Some("s"))
+    t.append(spark, Seq((2L, longB)).toDF("id", "s").repartition(1),
+      statsCol = Some("s"))
+    // recorded bounds are capped, not full values
+    t.filesWithStringStatsAt(1L).foreach { case (_, st) =>
+      st.foreach { case (_, (mnB64, mxB64)) =>
+        assert(java.util.Base64.getDecoder.decode(mnB64).length <= 64)
+        assert(java.util.Base64.getDecoder.decode(mxB64).length <= 64)
+      }
+    }
+    // probing the full long value still finds its file (sound bounds)...
+    val hitA = t.prunedFilesIn(1L, "s", Seq(longA))
+    assert(hitA.size === 1)
+    assert(t.readWhereIn(spark, 1L, "s", Seq(longA)).count() === 1)
+    // ...and skips the provably-foreign file
+    val hitB = t.prunedFilesIn(1L, "s", Seq(longB))
+    assert(hitB.size === 1)
+    assert(hitA.head !== hitB.head)
+  }
+
+  test("DSv2 writer harvests string stats through the statsCol option") {
+    val root = dir()
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("lang", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("id") < 50, "en")
+        .otherwise("zh"))
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("lang"))
+    df.write.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("statsCol", "lang").mode("append").save()
+    val t = new VersionedTable(root)
+    assert(t.filesWithStringStatsAt(0L).count(_._2.nonEmpty) >= 2)
+    assert(t.prunedFilesIn(0L, "lang", Seq("en")).size < t.filesAt(0L).size)
+  }
+
+  test("deleteWhereIn rewrites only the files the string zone maps implicate") {
+    val t = new VersionedTable(dir())
+    Seq("alpha", "beta", "gamma").foreach { src =>
+      t.append(spark, spark.range(0, 50).toDF("id")
+        .withColumn("source", org.apache.spark.sql.functions.lit(src))
+        .repartition(1), statsCol = Some("source"))
+    }
+    val before = t.filesAt(2L).toSet
+    // a provably-miss value set commits nothing (every live file has
+    // stats here; a stats-free file would be rewritten — sound, not
+    // complete)
+    assert(t.deleteWhereIn(spark, "source", Seq("zzz_nowhere")) === 2L)
+    assert(t.version === 2L)
+
+    val v = t.deleteWhereIn(spark, "source", Seq("beta"))
+    assert(v === 3L)
+    assert(t.history.last._2 === "delete")
+    assert(t.read(spark).count() === 100)
+    assert(t.read(spark).filter("source = 'beta'").count() === 0)
+    // alpha and gamma files carried BY REFERENCE
+    assert((before & t.filesAt(v).toSet).size === 2,
+      "files whose string interval cannot contain 'beta' must not be rewritten")
+    // deleted rows stay time-travelable
+    assert(t.readAsOf(spark, 2L).count() === 150)
+    // NULLs survive an IN delete (three-valued predicate)
+    val t2 = new VersionedTable(dir())
+    t2.append(spark, Seq((1L, Some("keep")), (2L, None), (3L, Some("drop")))
+      .toDF("id", "source"))
+    t2.deleteWhereIn(spark, "source", Seq("drop"))
+    assert(t2.read(spark).select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+}

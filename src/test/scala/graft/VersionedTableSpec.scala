@@ -296,12 +296,12 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(plain.readAsOf(spark, 1L).count() === 200)
   }
 
-  test("footer stats on a non-integer column fail with a diagnosable error") {
+  test("footer stats on an unsupported column type fail with a diagnosable error") {
     val t = table()
     val df = Seq((1L, 0.5), (2L, 0.7)).toDF("id", "score")
     val e = intercept[IllegalArgumentException](
       t.append(spark, df, statsCol = Some("score")))
-    assert(e.getMessage.contains("integer-typed"),
+    assert(e.getMessage.contains("integer- or string-typed"),
       s"want the writer-path message, got: ${e.getMessage}")
     assert(t.version === -1L, "the failed append must not commit")
   }
