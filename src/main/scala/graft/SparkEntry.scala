@@ -315,6 +315,8 @@ object SparkEntry {
     "q_change_feed"     -> ((s, d) => graft.operators.ScaleOps.changeFeed(s, d)),
     "q_versioned_scan"  -> ((s, d) => graft.operators.ScaleOps.versionedScan(s, d)),
     "q_lake_upsert"     -> ((s, d) => graft.operators.ScaleOps.lakeUpsert(s, d)),
+    "q_string_zonemap"  -> ((s, d) => graft.operators.ScaleOps.stringZonemap(s, d)),
+    "q_mor_delete"      -> ((s, d) => graft.operators.ScaleOps.morDelete(s, d)),
     "q_zorder_compact"  -> ((s, d) => graft.operators.ScaleOps.zorderCompact(s, d)),
     "q_lake_restore"    -> ((s, d) => graft.operators.ScaleOps.lakeRestore(s, d)),
     "q_corpus_freeze"   -> ((s, d) => graft.operators.CorpusOps.corpusFreeze(s, d)),
@@ -5913,7 +5915,9 @@ object SparkEntry {
          FROM documents WHERE n_chars >= 300 AND doc_id < 250
          GROUP BY source ORDER BY source""",
     // the table head after delete [100,199] + merge of re-scored low-id
-    // docs, rebuilt relationally: kept survivors UNION the upserts
+    // docs + the v5 string-IN source delete + the v6 merge-on-read
+    // needle delete, rebuilt relationally: kept survivors UNION the
+    // upserts, minus both delete predicates
     "q_lake_upsert" ->
       """WITH kept AS (
            SELECT doc_id, source, n_chars FROM documents
@@ -5922,10 +5926,33 @@ object SparkEntry {
          upd AS (
            SELECT doc_id, source, n_chars + 10000 AS n_chars
            FROM documents WHERE doc_id < 50),
-         state AS (SELECT * FROM kept UNION ALL SELECT * FROM upd)
+         state AS (SELECT * FROM kept UNION ALL SELECT * FROM upd),
+         survivors AS (
+           SELECT * FROM state
+           WHERE source NOT IN ('src4', 'src17')
+             AND NOT (doc_id % 101 = 5))
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
-         FROM state GROUP BY source ORDER BY source""",
+         FROM survivors GROUP BY source ORDER BY source""",
+    // a lang = 'en' probe over the lang-clustered versioned table: the
+    // string-zone-map pruned read must census exactly the raw table's
+    // 'en' rows (skipping is the engine's job; exactness is the gate's)
+    "q_string_zonemap" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
+    // the head after a deletion-vector needle delete must equal the raw
+    // table minus the predicate — positions subtracted at read time,
+    // zero files rewritten (the spec pins the no-rewrite property)
+    "q_mor_delete" ->
+      """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+         FROM orders WHERE NOT (o_orderkey % 1000 = 7)
+         GROUP BY 1 ORDER BY pri""",
     // the head after good freeze -> corrupted overwrite -> RESTORE must
     // equal the raw table exactly: the rollback resurrected nothing and
     // lost nothing
@@ -6921,8 +6948,11 @@ object SparkEntry {
             ON r.src = n.n_name
           ORDER BY nation""",
     // format round-trip faces: the oracle recomputes the census from the
-    // RAW parquet + the same four adversarial rows, so a lossy CSV
-    // quote / JSON escape / ORC mapping leg flips the digest
+    // RAW parquet + the same six adversarial rows (four escaping hazards
+    // + the empty-string/NULL pair) injected on the Spark side — the
+    // VALUES below and FileFormatOps.advRows must stay mirrored
+    // byte-for-byte — so a lossy CSV quote / JSON escape / ORC mapping
+    // leg flips the digest
     "q_csv_roundtrip" -> formatRoundtripOracle("csv"),
     "q_jsonl_roundtrip" -> formatRoundtripOracle("jsonl"),
     "q_orc_roundtrip" -> formatRoundtripOracle("orc"),

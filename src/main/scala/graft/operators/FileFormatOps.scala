@@ -89,7 +89,17 @@ object FileFormatOps {
   }
 
   /** RFC-style CSV (quoteAll + doubled quotes, multiLine read for the
-    * embedded newline) round-trip census. */
+    * embedded newline) round-trip census.
+    *
+    * Scale trade, out loud: `multiLine=true` makes each CSV file
+    * NON-SPLITTABLE (a record boundary can no longer be found mid-file,
+    * so one task reads one whole file) — required here because the
+    * adversarial embedded-newline row is exactly what line-splittable
+    * CSV cannot carry. The post-read [[graft.model.Tables.fanOut]]
+    * redistributes before the hash work, and this face is an audit, not
+    * a bulk path; for splittable bulk text interchange use the JSONL
+    * face ([[jsonlRoundtrip]]), whose one-record-per-line framing keeps
+    * files splittable with newlines riding `\n` escapes. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundTrip(spark, dir, "csv") { (df, out) =>
       // the univocity WRITER trims leading/trailing whitespace by

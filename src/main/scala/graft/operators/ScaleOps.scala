@@ -1023,7 +1023,10 @@ object ScaleOps {
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("n_chars"))
       val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val t = new graft.sources.VersionedTable(path)
+      // interval 4 puts a log checkpoint at v4, so the head faces
+      // (q_lake_upsert) fold checkpoint + tail under the driver gate
+      // while the time-travel faces (v0..v2) fold the pre-checkpoint log
+      val t = new graft.sources.VersionedTable(path, checkpointInterval = 4)
       // every commit harvests doc_id zone maps; the re-freeze clusters
       // by doc_id (repartitionByRange) so its intervals are DISJOINT —
       // the cluster-by discipline that makes a lake table's skipping
@@ -1039,12 +1042,20 @@ object ScaleOps {
       // v3: targeted erasure — zone maps implicate only the files whose
       // doc_id interval intersects, the rest carry by reference
       t.deleteWhere(spark, "doc_id", 100L, 199L)
-      // v4 (head): nightly upsert — re-scored low-id docs replace their
-      // snapshot rows, never-admitted ones insert
+      // v4: nightly upsert — re-scored low-id docs replace their
+      // snapshot rows, never-admitted ones insert (also the checkpoint
+      // commit under interval 4)
       t.merge(spark,
         docs.filter(col("doc_id") < 50)
           .withColumn("n_chars", col("n_chars") + 10000),
         "doc_id")
+      // v5: string-keyed governance delete — two sources leave the
+      // corpus via the IN-set copy-on-write path
+      t.deleteWhereIn(spark, "source", Seq("src4", "src17"))
+      // v6 (head): merge-on-read needle delete — a sparse predicate's
+      // rows (~1 per 101 keys) leave by deletion vector, zero files
+      // rewritten
+      t.deleteRowsWhere(spark, "doc_id % 101 = 5")
       path
     }
 
@@ -1099,12 +1110,17 @@ object ScaleOps {
 
   /** The lake's write-path semantics under the hash gate: the HEAD of
     * the versioned-docs table after the full commit chain — overwrite,
-    * append, re-freeze, zone-map-pruned row DELETE, keyed MERGE upsert —
-    * aggregated per source. The oracle rebuilds the same end state from
-    * the raw table with plain relational algebra (kept ∪ updated), so a
-    * matching hash proves deleteWhere removed exactly the predicate
-    * range (and nothing else, despite rewriting whole implicated files)
-    * and merge replaced matched keys while inserting unmatched ones.
+    * append, re-freeze, zone-map-pruned row DELETE, keyed MERGE upsert,
+    * string-IN copy-on-write delete (v5), and a merge-on-read needle
+    * delete served through deletion vectors (v6) — aggregated per
+    * source, folded from the v4 log CHECKPOINT plus the two-commit tail.
+    * The oracle rebuilds the same end state from the raw table with
+    * plain relational algebra (kept ∪ updated, minus the two dropped
+    * sources, minus the DV predicate), so a matching hash proves every
+    * delete flavor removed exactly its predicate rows (and nothing
+    * else), merge replaced matched keys while inserting unmatched ones,
+    * and the checkpointed fold reconstructs the identical state the
+    * full-log fold would.
     */
   def lakeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val root = versionedDocs(spark, dir)
@@ -1112,6 +1128,81 @@ object ScaleOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"))
+  }
+
+  /** Documents in a lang-clustered lake layout with STRING zone maps:
+    * one range-repartition on `lang` groups each language's rows into
+    * few files, and the append records per-file truncated byte bounds
+    * on the lang column in the commit log. Built once per (app, dir);
+    * read-only afterwards. */
+  private[graft] def langClusteredDocs(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "langClusteredDocs") { dtag =>
+      val path = scratchPath(spark, s"strzone_$dtag/docs")
+      val t = new graft.sources.VersionedTable(path)
+      t.append(spark,
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .repartitionByRange(5, col("lang")),
+        statsCol = Some("lang"))
+      path
+    }
+
+  /** String zone maps under the hash gate: a `lang = 'en'` probe served
+    * by [[graft.sources.VersionedTable.readWhereIn]] — files whose
+    * recorded (truncated-bound) byte interval on `lang` cannot contain
+    * 'en' are never opened; the residual filter keeps the read exact,
+    * and the census per source must hash-match the oracle's census of
+    * the raw table under the same predicate. This is the skipping shape
+    * a 100-TB corpus table actually needs (its hot predicates are
+    * source/lang strings, not integer keys): with the layout clustered
+    * on the predicate column, files opened scale with the language's
+    * share of the corpus, not the table. The skip RATIO is pinned
+    * structurally in LakeScaleSpec; this face pins exactness. */
+  def stringZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val root = langClusteredDocs(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    t.readWhereIn(spark, t.version, "lang", Seq("en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Orders with a merge-on-read needle delete applied: one
+    * range-clustered ingest (v0, 8 files with doc-key zone maps), then
+    * [[graft.sources.VersionedTable.deleteRowsWhere]] removes a sparse
+    * predicate's rows (~1 per 1000) by committing DELETION VECTORS —
+    * positions, not rewrites; the copy-on-write alternative would have
+    * rewritten every file for a handful of rows each. Built once per
+    * (app, dir); read-only afterwards. */
+  private[graft] def morOrders(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "morOrders") { dtag =>
+      val path = scratchPath(spark, s"mor_$dtag/orders")
+      val t = new graft.sources.VersionedTable(path)
+      t.append(spark,
+        Tables.orders(spark, dir).select(
+          col("o_orderkey"),
+          col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCol = Some("o_orderkey"))
+      t.deleteRowsWhere(spark, "o_orderkey % 1000 = 7")
+      path
+    }
+
+  /** Merge-on-read DELETE under the hash gate: the head census of
+    * [[morOrders]] per priority. The oracle recomputes from the raw
+    * table minus the same predicate, so a matching hash proves the
+    * deletion vectors subtract EXACTLY the matched rows at read time —
+    * across every file, through the broadcast positional anti-join —
+    * while the spec layer pins the zero-rewrite property (no data file
+    * changed under the delete commit). */
+  def morDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = morOrders(spark, dir)
+    new graft.sources.VersionedTable(root).read(spark)
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("pri"))
   }
 
   /** Orders in a z-ordered lake layout: one arbitrary-layout ingest
