@@ -140,23 +140,37 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       BatchIdRe.findFirstMatchIn(l).foreach(m => st.batchIds += m.group(1).toLong)
   }
 
-  private def latestCheckpointAtOrBefore(v: Long): Option[Long] =
+  /** Newest readable checkpoint ≤ v: candidates newest-first, each
+    * accepted only when its header declares a format this reader
+    * understands (`"fmt":1`) — an unknown future format is SKIPPED, not
+    * mis-parsed, falling back to an older checkpoint or the full-log
+    * fold (always available, always correct). Returns the checkpoint's
+    * version and its already-read lines so the fold never reads the
+    * file twice. */
+  private def usableCheckpointAtOrBefore(v: Long): Option[(Long, Seq[String])] =
     listDir(logDir).map(_.getFileName.toString)
       .filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong)
       .filter(_ <= v)
-      .maxOption
+      .sorted(Ordering[Long].reverse)
+      .iterator
+      .map(c => (c, readLog(logDir.resolve(checkpointName(c)))))
+      .find { case (_, lines) =>
+        lines.headOption.exists(h =>
+          h.contains("\"op\":\"cp\"") && h.contains("\"fmt\":1"))
+      }
 
   /** The folded [[TableState]] at version v: seed from the latest
-    * checkpoint ≤ v (if any), then fold only the tail — O(interval) log
-    * files at any version count instead of O(versions). Logs from
-    * before checkpointing fold from 0, unchanged semantics. */
+    * readable checkpoint ≤ v (if any), then fold only the tail —
+    * O(interval) log files at any version count instead of
+    * O(versions). Logs from before checkpointing fold from 0,
+    * unchanged semantics. */
   private[sources] def stateAt(v: Long): TableState = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
     val st = new TableState
-    val cp = latestCheckpointAtOrBefore(v)
-    cp.foreach(c => readLog(logDir.resolve(checkpointName(c))).foreach(foldLine(st, _)))
-    ((cp.getOrElse(-1L) + 1L) to v).foreach { i =>
+    val cp = usableCheckpointAtOrBefore(v)
+    cp.foreach { case (_, lines) => lines.foreach(foldLine(st, _)) }
+    ((cp.map(_._1).getOrElse(-1L) + 1L) to v).foreach { i =>
       readLog(logDir.resolve(logName(i))).foreach(foldLine(st, _))
     }
     st
@@ -188,10 +202,22 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
             s"""{"op":"dvset","file":"$f","positions":"${pos.mkString(",")}"}"""
           }
       val tmp = logDir.resolve(s".cptmp-${UUID.randomUUID()}")
-      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-      try Files.move(tmp, target)
-      catch { case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp) }
-    } catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+        Files.move(tmp, target)
+      } catch {
+        // lost the checkpoint race: the winner's is identical — benign
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally Files.deleteIfExists(tmp) // failed write/move: no orphan
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a checkpoint is derived state: its failure must not fail the
+        // already-durable commit, but say so — a silently-degrading
+        // O(versions) fold on a long-lived table is a real operational
+        // signal, not noise
+        System.err.println(
+          s"[graft] checkpoint at v$v failed (reads fall back to the log fold): $e")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -847,9 +873,14 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     */
   def readWhere(spark: SparkSession, v: Long, column: String,
       lo: Long, hi: Long): DataFrame = {
-    val files = prunedFiles(v, column, lo, hi)
+    val st = stateAt(v) // ONE fold: prune and DV-subtract from the same state
+    val files = st.adds.toSeq.collect {
+      case (n, line) if longStatsOf(line).toMap.get(column)
+        .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } =>
+        dataDir.resolve(n).toString
+    }
     require(files.nonEmpty, s"no candidate files for [$lo, $hi] at version $v")
-    readFiles(spark, files, None, stateAt(v).dv)
+    readFiles(spark, files, None, st.dv)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
@@ -882,10 +913,17 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * keeps the result exact however coarse the truncated bounds are. */
   def readWhereIn(spark: SparkSession, v: Long, column: String,
       values: Seq[String]): DataFrame = {
-    val files = prunedFilesIn(v, column, values)
+    val st = stateAt(v) // ONE fold: prune and DV-subtract from the same state
+    val vb = values.map(_.getBytes("UTF-8"))
+    val files = st.adds.toSeq.collect {
+      case (n, line) if strStatsOf(line).toMap.get(column)
+        .forall { case (mn, mx) =>
+          vb.exists(x => ucmp(mn, x) <= 0 && ucmp(x, mx) <= 0)
+        } => dataDir.resolve(n).toString
+    }
     require(files.nonEmpty,
       s"no candidate files for $column IN (${values.mkString(", ")}) at version $v")
-    readFiles(spark, files, None, stateAt(v).dv)
+    readFiles(spark, files, None, st.dv)
       .filter(org.apache.spark.sql.functions.col(column).isin(values: _*))
   }
 
@@ -1091,19 +1129,22 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     victims
   }
 
-  /** Change feed between two snapshots: every row visible at `toV` but
-    * not at `fromV` tagged `insert`, every row visible at `fromV` but
-    * not at `toV` tagged `delete` — the incremental-consumer read
+  /** Change feed between two snapshots — the incremental-consumer read
     * (downstream dedup admission, index refresh, cache invalidation)
-    * that replaces a full snapshot diff. File-level churn diffs the two
-    * live sets (a file added AND removed inside the window is net
-    * invisible and contributes nothing, matching the snapshot algebra);
-    * merge-on-read deletes surface POSITIONALLY — rows whose deletion
-    * vector grew across the window are `delete`, rows a restore
-    * un-deleted are `insert` — so the feed is exact under every commit
-    * type the table supports. Removed files are read minus their
-    * `fromV` DV (rows already deleted then were never visible in the
-    * window); added files minus their `toV` DV.
+    * that replaces a full snapshot diff. Identity is FILE-granular for
+    * file churn and POSITION-granular for deletion vectors:
+    *   - File churn diffs the two live sets (a file added AND removed
+    *     inside the window is net invisible, matching the snapshot
+    *     algebra). Row-exact for append/overwrite/delete windows; a
+    *     REWRITE commit in the window (merge/compact/zorder) emits its
+    *     carried-over rows as both `delete` (old file) and `insert`
+    *     (new file) — the standard file-CDC contract; consumers needing
+    *     row-level merge semantics reconcile on their key.
+    *   - Merge-on-read deletes surface positionally and exactly: rows
+    *     whose deletion vector grew across the window are `delete`,
+    *     rows a restore un-deleted are `insert`. Removed files are read
+    *     minus their `fromV` DV (rows already deleted then were never
+    *     visible in the window); added files minus their `toV` DV.
     */
   def changesBetween(spark: SparkSession, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV && toV <= version,

@@ -100,6 +100,25 @@ class LakeScaleSpec extends AnyFunSuite {
       fresh.filesAt(5L).size - 1)
   }
 
+  test("an unknown-format checkpoint is skipped, never mis-parsed") {
+    val root = dir()
+    val t = new VersionedTable(root, checkpointInterval = 3)
+    (0 until 8).foreach(i => t.append(spark, Seq((i, s"v$i")).toDF("id", "v")))
+    assert(Files.exists(Paths.get(root, "_log", "000000000006.checkpoint")))
+    // a future writer lands a fmt:2 checkpoint at v7 with an encoding
+    // this reader does not understand — seeding from it would corrupt
+    // the fold, so the reader must fall back (older checkpoint or full
+    // log), which stays available and correct
+    Files.write(Paths.get(root, "_log", "000000000007.checkpoint"),
+      "{\"op\":\"cp\",\"fmt\":2,\"v\":7}\n{\"op\":\"adds-v2\",\"packed\":\"bogus\"}"
+        .getBytes("UTF-8"))
+    val fresh = new VersionedTable(root, checkpointInterval = 3)
+    assert(fresh.read(spark).select("id").as[Int].collect().sorted ===
+      (0 until 8).toArray,
+      "reads must skip the fmt:2 checkpoint and still serve the exact state")
+    assert(fresh.readAsOf(spark, 7L).count() === 8)
+  }
+
   test("pre-checkpoint-era logs (no .checkpoint files) read unchanged") {
     val root = dir()
     // an r11-era writer: checkpointing did not exist
