@@ -182,7 +182,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * replayed, the batch ledger as `cpbatch` lines), landed with the
     * same tmp + atomic-rename discipline as a commit. Best-effort and
     * idempotent: a lost race or failure leaves reads folding a longer
-    * tail, never wrong. */
+    * tail, never wrong. Checkpoint size scales with LIVE state (files +
+    * constraints + batch ledger + DVs), not with history — the same
+    * shape as Delta's checkpoint, text lines instead of parquet; at
+    * ~100 bytes/file a 10⁵-file table checkpoints in ~10 MB, read once
+    * per snapshot fold. */
   private def maybeCheckpoint(v: Long): Unit = {
     if (checkpointInterval <= 0 || v <= 0 || v % checkpointInterval != 0) return
     val target = logDir.resolve(checkpointName(v))
