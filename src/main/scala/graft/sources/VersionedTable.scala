@@ -266,12 +266,19 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * files (a delete-all, or a restore to one) reads as an empty frame
     * under its recorded schema — only schema-less empty logs (possible
     * solely in pre-tracking history) are unreadable. */
-  def readAsOf(spark: SparkSession, v: Long): DataFrame = {
-    val st = stateAt(v)
+  def readAsOf(spark: SparkSession, v: Long): DataFrame =
+    readState(spark, stateAt(v), s"version $v")
+
+  /** Snapshot read from an ALREADY-FOLDED state — the single-fold core
+    * of [[readAsOf]], shared by the write paths so a commit attempt
+    * folds the log exactly once (head state → constraints + schema +
+    * remove set + snapshot read all from the same [[TableState]]). */
+  private def readState(spark: SparkSession, st: TableState,
+      what: => String): DataFrame = {
     val files = st.adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
     val sch = st.schemaB64.map(decodeSchema)
     if (files.isEmpty) {
-      require(sch.isDefined, s"version $v has no live files and no recorded schema")
+      require(sch.isDefined, s"$what has no live files and no recorded schema")
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get)
     } else readFiles(spark, files, sch, st.dv)
@@ -338,8 +345,12 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
-      if (head >= 0 && filesAt(head).nonEmpty)
-        enforce(readAsOf(spark, head), Map(name -> sqlExpr), "existing snapshot")
+      if (head >= 0) {
+        val st = stateAt(head) // one fold: live set + snapshot read
+        if (st.adds.nonEmpty)
+          enforce(readState(spark, st, s"version $head"),
+            Map(name -> sqlExpr), "existing snapshot")
+      }
       val line = s"""{"op":"meta","operation":"add_constraint","cname":"$name","exprB64":"$b64"}"""
       if (commit(head + 1, Seq(line))) committed = head + 1
     }
@@ -519,10 +530,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
+      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
       // a constraint registered while we retried must still gate us
-      val cs = constraintsAt(head)
+      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
       if (cs != validated) { enforce(df, cs); validated = cs }
-      val s = unionSchema(if (head < 0) None else schemaAt(head), df.schema)
+      val s = unionSchema(st.flatMap(_.schemaB64).map(decodeSchema), df.schema)
       if (commit(head + 1, metaLine("append", s) +: adds)) committed = head + 1
     }
     committed
@@ -553,12 +565,15 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val adds = stage(spark, df, None)
     while (true) {
       val head = version
-      val cs = constraintsAt(head)
+      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
+      // the ledger recheck rides the same fold: a rename loser finds the
+      // winner's batchId here on its next pass
+      if (st.exists(_.batchIds.contains(batchId))) return None
+      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
       if (cs != validated) { enforce(df, cs); validated = cs }
-      val s = unionSchema(if (head < 0) None else schemaAt(head), df.schema)
+      val s = unionSchema(st.flatMap(_.schemaB64).map(decodeSchema), df.schema)
       val actions = metaLine("append", s, s""","batchId":$batchId""") +: adds
       if (commit(head + 1, actions)) return Some(head + 1)
-      if (committedBatchIds.contains(batchId)) return None
     }
     None // unreachable
   }
@@ -574,11 +589,10 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
-      val cs = constraintsAt(head)
+      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
+      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
       if (cs != validated) { enforce(df, cs); validated = cs }
-      val removes =
-        if (head < 0) Nil
-        else filesAt(head).map(p => Paths.get(p).getFileName.toString)
+      val removes = st.map(_.adds.keys.toSeq).getOrElse(Nil)
       // overwrite REPLACES the state, so the schema resets to the frame's
       // (earlier versions keep reading under their own recorded schema)
       val actions = metaLine("overwrite", df.schema) +:
@@ -610,18 +624,18 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
-      val cs = constraintsAt(head)
+      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
+      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
       if (cs != validated) { enforce(updates, cs); validated = cs }
-      val s = unionSchema(if (head < 0) None else schemaAt(head), updates.schema)
-      val merged =
-        if (head < 0) updates
-        else readAsOf(spark, head)
+      val s = unionSchema(st.flatMap(_.schemaB64).map(decodeSchema), updates.schema)
+      val merged = st match {
+        case None => updates
+        case Some(hs) => readState(spark, hs, s"version $head")
           .join(updates.select(key), Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
+      }
       val adds = stage(spark, merged, statsCol)
-      val removes =
-        if (head < 0) Nil
-        else filesAt(head).map(p => Paths.get(p).getFileName.toString)
+      val removes = st.map(_.adds.keys.toSeq).getOrElse(Nil)
       val actions = metaLine("merge", s) +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
       if (commit(head + 1, actions)) committed = head + 1
@@ -959,10 +973,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to compact")
+      val st = stateAt(head) // ONE fold per attempt
       val adds = stage(spark,
-        readAsOf(spark, head).repartition(targetFiles), None)
-      val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
-      val metaL = schemaAt(head).map(metaLine("compact", _))
+        readState(spark, st, s"version $head").repartition(targetFiles), None)
+      val removes = st.adds.keys.toSeq
+      val metaL = st.schemaB64.map(s => metaLine("compact", decodeSchema(s)))
         .getOrElse("""{"op":"meta","operation":"compact"}""")
       val actions = metaL +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
@@ -1000,7 +1015,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to compact")
-      val snap = readAsOf(spark, head)
+      val st = stateAt(head) // ONE fold per attempt
+      val snap = readState(spark, st, s"version $head")
       val r = snap.agg(
         min(col(colA).cast("long")), max(col(colA).cast("long")),
         min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
@@ -1041,8 +1057,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         .repartitionByRange(targetFiles, col("_mz"))
         .drop("_bx", "_by", "_mz")
       val adds = stageMulti(spark, zdf, Seq(colA, colB))
-      val removes = filesAt(head).map(p => Paths.get(p).getFileName.toString)
-      val metaL = schemaAt(head).map(metaLine("zorder", _))
+      val removes = st.adds.keys.toSeq
+      val metaL = st.schemaB64.map(s => metaLine("zorder", decodeSchema(s)))
         .getOrElse("""{"op":"meta","operation":"zorder"}""")
       val actions = metaL +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
@@ -1089,7 +1105,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val headSt = stateAt(head)
       val cs = headSt.constraints.toMap
       if (adds.nonEmpty && !validated.contains(cs)) {
-        enforce(readAsOf(spark, toVersion), cs, s"restored snapshot v$toVersion")
+        enforce(readState(spark, target, s"version $toVersion"), cs,
+          s"restored snapshot v$toVersion")
         validated = Some(cs)
       }
       val headNames = headSt.adds.keySet
@@ -1124,8 +1141,16 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val head = version
     require(keepFrom >= 0 && keepFrom <= head,
       s"horizon $keepFrom outside [0, $head]")
-    val live = (keepFrom to head)
-      .flatMap(filesAt(_)).map(p => Paths.get(p).getFileName.toString).toSet
+    // ONE incremental fold over the window: seed at the horizon, apply
+    // each commit's lines, and union the live set after every version —
+    // O(head - keepFrom) log reads, not a full refold per version
+    val st = stateAt(keepFrom)
+    val live = scala.collection.mutable.Set.empty[String]
+    live ++= st.adds.keys
+    ((keepFrom + 1) to head).foreach { i =>
+      readLog(logDir.resolve(logName(i))).foreach(foldLine(st, _))
+      live ++= st.adds.keys
+    }
     val victims = listDir(dataDir)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !live.contains(n))

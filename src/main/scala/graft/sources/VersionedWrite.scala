@@ -71,20 +71,19 @@ private[graft] class VersionedBatchWrite(root: String, schema: StructType,
     var committed = false
     while (!committed) {
       val head = t.version
+      val st = if (head < 0) None else Some(t.stateAt(head)) // ONE fold per attempt
       // CHECK constraints gate this path too: staged files are invisible
       // until the commit, so reading them back pre-commit is race-free;
       // a violation throws and the engine's abort() drops the staging
-      val cs = t.constraintsAt(head)
+      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
       if (cs != validated) {
         VersionedWriteCommit.enforceStaged(t, root, messages, cs)
         validated = cs
       }
-      val current = if (head < 0) None else t.schemaAt(head)
+      val current = st.flatMap(_.schemaB64).map(VersionedTable.decodeSchema)
       val actions =
         if (replace) {
-          val removes =
-            if (head < 0) Nil
-            else t.filesAt(head).map(p => Paths.get(p).getFileName.toString)
+          val removes = st.map(_.adds.keys.toSeq).getOrElse(Nil)
           t.metaLine("overwrite", schema) +:
             (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
         } else
@@ -109,18 +108,19 @@ private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
     var validated: Map[String, String] = null
     var done = false
     while (!done) {
-      if (t.committedBatchIds.contains(epochId)) {
+      val head = t.version
+      val st = if (head < 0) None else Some(t.stateAt(head)) // ONE fold per attempt
+      if (st.exists(_.batchIds.contains(epochId))) {
         // replayed epoch: the first delivery won — drop the duplicates
         VersionedWriteCommit.dropStaged(root, messages)
         done = true
       } else {
-        val head = t.version
-        val cs = t.constraintsAt(head)
+        val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
         if (cs != validated) {
           VersionedWriteCommit.enforceStaged(t, root, messages, cs)
           validated = cs
         }
-        val current = if (head < 0) None else t.schemaAt(head)
+        val current = st.flatMap(_.schemaB64).map(VersionedTable.decodeSchema)
         val actions = t.metaLine("append",
           t.unionSchema(current, schema), s""","batchId":$epochId""") +: adds
         done = t.commit(head + 1, actions)

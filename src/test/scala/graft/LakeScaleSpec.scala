@@ -100,6 +100,22 @@ class LakeScaleSpec extends AnyFunSuite {
       fresh.filesAt(5L).size - 1)
   }
 
+  test("write paths fold the log once per commit attempt") {
+    val root = dir()
+    val t = new VersionedTable(root, checkpointInterval = 5)
+    (0 until 12).foreach(i => t.append(spark, Seq((i, "x")).toDF("id", "v")))
+    // head = 11, checkpoint at 10 → one fold costs 2 file reads (cp +
+    // log 11). An append is exactly two folds: the pre-stage constraint
+    // check and the commit attempt. The old regime (constraintsAt +
+    // schemaAt + filesAt each refolding) read 6+.
+    val fresh = new VersionedTable(root, checkpointInterval = 5)
+    fresh.logFileReads.set(0L)
+    fresh.append(spark, Seq((99, "y")).toDF("id", "v"))
+    val reads = fresh.logFileReads.get()
+    assert(reads <= 5,
+      s"append touched $reads log files; a commit must fold at most twice")
+  }
+
   test("an unknown-format checkpoint is skipped, never mis-parsed") {
     val root = dir()
     val t = new VersionedTable(root, checkpointInterval = 3)
