@@ -203,6 +203,26 @@ class LakeScaleSpec extends AnyFunSuite {
     assert(t.version === head)
   }
 
+  test("deletion vectors stay position-exact under schema evolution") {
+    val t = new VersionedTable(dir())
+    t.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0
+    t.append(spark, Seq((4L, "d", 9.5)).toDF("id", "v", "score"))        // v1: evolve
+    t.deleteRowsWhere(spark, "id = 2")                                   // v2: DV on the OLD-schema file
+    // the DV'd old file null-fills the evolved column AND subtracts its
+    // position; the evolved file is untouched
+    val head = t.read(spark)
+    assert(head.schema.fieldNames === Array("id", "v", "score"))
+    assert(head.as[(Long, String, Option[Double])].collect().sortBy(_._1) ===
+      Array((1L, "a", None), (3L, "c", None), (4L, "d", Some(9.5))))
+    // predicates over the evolved column three-value correctly on old rows
+    assert(t.deleteRowsWhere(spark, "score < 100") === 3L) // only id=4 matches
+    assert(t.read(spark).select("id").as[Long].collect().sorted === Array(1L, 3L))
+    // and the DSv2 face agrees positionally
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    assert(dsv2.select("id").as[Long].collect().sorted === Array(1L, 3L))
+  }
+
   test("deleteRowsWhere caps the match set; bulk deletes are refused loudly") {
     val t = new VersionedTable(dir())
     t.append(spark, spark.range(0, 100).toDF("id"))
