@@ -160,6 +160,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
           h.contains("\"op\":\"cp\"") && h.contains("\"fmt\":1"))
       }
 
+  /** [[stateAt]] that accepts the empty table (v < 0 → empty state) —
+    * the head-state read every write path's retry loop starts from. */
+  private[sources] def stateAtOrEmpty(v: Long): TableState =
+    if (v < 0) new TableState else stateAt(v)
+
   /** The folded [[TableState]] at version v: seed from the latest
     * readable checkpoint ≤ v (if any), then fold only the tail —
     * O(interval) log files at any version count instead of
@@ -530,11 +535,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
-      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
+      val st = stateAtOrEmpty(head) // ONE fold per attempt
       // a constraint registered while we retried must still gate us
-      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
+      val cs = st.constraints.toMap
       if (cs != validated) { enforce(df, cs); validated = cs }
-      val s = unionSchema(st.flatMap(_.schemaB64).map(decodeSchema), df.schema)
+      val s = unionSchema(st.schemaB64.map(decodeSchema), df.schema)
       if (commit(head + 1, metaLine("append", s) +: adds)) committed = head + 1
     }
     committed
@@ -565,13 +570,18 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val adds = stage(spark, df, None)
     while (true) {
       val head = version
-      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
+      val st = stateAtOrEmpty(head) // ONE fold per attempt
       // the ledger recheck rides the same fold: a rename loser finds the
-      // winner's batchId here on its next pass
-      if (st.exists(_.batchIds.contains(batchId))) return None
-      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
+      // winner's batchId here on its next pass — and drops its own
+      // staged copy instead of leaking it to vacuum (the DSv2 sink's
+      // dropStaged discipline)
+      if (st.batchIds.contains(batchId)) {
+        adds.flatMap(fileOf).foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
+        return None
+      }
+      val cs = st.constraints.toMap
       if (cs != validated) { enforce(df, cs); validated = cs }
-      val s = unionSchema(st.flatMap(_.schemaB64).map(decodeSchema), df.schema)
+      val s = unionSchema(st.schemaB64.map(decodeSchema), df.schema)
       val actions = metaLine("append", s, s""","batchId":$batchId""") +: adds
       if (commit(head + 1, actions)) return Some(head + 1)
     }
@@ -589,10 +599,10 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
-      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
-      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
+      val st = stateAtOrEmpty(head) // ONE fold per attempt
+      val cs = st.constraints.toMap
       if (cs != validated) { enforce(df, cs); validated = cs }
-      val removes = st.map(_.adds.keys.toSeq).getOrElse(Nil)
+      val removes = st.adds.keys.toSeq
       // overwrite REPLACES the state, so the schema resets to the frame's
       // (earlier versions keep reading under their own recorded schema)
       val actions = metaLine("overwrite", df.schema) +:
@@ -624,18 +634,17 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     var committed = -1L
     while (committed < 0) {
       val head = version
-      val st = if (head < 0) None else Some(stateAt(head)) // ONE fold per attempt
-      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
+      val st = stateAtOrEmpty(head) // ONE fold per attempt
+      val cs = st.constraints.toMap
       if (cs != validated) { enforce(updates, cs); validated = cs }
-      val s = unionSchema(st.flatMap(_.schemaB64).map(decodeSchema), updates.schema)
-      val merged = st match {
-        case None => updates
-        case Some(hs) => readState(spark, hs, s"version $head")
+      val s = unionSchema(st.schemaB64.map(decodeSchema), updates.schema)
+      val merged =
+        if (head < 0) updates
+        else readState(spark, st, s"version $head")
           .join(updates.select(key), Seq(key), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
-      }
       val adds = stage(spark, merged, statsCol)
-      val removes = st.map(_.adds.keys.toSeq).getOrElse(Nil)
+      val removes = st.adds.keys.toSeq
       val actions = metaLine("merge", s) +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
       if (commit(head + 1, actions)) committed = head + 1
@@ -1136,8 +1145,17 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * the horizon stop being readable — vacuum is the explicit,
     * operator-chosen end of their time-travel guarantee; the log itself
     * stays intact as the audit record. Returns the deleted file names.
+    *
+    * Concurrent-writer safety is `minAgeMs` (the Delta retention
+    * contract): a writer's staged-but-uncommitted files — and files a
+    * commit lands AFTER the head was pinned here — are indistinguishable
+    * from garbage by liveness alone, so vacuum only collects files older
+    * than `minAgeMs`. Set it above the longest plausible stage-to-commit
+    * duration on a table with live writers; the default 0 collects
+    * everything dead and is only safe on a QUIESCED table (which is what
+    * every spec and registry artifact here is).
     */
-  def vacuum(keepFrom: Long): Seq[String] = {
+  def vacuum(keepFrom: Long, minAgeMs: Long = 0L): Seq[String] = {
     val head = version
     require(keepFrom >= 0 && keepFrom <= head,
       s"horizon $keepFrom outside [0, $head]")
@@ -1151,9 +1169,14 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       readLog(logDir.resolve(logName(i))).foreach(foldLine(st, _))
       live ++= st.adds.keys
     }
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val victims = listDir(dataDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !live.contains(n) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !live.contains(n))
     victims.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
     victims
   }

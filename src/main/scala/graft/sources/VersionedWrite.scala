@@ -71,19 +71,19 @@ private[graft] class VersionedBatchWrite(root: String, schema: StructType,
     var committed = false
     while (!committed) {
       val head = t.version
-      val st = if (head < 0) None else Some(t.stateAt(head)) // ONE fold per attempt
+      val st = t.stateAtOrEmpty(head) // ONE fold per attempt
       // CHECK constraints gate this path too: staged files are invisible
       // until the commit, so reading them back pre-commit is race-free;
       // a violation throws and the engine's abort() drops the staging
-      val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
+      val cs = st.constraints.toMap
       if (cs != validated) {
         VersionedWriteCommit.enforceStaged(t, root, messages, cs)
         validated = cs
       }
-      val current = st.flatMap(_.schemaB64).map(VersionedTable.decodeSchema)
+      val current = st.schemaB64.map(VersionedTable.decodeSchema)
       val actions =
         if (replace) {
-          val removes = st.map(_.adds.keys.toSeq).getOrElse(Nil)
+          val removes = st.adds.keys.toSeq
           t.metaLine("overwrite", schema) +:
             (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
         } else
@@ -109,18 +109,18 @@ private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
     var done = false
     while (!done) {
       val head = t.version
-      val st = if (head < 0) None else Some(t.stateAt(head)) // ONE fold per attempt
-      if (st.exists(_.batchIds.contains(epochId))) {
+      val st = t.stateAtOrEmpty(head) // ONE fold per attempt
+      if (st.batchIds.contains(epochId)) {
         // replayed epoch: the first delivery won — drop the duplicates
         VersionedWriteCommit.dropStaged(root, messages)
         done = true
       } else {
-        val cs = st.map(_.constraints.toMap).getOrElse(Map.empty[String, String])
+        val cs = st.constraints.toMap
         if (cs != validated) {
           VersionedWriteCommit.enforceStaged(t, root, messages, cs)
           validated = cs
         }
-        val current = st.flatMap(_.schemaB64).map(VersionedTable.decodeSchema)
+        val current = st.schemaB64.map(VersionedTable.decodeSchema)
         val actions = t.metaLine("append",
           t.unionSchema(current, schema), s""","batchId":$epochId""") +: adds
         done = t.commit(head + 1, actions)

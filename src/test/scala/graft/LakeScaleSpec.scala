@@ -203,6 +203,46 @@ class LakeScaleSpec extends AnyFunSuite {
     assert(t.version === head)
   }
 
+  test("vacuum minAge protects young files; a duplicate appendBatch drops its staging") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 10).toDF("id"))          // v0
+    t.overwrite(spark, spark.range(10, 20).toDF("id"))      // v1: v0's files die
+    // a retention window longer than the files' age collects NOTHING —
+    // the guard that keeps vacuum from eating a concurrent writer's
+    // staged-or-just-committed files (they are always young)
+    assert(t.vacuum(keepFrom = 1L, minAgeMs = 3600000L).isEmpty)
+    assert(t.readAsOf(spark, 0L).count() === 10, "protected files still serve")
+    // the quiesced-table default still collects the dead files
+    assert(t.vacuum(keepFrom = 1L).nonEmpty)
+    intercept[Exception] { t.readAsOf(spark, 0L).count() }
+
+    // duplicate appendBatch: the loser must not leak its staged copy.
+    // The fast pre-stage ledger check is blinded (a stale read, as a
+    // racing writer would see), forcing the IN-LOOP detection that runs
+    // after staging — the path that must clean up after itself.
+    val t2 = new VersionedTable(dir())
+    assert(t2.appendBatch(spark, spark.range(0, 5).toDF("id"), 7L).contains(0L))
+    def dataFiles(): Int = {
+      val s = Files.list(Paths.get(t2.root, "data"))
+      try {
+        var c = 0
+        val it = s.iterator()
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) c += 1
+        }
+        c
+      } finally s.close()
+    }
+    val before = dataFiles()
+    val stale = new VersionedTable(t2.root) {
+      override def committedBatchIds: Set[Long] = Set.empty
+    }
+    assert(stale.appendBatch(spark, spark.range(0, 5).toDF("id"), 7L) === None)
+    assert(dataFiles() === before,
+      "a skipped duplicate batch must drop its staged files, not leak them")
+    assert(t2.read(spark).count() === 5)
+  }
+
   test("deletion vectors stay position-exact under schema evolution") {
     val t = new VersionedTable(dir())
     t.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")) // v0
