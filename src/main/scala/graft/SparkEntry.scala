@@ -316,6 +316,7 @@ object SparkEntry {
     "q_versioned_scan"  -> ((s, d) => graft.operators.ScaleOps.versionedScan(s, d)),
     "q_lake_upsert"     -> ((s, d) => graft.operators.ScaleOps.lakeUpsert(s, d)),
     "q_string_zonemap"  -> ((s, d) => graft.operators.ScaleOps.stringZonemap(s, d)),
+    "q_string_range"    -> ((s, d) => graft.operators.ScaleOps.stringRange(s, d)),
     "q_mor_delete"      -> ((s, d) => graft.operators.ScaleOps.morDelete(s, d)),
     "q_zorder_compact"  -> ((s, d) => graft.operators.ScaleOps.zorderCompact(s, d)),
     "q_lake_restore"    -> ((s, d) => graft.operators.ScaleOps.lakeRestore(s, d)),
@@ -5942,6 +5943,16 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents WHERE lang = 'en'
          GROUP BY source ORDER BY source""",
+    // a lang BETWEEN 'de' AND 'es' probe over the same lang-clustered
+    // table: the string-RANGE pruned read (truncated byte bounds,
+    // unsigned-lex overlap) must census exactly the raw table's rows in
+    // the range — the prefix-scan/interval-drop shape equality/IN can't
+    // express
+    "q_string_range" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang BETWEEN 'de' AND 'es'
+         GROUP BY lang ORDER BY lang""",
     // the head after a deletion-vector needle delete must equal the raw
     // table minus the predicate — positions subtracted at read time,
     // zero files rewritten (the spec pins the no-rewrite property)

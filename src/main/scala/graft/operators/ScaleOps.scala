@@ -1053,9 +1053,13 @@ object ScaleOps {
       // corpus via the IN-set copy-on-write path
       t.deleteWhereIn(spark, "source", Seq("src4", "src17"))
       // v6 (head): merge-on-read needle delete — a sparse predicate's
-      // rows (~1 per 101 keys) leave by deletion vector, zero files
-      // rewritten
+      // rows (~1 per 101 keys) leave by deletion vector (executor-written
+      // sidecar bitmaps since r13), zero files rewritten
       t.deleteRowsWhere(spark, "doc_id % 101 = 5")
+      // checkpoints are async (off the commit path) — flush them so the
+      // artifact is deterministic and the driver gate provably folds
+      // checkpoint + tail
+      t.awaitCheckpoints()
       path
     }
 
@@ -1165,6 +1169,27 @@ object ScaleOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("source"))
+  }
+
+  /** String RANGE skipping under the hash gate: a
+    * `lang BETWEEN 'de' AND 'es'` probe served by
+    * [[graft.sources.VersionedTable.readWhereBetween]] — files whose
+    * recorded truncated byte interval cannot OVERLAP the range are
+    * never opened (unsigned-lexicographic, the parquet BINARY stats
+    * order; the lang-clustered layout makes the skip selective), and
+    * the census per lang must hash-match the oracle's census of the
+    * raw table under the same predicate. This is the range shape the
+    * equality/IN faces could not express — prefix scans and
+    * dictionary-interval drops ("retire sources k1..k2") on a corpus
+    * table's string keys. Skip ratio is pinned structurally in
+    * LakeScaleSpec; this face pins exactness. */
+  def stringRange(spark: SparkSession, dir: String): DataFrame = {
+    val root = langClusteredDocs(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    t.readWhereBetween(spark, t.version, "lang", "de", "es")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
   }
 
   /** Orders with a merge-on-read needle delete applied: one

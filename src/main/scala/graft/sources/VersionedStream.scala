@@ -177,10 +177,10 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
   private def statsUsable(f: Filter): Boolean = f match {
     case EqualTo(_, v) => intBound(v) || strBound(v)
     case In(_, vs) => vs.nonEmpty && vs.forall(strBound)
-    case GreaterThan(_, v) => intBound(v)
-    case GreaterThanOrEqual(_, v) => intBound(v)
-    case LessThan(_, v) => intBound(v)
-    case LessThanOrEqual(_, v) => intBound(v)
+    case GreaterThan(_, v) => intBound(v) || strBound(v)
+    case GreaterThanOrEqual(_, v) => intBound(v) || strBound(v)
+    case LessThan(_, v) => intBound(v) || strBound(v)
+    case LessThanOrEqual(_, v) => intBound(v) || strBound(v)
     case _ => false
   }
 
@@ -228,10 +228,14 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     }
     skipping.collect {
       case EqualTo(c, v) if !v.isInstanceOf[String] => (c, num(v), num(v))
-      case GreaterThan(c, v) => (c, num(v) + 1, Long.MaxValue)
-      case GreaterThanOrEqual(c, v) => (c, num(v), Long.MaxValue)
-      case LessThan(c, v) => (c, Long.MinValue, num(v) - 1)
-      case LessThanOrEqual(c, v) => (c, Long.MinValue, num(v))
+      case GreaterThan(c, v) if !v.isInstanceOf[String] =>
+        (c, num(v) + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v) if !v.isInstanceOf[String] =>
+        (c, num(v), Long.MaxValue)
+      case LessThan(c, v) if !v.isInstanceOf[String] =>
+        (c, Long.MinValue, num(v) - 1)
+      case LessThanOrEqual(c, v) if !v.isInstanceOf[String] =>
+        (c, Long.MinValue, num(v))
     }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (c, lo, hi)) =>
       val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
       acc.updated(c, (math.max(l0, lo), math.min(h0, hi)))
@@ -250,12 +254,41 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
       acc.updated(c, acc.get(c).map(_ intersect vs).getOrElse(vs))
     }
 
+  /** Per-column [lo, hi] BYTE ranges implied by pushed STRING
+    * comparisons (the `lang >= 'de' AND lang <= 'fr'` shape) —
+    * intersected across predicates. Strict and non-strict comparisons
+    * both prune with the CLOSED bound: sound (never loses a
+    * candidate), marginally less selective on the strict edge, and the
+    * residual filter keeps the rows exact. */
+  private def strRanges: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = {
+    def bytes(v: Any): Array[Byte] = v.asInstanceOf[String].getBytes("UTF-8")
+    skipping.collect {
+      case GreaterThan(c, v: String) => (c, Some(bytes(v)), None)
+      case GreaterThanOrEqual(c, v: String) => (c, Some(bytes(v)), None)
+      case LessThan(c, v: String) => (c, None, Some(bytes(v)))
+      case LessThanOrEqual(c, v: String) => (c, None, Some(bytes(v)))
+    }.foldLeft(
+      Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]) {
+      case (acc, (c, lo, hi)) =>
+        val (l0, h0) = acc.getOrElse(c, (None, None))
+        def tighter(a: Option[Array[Byte]], b: Option[Array[Byte]],
+            keepA: (Array[Byte], Array[Byte]) => Boolean) = (a, b) match {
+          case (Some(x), Some(y)) => Some(if (keepA(x, y)) x else y)
+          case _ => a.orElse(b)
+        }
+        acc.updated(c, (
+          tighter(l0, lo, (x, y) => VersionedTable.ucmp(x, y) >= 0),
+          tighter(h0, hi, (x, y) => VersionedTable.ucmp(x, y) <= 0)))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(table.version)
     val bs = bounds
     val svs = strValueSets.map { case (c, vs) =>
       (c, vs.toSeq.map(_.getBytes("UTF-8")))
     }
+    val srs = strRanges
     val st = table.stateAt(v)
     // a file survives only if EVERY bounded column it has stats for can
     // intersect its bound — multi-column zone maps (z-ordered layouts)
@@ -274,10 +307,24 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
             vals.exists(x =>
               VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
           }
+        } && srs.forall { case (c, (lo, hi)) =>
+          sm.get(c).forall { case (mn, mx) =>
+            lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
+              hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
+          }
         }
       } =>
-        VersionedFilePartition(table.dataDir.resolve(name).toString,
-          st.dv.getOrElse(name, Array.emptyLongArray)): InputPartition
+        (st.dv.get(name) match {
+          case Some(DvInline(pos)) =>
+            VersionedFilePartition(table.dataDir.resolve(name).toString, pos)
+          case Some(DvSidecar(sc, _)) =>
+            // the sidecar is LOADED BY THE TASK (createReader), never
+            // here: the plan ships a reference, not positions
+            VersionedFilePartition(table.dataDir.resolve(name).toString,
+              Array.emptyLongArray, Some(table.dataDir.resolve(sc).toString))
+          case None =>
+            VersionedFilePartition(table.dataDir.resolve(name).toString)
+        }): InputPartition
     }.toArray
   }
 
@@ -290,6 +337,18 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
+/** Append-only log tail — serves each commit's ADDED files.
+  *
+  * Delete visibility contract: MERGE-ON-READ DELETES ARE INVISIBLE to
+  * this feed. A `delete_mor` commit adds no files (its `dvset` actions
+  * carry positions), so the window it lands in serves nothing, and a
+  * historical window replays its files WITHOUT subtracting vectors a
+  * LATER delete committed — consistent with per-commit add semantics
+  * (the rows genuinely were live when their commit landed), same as
+  * Delta's streaming source without `readChangeFeed`. Consumers that
+  * must observe deletes (index invalidation, downstream GDPR
+  * propagation) read [[VersionedTable.changesBetween]], which emits
+  * DV growth as positional `delete` rows. */
 private[graft] class VersionedMicroBatchStream(root: String,
     startingVersion: Long, maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long], schema: StructType)
@@ -386,11 +445,14 @@ private[graft] class VersionedMicroBatchStream(root: String,
     new VersionedReaderFactory(schema)
 }
 
-/** One committed parquet file, plus its deletion vector (sorted row
-  * positions a merge-on-read delete removed — empty for the streaming
-  * feed, which is append-only by contract). */
+/** One committed parquet file, plus its deletion vector — inline
+  * positions for legacy (r12) vectors, or a sidecar path the TASK
+  * loads ([[VersionedReaderFactory.createReader]]), so bulk vectors
+  * never ride the serialized plan. Empty for the streaming feed, which
+  * is append-only by contract. */
 private[graft] case class VersionedFilePartition(file: String,
-    deleted: Array[Long] = Array.emptyLongArray) extends InputPartition
+    deleted: Array[Long] = Array.emptyLongArray,
+    dvRef: Option[String] = None) extends InputPartition
 
 /** Reads one committed parquet file into InternalRows via the public
   * parquet-mr record API. Column pruning is physical: the projected
@@ -405,7 +467,10 @@ private[graft] class VersionedReaderFactory(requested: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[VersionedFilePartition]
     val file = part.file
-    val deleted = part.deleted
+    // sidecar vectors load HERE, on the executor, once per task
+    val deleted = part.dvRef
+      .map(r => VersionedTable.readDvSidecar(java.nio.file.Paths.get(r)))
+      .getOrElse(part.deleted)
     new PartitionReader[InternalRow] {
       private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), new Configuration()))

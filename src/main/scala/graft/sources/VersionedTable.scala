@@ -9,15 +9,38 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
+/** A file's live deletion vector as the LOG records it — a descriptor,
+  * never the positions themselves. Two forms:
+  *   - [[DvInline]]: positions packed in the `dvset` action line (the
+  *     r12 log format, still read; also what checkpoints/restores carry
+  *     for legacy vectors). Bounded small by the old write path's cap.
+  *   - [[DvSidecar]]: a reference to a range-run-encoded bitmap file
+  *     under `data/` written BY THE EXECUTORS (the Delta/Iceberg DV
+  *     sidecar shape) — the log line stays O(1) per file however many
+  *     positions the delete matched, and positions never transit the
+  *     driver on the write path. Read task-side by every consumer.
+  */
+private[sources] sealed trait DvDesc { def cardinality: Long }
+private[sources] final case class DvInline(pos: Array[Long]) extends DvDesc {
+  def cardinality: Long = pos.length.toLong
+  override def equals(o: Any): Boolean = o match {
+    case DvInline(p) => java.util.Arrays.equals(pos, p)
+    case _ => false
+  }
+  override def hashCode: Int = java.util.Arrays.hashCode(pos)
+}
+private[sources] final case class DvSidecar(name: String,
+    cardinality: Long) extends DvDesc
+
 /** The folded table state at one version: the governing add action per
-  * live file (zone maps ride along verbatim), the live deletion vector
-  * per file (sorted row positions deleted merge-on-read), the active
-  * CHECK constraints, the newest recorded schema, and the complete
-  * micro-batch ledger. This is exactly what a log checkpoint serializes
-  * and what every snapshot read folds. */
+  * live file (zone maps ride along verbatim), the live deletion-vector
+  * DESCRIPTOR per file (inline positions or a sidecar reference), the
+  * active CHECK constraints, the newest recorded schema, and the
+  * complete micro-batch ledger. This is exactly what a log checkpoint
+  * serializes and what every snapshot read folds. */
 private[sources] final class TableState {
   val adds = scala.collection.mutable.LinkedHashMap.empty[String, String]
-  val dv = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+  val dv = scala.collection.mutable.LinkedHashMap.empty[String, DvDesc]
   val constraints = scala.collection.mutable.LinkedHashMap.empty[String, String]
   var schemaB64: Option[String] = None
   val batchIds = scala.collection.mutable.Set.empty[Long]
@@ -125,9 +148,13 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       st.adds -= f; st.dv -= f
     }
     else if (l.contains("\"op\":\"dvset\"")) fileOf(l).foreach { f =>
-      val pos = DvPosRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
-      if (pos.isEmpty) st.dv -= f
-      else st.dv(f) = pos.split(',').map(_.toLong)
+      DvRefRe.findFirstMatchIn(l) match {
+        case Some(m) => st.dv(f) = DvSidecar(m.group(1), m.group(2).toLong)
+        case None =>
+          val pos = DvPosRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+          if (pos.isEmpty) st.dv -= f
+          else st.dv(f) = DvInline(pos.split(',').map(_.toLong))
+      }
     }
     if (l.contains("constraint")) {
       AddConstraintRe.findFirstMatchIn(l).foreach(m => st.constraints(m.group(1)) =
@@ -141,24 +168,46 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   }
 
   /** Newest readable checkpoint ≤ v: candidates newest-first, each
-    * accepted only when its header declares a format this reader
-    * understands (`"fmt":1`) — an unknown future format is SKIPPED, not
-    * mis-parsed, falling back to an older checkpoint or the full-log
-    * fold (always available, always correct). Returns the checkpoint's
-    * version and its already-read lines so the fold never reads the
-    * file twice. */
-  private def usableCheckpointAtOrBefore(v: Long): Option[(Long, Seq[String])] =
+    * accepted only when it parses under a format this reader
+    * understands — the binary `fmt:2` layout (magic-gated) or the r12
+    * text `fmt:1` line format. An unknown future format (text declaring
+    * a higher fmt, or a binary file with a different magic) is SKIPPED,
+    * not mis-parsed, falling back to an older checkpoint or the
+    * full-log fold (always available, always correct). Returns the
+    * checkpoint's version and its already-parsed state so the fold
+    * never reads the file twice. */
+  private def usableCheckpointAtOrBefore(v: Long): Option[(Long, TableState)] =
     listDir(logDir).map(_.getFileName.toString)
       .filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong)
       .filter(_ <= v)
       .sorted(Ordering[Long].reverse)
       .iterator
-      .map(c => (c, readLog(logDir.resolve(checkpointName(c)))))
-      .find { case (_, lines) =>
-        lines.headOption.exists(h =>
-          h.contains("\"op\":\"cp\"") && h.contains("\"fmt\":1"))
-      }
+      .flatMap(c => readCheckpoint(logDir.resolve(checkpointName(c)))
+        .map((c, _)))
+      .nextOption()
+
+  /** Parse one checkpoint file, format-gated: binary `fmt:2` by magic,
+    * text `fmt:1` by header, anything else (including a binary parse
+    * error — torn file, future layout) → None. One file read either
+    * way, counted in [[logFileReads]]. */
+  private def readCheckpoint(p: Path): Option[TableState] = {
+    logFileReads.incrementAndGet()
+    val bytes = Files.readAllBytes(p)
+    if (bytes.length >= 4 &&
+        ((bytes(0) & 0xFF) << 24 | (bytes(1) & 0xFF) << 16 |
+         (bytes(2) & 0xFF) << 8 | (bytes(3) & 0xFF)) == CpMagic2)
+      parseBinaryCheckpoint(bytes)
+    else {
+      val lines = new String(bytes, "UTF-8").split('\n').toSeq
+      if (lines.headOption.exists(h =>
+          h.contains("\"op\":\"cp\"") && h.contains("\"fmt\":1"))) {
+        val st = new TableState
+        lines.foreach(foldLine(st, _))
+        Some(st)
+      } else None
+    }
+  }
 
   /** [[stateAt]] that accepts the empty table (v < 0 → empty state) —
     * the head-state read every write path's retry loop starts from. */
@@ -172,9 +221,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * unchanged semantics. */
   private[sources] def stateAt(v: Long): TableState = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val st = new TableState
     val cp = usableCheckpointAtOrBefore(v)
-    cp.foreach { case (_, lines) => lines.foreach(foldLine(st, _)) }
+    val st = cp.map(_._2).getOrElse(new TableState)
     ((cp.map(_._1).getOrElse(-1L) + 1L) to v).foreach { i =>
       readLog(logDir.resolve(logName(i))).foreach(foldLine(st, _))
     }
@@ -182,37 +230,27 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   }
 
   /** Write `_log/%012d.checkpoint` for version v when v is a multiple of
-    * [[checkpointInterval]] — the folded state to v in the SAME line
-    * format the log uses (add actions and dvsets verbatim, constraints
-    * replayed, the batch ledger as `cpbatch` lines), landed with the
-    * same tmp + atomic-rename discipline as a commit. Best-effort and
-    * idempotent: a lost race or failure leaves reads folding a longer
-    * tail, never wrong. Checkpoint size scales with LIVE state (files +
-    * constraints + batch ledger + DVs), not with history — the same
-    * shape as Delta's checkpoint, text lines instead of parquet; at
-    * ~100 bytes/file a 10⁵-file table checkpoints in ~10 MB, read once
-    * per snapshot fold. */
-  private def maybeCheckpoint(v: Long): Unit = {
+    * [[checkpointInterval]] — the folded state to v in the binary
+    * `fmt:2` layout (magic header; add actions as length-prefixed UTF-8
+    * verbatim so zone maps survive by reference; the batch ledger and
+    * inline DV positions as PACKED LONGS, not parsed text — the two
+    * components that grow without bound on a streaming table and made
+    * the r12 text checkpoint the fold bottleneck), landed with the same
+    * tmp + atomic-rename discipline as a commit. Runs OFF the commit
+    * path (see [[commit]]): the interval-th commit returns as fast as
+    * any other, and a reader racing the writer just folds a longer
+    * tail. Best-effort and idempotent: a lost race or failure leaves
+    * reads folding from an older seed, never wrong. Size scales with
+    * LIVE state, not history — the Delta checkpoint shape. */
+  private[sources] def maybeCheckpoint(v: Long): Unit = {
     if (checkpointInterval <= 0 || v <= 0 || v % checkpointInterval != 0) return
     val target = logDir.resolve(checkpointName(v))
     if (Files.exists(target)) return
     try {
-      val st = stateAt(v)
-      val schemaPart = st.schemaB64.map(s => s""","schemaB64":"$s"""").getOrElse("")
-      val lines =
-        Seq(s"""{"op":"cp","fmt":1,"v":$v$schemaPart}""") ++
-          st.constraints.toSeq.map { case (n, sql) =>
-            val b64 = java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8"))
-            s"""{"op":"meta","operation":"add_constraint","cname":"$n","exprB64":"$b64"}"""
-          } ++
-          st.batchIds.toSeq.sorted.map(id => s"""{"op":"cpbatch","batchId":$id}""") ++
-          st.adds.values ++
-          st.dv.toSeq.map { case (f, pos) =>
-            s"""{"op":"dvset","file":"$f","positions":"${pos.mkString(",")}"}"""
-          }
+      val bytes = serializeCheckpoint(stateAt(v), v)
       val tmp = logDir.resolve(s".cptmp-${UUID.randomUUID()}")
       try {
-        Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+        Files.write(tmp, bytes)
         Files.move(tmp, target)
       } catch {
         // lost the checkpoint race: the winner's is identical — benign
@@ -229,6 +267,109 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     }
   }
 
+  /** Checkpoint writes this instance has handed to the shared async
+    * writer thread and not yet confirmed durable. [[awaitCheckpoints]]
+    * drains it — tests and artifact builders call that to make the
+    * derived state deterministic; production readers never need to
+    * (a missing checkpoint only lengthens the fold). */
+  private val pendingCps =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]
+
+  /** Test seam: runs inside the async checkpoint task BEFORE the write
+    * — lets a spec hold the checkpoint back and prove the commit
+    * already returned (the off-commit-path contract), deterministically
+    * instead of by timing. */
+  private[graft] var checkpointGate: () => Unit = () => ()
+
+  /** Block until every checkpoint this instance enqueued is written (or
+    * has failed loudly). Cheap when none are pending. */
+  def awaitCheckpoints(): Unit = {
+    var f = pendingCps.poll()
+    while (f != null) {
+      try f.get()
+      catch { case _: java.util.concurrent.ExecutionException => () }
+      f = pendingCps.poll()
+    }
+  }
+
+  /** fmt:2 binary checkpoint layout (all big-endian via DataOutput):
+    * magic, version, optional schemaB64, constraints, the batch ledger
+    * as packed longs, add actions as length-prefixed UTF-8 (verbatim —
+    * zone maps and restore-by-reference need the original line), and
+    * DV descriptors (inline positions packed, sidecars by name+card).
+    */
+  private def serializeCheckpoint(st: TableState, v: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 16)
+    val out = new java.io.DataOutputStream(bos)
+    def writeStr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); out.writeInt(b.length); out.write(b)
+    }
+    out.writeInt(CpMagic2)
+    out.writeLong(v)
+    st.schemaB64 match {
+      case Some(s) => writeStr(s)
+      case None => out.writeInt(-1)
+    }
+    out.writeInt(st.constraints.size)
+    st.constraints.foreach { case (n, sql) => writeStr(n); writeStr(sql) }
+    val ids = st.batchIds.toArray.sorted
+    out.writeInt(ids.length)
+    ids.foreach(out.writeLong)
+    out.writeInt(st.adds.size)
+    st.adds.values.foreach(writeStr)
+    out.writeInt(st.dv.size)
+    st.dv.foreach {
+      case (f, DvInline(pos)) =>
+        writeStr(f); out.writeByte(0)
+        out.writeInt(pos.length); pos.foreach(out.writeLong)
+      case (f, DvSidecar(n, card)) =>
+        writeStr(f); out.writeByte(1); writeStr(n); out.writeLong(card)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a fmt:2 checkpoint; ANY failure (truncated file, a layout
+    * this build predates) → None, falling back to an older seed or the
+    * full fold. */
+  private def parseBinaryCheckpoint(bytes: Array[Byte]): Option[TableState] =
+    try {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      def readStr(): String = {
+        val n = in.readInt()
+        val b = new Array[Byte](n); in.readFully(b); new String(b, "UTF-8")
+      }
+      require(in.readInt() == CpMagic2)
+      in.readLong() // checkpoint version: implied by the file name
+      val st = new TableState
+      val schemaLen = in.readInt()
+      if (schemaLen >= 0) {
+        val b = new Array[Byte](schemaLen); in.readFully(b)
+        st.schemaB64 = Some(new String(b, "UTF-8"))
+      }
+      (0 until in.readInt()).foreach { _ =>
+        val n = readStr(); st.constraints(n) = readStr()
+      }
+      (0 until in.readInt()).foreach(_ => st.batchIds += in.readLong())
+      (0 until in.readInt()).foreach { _ =>
+        val line = readStr()
+        fileOf(line).foreach(f => st.adds(f) = line)
+      }
+      (0 until in.readInt()).foreach { _ =>
+        val f = readStr()
+        in.readByte() match {
+          case 0 =>
+            val pos = new Array[Long](in.readInt())
+            var i = 0
+            while (i < pos.length) { pos(i) = in.readLong(); i += 1 }
+            st.dv(f) = DvInline(pos)
+          case 1 => st.dv(f) = DvSidecar(readStr(), in.readLong())
+          case other => throw new IllegalStateException(s"dv kind $other")
+        }
+      }
+      Some(st)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ------------------------------------------------------------------
   // Snapshot accessors (all ride the checkpointed fold)
   // ------------------------------------------------------------------
@@ -238,9 +379,19 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     stateAt(v).adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
 
   /** Live deletion vector per file at v (file name → sorted deleted row
-    * positions) — the merge-on-read state a snapshot read subtracts. */
+    * positions) — the merge-on-read state a snapshot read subtracts.
+    * An AUDIT accessor: it materializes sidecar vectors on the caller's
+    * side; the read/write paths never do (descriptors flow to the
+    * executors, which load sidecars task-side). */
   def dvAt(v: Long): Map[String, Seq[Long]] =
-    stateAt(v).dv.map { case (f, a) => (f, a.toSeq) }.toMap
+    stateAt(v).dv.map { case (f, d) => (f, loadDv(d).toSeq) }.toMap
+
+  /** Materialize one DV descriptor's positions — inline directly,
+    * sidecar by reading its range-run-encoded file. */
+  private[sources] def loadDv(d: DvDesc): Array[Long] = d match {
+    case DvInline(p) => p
+    case DvSidecar(n, _) => readDvSidecar(dataDir.resolve(n))
+  }
 
   /** Files ADDED by commit v alone — the micro-batch a log-tailing
     * streaming consumer ([[VersionedStreamProvider]]) serves for that
@@ -399,15 +550,21 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
 
   /** Atomic commit of version v. Returns false when v was taken by a
     * concurrent writer (caller re-reads the head and retries). Every
-    * `checkpointInterval`-th landed commit also materializes a log
-    * checkpoint (best-effort, see [[maybeCheckpoint]]). */
+    * `checkpointInterval`-th landed commit also enqueues a log
+    * checkpoint on the shared ASYNC writer thread — the commit returns
+    * as soon as the rename lands, never paying the checkpoint's
+    * fold-and-write latency (the Delta discipline: checkpoints are
+    * derived state, written after the fact, best-effort). */
   private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, actions.mkString("\n").getBytes("UTF-8"))
     try {
       Files.move(tmp, logDir.resolve(logName(v)))
-      maybeCheckpoint(v)
+      if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+        pendingCps.add(cpPool.submit(new Runnable {
+          def run(): Unit = { checkpointGate(); maybeCheckpoint(v) }
+        }))
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -736,55 +893,135 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     committed
   }
 
+  /** Spark jobs this instance's [[deleteRowsWhere]] has executed — the
+    * observable for the OCC-rebase contract (a lost race against a
+    * DISJOINT commit re-renames, it does not re-run the job). */
+  private[graft] val dvDeleteJobRuns = new AtomicLong(0L)
+
+  /** Test seam: runs immediately before each [[deleteRowsWhere]] commit
+    * attempt — lets a spec interleave a concurrent commit
+    * deterministically and assert the rebase path. */
+  private[graft] var onDvCommitAttempt: () => Unit = () => ()
+
   /** Merge-on-read DELETE (deletion vectors): rows matching the SQL
-    * `predicate` are deleted by COMMITTING THEIR POSITIONS, not by
-    * rewriting files — one `dvset` action per touched file carries the
-    * file's complete deleted-position set, and every read path (library,
-    * DSv2 batch, change feed) subtracts it. The needle-per-file shape
+    * `predicate` are deleted by committing their positions as DV
+    * SIDECAR FILES, not by rewriting data — the needle-per-file shape
     * ([[deleteWhere]]'s worst case: one matching row in each of 10⁴
-    * files would rewrite all of them) commits in O(matches) metadata.
-    * Costs at read time: DV'd files are served through a broadcast
-    * anti-join on (file, row position); [[compact]] folds DVs back into
-    * clean files, which is the maintenance step that bounds that tax.
-    * `maxRows` caps the match set (positions travel through the driver
-    * into the log) — a bulk delete past the cap fails loudly and should
-    * use the copy-on-write path instead. NULL predicate rows survive
-    * (three-valued, same as deleteWhere). Rebases on a lost race by
-    * recomputing positions against the new head. Returns the new
-    * version, or the head when nothing matches.
+    * files would rewrite all of them) commits in O(touched files)
+    * metadata. The sidecars are WRITTEN BY THE EXECUTORS: matches are
+    * grouped per data file, each group's task merges the file's prior
+    * vector (loaded task-side) with the fresh positions and writes one
+    * range-run-encoded `.dv` file under `data/`; only (file, sidecar
+    * name, cardinality) triples return to the driver, so the match set
+    * is unbounded — a bulk MoR delete needs no copy-on-write fallback
+    * and the log line stays O(1) per file. Speculative or retried
+    * tasks can orphan a sidecar under a different unique name; orphans
+    * are invisible (never referenced by a commit) and fall to
+    * [[vacuum]], the same staging discipline data files use.
+    *
+    * Read-time cost: DV'd files are served through a positional
+    * anti-join / task-side skip; [[compact]] folds DVs back into clean
+    * files — the maintenance step that bounds the CUMULATIVE vector
+    * size across repeated deletes. NULL predicate rows survive
+    * (three-valued, same as deleteWhere).
+    *
+    * Concurrency: optimistic, WriteSerializable-style. A lost commit
+    * race first attempts a LOGICAL REBASE — if every interleaved
+    * commit is disjoint from the touched files (same add action, same
+    * prior DV descriptor at the new head: true for concurrent appends
+    * and for deletes/rewrites of other files), the already-written
+    * sidecars re-commit on top with no Spark re-execution (rows a
+    * concurrent append lands are NOT retro-matched — the
+    * WriteSerializable choice Delta makes for DELETE vs append).
+    * A conflicting interleave (the touched files were rewritten,
+    * removed, or re-vectored) drops the staged sidecars and recomputes
+    * against the new head. Returns the new version, or the head when
+    * nothing matches.
     */
-  def deleteRowsWhere(spark: SparkSession, predicate: String,
-      maxRows: Int = 100000): Long = {
-    import org.apache.spark.sql.functions.{col, expr}
+  def deleteRowsWhere(spark: SparkSession, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{col, collect_list, expr, sort_array}
+    import spark.implicits._
+    val dataDirStr = dataDir.toString
+    // the staged Spark-job result: (head state it was computed against,
+    // per-file sidecar descriptors)
+    var staged: Option[(TableState, Seq[(String, DvSidecar)])] = None
     var committed = -1L
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to delete from")
       val st = stateAt(head)
       if (st.adds.isEmpty) return head
-      val paths = st.adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
-      val sch = st.schemaB64.map(decodeSchema)
-      val hits = readFilesWithMeta(spark, paths, sch, st.dv)
-        .filter(expr(predicate))
-        .select(col(DvFileCol), col(DvPosCol))
-        .limit(maxRows + 1)
-        .collect()
-      require(hits.length <= maxRows,
-        s"merge-on-read delete matched more than $maxRows rows; " +
-          "use the copy-on-write deleteWhere/deleteWhereIn path for bulk deletes")
-      if (hits.isEmpty) return head
-      val dvsets = hits.groupBy(_.getString(0)).toSeq.sortBy(_._1)
-        .map { case (f, rows) =>
-          val merged = (st.dv.getOrElse(f, Array.empty[Long]) ++
-            rows.map(_.getLong(1))).distinct.sorted
-          s"""{"op":"dvset","file":"$f","positions":"${merged.mkString(",")}"}"""
+      val rebasable = staged.filter { case (base, descs) =>
+        descs.forall { case (f, _) =>
+          st.adds.get(f) == base.adds.get(f) && st.dv.get(f) == base.dv.get(f)
         }
+      }
+      val dvsets: Seq[(String, DvSidecar)] = rebasable match {
+        case Some((_, descs)) => descs // disjoint interleave: pure re-rename
+        case None =>
+          // conflicting rebase (or first pass): drop any staled sidecars
+          // instead of leaking them to vacuum, then (re)run the job
+          staged.foreach { case (_, descs) =>
+            descs.foreach { case (_, sc) =>
+              Files.deleteIfExists(dataDir.resolve(sc.name))
+            }
+          }
+          staged = None
+          dvDeleteJobRuns.incrementAndGet()
+          val paths = st.adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
+          val sch = st.schemaB64.map(decodeSchema)
+          // prior descriptors in a task-shippable form: sidecar ref or
+          // inline positions (legacy logs only — new vectors are refs)
+          val prior: Map[String, (String, Array[Long])] = st.dv.toMap.map {
+            case (f, DvInline(p)) => (f, ("", p))
+            case (f, DvSidecar(n, _)) => (f, (n, Array.empty[Long]))
+          }
+          val descs = readFilesWithMeta(spark, paths, sch, st.dv)
+            .filter(expr(predicate))
+            .select(col(DvFileCol), col(DvPosCol))
+            .groupBy(col(DvFileCol))
+            .agg(sort_array(collect_list(col(DvPosCol))).as("pos"))
+            .as[(String, Array[Long])]
+            .map { case (f, fresh) =>
+              // task-side: prior vector ∪ fresh matches → one sidecar.
+              // fresh ∩ prior = ∅ (the scan already subtracted prior
+              // deletes), so this is a sorted-merge, not a dedup.
+              val old: Array[Long] = prior.get(f) match {
+                case Some(("", inline)) => inline
+                case Some((ref, _)) =>
+                  readDvSidecar(Paths.get(dataDirStr).resolve(ref))
+                case None => Array.empty[Long]
+              }
+              val merged = mergeSorted(old, fresh)
+              val name = s"${UUID.randomUUID().toString.take(12)}.dv"
+              writeDvSidecar(Paths.get(dataDirStr).resolve(name), merged)
+              (f, name, merged.length.toLong)
+            }
+            .collect()
+            .toSeq.sortBy(_._1)
+            .map { case (f, n, c) => (f, DvSidecar(n, c)) }
+          if (descs.isEmpty) return head
+          staged = Some((st, descs))
+          descs
+      }
       val metaL = st.schemaB64
         .map(s => s"""{"op":"meta","operation":"delete_mor","schemaB64":"$s"}""")
         .getOrElse("""{"op":"meta","operation":"delete_mor"}""")
-      if (commit(head + 1, metaL +: dvsets)) committed = head + 1
+      onDvCommitAttempt()
+      if (commit(head + 1,
+          metaL +: dvsets.map { case (f, d) => dvsetLine(f, d) }))
+        committed = head + 1
     }
     committed
+  }
+
+  /** The `dvset` action line for one descriptor — inline vectors keep
+    * the r12 spelling (restore/checkpoint carry legacy state verbatim),
+    * sidecars are referenced by name + cardinality. */
+  private def dvsetLine(f: String, d: DvDesc): String = d match {
+    case DvInline(p) =>
+      s"""{"op":"dvset","file":"$f","positions":"${p.mkString(",")}"}"""
+    case DvSidecar(n, c) => s"""{"op":"dvset","file":"$f","dvref":"$n","card":$c}"""
   }
 
   // ------------------------------------------------------------------
@@ -797,15 +1034,19 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   /** Read `paths` under `sch`, subtracting each file's deletion vector.
     * Files with no DV take the plain parquet scan (bit-identical plan to
     * the pre-DV engine); DV'd files anti-join a BROADCAST (file, pos)
-    * set on the parquet reader's `_metadata` columns — the deleted set
-    * is bounded by [[deleteRowsWhere]]'s cap, so the join is always a
-    * small-side broadcast hash, never a shuffle. */
+    * set on the parquet reader's `_metadata` columns. The broadcast side
+    * is the files' CUMULATIVE live vector — sidecar positions expand on
+    * the executors before the broadcast collects them — and its size is
+    * bounded by the [[compact]] discipline (compaction folds DV debt
+    * into clean files), not by any single delete: a table that deletes
+    * merge-on-read forever without compacting pays an ever-growing
+    * read-side join, exactly the documented Delta/Iceberg DV trade. */
   private[sources] def readFiles(spark: SparkSession, paths: Seq[String],
       sch: Option[StructType],
-      dv: scala.collection.Map[String, Array[Long]]): DataFrame = {
+      dv: scala.collection.Map[String, DvDesc]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val dirty = paths.filter(p => dv.get(Paths.get(p).getFileName.toString)
-      .exists(_.nonEmpty))
+      .exists(_.cardinality > 0))
     if (dirty.isEmpty) return reader(spark, sch).parquet(paths: _*)
     val clean = paths.filterNot(dirty.contains)
     val filtered = {
@@ -819,25 +1060,37 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
 
   /** Like [[readFiles]] but keeps the (file name, row position) metadata
     * columns — what [[deleteRowsWhere]] needs to turn matches into
-    * `dvset` positions. Already-deleted positions are subtracted first,
-    * so a second MoR delete never re-deletes or resurrects. */
+    * deletion vectors. Already-deleted positions are subtracted first,
+    * so a second MoR delete never re-deletes or resurrects. Sidecar
+    * vectors are expanded into (file, pos) pairs ON THE EXECUTORS
+    * (each flatMap task reads its descriptor's sidecar); only the
+    * broadcast mechanic itself funnels the expanded pairs through the
+    * driver, same as any small-side broadcast. */
   private def readFilesWithMeta(spark: SparkSession, paths: Seq[String],
       sch: Option[StructType],
-      dv: scala.collection.Map[String, Array[Long]]): DataFrame = {
+      dv: scala.collection.Map[String, DvDesc]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val raw = reader(spark, sch).parquet(paths: _*)
     val base = raw.select(raw.columns.map(col) :+
       col("_metadata.file_name").as(DvFileCol) :+
       col("_metadata.row_index").as(DvPosCol): _*)
     val names = paths.map(p => Paths.get(p).getFileName.toString).toSet
-    val pairs = dv.toSeq.collect { case (f, pos) if names(f) && pos.nonEmpty =>
-      pos.map(p => (f, p)).toSeq
-    }.flatten
-    if (pairs.isEmpty) base
+    val dataDirStr = dataDir.toString
+    val descs: Seq[(String, String, Array[Long])] = dv.toSeq.collect {
+      case (f, d) if names(f) && d.cardinality > 0 => d match {
+        case DvInline(p) => (f, "", p)
+        case DvSidecar(n, _) => (f, n, Array.empty[Long])
+      }
+    }
+    if (descs.isEmpty) base
     else {
       import spark.implicits._
-      base.join(broadcast(pairs.toDF(DvFileCol, DvPosCol)),
-        Seq(DvFileCol, DvPosCol), "left_anti")
+      val pairs = descs.toDS.flatMap { case (f, ref, inline) =>
+        val pos = if (ref.isEmpty) inline
+          else readDvSidecar(Paths.get(dataDirStr).resolve(ref))
+        pos.map(p => (f, p))
+      }.toDF(DvFileCol, DvPosCol)
+      base.join(broadcast(pairs), Seq(DvFileCol, DvPosCol), "left_anti")
     }
   }
 
@@ -907,7 +1160,9 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         dataDir.resolve(n).toString
     }
     require(files.nonEmpty, s"no candidate files for [$lo, $hi] at version $v")
-    readFiles(spark, files, None, st.dv)
+    // the LOG-CARRIED schema, like readAsOf: a pruned candidate set may
+    // predate an evolved column, which must null-fill, not vanish
+    readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
 
@@ -950,8 +1205,73 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     }
     require(files.nonEmpty,
       s"no candidate files for $column IN (${values.mkString(", ")}) at version $v")
-    readFiles(spark, files, None, st.dv)
+    // log-carried schema, like readAsOf (see readWhere)
+    readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
       .filter(org.apache.spark.sql.functions.col(column).isin(values: _*))
+  }
+
+  /** String-RANGE skipping: candidate files for `column BETWEEN lo AND
+    * hi` under the recorded truncated byte bounds — a file survives
+    * when its [min, max] interval can OVERLAP the probe range
+    * (unsigned-lexicographic, the parquet BINARY stats order; truncated
+    * bounds are sound, so overlap-by-bounds is sound). No stats on the
+    * column → always a candidate. */
+  def prunedFilesBetween(v: Long, column: String, lo: String,
+      hi: String): Seq[String] = {
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    stateAt(v).adds.toSeq.collect {
+      case (n, line) if strStatsOf(line).toMap.get(column)
+        .forall { case (mn, mx) => ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0 } =>
+        dataDir.resolve(n).toString
+    }
+  }
+
+  /** Data-skipping read on a STRING range predicate — the
+    * `source BETWEEN 'a' AND 'b'` / prefix-scan shape over a table
+    * clustered on the predicate column. Same sound-not-complete
+    * contract as [[readWhere]]: the residual filter keeps the result
+    * exact however coarse the truncated bounds are. */
+  def readWhereBetween(spark: SparkSession, v: Long, column: String,
+      lo: String, hi: String): DataFrame = {
+    val st = stateAt(v) // ONE fold: prune and DV-subtract from the same state
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    require(ucmp(loB, hiB) <= 0, s"empty range ['$lo', '$hi']")
+    val files = st.adds.toSeq.collect {
+      case (n, line) if strStatsOf(line).toMap.get(column)
+        .forall { case (mn, mx) => ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0 } =>
+        dataDir.resolve(n).toString
+    }
+    require(files.nonEmpty,
+      s"no candidate files for $column in ['$lo', '$hi'] at version $v")
+    readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
+      .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
+  }
+
+  /** Row-level DELETE of `column BETWEEN lo AND hi` for a STRING
+    * column, copy-on-write with string-RANGE zone-map pruning: only
+    * live files whose recorded byte interval can overlap the range are
+    * rewritten — the partition-drop shape ("retire sources k1 through
+    * k2") on a table clustered by the predicate column. Same
+    * carry-by-reference, NULL-survives, time-travel-until-vacuum
+    * contract as [[deleteWhere]]/[[deleteWhereIn]]. */
+  def deleteWhereBetween(spark: SparkSession, column: String,
+      lo: String, hi: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
+    require(ucmp(loB, hiB) <= 0, s"empty range ['$lo', '$hi']")
+    deleteCoW(spark, "delete",
+      touched = st => st.adds.toSeq.collect {
+        case (n, line) if strStatsOf(line).toMap.get(column)
+          .forall { case (mn, mx) =>
+            ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0
+          } => n
+      },
+      survivors = df =>
+        df.filter(!col(column).between(lo, hi) || col(column).isNull),
+      statsCols = Seq(column))
   }
 
   // ------------------------------------------------------------------
@@ -1104,6 +1424,12 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       require(Files.exists(dataDir.resolve(n)),
         s"version $toVersion data file $n was vacuumed; cannot restore")
     }
+    target.dv.values.foreach {
+      case DvSidecar(n, _) =>
+        require(Files.exists(dataDir.resolve(n)),
+          s"version $toVersion DV sidecar $n was vacuumed; cannot restore")
+      case _ => ()
+    }
     val metaL = target.schemaB64.map(s => metaLine("restore", decodeSchema(s)))
       .getOrElse("""{"op":"meta","operation":"restore"}""")
     var validated: Option[Map[String, String]] = None
@@ -1123,14 +1449,16 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val readds = adds.filterNot { case (n, _) => headNames.contains(n) }
       // DV reconciliation: after the replayed adds, every re-added file
       // is DV-clean and every kept file carries the HEAD's DV — emit a
-      // dvset wherever the target state differs
+      // dvset wherever the target DESCRIPTOR differs (descriptor-level
+      // compare: no positions are materialized; a sidecar re-commits by
+      // reference, exactly like a data file). A target with no vector
+      // clears via the empty-positions spelling.
       val dvFixes = adds.keys.toSeq.flatMap { f =>
-        val want = target.dv.getOrElse(f, Array.empty[Long])
-        val have =
-          if (headNames.contains(f)) headSt.dv.getOrElse(f, Array.empty[Long])
-          else Array.empty[Long]
-        if (java.util.Arrays.equals(want, have)) None
-        else Some(s"""{"op":"dvset","file":"$f","positions":"${want.mkString(",")}"}""")
+        val want = target.dv.get(f)
+        val have = if (headNames.contains(f)) headSt.dv.get(f) else None
+        if (want == have) None
+        else Some(want.map(dvsetLine(f, _))
+          .getOrElse(s"""{"op":"dvset","file":"$f","positions":""}"""))
       }
       val actions = metaL +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++
@@ -1164,16 +1492,25 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     // O(head - keepFrom) log reads, not a full refold per version
     val st = stateAt(keepFrom)
     val live = scala.collection.mutable.Set.empty[String]
-    live ++= st.adds.keys
+    def markLive(): Unit = {
+      live ++= st.adds.keys
+      // DV sidecars referenced by any in-window version stay — a vacuumed
+      // sidecar would break that version's read exactly like a data file
+      st.dv.values.foreach {
+        case DvSidecar(n, _) => live += n
+        case _ => ()
+      }
+    }
+    markLive()
     ((keepFrom + 1) to head).foreach { i =>
       readLog(logDir.resolve(logName(i))).foreach(foldLine(st, _))
-      live ++= st.adds.keys
+      markLive()
     }
     val cutoff = System.currentTimeMillis() - minAgeMs
     val victims = listDir(dataDir)
       .filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".parquet") && !live.contains(n) &&
+        (n.endsWith(".parquet") || n.endsWith(".dv")) && !live.contains(n) &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }
       .map(_.getFileName.toString)
@@ -1208,13 +1545,20 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val added = stTo.adds.keys.toSeq.filterNot(liveFrom.contains)
     val removed = stFrom.adds.keys.toSeq.filterNot(liveTo.contains)
     val kept = stTo.adds.keys.toSeq.filter(liveFrom.contains)
-    val grown = kept.map { f =>
-      val before = stFrom.dv.getOrElse(f, Array.empty[Long]).toSet
-      (f, stTo.dv.getOrElse(f, Array.empty[Long]).filterNot(before))
+    // DV diffs materialize ONLY for kept files whose descriptor changed
+    // in the window — bounded by the window's delete/restore volume (an
+    // executor-side bitmap diff is the refinement if change feeds ever
+    // carry bulk-delete windows)
+    def dvOf(st: TableState, f: String): Array[Long] =
+      st.dv.get(f).map(loadDv).getOrElse(Array.empty[Long])
+    val changedDv = kept.filter(f => stTo.dv.get(f) != stFrom.dv.get(f))
+    val grown = changedDv.map { f =>
+      val before = dvOf(stFrom, f).toSet
+      (f, dvOf(stTo, f).filterNot(before))
     }
-    val shrunk = kept.map { f =>
-      val after = stTo.dv.getOrElse(f, Array.empty[Long]).toSet
-      (f, stFrom.dv.getOrElse(f, Array.empty[Long]).filterNot(after))
+    val shrunk = changedDv.map { f =>
+      val after = dvOf(stTo, f).toSet
+      (f, dvOf(stFrom, f).filterNot(after))
     }
     import org.apache.spark.sql.functions.lit
     // both sides read under the window-end schema: deletes from an older
@@ -1223,7 +1567,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     def tagged(df: Option[DataFrame], tag: String): Option[DataFrame] =
       df.map(_.withColumn("_change_type", lit(tag)))
     def fileRead(names: Seq[String],
-        dv: scala.collection.Map[String, Array[Long]]): Option[DataFrame] =
+        dv: scala.collection.Map[String, DvDesc]): Option[DataFrame] =
       if (names.isEmpty) None
       else Some(readFiles(spark,
         names.map(n => dataDir.resolve(n).toString), sch, dv))
@@ -1250,6 +1594,95 @@ private[sources] object VersionedTable {
     "\"operation\":\"add_constraint\",\"cname\":\"([^\"]+)\",\"exprB64\":\"([^\"]+)\"".r
   private val DropConstraintRe = "\"operation\":\"drop_constraint\",\"cname\":\"([^\"]+)\"".r
   private val DvPosRe = "\"positions\":\"([^\"]*)\"".r
+  private val DvRefRe = "\"dvref\":\"([^\"]+)\",\"card\":(\\d+)".r
+
+  /** fmt:2 binary checkpoint magic ("GCP2"). A future fmt:3 picks a new
+    * magic; this reader then skips it (parse gate), never mis-parses. */
+  private[sources] val CpMagic2 = 0x47435032
+
+  /** DV sidecar magic ("GDV1"). */
+  private[sources] val DvMagic1 = 0x47445631
+
+  /** The shared async checkpoint writer: ONE daemon thread for the whole
+    * JVM (checkpoints are rare — every interval-th commit — and
+    * best-effort; serializing them keeps the thread count flat however
+    * many table instances a job touches). */
+  private[sources] val cpPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-checkpoint-writer")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Write one DV sidecar: sorted positions, RANGE-RUN encoded (runs of
+    * consecutive positions collapse to (start, length) pairs — a
+    * contiguous bulk delete of 10⁷ rows is a handful of longs; the
+    * worst case, fully scattered needles, is 2 longs per position).
+    * Called ON THE EXECUTORS by [[VersionedTable.deleteRowsWhere]]'s
+    * per-file tasks; the file is invisible until a commit references
+    * it, the same staging contract data files use. */
+  private[sources] def writeDvSidecar(path: Path, sorted: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(path)))
+    try {
+      out.writeInt(DvMagic1)
+      // runs count up front so the reader sizes its buffers exactly
+      var runs = 0
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length && sorted(j) == sorted(j - 1) + 1) j += 1
+        runs += 1
+        i = j
+      }
+      out.writeInt(runs)
+      i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length && sorted(j) == sorted(j - 1) + 1) j += 1
+        out.writeLong(sorted(i))
+        out.writeLong((j - i).toLong)
+        i = j
+      }
+    } finally out.close()
+  }
+
+  /** Read one DV sidecar back into sorted positions. Called task-side
+    * by the readers (DSv2 partition reader, the broadcast-pair
+    * expansion, deleteRowsWhere's merge tasks); on the driver only by
+    * audit accessors ([[VersionedTable.dvAt]]) and change-feed diffs. */
+  private[sources] def readDvSidecar(path: Path): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(path)))
+    try {
+      require(in.readInt() == DvMagic1, s"not a graft DV sidecar: $path")
+      val runs = in.readInt()
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      var r = 0
+      while (r < runs) {
+        val start = in.readLong()
+        val len = in.readLong()
+        var k = 0L
+        while (k < len) { buf += start + k; k += 1L }
+        r += 1
+      }
+      buf.result()
+    } finally in.close()
+  }
+
+  /** Merge two sorted DISJOINT position arrays (the fresh matches were
+    * scanned with the prior vector already subtracted). */
+  private[sources] def mergeSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length + b.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(k) = a(i); i += 1 } else { out(k) = b(j); j += 1 }
+      k += 1
+    }
+    while (i < a.length) { out(k) = a(i); i += 1; k += 1 }
+    while (j < b.length) { out(k) = b(j); j += 1; k += 1 }
+    out
+  }
   private val SingleStatRe = "\"col\":\"([^\"]+)\",\"min\":(-?\\d+),\"max\":(-?\\d+)".r
   private val SingleStrStatRe = "\"scol\":\"([^\"]+)\",\"smin\":\"([^\"]*)\",\"smax\":\"([^\"]*)\"".r
   private val MultiStatRe = "\"multi\":\"([^\"]+)\"".r

@@ -28,6 +28,7 @@ class LakeScaleSpec extends AnyFunSuite {
     (0 until 23).foreach { i =>
       t.append(spark, Seq((i, s"v$i")).toDF("id", "v"))
     }
+    t.awaitCheckpoints() // checkpoint writes are async (off the commit path)
     // checkpoints landed at every 5th commit
     val cps = Files.list(Paths.get(root, "_log")).iterator()
     var cpNames = List.empty[String]
@@ -47,6 +48,7 @@ class LakeScaleSpec extends AnyFunSuite {
 
     // double the history: the bound DOES NOT grow with version count
     (23 until 46).foreach(i => t.append(spark, Seq((i, s"v$i")).toDF("id", "v")))
+    t.awaitCheckpoints()
     val fresh2 = new VersionedTable(root, checkpointInterval = 5)
     fresh2.logFileReads.set(0L)
     assert(fresh2.read(spark).count() === 46)
@@ -82,6 +84,7 @@ class LakeScaleSpec extends AnyFunSuite {
       .withColumn("tag", org.apache.spark.sql.functions.lit("x"))) // v3: evolve
     t.append(spark, spark.range(200, 210).toDF("id"))               // v4 → checkpoint
     t.append(spark, spark.range(210, 220).toDF("id"))               // v5
+    t.awaitCheckpoints()
     assert(Files.exists(Paths.get(root, "_log", "000000000004.checkpoint")))
 
     val fresh = new VersionedTable(root, checkpointInterval = 4)
@@ -104,6 +107,7 @@ class LakeScaleSpec extends AnyFunSuite {
     val root = dir()
     val t = new VersionedTable(root, checkpointInterval = 5)
     (0 until 12).foreach(i => t.append(spark, Seq((i, "x")).toDF("id", "v")))
+    t.awaitCheckpoints()
     // head = 11, checkpoint at 10 → one fold costs 2 file reads (cp +
     // log 11). An append is exactly two folds: the pre-stage constraint
     // check and the commit attempt. The old regime (constraintsAt +
@@ -120,19 +124,37 @@ class LakeScaleSpec extends AnyFunSuite {
     val root = dir()
     val t = new VersionedTable(root, checkpointInterval = 3)
     (0 until 8).foreach(i => t.append(spark, Seq((i, s"v$i")).toDF("id", "v")))
+    t.awaitCheckpoints()
     assert(Files.exists(Paths.get(root, "_log", "000000000006.checkpoint")))
-    // a future writer lands a fmt:2 checkpoint at v7 with an encoding
-    // this reader does not understand — seeding from it would corrupt
-    // the fold, so the reader must fall back (older checkpoint or full
-    // log), which stays available and correct
+    // a future writer lands a checkpoint at v7 in an encoding this
+    // reader does not understand — a TEXT header declaring fmt:3, or a
+    // binary file under a different magic. Seeding from either would
+    // corrupt the fold, so the reader must fall back (older checkpoint
+    // or full log), which stays available and correct.
     Files.write(Paths.get(root, "_log", "000000000007.checkpoint"),
-      "{\"op\":\"cp\",\"fmt\":2,\"v\":7}\n{\"op\":\"adds-v2\",\"packed\":\"bogus\"}"
+      "{\"op\":\"cp\",\"fmt\":3,\"v\":7}\n{\"op\":\"adds-v3\",\"packed\":\"bogus\"}"
         .getBytes("UTF-8"))
     val fresh = new VersionedTable(root, checkpointInterval = 3)
     assert(fresh.read(spark).select("id").as[Int].collect().sorted ===
       (0 until 8).toArray,
-      "reads must skip the fmt:2 checkpoint and still serve the exact state")
+      "reads must skip the fmt:3 checkpoint and still serve the exact state")
     assert(fresh.readAsOf(spark, 7L).count() === 8)
+    // the binary variant: magic "GCP9" + garbage
+    Files.write(Paths.get(root, "_log", "000000000007.checkpoint"),
+      Array[Byte](0x47, 0x43, 0x50, 0x39, 1, 2, 3, 4, 5, 6, 7, 8))
+    val fresh2 = new VersionedTable(root, checkpointInterval = 3)
+    assert(fresh2.read(spark).select("id").as[Int].collect().sorted ===
+      (0 until 8).toArray,
+      "reads must skip an unknown-magic binary checkpoint")
+    // ...and a TRUNCATED fmt:2 checkpoint (torn write survived the
+    // rename somehow) parses to None, not to a partial state
+    val good = Files.readAllBytes(Paths.get(root, "_log", "000000000006.checkpoint"))
+    Files.write(Paths.get(root, "_log", "000000000007.checkpoint"),
+      java.util.Arrays.copyOf(good, good.length / 2))
+    val fresh3 = new VersionedTable(root, checkpointInterval = 3)
+    assert(fresh3.read(spark).select("id").as[Int].collect().sorted ===
+      (0 until 8).toArray,
+      "a truncated fmt:2 checkpoint must fall back, never half-parse")
   }
 
   test("pre-checkpoint-era logs (no .checkpoint files) read unchanged") {
@@ -263,14 +285,115 @@ class LakeScaleSpec extends AnyFunSuite {
     assert(dsv2.select("id").as[Long].collect().sorted === Array(1L, 3L))
   }
 
-  test("deleteRowsWhere caps the match set; bulk deletes are refused loudly") {
+  test("deletion vectors are sidecar files: O(1) log line per file, no position cap") {
     val t = new VersionedTable(dir())
-    t.append(spark, spark.range(0, 100).toDF("id"))
-    val e = intercept[IllegalArgumentException](
-      t.deleteRowsWhere(spark, "id >= 0", maxRows = 10))
-    assert(e.getMessage.contains("copy-on-write"),
-      s"want the redirect to the CoW path, got: ${e.getMessage}")
-    assert(t.version === 0L, "the refused delete must not commit")
+    t.append(spark, spark.range(0, 200000).toDF("id").repartition(2))
+    // a BULK merge-on-read delete — 150k positions, 1.5× the r12 cap
+    // that used to refuse this toward the copy-on-write path
+    val v = t.deleteRowsWhere(spark, "id % 4 != 3")
+    assert(v === 1L)
+    assert(t.read(spark).count() === 50000)
+    assert(t.read(spark).filter("id % 4 != 3").count() === 0)
+    // the log lines reference sidecars — the positions themselves never
+    // enter the log, so a dvset line is O(1) however many rows matched
+    val lines = Files.readAllLines(
+      Paths.get(t.root, "_log", "000000000001.json"))
+    lines.forEach { l =>
+      assert(l.length < 300, s"log line must stay O(1) per file: $l")
+      if (l.contains("dvset")) {
+        assert(l.contains("\"dvref\""), s"expected a sidecar reference: $l")
+        assert(!l.contains("\"positions\""), s"positions leaked into the log: $l")
+      }
+    }
+    // the referenced sidecars exist under data/ (range-run encoded —
+    // this delete's positions are runs of 3, so the files stay tiny)
+    val refs = lines.toArray.map(_.toString).filter(_.contains("dvset"))
+      .map(l => "\"dvref\":\"([^\"]+)\"".r.findFirstMatchIn(l).get.group(1))
+    assert(refs.length === 2)
+    refs.foreach { n =>
+      val p = Paths.get(t.root, "data", n)
+      assert(Files.exists(p))
+      assert(Files.size(p) < (1 << 20),
+        "150k clustered positions must run-length-collapse, not pack verbatim")
+    }
+    // the DSv2 face loads the sidecars task-side and agrees
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    assert(dsv2.count() === 50000)
+
+    // a second bulk delete MERGES into the sidecar vectors
+    t.deleteRowsWhere(spark, "id % 4 = 3 AND id < 40000")
+    assert(t.read(spark).count() === 40000)
+    assert(t.readAsOf(spark, v).count() === 50000, "history intact")
+  }
+
+  test("r12-era inline-position dvset logs read unchanged") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 10).toDF("id").repartition(1)) // v0
+    val file = Paths.get(t.filesAt(0L).head).getFileName.toString
+    // an r12 writer's merge-on-read delete: positions INLINE in the log
+    Files.write(Paths.get(t.root, "_log", "000000000001.json"),
+      (s"""{"op":"meta","operation":"delete_mor"}""" + "\n" +
+        s"""{"op":"dvset","file":"$file","positions":"1,3"}""").getBytes("UTF-8"))
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      Array(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // the DSv2 face serves the inline vector too
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    assert(dsv2.select("id").as[Long].collect().sorted ===
+      Array(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // a NEW delete on top merges the legacy inline vector into a sidecar
+    t.deleteRowsWhere(spark, "id = 5")
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      Array(0L, 2L, 4L, 6L, 7L, 8L, 9L))
+    assert(t.dvAt(2L)(file) === Seq(1L, 3L, 5L),
+      "the merged vector must carry the inline positions forward")
+  }
+
+  test("a lost race against a disjoint commit rebases without re-running the delete job") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 100).toDF("id").repartition(1))   // v0
+    // interleave a DISJOINT commit (an append: new files only) between
+    // the delete's Spark job and its commit attempt — deterministic
+    // lost race
+    var fired = false
+    t.onDvCommitAttempt = () => {
+      if (!fired) {
+        fired = true
+        t.append(spark, spark.range(100, 110).toDF("id").repartition(1))
+      }
+    }
+    val v = t.deleteRowsWhere(spark, "id IN (3, 7)")
+    t.onDvCommitAttempt = () => ()
+    assert(v === 2L, "the delete must land AFTER the interleaved append")
+    assert(t.dvDeleteJobRuns.get() === 1L,
+      "a disjoint interleave must rebase the commit, not re-run the Spark job")
+    // both effects visible: the append's rows AND the delete's vector
+    assert(t.read(spark).count() === 108)
+    assert(t.read(spark).filter("id IN (3, 7)").count() === 0)
+    // under WriteSerializable the delete does NOT retro-match the
+    // concurrent append's rows
+    assert(t.read(spark).filter("id >= 100").count() === 10)
+
+    // a CONFLICTING interleave (same file re-vectored) must recompute
+    val t2 = new VersionedTable(dir())
+    t2.append(spark, spark.range(0, 100).toDF("id").repartition(1))
+    var fired2 = false
+    t2.onDvCommitAttempt = () => {
+      if (!fired2) {
+        fired2 = true
+        // a second writer vectors the SAME file first
+        val w = new VersionedTable(t2.root)
+        w.deleteRowsWhere(spark, "id = 50")
+      }
+    }
+    t2.deleteRowsWhere(spark, "id IN (3, 7)")
+    t2.onDvCommitAttempt = () => ()
+    assert(t2.dvDeleteJobRuns.get() === 2L,
+      "a conflicting interleave must recompute against the new head")
+    assert(t2.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 100L).filterNot(i => i == 3 || i == 7 || i == 50).toArray,
+      "both deletes must survive the race")
   }
 
   test("compact folds deletion vectors into clean files") {
@@ -448,5 +571,147 @@ class LakeScaleSpec extends AnyFunSuite {
       .toDF("id", "source"))
     t2.deleteWhereIn(spark, "source", Seq("drop"))
     assert(t2.read(spark).select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  // ------------------------------------------------------------------
+  // Round-13: async fmt:2 checkpoints, string RANGE skipping,
+  // schema-carried pruned reads
+  // ------------------------------------------------------------------
+
+  test("checkpoint writes happen OFF the commit path, in fmt:2 binary") {
+    val root = dir()
+    val t = new VersionedTable(root, checkpointInterval = 2)
+    // hold the async writer at the gate: if the checkpoint were written
+    // ON the commit path, this commit would block forever — instead it
+    // returns while the checkpoint is provably not yet on disk
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // bounded await: a failing assertion below must not wedge the shared
+    // checkpoint writer thread for the rest of the JVM
+    t.checkpointGate = () =>
+      { gate.await(30, java.util.concurrent.TimeUnit.SECONDS); () }
+    t.append(spark, Seq((1, "a")).toDF("id", "v"))                // v0
+    t.append(spark, Seq((2, "b")).toDF("id", "v"))                // v1
+    t.append(spark, Seq((3, "c")).toDF("id", "v"))                // v2 → cp due
+    val cp = Paths.get(root, "_log", "000000000002.checkpoint")
+    assert(!Files.exists(cp),
+      "the interval-th commit must return before its checkpoint is written")
+    assert(t.read(spark).count() === 3,
+      "reads are correct while the checkpoint is outstanding (longer fold)")
+    gate.countDown()
+    t.checkpointGate = () => ()
+    t.awaitCheckpoints()
+    assert(Files.exists(cp))
+    // fmt:2 = binary, magic "GCP2"
+    val head4 = Files.readAllBytes(cp).take(4)
+    assert(head4 === Array[Byte](0x47, 0x43, 0x50, 0x32), "fmt:2 magic")
+    // and a fresh reader seeds from it
+    val fresh = new VersionedTable(root, checkpointInterval = 2)
+    fresh.logFileReads.set(0L)
+    assert(fresh.read(spark).count() === 3)
+    assert(fresh.logFileReads.get() <= 2, "cp seed + one tail log file")
+  }
+
+  test("r12-era fmt:1 TEXT checkpoints still seed the fold") {
+    val root = dir()
+    val t = new VersionedTable(root, checkpointInterval = 0) // no auto-cp
+    t.append(spark, spark.range(0, 50).toDF("id").repartition(1),
+      statsCol = Some("id"))                                       // v0
+    t.append(spark, spark.range(50, 100).toDF("id").repartition(1)) // v1
+    t.append(spark, spark.range(100, 120).toDF("id"))               // v2
+    // hand-write the checkpoint EXACTLY as an r12 writer would have at
+    // v1: the fmt:1 header plus the add actions verbatim from the log
+    import scala.jdk.CollectionConverters._
+    val adds = (0L to 1L).flatMap { v =>
+      Files.readAllLines(Paths.get(root, "_log", f"$v%012d.json")).asScala
+        .filter(_.contains("\"op\":\"add\""))
+    }
+    val schemaB64 = "\"schemaB64\":\"([^\"]+)\"".r.findFirstMatchIn(
+      Files.readAllLines(Paths.get(root, "_log", "000000000001.json"))
+        .asScala.head).get.group(1)
+    Files.write(Paths.get(root, "_log", "000000000001.checkpoint"),
+      (Seq(s"""{"op":"cp","fmt":1,"v":1,"schemaB64":"$schemaB64"}""") ++ adds)
+        .mkString("\n").getBytes("UTF-8"))
+    val fresh = new VersionedTable(root)
+    fresh.logFileReads.set(0L)
+    assert(fresh.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 120L).toArray)
+    assert(fresh.logFileReads.get() <= 2,
+      "the fmt:1 text checkpoint must seed the fold (cp + v2 tail)")
+    // v0's zone map survives the text checkpoint seed: a probe above
+    // its recorded interval skips that file (v1/v2 wrote no stats —
+    // always candidates; skipping is sound, not complete)
+    assert(fresh.prunedFiles(2L, "id", 500L, 600L).size ===
+      fresh.filesAt(2L).size - 1)
+  }
+
+  test("string RANGE predicates prune on the truncated byte bounds") {
+    val t = new VersionedTable(dir())
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("lang", org.apache.spark.sql.functions
+        .element_at(org.apache.spark.sql.functions.lit(langs.toArray),
+          (org.apache.spark.sql.functions.col("id") % 5 + 1).cast("int")))
+      .repartitionByRange(5, org.apache.spark.sql.functions.col("lang"))
+    t.append(spark, df, statsCol = Some("lang"))
+    val all = t.filesAt(0L)
+    // [de, es] overlaps the de/en/es files, provably misses fr/zh
+    val candidates = t.prunedFilesBetween(0L, "lang", "de", "es")
+    assert(candidates.size < all.size,
+      s"no skipping happened: ${candidates.size} of ${all.size}")
+    val got = t.readWhereBetween(spark, 0L, "lang", "de", "es")
+      .select("id").as[Long].collect().sorted
+    assert(got === (0L until 1000L).filter(i => i % 5 <= 2).toArray)
+    // a no-stats column always reads everything (sound)
+    assert(t.prunedFilesBetween(0L, "missing", "a", "b").size === all.size)
+    // an empty range is refused, not silently empty
+    assertThrows[IllegalArgumentException](
+      t.readWhereBetween(spark, 0L, "lang", "zz", "aa"))
+
+    // the DSv2 batch face prunes partitions on pushed string ranges
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    val ranged = dsv2.filter("lang >= 'de' AND lang <= 'es'")
+    assert(ranged.count() === 600)
+    assert(ranged.rdd.getNumPartitions === candidates.size,
+      "pushed string comparisons must plan only the zone-map candidates")
+
+    // deleteWhereBetween rewrites ONLY the implicated files
+    val before = t.filesAt(0L).toSet
+    val v = t.deleteWhereBetween(spark, "lang", "es", "fr")
+    assert(t.read(spark).count() === 600)
+    assert(t.read(spark).filter("lang IN ('es', 'fr')").count() === 0)
+    assert((before & t.filesAt(v).toSet).nonEmpty,
+      "files outside ['es','fr'] must carry by reference")
+    // NULLs survive a BETWEEN delete (three-valued)
+    val t2 = new VersionedTable(dir())
+    t2.append(spark, Seq((1L, Some("aa")), (2L, None), (3L, Some("mm")))
+      .toDF("id", "source"))
+    t2.deleteWhereBetween(spark, "source", "m", "n")
+    assert(t2.read(spark).select("id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("pruned reads serve the log-carried schema after evolution") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 100).toDF("id").repartition(1),
+      statsCol = Some("id"))                                        // v0
+    t.append(spark, Seq((200L, "tagged")).toDF("id", "tag")
+      .repartition(1), statsCol = Some("id"))                       // v1: evolve
+    // the probe prunes to the PRE-EVOLUTION file only — the evolved
+    // column must still appear, null-filled, exactly like readAsOf
+    val pruned = t.readWhere(spark, 1L, "id", 10L, 20L)
+    assert(pruned.schema.fieldNames === Array("id", "tag"))
+    assert(pruned.count() === 11)
+    assert(pruned.filter("tag IS NULL").count() === 11)
+    // same contract for the string faces
+    val t2 = new VersionedTable(dir())
+    t2.append(spark, Seq((1L, "en")).toDF("id", "lang").repartition(1),
+      statsCol = Some("lang"))
+    t2.append(spark, Seq((2L, "zh", 0.5)).toDF("id", "lang", "q")
+      .repartition(1), statsCol = Some("lang"))
+    val en = t2.readWhereIn(spark, 1L, "lang", Seq("en"))
+    assert(en.schema.fieldNames === Array("id", "lang", "q"))
+    assert(en.select("q").head().isNullAt(0))
+    val rng = t2.readWhereBetween(spark, 1L, "lang", "aa", "ez")
+    assert(rng.schema.fieldNames === Array("id", "lang", "q"))
   }
 }
