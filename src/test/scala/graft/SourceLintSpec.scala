@@ -471,4 +471,144 @@ class SourceLintSpec extends AnyFunSuite {
       "HUGEINT expression not enclosed in a re-typing CAST/round (HUGEINT " +
         s"demotes to double through DuckDB's parquet writer):\n${bad.mkString("\n")}")
   }
+
+  // ---------------------------------------------------------------------
+  // IMPLICIT-HUGEINT sum lint — the blind spot the explicit-HUGEINT lint
+  // documents: a plain non-window `sum(bigint_col)` in DuckDB types as
+  // HUGEINT with NO token in the SQL for the gates above to see. Until
+  // r13 that class was caught only at verify time (localcheck's parquet
+  // materialization flips the hash); this closes it structurally. A
+  // bare aggregate `sum(...)` that IS a final-select item (modulo
+  // alias), or whose alias flows bare through the final select list, is
+  // flagged unless enclosed in a CAST/round. Sums consumed by further
+  // arithmetic (`sum(x) / count(*)`) are NOT flagged — DuckDB `/` is
+  // float division, so what reaches the output is DOUBLE, not HUGEINT.
+  // A sum over a provably-double argument would be a false positive
+  // under this rule; every such oracle spells the no-op
+  // `CAST(... AS DOUBLE)` today, which keeps the rule simple.
+  // ---------------------------------------------------------------------
+
+  /** Non-window `sum(...)` occurrences: (start, endAfterParen, alias,
+    * wrapped) — the [[windowSums]] walk minus the OVER suffix. */
+  private def plainSums(sql: String): Seq[(Int, Int, Option[String], Boolean)] = {
+    val lower = sql.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Option[String], Boolean)]
+    var i = 0
+    while (i >= 0) {
+      i = lower.indexOf("sum", i)
+      if (i >= 0) {
+        val boundary = i == 0 || !isIdent(lower.charAt(i - 1))
+        var j = i + 3
+        while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
+        if (boundary && j < lower.length && lower.charAt(j) == '(') {
+          val close = matchingParen(sql, j)
+          if (close > 0) {
+            var k = close + 1
+            while (k < lower.length && lower.charAt(k).isWhitespace) k += 1
+            val isWindow = lower.startsWith("over", k) &&
+              (k + 4 >= lower.length || !isIdent(lower.charAt(k + 4)))
+            if (!isWindow) {
+              val end = close + 1
+              var a = end
+              while (a < lower.length && lower.charAt(a).isWhitespace) a += 1
+              val alias =
+                if (lower.startsWith("as", a) && a + 2 < lower.length &&
+                    lower.charAt(a + 2).isWhitespace) {
+                  var s0 = a + 2
+                  while (s0 < lower.length && lower.charAt(s0).isWhitespace) s0 += 1
+                  var e0 = s0
+                  while (e0 < lower.length && isIdent(lower.charAt(e0))) e0 += 1
+                  if (e0 > s0) Some(lower.substring(s0, e0)) else None
+                } else None
+              out += ((i, end, alias, typeWrapped(sql, i)))
+            }
+          }
+        }
+        i = i + 3
+      }
+    }
+    out.toSeq
+  }
+
+  /** Final-select items as (absoluteStart, absoluteEnd) spans. */
+  private def finalSelectItemSpans(sql: String): Seq[(Int, Int)] = {
+    val selects = topLevelKeyword(sql, "select")
+    if (selects.isEmpty) return Nil
+    val sel = selects.last
+    val froms = topLevelKeyword(sql, "from").filter(_ > sel)
+    val end = if (froms.isEmpty) sql.length else froms.head
+    val base = sel + "select".length
+    val span = sql.substring(base, end)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var depth = 0; var start = 0
+    for (i <- span.indices) span.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => spans += ((base + start, base + i)); start = i + 1
+      case _ =>
+    }
+    spans += ((base + start, end))
+    spans.toSeq
+  }
+
+  /** Unwrapped plain sums whose RAW value becomes an output column:
+    * the sum IS an entire final-select item (modulo `AS alias`), or its
+    * alias passes through the final select bare and un-shadowed. */
+  private def plainSumOffenders(rawSql: String): Seq[String] = {
+    val sql = blankLiterals(rawSql)
+    val (_, _, bareIdents) = bareFinalSelectIdents(sql)
+    val items = finalSelectItemSpans(sql)
+    plainSums(sql).collect {
+      case (start, end, alias, wrapped) if !wrapped =>
+        val directItem = items.exists { case (s, e) =>
+          start >= s && end <= e &&
+            sql.substring(s, start).trim.isEmpty && {
+              val tail = sql.substring(end, e).trim
+              tail.isEmpty || tail.toLowerCase.matches("as\\s+\\w+")
+            }
+        }
+        val aliasOutput = alias.exists { a =>
+          val defs = s"""(?i)\\bas\\s+$a\\b""".r.findAllMatchIn(sql).size
+          bareIdents.contains(a) && defs <= 1
+        }
+        if (directItem || aliasOutput)
+          Some(sql.substring(start, math.min(end, start + 70)).replaceAll("\\s+", " "))
+        else None
+    }.flatten
+  }
+
+  test("implicit-sum lint flags a bare sum(bigint) in output position") {
+    // the blind-spot shape: no HUGEINT token anywhere, yet the output
+    // column IS HUGEINT (and demotes to double through parquet)
+    assert(plainSumOffenders(
+      "SELECT lang, sum(n_chars) AS total FROM documents GROUP BY 1").size == 1,
+      "a bare output-position sum must be flagged")
+    // the repo-invariant spelling passes
+    assert(plainSumOffenders(
+      "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total FROM documents GROUP BY 1").isEmpty)
+    // alias flowing bare through a final SELECT is the same hazard
+    assert(plainSumOffenders(
+      """WITH t AS (SELECT lang, sum(n_chars) AS total FROM documents GROUP BY 1)
+         SELECT lang, total FROM t ORDER BY lang""").size == 1,
+      "an aliased bare sum passed through the final select must be flagged")
+    // a sum consumed by arithmetic is NOT the raw output (float division
+    // re-types it) — must not flag
+    assert(plainSumOffenders(
+      "SELECT lang, round(sum(x) / count(*), 4) AS avg_x FROM t GROUP BY 1").isEmpty)
+    assert(plainSumOffenders(
+      "SELECT lang, sum(x) / count(*) AS avg_x FROM t GROUP BY 1").isEmpty)
+    // a sum inside a WHERE/HAVING never reaches the output list
+    assert(plainSumOffenders(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+         HAVING sum(x) > 10 ORDER BY lang""").isEmpty)
+  }
+
+  test("no oracle lets a bare non-window sum reach the output column list") {
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      plainSumOffenders(sql).map(s => s"$name: $s")
+    }
+    assert(bad.isEmpty,
+      "bare sum(...) in output position (implicit DuckDB HUGEINT if the " +
+        s"argument is integer — CAST the sum, or CAST(... AS DOUBLE) for float sums):\n${bad.mkString("\n")}")
+  }
 }
