@@ -864,30 +864,77 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       statsCols = Seq(column))
   }
 
+  /** True when every file in `files` is identical between the two
+    * folded states — same governing add action (so zone maps and file
+    * identity agree) and same DV descriptor. This is the OCC conflict
+    * test all the rewrite paths share: a staged rewrite of exactly
+    * these files stays valid under any interleaved commit that left
+    * them alone (appends, deletes of OTHER files). */
+  private def untouchedBetween(base: TableState, head: TableState,
+      files: Iterable[String]): Boolean =
+    files.forall(f =>
+      head.adds.get(f) == base.adds.get(f) && head.dv.get(f) == base.dv.get(f))
+
+  /** Spark rewrite jobs the copy-on-write paths (the deleteWhere family
+    * and the compact family) have executed on this instance — the
+    * OCC-rebase observable, the [[dvDeleteJobRuns]] twin. */
+  private[graft] val cowJobRuns = new AtomicLong(0L)
+
+  /** Test seam: runs immediately before each CoW commit attempt. */
+  private[graft] var onCowCommitAttempt: () => Unit = () => ()
+
+  /** Drop a staged-but-never-committed rewrite's files instead of
+    * leaking them to vacuum (the appendBatch dropStaged discipline). */
+  private def dropStaged(adds: Seq[String]): Unit =
+    adds.flatMap(fileOf).foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
+
   /** Shared copy-on-write delete skeleton: prune the implicated file set
     * from the log's zone maps, read ONLY those files (DV-aware — rows a
     * prior merge-on-read delete removed must not resurrect), rewrite the
-    * survivors, carry everything else by reference. Rebases on a lost
-    * commit race like [[merge]]. */
+    * survivors, carry everything else by reference.
+    *
+    * Lost commit races first attempt a LOGICAL REBASE: when every
+    * implicated file is untouched at the new head (a concurrent append,
+    * or a delete of other files), the staged rewrite re-commits on top
+    * — remove the same files, add the same rewrites — with no Spark
+    * re-execution. Rows a concurrent append landed are NOT
+    * retro-deleted (the WriteSerializable stance, same as
+    * [[deleteRowsWhere]]); the meta line re-reads the head's schema so
+    * a concurrent evolution is never regressed. A conflicting
+    * interleave (an implicated file rewritten, removed, or
+    * re-vectored) drops the staged files and recomputes. */
   private def deleteCoW(spark: SparkSession, op: String,
       touched: TableState => Seq[String],
       survivors: DataFrame => DataFrame,
       statsCols: Seq[String]): Long = {
+    // staged = (state the rewrite was computed against, implicated
+    // files, their staged replacement add actions)
+    var staged: Option[(TableState, Seq[String], Seq[String])] = None
     var committed = -1L
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to delete from")
       val st = stateAt(head)
-      val hit = touched(st)
-      if (hit.isEmpty) return head
-      val sch = st.schemaB64.map(decodeSchema)
-      val kept = survivors(
-        readFiles(spark, hit.map(n => dataDir.resolve(n).toString), sch, st.dv))
-      val adds = stageMulti(spark, kept, statsCols)
-      val metaL = sch.map(metaLine(op, _))
+      val (hit, adds) = staged match {
+        case Some((base, h, a)) if untouchedBetween(base, st, h) => (h, a)
+        case _ =>
+          staged.foreach { case (_, _, a) => dropStaged(a) }
+          staged = None
+          val h = touched(st)
+          if (h.isEmpty) return head
+          cowJobRuns.incrementAndGet()
+          val sch = st.schemaB64.map(decodeSchema)
+          val kept = survivors(
+            readFiles(spark, h.map(n => dataDir.resolve(n).toString), sch, st.dv))
+          val a = stageMulti(spark, kept, statsCols)
+          staged = Some((st, h, a))
+          (h, a)
+      }
+      val metaL = st.schemaB64.map(s => metaLine(op, decodeSchema(s)))
         .getOrElse(s"""{"op":"meta","operation":"$op"}""")
       val actions = metaL +:
         (hit.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      onCowCommitAttempt()
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
@@ -1289,27 +1336,50 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * ORIGINAL files, so time travel survives compaction until an
     * explicit [[vacuum]] reclaims them.
     *
-    * Like [[merge]] (and unlike [[append]]), a lost commit race cannot
-    * just retry the rename: the staged rewrite and the remove set were
-    * computed against the OLD head, and re-committing them over a
-    * concurrent deleteWhere/overwrite/merge would resurrect rows the
-    * winner removed and duplicate its survivor files. The loop re-reads
-    * the new head and recomputes both sides before retrying; a lost
-    * attempt's staged files stay invisible and fall to [[vacuum]].
+    * Concurrency: a lost commit race against a commit that touched any
+    * compacted file (deleteWhere/overwrite/merge — re-committing our
+    * rewrite would resurrect rows the winner removed and duplicate its
+    * survivors) recomputes both sides against the new head, dropping
+    * the staged files. A DISJOINT interleave — the common case, a
+    * concurrent APPEND — logically rebases instead: the staged rewrite
+    * re-commits removing exactly the files it compacted, the appended
+    * files stay live untouched (they are simply not in the remove
+    * set), and no Spark job re-runs. That is the Delta
+    * OPTIMIZE-does-not-conflict-with-appends rule; the appended files
+    * are picked up by the NEXT compaction.
     */
-  def compact(spark: SparkSession, targetFiles: Int = 1): Long = {
+  def compact(spark: SparkSession, targetFiles: Int = 1): Long =
+    compactWith("compact", df => df.repartition(targetFiles),
+      df => stage(spark, df, None), spark)
+
+  /** Shared compaction skeleton: rewrite the CURRENT snapshot through
+    * `layout`, stage via `stager` (which decides the recorded stats),
+    * commit remove-compacted/add-rewrite with the disjoint-interleave
+    * rebase described on [[compact]]. */
+  private def compactWith(op: String, layout: DataFrame => DataFrame,
+      stager: DataFrame => Seq[String], spark: SparkSession): Long = {
+    var staged: Option[(TableState, Seq[String], Seq[String])] = None
     var committed = -1L
     while (committed < 0) {
       val head = version
       require(head >= 0, "nothing to compact")
       val st = stateAt(head) // ONE fold per attempt
-      val adds = stage(spark,
-        readState(spark, st, s"version $head").repartition(targetFiles), None)
-      val removes = st.adds.keys.toSeq
-      val metaL = st.schemaB64.map(s => metaLine("compact", decodeSchema(s)))
-        .getOrElse("""{"op":"meta","operation":"compact"}""")
+      val (removes, adds) = staged match {
+        case Some((base, r, a)) if untouchedBetween(base, st, r) => (r, a)
+        case _ =>
+          staged.foreach { case (_, _, a) => dropStaged(a) }
+          staged = None
+          cowJobRuns.incrementAndGet()
+          val r = st.adds.keys.toSeq
+          val a = stager(layout(readState(spark, st, s"version $head")))
+          staged = Some((st, r, a))
+          (r, a)
+      }
+      val metaL = st.schemaB64.map(s => metaLine(op, decodeSchema(s)))
+        .getOrElse(s"""{"op":"meta","operation":"$op"}""")
       val actions = metaL +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      onCowCommitAttempt()
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
@@ -1340,12 +1410,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       targetFiles: Int = 8, bits: Int = 8): Long = {
     import org.apache.spark.sql.functions.{col, expr, min, max}
     require(bits >= 1 && bits <= 16, s"bits $bits outside [1, 16]")
-    var committed = -1L
-    while (committed < 0) {
-      val head = version
-      require(head >= 0, "nothing to compact")
-      val st = stateAt(head) // ONE fold per attempt
-      val snap = readState(spark, st, s"version $head")
+    compactWith("zorder", snap => {
       val r = snap.agg(
         min(col(colA).cast("long")), max(col(colA).cast("long")),
         min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
@@ -1379,21 +1444,13 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         s"least(${n - 1}L, greatest(0L, $expr))"
       }
       def spread(c: String): String = graft.functions.MortonSql.spread(c)
-      val zdf = snap
+      snap
         .withColumn("_bx", expr(bucket(colA, aLo, aHi)))
         .withColumn("_by", expr(bucket(colB, bLo, bHi)))
         .withColumn("_mz", expr(s"(${spread("_bx")}) | ((${spread("_by")}) * 2)"))
         .repartitionByRange(targetFiles, col("_mz"))
         .drop("_bx", "_by", "_mz")
-      val adds = stageMulti(spark, zdf, Seq(colA, colB))
-      val removes = st.adds.keys.toSeq
-      val metaL = st.schemaB64.map(s => metaLine("zorder", decodeSchema(s)))
-        .getOrElse("""{"op":"meta","operation":"zorder"}""")
-      val actions = metaL +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
-      if (commit(head + 1, actions)) committed = head + 1
-    }
-    committed
+    }, df => stageMulti(spark, df, Seq(colA, colB)), spark)
   }
 
   /** RESTORE TO VERSION AS OF: roll the head back to exactly version

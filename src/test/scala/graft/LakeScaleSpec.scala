@@ -690,6 +690,79 @@ class LakeScaleSpec extends AnyFunSuite {
     assert(t2.read(spark).select("id").as[Long].collect().sorted === Array(1L, 2L))
   }
 
+  test("copy-on-write paths rebase lost races against disjoint commits") {
+    // deleteWhere vs a concurrent APPEND: the staged rewrite re-commits,
+    // no Spark re-execution, and the appended rows are NOT retro-deleted
+    val t = new VersionedTable(dir())
+    Seq((0L, 50L), (50L, 100L)).foreach { case (lo, hi) =>
+      t.append(spark, spark.range(lo, hi).toDF("id").repartition(1),
+        statsCol = Some("id"))
+    }
+    var fired = false
+    t.onCowCommitAttempt = () => {
+      if (!fired) {
+        fired = true
+        t.append(spark, spark.range(100, 110).toDF("id").repartition(1),
+          statsCol = Some("id"))
+      }
+    }
+    val v = t.deleteWhere(spark, "id", 10L, 19L)
+    t.onCowCommitAttempt = () => ()
+    assert(v === 3L, "the delete must land AFTER the interleaved append")
+    assert(t.cowJobRuns.get() === 1L,
+      "a disjoint interleave must rebase the CoW commit, not re-run the rewrite")
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 110L).filterNot(i => i >= 10 && i <= 19).toArray)
+    // the untouched file (50-99) and the appended file carried by reference
+    assert((t.filesAt(1L).toSet & t.filesAt(v).toSet).size === 1)
+
+    // compact vs a concurrent APPEND: Delta's OPTIMIZE-vs-append
+    // non-conflict — the rebase removes exactly the compacted files,
+    // the appended file stays live for the NEXT compaction
+    val t2 = new VersionedTable(dir())
+    t2.append(spark, spark.range(0, 60).toDF("id").repartition(3))
+    t2.deleteRowsWhere(spark, "id = 5") // a DV the compaction must fold
+    var fired2 = false
+    t2.onCowCommitAttempt = () => {
+      if (!fired2) {
+        fired2 = true
+        t2.append(spark, spark.range(60, 70).toDF("id").repartition(1))
+      }
+    }
+    t2.cowJobRuns.set(0L)
+    val cv = t2.compact(spark, targetFiles = 1)
+    t2.onCowCommitAttempt = () => ()
+    assert(t2.cowJobRuns.get() === 1L,
+      "compact must rebase over a concurrent append, not re-run the rewrite")
+    assert(t2.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 70L).filterNot(_ == 5).toArray,
+      "compacted rows (DV folded) AND the appended rows must both survive")
+    assert(t2.dvAt(cv).isEmpty, "the compacted files' DV debt is retired")
+
+    // a CONFLICTING interleave (a delete touching a compacted file)
+    // must recompute — re-committing the stale rewrite would resurrect
+    // the deleted rows
+    val t3 = new VersionedTable(dir())
+    t3.append(spark, spark.range(0, 40).toDF("id").repartition(2),
+      statsCol = Some("id"))
+    var fired3 = false
+    t3.onCowCommitAttempt = () => {
+      if (!fired3) {
+        fired3 = true
+        val w = new VersionedTable(t3.root)
+        w.deleteWhere(spark, "id", 0L, 9L)
+      }
+    }
+    t3.cowJobRuns.set(0L)
+    t3.compact(spark, targetFiles = 1)
+    t3.onCowCommitAttempt = () => ()
+    assert(t3.cowJobRuns.get() === 2L,
+      "a conflicting interleave must recompute the compaction")
+    assert(t3.read(spark).select("id").as[Long].collect().sorted ===
+      (10L until 40L).toArray,
+      "the winner's delete must survive the compaction race")
+  }
+
   test("pruned reads serve the log-carried schema after evolution") {
     val t = new VersionedTable(dir())
     t.append(spark, spark.range(0, 100).toDF("id").repartition(1),
