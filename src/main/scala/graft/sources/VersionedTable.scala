@@ -774,36 +774,85 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * committed as one new version tagged `merge`. Physically: one keyed
     * left-anti join (the survivors) unioned with the updates, staged,
     * then remove-head/add-all — the transactional upsert an SCD1 /
-    * latest-state corpus store runs nightly. Unlike [[overwrite]], a
-    * lost commit race cannot just retry the rename: the merged frame was
-    * computed AGAINST the old head, so the loop re-reads the new head
-    * and recomputes before re-staging (the serializable-transaction
-    * retry discipline; a lost attempt's staged files stay invisible and
-    * fall to [[vacuum]]). At 100 TB the join shuffles on the key with
-    * the update side typically broadcast — never a snapshot rewrite per
-    * updated row.
-    */
+    * latest-state corpus store runs nightly. At 100 TB the join
+    * shuffles on the key with the update side typically broadcast —
+    * never a snapshot rewrite per updated row.
+    *
+    * Concurrency: merge's read set is KEY-level (every head row's key
+    * was consulted), so file-level disjointness is NOT a sufficient
+    * conflict test — a concurrent append could insert a key the merge
+    * must replace. A lost race therefore rebases only under the
+    * PREDICATE test the lake engines use: every file the interleave
+    * added carries an integer zone map on `key` that PROVABLY misses
+    * the updates' [min, max] key range (and every merged-away file is
+    * untouched). Then the appended rows cannot contain a merged key,
+    * the staged rewrite re-commits with the appended files carried
+    * live, and no Spark job re-runs. Anything else — overlapping or
+    * unknowable key ranges, a non-integer key, a touched base file —
+    * recomputes against the new head (staged files dropped, never
+    * leaked). */
   def merge(spark: SparkSession, updates: DataFrame, key: String,
       statsCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
     // survivors were validated when THEY were written; only the updates
     // bring new values past the gate
     var validated: Map[String, String] = null
+    // the updates' key interval, computed lazily on the first lost race
+    // (one tiny agg); inner None = key not integer-typed → never rebase
+    var updRange: Option[Option[(Long, Long)]] = None
+    def keyRange(): Option[(Long, Long)] = {
+      if (updRange.isEmpty) {
+        val integral = updates.schema.find(_.name == key).exists(f =>
+          f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType)
+        updRange = Some(
+          if (!integral) None
+          else {
+            val r = updates.agg(min(col(key).cast("long")),
+              max(col(key).cast("long"))).head()
+            if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+          })
+      }
+      updRange.get
+    }
+    var staged: Option[(TableState, Seq[String], Seq[String])] = None
     var committed = -1L
     while (committed < 0) {
       val head = version
       val st = stateAtOrEmpty(head) // ONE fold per attempt
       val cs = st.constraints.toMap
       if (cs != validated) { enforce(updates, cs); validated = cs }
+      val rebasable = staged.filter { case (base, removes, _) =>
+        untouchedBetween(base, st, removes) && {
+          val newFiles = st.adds.filterNot { case (f, _) => base.adds.contains(f) }
+          newFiles.isEmpty || keyRange().exists { case (lo, hi) =>
+            newFiles.forall { case (_, line) =>
+              longStatsOf(line).toMap.get(key)
+                .exists { case (fLo, fHi) => fHi < lo || fLo > hi }
+            }
+          }
+        }
+      }
+      val (removes, adds) = rebasable match {
+        case Some((_, r, a)) => (r, a)
+        case _ =>
+          staged.foreach { case (_, _, a) => dropStaged(a) }
+          staged = None
+          cowJobRuns.incrementAndGet()
+          val merged =
+            if (head < 0) updates
+            else readState(spark, st, s"version $head")
+              .join(updates.select(key), Seq(key), "left_anti")
+              .unionByName(updates, allowMissingColumns = true)
+          val a = stage(spark, merged, statsCol)
+          val r = st.adds.keys.toSeq
+          staged = Some((st, r, a))
+          (r, a)
+      }
       val s = unionSchema(st.schemaB64.map(decodeSchema), updates.schema)
-      val merged =
-        if (head < 0) updates
-        else readState(spark, st, s"version $head")
-          .join(updates.select(key), Seq(key), "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-      val adds = stage(spark, merged, statsCol)
-      val removes = st.adds.keys.toSeq
       val actions = metaLine("merge", s) +:
         (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+      onCowCommitAttempt()
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
@@ -875,8 +924,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     files.forall(f =>
       head.adds.get(f) == base.adds.get(f) && head.dv.get(f) == base.dv.get(f))
 
-  /** Spark rewrite jobs the copy-on-write paths (the deleteWhere family
-    * and the compact family) have executed on this instance — the
+  /** Spark rewrite jobs the rewrite paths (the deleteWhere family, the
+    * compact family, and merge) have executed on this instance — the
     * OCC-rebase observable, the [[dvDeleteJobRuns]] twin. */
   private[graft] val cowJobRuns = new AtomicLong(0L)
 

@@ -763,6 +763,110 @@ class LakeScaleSpec extends AnyFunSuite {
       "the winner's delete must survive the compaction race")
   }
 
+  test("merge rebases a lost race only under the key-range predicate test") {
+    // merge's read set is KEY-level: file-level disjointness is not
+    // enough, so the rebase requires the interleaved files' key zone
+    // maps to PROVABLY miss the updates' key interval
+    def freshTable(): VersionedTable = {
+      val t = new VersionedTable(dir())
+      t.append(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .repartition(1), statsCol = Some("id"))
+      t
+    }
+    // 1) disjoint interleave WITH stats: append keys 100+ while merging
+    //    keys 2-3 → rebase, no re-execution
+    val t1 = freshTable()
+    var fired1 = false
+    t1.onCowCommitAttempt = () => {
+      if (!fired1) {
+        fired1 = true
+        t1.append(spark, Seq((100L, "x"), (101L, "y")).toDF("id", "v")
+          .repartition(1), statsCol = Some("id"))
+      }
+    }
+    t1.cowJobRuns.set(0L)
+    t1.merge(spark, Seq((2L, "B"), (4L, "D")).toDF("id", "v"), "id",
+      statsCol = Some("id"))
+    t1.onCowCommitAttempt = () => ()
+    assert(t1.cowJobRuns.get() === 1L,
+      "a provably-key-disjoint append must rebase the merge, not re-run it")
+    assert(t1.read(spark).as[(Long, String)].collect().sortBy(_._1) ===
+      Array((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"), (100L, "x"), (101L, "y")))
+
+    // 2) OVERLAPPING keys: the concurrent append inserts a key the merge
+    //    must replace → recompute, and the merge wins over the appended row
+    val t2 = freshTable()
+    var fired2 = false
+    t2.onCowCommitAttempt = () => {
+      if (!fired2) {
+        fired2 = true
+        t2.append(spark, Seq((4L, "stale")).toDF("id", "v")
+          .repartition(1), statsCol = Some("id"))
+      }
+    }
+    t2.cowJobRuns.set(0L)
+    t2.merge(spark, Seq((4L, "D")).toDF("id", "v"), "id", statsCol = Some("id"))
+    t2.onCowCommitAttempt = () => ()
+    assert(t2.cowJobRuns.get() === 2L,
+      "a key-overlapping append must force the merge to recompute")
+    assert(t2.read(spark).as[(Long, String)].collect().sortBy(_._1) ===
+      Array((1L, "a"), (2L, "b"), (3L, "c"), (4L, "D")),
+      "the recomputed merge must replace the concurrently-appended key")
+
+    // 3) an interleaved append WITHOUT key stats is unknowable → recompute
+    val t3 = freshTable()
+    var fired3 = false
+    t3.onCowCommitAttempt = () => {
+      if (!fired3) {
+        fired3 = true
+        t3.append(spark, Seq((200L, "z")).toDF("id", "v").repartition(1))
+      }
+    }
+    t3.cowJobRuns.set(0L)
+    t3.merge(spark, Seq((2L, "B")).toDF("id", "v"), "id", statsCol = Some("id"))
+    t3.onCowCommitAttempt = () => ()
+    assert(t3.cowJobRuns.get() === 2L,
+      "an interleave with no key zone map must recompute (sound, not clever)")
+    assert(t3.read(spark).as[(Long, String)].collect().sortBy(_._1) ===
+      Array((1L, "a"), (2L, "B"), (3L, "c"), (200L, "z")))
+  }
+
+  test("concurrent writers: racing appends and a MoR delete all land exactly once") {
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 100).toDF("id").repartition(2)) // v0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // 4 appenders of disjoint key ranges + 1 MoR delete targeting only
+      // the PRE-COMMITTED rows, so the outcome is deterministic under
+      // WriteSerializable whatever the interleaving
+      val writers = (1 to 4).map { k =>
+        Future {
+          new VersionedTable(t.root).append(spark,
+            spark.range(1000L * k, 1000L * k + 50).toDF("id").repartition(1))
+        }
+      } :+ Future {
+        new VersionedTable(t.root).deleteRowsWhere(spark, "id IN (7, 42, 77)")
+      }
+      // generous: a full parallel-suite run shares the box's 32 threads
+      Await.result(Future.sequence(writers),
+        scala.concurrent.duration.Duration(300, "s"))
+    } finally pool.shutdown()
+    // every commit landed under its own version — no lost updates
+    assert(t.version === 5L)
+    val expect = ((0L until 100L).filterNot(Set(7L, 42L, 77L)) ++
+      (1 to 4).flatMap(k => 1000L * k until 1000L * k + 50)).sorted.toArray
+    assert(t.read(spark).select("id").as[Long].collect().sorted === expect)
+    val ops = t.history.map(_._2)
+    assert(ops.count(_ == "append") === 5 && ops.count(_ == "delete_mor") === 1,
+      s"unexpected op mix: $ops")
+    // compaction on top retires the DV and preserves the state exactly
+    val cv = t.compact(spark, targetFiles = 1)
+    assert(t.dvAt(cv).isEmpty)
+    assert(t.read(spark).select("id").as[Long].collect().sorted === expect)
+  }
+
   test("pruned reads serve the log-carried schema after evolution") {
     val t = new VersionedTable(dir())
     t.append(spark, spark.range(0, 100).toDF("id").repartition(1),

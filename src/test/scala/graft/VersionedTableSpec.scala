@@ -561,7 +561,9 @@ class VersionedTableSpec extends AnyFunSuite {
         }
       }
     }
-    Await.result(Future.sequence(writers), 120.seconds)
+    // generous: under a full parallel-suite run this shares 32 threads
+    // with every other Spark job on the box
+    Await.result(Future.sequence(writers), 300.seconds)
     assert(t.version === 19L, "20 appends must take versions 0..19")
     assert(t.read(spark).select("id").as[Int].collect().sorted ===
       (0 until 20).toArray, "every writer's rows land exactly once")
