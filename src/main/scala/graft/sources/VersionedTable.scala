@@ -200,8 +200,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       parseBinaryCheckpoint(bytes)
     else {
       val lines = new String(bytes, "UTF-8").split('\n').toSeq
+      // anchored digit-boundary match: a future text header declaring
+      // "fmt":10 must be SKIPPED, not folded under fmt:1 rules
       if (lines.headOption.exists(h =>
-          h.contains("\"op\":\"cp\"") && h.contains("\"fmt\":1"))) {
+          h.contains("\"op\":\"cp\"") &&
+            "\"fmt\":1([^0-9]|$)".r.findFirstIn(h).isDefined)) {
         val st = new TableState
         lines.foreach(foldLine(st, _))
         Some(st)
@@ -251,11 +254,10 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val tmp = logDir.resolve(s".cptmp-${UUID.randomUUID()}")
       try {
         Files.write(tmp, bytes)
-        Files.move(tmp, target)
-      } catch {
-        // lost the checkpoint race: the winner's is identical — benign
-        case _: java.nio.file.FileAlreadyExistsException => ()
-      } finally Files.deleteIfExists(tmp) // failed write/move: no orphan
+        // same put-if-absent publish as commit(); a lost checkpoint
+        // race is benign — the winner's content is identical
+        publishIfAbsent(tmp, target)
+      } finally Files.deleteIfExists(tmp) // failed write: no orphan
     } catch {
       case scala.util.control.NonFatal(e) =>
         // a checkpoint is derived state: its failure must not fail the
@@ -335,8 +337,17 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   private def parseBinaryCheckpoint(bytes: Array[Byte]): Option[TableState] =
     try {
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      // every decoded length is bounded by the FILE size before any
+      // allocation: a corrupted length field must fall back to the log
+      // fold like any other parse failure, not throw OutOfMemoryError
+      // (which is not NonFatal and would escape this gate)
+      def boundedLen(n: Int, unit: Int): Int = {
+        require(n >= 0 && n.toLong * unit <= bytes.length.toLong,
+          s"checkpoint length field $n exceeds file size ${bytes.length}")
+        n
+      }
       def readStr(): String = {
-        val n = in.readInt()
+        val n = boundedLen(in.readInt(), 1)
         val b = new Array[Byte](n); in.readFully(b); new String(b, "UTF-8")
       }
       require(in.readInt() == CpMagic2)
@@ -344,22 +355,22 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val st = new TableState
       val schemaLen = in.readInt()
       if (schemaLen >= 0) {
-        val b = new Array[Byte](schemaLen); in.readFully(b)
+        val b = new Array[Byte](boundedLen(schemaLen, 1)); in.readFully(b)
         st.schemaB64 = Some(new String(b, "UTF-8"))
       }
-      (0 until in.readInt()).foreach { _ =>
+      (0 until boundedLen(in.readInt(), 1)).foreach { _ =>
         val n = readStr(); st.constraints(n) = readStr()
       }
-      (0 until in.readInt()).foreach(_ => st.batchIds += in.readLong())
-      (0 until in.readInt()).foreach { _ =>
+      (0 until boundedLen(in.readInt(), 8)).foreach(_ => st.batchIds += in.readLong())
+      (0 until boundedLen(in.readInt(), 1)).foreach { _ =>
         val line = readStr()
         fileOf(line).foreach(f => st.adds(f) = line)
       }
-      (0 until in.readInt()).foreach { _ =>
+      (0 until boundedLen(in.readInt(), 1)).foreach { _ =>
         val f = readStr()
         in.readByte() match {
           case 0 =>
-            val pos = new Array[Long](in.readInt())
+            val pos = new Array[Long](boundedLen(in.readInt(), 8))
             var i = 0
             while (i < pos.length) { pos(i) = in.readLong(); i += 1 }
             st.dv(f) = DvInline(pos)
@@ -548,28 +559,53 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       s"CHECK constraint(s) violated by $what: ${violated.mkString("; ")}")
   }
 
+  /** Atomic PUT-IF-ABSENT publish of a fully-written temp file. POSIX
+    * rename() silently REPLACES an existing target, and `Files.move`
+    * without REPLACE_EXISTING raises FileAlreadyExistsException from a
+    * NON-ATOMIC exists-then-rename — a TOCTOU window two racing writers
+    * can both pass, after which the second rename silently DESTROYS the
+    * first writer's commit (the writer-storm spec caught exactly this
+    * once the round's concurrency tests raised the contention). A hard
+    * LINK is the filesystem's put-if-absent primitive: link(2) fails
+    * atomically with EEXIST when the target exists — the same
+    * rename-if-absent contract Delta's HDFS LogStore builds on. Returns
+    * false when the target was taken; the temp file is always cleaned. */
+  private def publishIfAbsent(tmp: Path, target: Path): Boolean =
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+
   /** Atomic commit of version v. Returns false when v was taken by a
     * concurrent writer (caller re-reads the head and retries). Every
     * `checkpointInterval`-th landed commit also enqueues a log
     * checkpoint on the shared ASYNC writer thread — the commit returns
-    * as soon as the rename lands, never paying the checkpoint's
+    * as soon as the publish lands, never paying the checkpoint's
     * fold-and-write latency (the Delta discipline: checkpoints are
     * derived state, written after the fact, best-effort). */
   private[graft] def commit(v: Long, actions: Seq[String]): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.write(tmp, actions.mkString("\n").getBytes("UTF-8"))
-    try {
-      Files.move(tmp, logDir.resolve(logName(v)))
-      if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
-        pendingCps.add(cpPool.submit(new Runnable {
-          def run(): Unit = { checkpointGate(); maybeCheckpoint(v) }
-        }))
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
+    if (!publishIfAbsent(tmp, logDir.resolve(logName(v)))) return false
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
+      // opportunistically drop already-finished futures so a
+      // long-lived writer (the streaming-ingest shape: one instance,
+      // 10^6 micro-batches) never accumulates them — production
+      // paths don't call awaitCheckpoints
+      var head = pendingCps.peek()
+      while (head != null && head.isDone) {
+        pendingCps.poll(); head = pendingCps.peek()
+      }
+      pendingCps.add(cpPool.submit(new Runnable {
+        def run(): Unit = { checkpointGate(); maybeCheckpoint(v) }
+      }))
     }
+    true
   }
 
   // ------------------------------------------------------------------
@@ -1186,7 +1222,20 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
           else readDvSidecar(Paths.get(dataDirStr).resolve(ref))
         pos.map(p => (f, p))
       }.toDF(DvFileCol, DvPosCol)
-      base.join(broadcast(pairs), Seq(DvFileCol, DvPosCol), "left_anti")
+      // The cumulative cardinality is known from the descriptors, so the
+      // join strategy is chosen WITHOUT materializing anything: small
+      // vectors broadcast (one hash per executor, no shuffle of `base`);
+      // a bulk-delete table past the threshold takes a SHUFFLED anti-join
+      // instead — the pair expansion stays on the executors end to end
+      // and nothing rides the driver, so even compact() (the mitigation
+      // that retires the vectors) works on the table that most needs it.
+      val totalCard = dv.collect {
+        case (f, d) if names(f) => d.cardinality
+      }.sum
+      if (totalCard <= DvBroadcastMaxPositions)
+        base.join(broadcast(pairs), Seq(DvFileCol, DvPosCol), "left_anti")
+      else
+        base.join(pairs, Seq(DvFileCol, DvPosCol), "left_anti")
     }
   }
 
@@ -1313,15 +1362,24 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * bounds are sound, so overlap-by-bounds is sound). No stats on the
     * column → always a candidate. */
   def prunedFilesBetween(v: Long, column: String, lo: String,
-      hi: String): Seq[String] = {
-    val loB = lo.getBytes("UTF-8")
-    val hiB = hi.getBytes("UTF-8")
-    stateAt(v).adds.toSeq.collect {
+      hi: String): Seq[String] =
+    betweenCandidates(stateAt(v), column,
+      lo.getBytes("UTF-8"), hi.getBytes("UTF-8"))
+      .map(n => dataDir.resolve(n).toString)
+
+  /** Live file NAMES whose recorded string interval on `column` can
+    * OVERLAP [loB, hiB] under unsigned-lex order (no stats → always a
+    * candidate). The ONE overlap test every BETWEEN face shares — the
+    * audit accessor, the pruned read, and the CoW delete must never
+    * diverge on it. */
+  private def betweenCandidates(st: TableState, column: String,
+      loB: Array[Byte], hiB: Array[Byte]): Seq[String] =
+    st.adds.toSeq.collect {
       case (n, line) if strStatsOf(line).toMap.get(column)
-        .forall { case (mn, mx) => ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0 } =>
-        dataDir.resolve(n).toString
+        .forall { case (mn, mx) =>
+          ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0
+        } => n
     }
-  }
 
   /** Data-skipping read on a STRING range predicate — the
     * `source BETWEEN 'a' AND 'b'` / prefix-scan shape over a table
@@ -1334,11 +1392,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val loB = lo.getBytes("UTF-8")
     val hiB = hi.getBytes("UTF-8")
     require(ucmp(loB, hiB) <= 0, s"empty range ['$lo', '$hi']")
-    val files = st.adds.toSeq.collect {
-      case (n, line) if strStatsOf(line).toMap.get(column)
-        .forall { case (mn, mx) => ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0 } =>
-        dataDir.resolve(n).toString
-    }
+    val files = betweenCandidates(st, column, loB, hiB)
+      .map(n => dataDir.resolve(n).toString)
     require(files.nonEmpty,
       s"no candidate files for $column in ['$lo', '$hi'] at version $v")
     readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
@@ -1359,12 +1414,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val hiB = hi.getBytes("UTF-8")
     require(ucmp(loB, hiB) <= 0, s"empty range ['$lo', '$hi']")
     deleteCoW(spark, "delete",
-      touched = st => st.adds.toSeq.collect {
-        case (n, line) if strStatsOf(line).toMap.get(column)
-          .forall { case (mn, mx) =>
-            ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0
-          } => n
-      },
+      touched = st => betweenCandidates(st, column, loB, hiB),
       survivors = df =>
         df.filter(!col(column).between(lo, hi) || col(column).isNull),
       statsCols = Seq(column))
@@ -1654,18 +1704,18 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     // DV diffs materialize ONLY for kept files whose descriptor changed
     // in the window — bounded by the window's delete/restore volume (an
     // executor-side bitmap diff is the refinement if change feeds ever
-    // carry bulk-delete windows)
-    def dvOf(st: TableState, f: String): Array[Long] =
-      st.dv.get(f).map(loadDv).getOrElse(Array.empty[Long])
-    val changedDv = kept.filter(f => stTo.dv.get(f) != stFrom.dv.get(f))
-    val grown = changedDv.map { f =>
-      val before = dvOf(stFrom, f).toSet
-      (f, dvOf(stTo, f).filterNot(before))
+    // carry bulk-delete windows). Each changed file's two vectors load
+    // ONCE and feed both diff directions.
+    val dvDiffs = kept.collect {
+      case f if stTo.dv.get(f) != stFrom.dv.get(f) =>
+        val before = stFrom.dv.get(f).map(loadDv).getOrElse(Array.empty[Long])
+        val after = stTo.dv.get(f).map(loadDv).getOrElse(Array.empty[Long])
+        val beforeSet = before.toSet
+        val afterSet = after.toSet
+        (f, after.filterNot(beforeSet), before.filterNot(afterSet))
     }
-    val shrunk = changedDv.map { f =>
-      val after = dvOf(stTo, f).toSet
-      (f, dvOf(stFrom, f).filterNot(after))
-    }
+    val grown = dvDiffs.map { case (f, g, _) => (f, g) }
+    val shrunk = dvDiffs.map { case (f, _, s) => (f, s) }
     import org.apache.spark.sql.functions.lit
     // both sides read under the window-end schema: deletes from an older
     // layout null-fill columns born later, mirroring the snapshot reads
@@ -1708,6 +1758,14 @@ private[sources] object VersionedTable {
 
   /** DV sidecar magic ("GDV1"). */
   private[sources] val DvMagic1 = 0x47445631
+
+  /** Cumulative deleted-position count above which the library read
+    * path stops BROADCASTING the (file, pos) anti-join side and lets it
+    * shuffle instead (~4M positions ≈ tens of MB of pairs — past that a
+    * broadcast taxes every executor and ultimately the driver, while a
+    * shuffled anti-join scales with the cluster). Known up front from
+    * the log's descriptors, so the choice costs nothing. */
+  private[sources] val DvBroadcastMaxPositions = 4L << 20
 
   /** The shared async checkpoint writer: ONE daemon thread for the whole
     * JVM (checkpoints are rare — every interval-th commit — and

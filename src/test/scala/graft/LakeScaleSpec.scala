@@ -867,6 +867,39 @@ class LakeScaleSpec extends AnyFunSuite {
     assert(t.read(spark).select("id").as[Long].collect().sorted === expect)
   }
 
+  test("commit publish is put-if-absent: a raw 8-thread rename race loses no version") {
+    // Regression for a silent-lost-commit race: Files.move without
+    // REPLACE_EXISTING raises FileAlreadyExists from a NON-ATOMIC
+    // exists-then-rename, and POSIX rename() REPLACES — two racers could
+    // both pass the check and one commit vanished (caught once by the
+    // writer-storm spec at full-suite contention). commit() now
+    // publishes via hard link (atomic EEXIST). This hammer is
+    // Spark-free, so it drives thousands of head collisions in seconds.
+    val t = new VersionedTable(dir())
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 50).foreach { i =>
+            var done = false
+            while (!done) {
+              val head = t.version
+              done = t.commit(head + 1,
+                Seq(s"""{"op":"meta","operation":"append","w":$w,"i":$i}"""))
+              if (done) landed.add(head + 1)
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(t.version === 399L, "400 commits must take versions 0..399")
+    import scala.jdk.CollectionConverters._
+    assert(landed.asScala.toSeq.sorted === (0L to 399L),
+      "every version must be won by exactly one writer — none lost, none doubled")
+  }
+
   test("pruned reads serve the log-carried schema after evolution") {
     val t = new VersionedTable(dir())
     t.append(spark, spark.range(0, 100).toDF("id").repartition(1),

@@ -162,31 +162,45 @@ class SourceLintSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  /** Column identifiers that pass through the final SELECT list bare
-    * (possibly qualified, possibly renamed — both preserve the type). */
-  private def bareFinalSelectIdents(sql: String): (Int, Int, Set[String]) = {
+  /** Every TOP-LEVEL select-list span in the statement — the final
+    * select AND each top-level UNION branch (an inner CTE/subquery
+    * select sits inside parens and is excluded). Each branch's list is
+    * an output column list: a hazard in ANY of them reaches the
+    * driver's hash. */
+  private def topSelectSpans(sql: String): Seq[(Int, Int)] = {
     val selects = topLevelKeyword(sql, "select")
-    if (selects.isEmpty) return (0, 0, Set.empty)
-    val sel = selects.last
-    val froms = topLevelKeyword(sql, "from").filter(_ > sel)
-    val end = if (froms.isEmpty) sql.length else froms.head
-    val span = sql.substring(sel + "select".length, end)
-    // split at depth-0 commas within the span
-    val items = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var start = 0
-    for (i <- span.indices) span.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 => items += span.substring(start, i); start = i + 1
-      case _ =>
+    selects.map { sel =>
+      val start = sel + "select".length
+      val stops = topLevelKeyword(sql, "from").filter(_ > sel) ++
+        selects.filter(_ > sel)
+      (start, if (stops.isEmpty) sql.length else stops.min)
     }
-    items += span.substring(start)
+  }
+
+  /** Column identifiers that pass through ANY top-level select list
+    * bare (possibly qualified, possibly renamed — both preserve the
+    * type), plus the spans themselves. */
+  private def bareFinalSelectIdents(sql: String): (Seq[(Int, Int)], Set[String]) = {
+    val spans = topSelectSpans(sql)
     val bare = """(?is)^\s*(?:(\w+)\s*\.\s*)?(\w+)(?:\s+as\s+\w+)?\s*$""".r
-    val idents = items.flatMap {
-      case bare(_, col) => Some(col.toLowerCase)
-      case _ => None
+    val idents = spans.flatMap { case (s, e) =>
+      val span = sql.substring(s, e)
+      // split at depth-0 commas within the span
+      val items = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; var start = 0
+      for (i <- span.indices) span.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => items += span.substring(start, i); start = i + 1
+        case _ =>
+      }
+      items += span.substring(start)
+      items.flatMap {
+        case bare(_, col) => Some(col.toLowerCase)
+        case _ => None
+      }
     }.toSet
-    (sel, end, idents)
+    (spans, idents)
   }
 
   /** True when the window sum starting before `sumIdx` is ultimately
@@ -263,10 +277,10 @@ class SourceLintSpec extends AnyFunSuite {
     * later CTE re-types the name — that shape is legal). */
   private def windowSumOffenders(rawSql: String): Seq[String] = {
     val sql = blankLiterals(rawSql) // a quoted '(' must not skew the walk
-    val (selStart, selEnd, bareIdents) = bareFinalSelectIdents(sql)
+    val (spans, bareIdents) = bareFinalSelectIdents(sql)
     windowSums(sql).collect {
       case (start, end, alias, wrapped) if !wrapped =>
-        val directOutput = start >= selStart && start < selEnd
+        val directOutput = spans.exists { case (s, e) => start >= s && start < e }
         val aliasOutput = alias.exists { a =>
           val defs = s"""(?i)\\bas\\s+$a\\b""".r.findAllMatchIn(sql).size
           bareIdents.contains(a) && defs <= 1
@@ -530,33 +544,29 @@ class SourceLintSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  /** Final-select items as (absoluteStart, absoluteEnd) spans. */
-  private def finalSelectItemSpans(sql: String): Seq[(Int, Int)] = {
-    val selects = topLevelKeyword(sql, "select")
-    if (selects.isEmpty) return Nil
-    val sel = selects.last
-    val froms = topLevelKeyword(sql, "from").filter(_ > sel)
-    val end = if (froms.isEmpty) sql.length else froms.head
-    val base = sel + "select".length
-    val span = sql.substring(base, end)
-    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    var depth = 0; var start = 0
-    for (i <- span.indices) span.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 => spans += ((base + start, base + i)); start = i + 1
-      case _ =>
+  /** Select-list items of EVERY top-level select (final + union
+    * branches) as (absoluteStart, absoluteEnd) spans. */
+  private def finalSelectItemSpans(sql: String): Seq[(Int, Int)] =
+    topSelectSpans(sql).flatMap { case (base, end) =>
+      val span = sql.substring(base, end)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var depth = 0; var start = 0
+      for (i <- span.indices) span.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => spans += ((base + start, base + i)); start = i + 1
+        case _ =>
+      }
+      spans += ((base + start, end))
+      spans.toSeq
     }
-    spans += ((base + start, end))
-    spans.toSeq
-  }
 
   /** Unwrapped plain sums whose RAW value becomes an output column:
     * the sum IS an entire final-select item (modulo `AS alias`), or its
     * alias passes through the final select bare and un-shadowed. */
   private def plainSumOffenders(rawSql: String): Seq[String] = {
     val sql = blankLiterals(rawSql)
-    val (_, _, bareIdents) = bareFinalSelectIdents(sql)
+    val (_, bareIdents) = bareFinalSelectIdents(sql)
     val items = finalSelectItemSpans(sql)
     plainSums(sql).collect {
       case (start, end, alias, wrapped) if !wrapped =>
@@ -601,6 +611,20 @@ class SourceLintSpec extends AnyFunSuite {
     assert(plainSumOffenders(
       """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
          HAVING sum(x) > 10 ORDER BY lang""").isEmpty)
+    // a top-level UNION branch's select list is an output list too —
+    // the last-select-only blind spot a review pass caught
+    assert(plainSumOffenders(
+      """SELECT 'a' AS tag, CAST(sum(x) AS BIGINT) AS n FROM t
+         UNION ALL SELECT 'b', sum(y) FROM u""").size == 1,
+      "a bare sum in a union branch's output list must be flagged")
+    assert(plainSumOffenders(
+      """SELECT 'a' AS tag, CAST(sum(x) AS BIGINT) AS n FROM t
+         UNION ALL SELECT 'b', CAST(sum(y) AS BIGINT) FROM u""").isEmpty)
+    // ...and the same widening applies to the window-sum lint
+    assert(windowSumOffenders(
+      """SELECT id, CAST(sum(x) OVER (ORDER BY id) AS BIGINT) AS c FROM t
+         UNION ALL SELECT id, sum(y) OVER (ORDER BY id) FROM u""").nonEmpty,
+      "a bare window sum in a union branch's output list must be flagged")
   }
 
   test("no oracle lets a bare non-window sum reach the output column list") {
