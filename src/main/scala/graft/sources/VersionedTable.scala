@@ -1207,7 +1207,6 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       col("_metadata.file_name").as(DvFileCol) :+
       col("_metadata.row_index").as(DvPosCol): _*)
     val names = paths.map(p => Paths.get(p).getFileName.toString).toSet
-    val dataDirStr = dataDir.toString
     val descs: Seq[(String, String, Array[Long])] = dv.toSeq.collect {
       case (f, d) if names(f) && d.cardinality > 0 => d match {
         case DvInline(p) => (f, "", p)
@@ -1216,12 +1215,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     }
     if (descs.isEmpty) base
     else {
-      import spark.implicits._
-      val pairs = descs.toDS.flatMap { case (f, ref, inline) =>
-        val pos = if (ref.isEmpty) inline
-          else readDvSidecar(Paths.get(dataDirStr).resolve(ref))
-        pos.map(p => (f, p))
-      }.toDF(DvFileCol, DvPosCol)
+      val pairs = expandDvPairs(spark, descs)
       // The cumulative cardinality is known from the descriptors, so the
       // join strategy is chosen WITHOUT materializing anything: small
       // vectors broadcast (one hash per executor, no shuffle of `base`);
@@ -1239,25 +1233,50 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     }
   }
 
-  /** Read ONLY the given (file → positions) rows — the change feed's
-    * positional read for DV-grown (deleted) and DV-shrunk (restored)
-    * rows. Inner broadcast join on the same metadata pair. */
+  /** Expand DV descriptors into a distributed (file, pos) pair frame —
+    * sidecars are read BY THE TASKS, inline positions (legacy logs,
+    * bounded) ship in the closure. The building block the anti-join
+    * read and the change-feed diff share. */
+  private def expandDvPairs(spark: SparkSession,
+      descs: Seq[(String, String, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    val dataDirStr = dataDir.toString
+    descs.toDS.flatMap { case (f, ref, inline) =>
+      val pos = if (ref.isEmpty) inline
+        else readDvSidecar(Paths.get(dataDirStr).resolve(ref))
+      pos.map(p => (f, p))
+    }.toDF(DvFileCol, DvPosCol)
+  }
+
+  /** A descriptor in the task-shippable (sidecarName, inlinePositions)
+    * form expandDvPairs consumes; absent descriptor = empty vector. */
+  private def descForm(d: Option[DvDesc]): (String, Array[Long]) = d match {
+    case Some(DvInline(p)) => ("", p)
+    case Some(DvSidecar(n, _)) => (n, Array.empty[Long])
+    case None => ("", Array.empty[Long])
+  }
+
+  /** Read ONLY the rows named by a distributed (file, pos) pair frame —
+    * the change feed's positional read for DV-grown (deleted) and
+    * DV-shrunk (restored) rows. Inner join on the parquet reader's
+    * metadata pair; broadcast only when `pairsBound` (known from the
+    * descriptors) says the pair side is small, otherwise shuffled — a
+    * bulk-delete CDC window must not funnel its positions through the
+    * driver. */
   private def readOnlyPositions(spark: SparkSession, sch: Option[StructType],
-      posByFile: Seq[(String, Array[Long])]): Option[DataFrame] = {
+      files: Seq[String], pairs: DataFrame, pairsBound: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val nonEmpty = posByFile.filter(_._2.nonEmpty)
-    if (nonEmpty.isEmpty) return None
-    val paths = nonEmpty.map { case (f, _) => dataDir.resolve(f).toString }
+    val paths = files.map(f => dataDir.resolve(f).toString)
     val raw = reader(spark, sch).parquet(paths: _*)
     val cols = raw.columns
-    import spark.implicits._
-    val pairs = nonEmpty.flatMap { case (f, pos) => pos.map(p => (f, p)) }
-      .toDF(DvFileCol, DvPosCol)
-    Some(raw.select(raw.columns.map(col) :+
-        col("_metadata.file_name").as(DvFileCol) :+
-        col("_metadata.row_index").as(DvPosCol): _*)
-      .join(broadcast(pairs), Seq(DvFileCol, DvPosCol), "inner")
-      .select(cols.map(col): _*))
+    val withMeta = raw.select(raw.columns.map(col) :+
+      col("_metadata.file_name").as(DvFileCol) :+
+      col("_metadata.row_index").as(DvPosCol): _*)
+    val joined =
+      if (pairsBound <= DvBroadcastMaxPositions)
+        withMeta.join(broadcast(pairs), Seq(DvFileCol, DvPosCol), "inner")
+      else withMeta.join(pairs, Seq(DvFileCol, DvPosCol), "inner")
+    joined.select(cols.map(col): _*)
   }
 
   // ------------------------------------------------------------------
@@ -1701,21 +1720,27 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val added = stTo.adds.keys.toSeq.filterNot(liveFrom.contains)
     val removed = stFrom.adds.keys.toSeq.filterNot(liveTo.contains)
     val kept = stTo.adds.keys.toSeq.filter(liveFrom.contains)
-    // DV diffs materialize ONLY for kept files whose descriptor changed
-    // in the window — bounded by the window's delete/restore volume (an
-    // executor-side bitmap diff is the refinement if change feeds ever
-    // carry bulk-delete windows). Each changed file's two vectors load
-    // ONCE and feed both diff directions.
-    val dvDiffs = kept.collect {
-      case f if stTo.dv.get(f) != stFrom.dv.get(f) =>
-        val before = stFrom.dv.get(f).map(loadDv).getOrElse(Array.empty[Long])
-        val after = stTo.dv.get(f).map(loadDv).getOrElse(Array.empty[Long])
-        val beforeSet = before.toSet
-        val afterSet = after.toSet
-        (f, after.filterNot(beforeSet), before.filterNot(afterSet))
-    }
-    val grown = dvDiffs.map { case (f, g, _) => (f, g) }
-    val shrunk = dvDiffs.map { case (f, _, s) => (f, s) }
+    // DV diffs are computed ON THE EXECUTORS: each side's descriptors
+    // expand into a distributed (file, pos) frame (sidecars read
+    // task-side) and the two set differences are plain distributed
+    // EXCEPTs — a CDC window over a bulk merge-on-read delete never
+    // funnels its positions through the driver, matching the read
+    // path's discipline. Only files whose descriptor CHANGED in the
+    // window participate. One narrow contract note: a window whose
+    // descriptors changed without any net position change (possible
+    // only through an inline→sidecar rewrite of identical positions)
+    // yields empty positional feeds rather than being detected as
+    // change-free up front.
+    val changedDv = kept.filter(f => stTo.dv.get(f) != stFrom.dv.get(f))
+    def sideDescs(st: TableState): Seq[(String, String, Array[Long])] =
+      changedDv.map { f =>
+        val (ref, inline) = descForm(st.dv.get(f))
+        (f, ref, inline)
+      }.filter { case (_, ref, inline) => ref.nonEmpty || inline.nonEmpty }
+    val dvBound = changedDv.map { f =>
+      stFrom.dv.get(f).map(_.cardinality).getOrElse(0L) +
+        stTo.dv.get(f).map(_.cardinality).getOrElse(0L)
+    }.sum
     import org.apache.spark.sql.functions.lit
     // both sides read under the window-end schema: deletes from an older
     // layout null-fill columns born later, mirroring the snapshot reads
@@ -1727,10 +1752,22 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       if (names.isEmpty) None
       else Some(readFiles(spark,
         names.map(n => dataDir.resolve(n).toString), sch, dv))
+    // grown = positions deleted inside the window; shrunk = positions a
+    // restore un-deleted — both as distributed pair frames
+    val (grownFeed, shrunkFeed) =
+      if (changedDv.isEmpty) (None, None)
+      else {
+        val fromPairs = expandDvPairs(spark, sideDescs(stFrom))
+        val toPairs = expandDvPairs(spark, sideDescs(stTo))
+        (Some(readOnlyPositions(spark, sch, changedDv,
+            toPairs.except(fromPairs), dvBound)),
+          Some(readOnlyPositions(spark, sch, changedDv,
+            fromPairs.except(toPairs), dvBound)))
+      }
     val inserts = (fileRead(added, stTo.dv).toSeq ++
-      readOnlyPositions(spark, sch, shrunk).toSeq).reduceOption(_ unionByName _)
+      shrunkFeed.toSeq).reduceOption(_ unionByName _)
     val deletes = (fileRead(removed, stFrom.dv).toSeq ++
-      readOnlyPositions(spark, sch, grown).toSeq).reduceOption(_ unionByName _)
+      grownFeed.toSeq).reduceOption(_ unionByName _)
     (tagged(inserts, "insert"), tagged(deletes, "delete")) match {
       case (Some(a), Some(r)) => a.unionByName(r)
       case (Some(a), None) => a
