@@ -595,12 +595,12 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0) {
       // opportunistically drop already-finished futures so a
       // long-lived writer (the streaming-ingest shape: one instance,
-      // 10^6 micro-batches) never accumulates them — production
-      // paths don't call awaitCheckpoints
-      var head = pendingCps.peek()
-      while (head != null && head.isDone) {
-        pendingCps.poll(); head = pendingCps.peek()
-      }
+      // 10^6 micro-batches) never accumulates them — production paths
+      // don't call awaitCheckpoints. removeIf checks the predicate ON
+      // the element it removes: a peek/poll pair here would let two
+      // concurrent interval commits race one done-check into dropping
+      // a RUNNING future, silently breaking awaitCheckpoints.
+      pendingCps.removeIf(f => f.isDone)
       pendingCps.add(cpPool.submit(new Runnable {
         def run(): Unit = { checkpointGate(); maybeCheckpoint(v) }
       }))
@@ -1104,10 +1104,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
           val sch = st.schemaB64.map(decodeSchema)
           // prior descriptors in a task-shippable form: sidecar ref or
           // inline positions (legacy logs only — new vectors are refs)
-          val prior: Map[String, (String, Array[Long])] = st.dv.toMap.map {
-            case (f, DvInline(p)) => (f, ("", p))
-            case (f, DvSidecar(n, _)) => (f, (n, Array.empty[Long]))
-          }
+          val prior: Map[String, (String, Array[Long])] =
+            st.dv.toMap.map { case (f, d) => (f, descForm(Some(d))) }
           val descs = readFilesWithMeta(spark, paths, sch, st.dv)
             .filter(expr(predicate))
             .select(col(DvFileCol), col(DvPosCol))
@@ -1208,10 +1206,9 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       col("_metadata.row_index").as(DvPosCol): _*)
     val names = paths.map(p => Paths.get(p).getFileName.toString).toSet
     val descs: Seq[(String, String, Array[Long])] = dv.toSeq.collect {
-      case (f, d) if names(f) && d.cardinality > 0 => d match {
-        case DvInline(p) => (f, "", p)
-        case DvSidecar(n, _) => (f, n, Array.empty[Long])
-      }
+      case (f, d) if names(f) && d.cardinality > 0 =>
+        val (ref, inline) = descForm(Some(d))
+        (f, ref, inline)
     }
     if (descs.isEmpty) base
     else {
@@ -1753,16 +1750,26 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       else Some(readFiles(spark,
         names.map(n => dataDir.resolve(n).toString), sch, dv))
     // grown = positions deleted inside the window; shrunk = positions a
-    // restore un-deleted — both as distributed pair frames
+    // restore un-deleted — both as distributed pair frames. A side with
+    // no vectors at all skips its feed (the common delete-only and
+    // restore-only windows plan ONE scan, no EXCEPT); a mixed window
+    // evaluates each feed's two pair expansions per action — acceptable
+    // because a CDC consumer reads each feed once.
     val (grownFeed, shrunkFeed) =
       if (changedDv.isEmpty) (None, None)
       else {
-        val fromPairs = expandDvPairs(spark, sideDescs(stFrom))
-        val toPairs = expandDvPairs(spark, sideDescs(stTo))
-        (Some(readOnlyPositions(spark, sch, changedDv,
-            toPairs.except(fromPairs), dvBound)),
-          Some(readOnlyPositions(spark, sch, changedDv,
-            fromPairs.except(toPairs), dvBound)))
+        val fromDescs = sideDescs(stFrom)
+        val toDescs = sideDescs(stTo)
+        lazy val fromPairs = expandDvPairs(spark, fromDescs)
+        lazy val toPairs = expandDvPairs(spark, toDescs)
+        val grown =
+          if (toDescs.isEmpty) None // to-side empty → nothing newly deleted
+          else Some(if (fromDescs.isEmpty) toPairs else toPairs.except(fromPairs))
+        val shrunk =
+          if (fromDescs.isEmpty) None // from-side empty → nothing restored
+          else Some(if (toDescs.isEmpty) fromPairs else fromPairs.except(toPairs))
+        (grown.map(readOnlyPositions(spark, sch, changedDv, _, dvBound)),
+          shrunk.map(readOnlyPositions(spark, sch, changedDv, _, dvBound)))
       }
     val inserts = (fileRead(added, stTo.dv).toSeq ++
       shrunkFeed.toSeq).reduceOption(_ unionByName _)
