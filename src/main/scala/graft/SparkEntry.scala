@@ -317,6 +317,8 @@ object SparkEntry {
     "q_lake_upsert"     -> ((s, d) => graft.operators.ScaleOps.lakeUpsert(s, d)),
     "q_string_zonemap"  -> ((s, d) => graft.operators.ScaleOps.stringZonemap(s, d)),
     "q_string_range"    -> ((s, d) => graft.operators.ScaleOps.stringRange(s, d)),
+    "q_null_partition"  -> ((s, d) => graft.operators.ScaleOps.nullPartition(s, d)),
+    "q_stream_changes"  -> ((s, d) => graft.operators.ScaleOps.streamChanges(s, d)),
     "q_mor_delete"      -> ((s, d) => graft.operators.ScaleOps.morDelete(s, d)),
     "q_zorder_compact"  -> ((s, d) => graft.operators.ScaleOps.zorderCompact(s, d)),
     "q_lake_restore"    -> ((s, d) => graft.operators.ScaleOps.lakeRestore(s, d)),
@@ -5953,6 +5955,40 @@ object SparkEntry {
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents WHERE lang BETWEEN 'de' AND 'es'
          GROUP BY lang ORDER BY lang""",
+    // both null-probe censuses over the null-skewed layout recompute
+    // from the raw table: en_chars IS NULL ⇔ lang ≠ 'en' (the derived
+    // column is n_chars for English docs, NULL otherwise) — the pruned
+    // reads must be exact however many files the null counts skipped
+    "q_null_partition" ->
+      """WITH base AS (
+           SELECT source, n_chars,
+             CASE WHEN lang = 'en' THEN n_chars END AS en_chars
+           FROM documents)
+         SELECT 'isnull' AS probe, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM base WHERE en_chars IS NULL GROUP BY 2
+         UNION ALL
+         SELECT 'notnull' AS probe, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM base WHERE en_chars IS NOT NULL GROUP BY 2
+         ORDER BY probe, source""",
+    // the streaming change-feed drain: every ingested row surfaces
+    // exactly once as an insert, every merge-on-read-deleted row
+    // (doc_id % 10 = 3) exactly once as a delete — recomputed from the
+    // raw table and the delete predicate
+    "q_stream_changes" ->
+      """WITH ins AS (
+           SELECT 'insert' AS change_type, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents GROUP BY 2),
+         del AS (
+           SELECT 'delete' AS change_type, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents WHERE doc_id % 10 = 3 GROUP BY 2)
+         SELECT * FROM ins UNION ALL SELECT * FROM del
+         ORDER BY change_type, source""",
     // the head after a deletion-vector needle delete must equal the raw
     // table minus the predicate — positions subtracted at read time,
     // zero files rewritten (the spec pins the no-rewrite property)

@@ -1192,6 +1192,102 @@ object ScaleOps {
       .orderBy(col("lang"))
   }
 
+  /** Documents in a NULL-SKEWED lake layout: a derived nullable column
+    * (`en_chars` = n_chars for English docs, NULL otherwise) range-
+    * clustered so the NULLs gather into their own files (range
+    * partitioning orders NULLS FIRST), and the append records per-file
+    * ROW and NULL counts on the column alongside its value bounds.
+    * That produces the three file shapes the null stats must tell
+    * apart: ALL-NULL (no bounds exist at all — the pre-r14 blind spot
+    * where a file was unskippable by ANY predicate), mixed, and
+    * null-free. Built once per (app, dir); read-only afterwards. */
+  private[graft] def nullSkewedDocs(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "nullSkewedDocs") { dtag =>
+      val path = scratchPath(spark, s"nullzone_$dtag/docs")
+      val t = new graft.sources.VersionedTable(path)
+      t.append(spark,
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            when(col("lang") === "en", col("n_chars")).as("en_chars"))
+          .repartitionByRange(6, col("en_chars")),
+        statsCol = Some("en_chars"))
+      path
+    }
+
+  /** NULL-count skipping under the hash gate: an IS NULL census and an
+    * IS NOT NULL census over [[nullSkewedDocs]], both served by
+    * [[graft.sources.VersionedTable.readWhereNull]] — the IS NULL
+    * probe never opens the null-free files, the IS NOT NULL probe
+    * never opens the all-null ones. The oracle recomputes both
+    * censuses from the raw table (`en_chars` IS NULL ⇔ lang ≠ 'en'),
+    * so a matching hash proves null pruning is sound FILE SKIPPING
+    * (the residual filter keeps rows exact), not a predicate rewrite.
+    * This closes the last predicate family the zone maps couldn't
+    * serve: at 100 TB a completeness scan ("which docs still lack an
+    * embedding?") opens only the files that can answer it. Skip
+    * ratios and the all-null value-probe fix are spec-pinned in
+    * LakeScaleSpec. */
+  def nullPartition(spark: SparkSession, dir: String): DataFrame = {
+    val root = nullSkewedDocs(spark, dir)
+    val t = new graft.sources.VersionedTable(root)
+    val v = t.version
+    Seq(true, false).map { isNull =>
+      t.readWhereNull(spark, v, "en_chars", isNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(lit(if (isNull) "isnull" else "notnull").as("probe"),
+          col("source"), col("n_docs"), col("total_chars"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("probe"), col("source"))
+  }
+
+  /** The streaming-change-feed artifact: a two-commit table — clustered
+    * ingest, then a merge-on-read delete of `doc_id % 10 = 3` — drained
+    * ONCE through the DSv2 source under `changeFeed=true` with
+    * Trigger.AvailableNow into a parquet result. The drain is the
+    * log-tailing-consumer shape: the ingest window streams as `insert`
+    * rows, the delete window streams the vector's GROWN positions as
+    * `delete` rows (diffed task-side from the sidecar references — no
+    * side batch query, no positions on the driver). Built once per
+    * (app, dir); the face reads the materialized drain. */
+  private[graft] def streamedChanges(spark: SparkSession, dir: String): String =
+    layoutOnce(spark, dir, "streamedChanges") { dtag =>
+      val path = scratchPath(spark, s"cdcstream_$dtag/docs")
+      val t = new graft.sources.VersionedTable(path)
+      t.append(spark,
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("doc_id")),
+        statsCol = Some("doc_id"))                  // v0: ingest
+      t.deleteRowsWhere(spark, "doc_id % 10 = 3")   // v1: MoR delete
+      val out = scratchPath(spark, s"cdcstream_$dtag/drain")
+      val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+        .option("path", path).option("changeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", scratchPath(spark, s"cdcstream_$dtag/ck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      out
+    }
+
+  /** Streaming CDC under the hash gate: the census of the
+    * [[streamedChanges]] drain per (change type, source) must
+    * hash-match the oracle's recomputation from the raw table — every
+    * ingested row surfaced exactly once as `insert`, every
+    * merge-on-read-deleted row exactly once as `delete`, nothing else.
+    * This is the opt-in streaming twin of `q_change_feed`: GDPR
+    * deletes reach log-tailing consumers through the SAME micro-batch
+    * source that serves appends, without a side batch query. */
+  def streamChanges(spark: SparkSession, dir: String): DataFrame = {
+    val out = streamedChanges(spark, dir)
+    spark.read.parquet(out)
+      .groupBy(col("_change_type").as("change_type"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("change_type"), col("source"))
+  }
+
   /** Orders with a merge-on-read needle delete applied: one
     * range-clustered ingest (v0, 8 files with doc-key zone maps), then
     * [[graft.sources.VersionedTable.deleteRowsWhere]] removes a sparse

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,7 +56,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("startingVersion", "0")      // default 0 = full history
   *   .option("maxFilesPerTrigger", "8")   // optional admission control:
   *   .option("maxRowsPerTrigger", "100000") // cap commits per batch by
-  *   .load()                              //   file / footer-row budget
+  *   .option("changeFeed", "true")        //   file / footer-row budget
+  *   .load()                              // changeFeed: CDC rows with a
+  *                                        //   _change_type column (see
+  *                                        //   VersionedMicroBatchStream)
   * spark.read.format("graft.sources.VersionedStreamProvider")
   *   .option("path", tableRoot)
   *   .option("versionAsOf", "1")          // default: head version
@@ -64,8 +67,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   */
 class VersionedStreamProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    VersionedStreamProvider.tableSchema(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = VersionedStreamProvider.tableSchema(options.get("path"))
+    // the change feed widens the row with its CDC tag column — the
+    // Delta readChangeFeed shape
+    if (options.getBoolean("changeFeed", false))
+      base.add(VersionedStreamProvider.ChangeTypeCol, StringType, nullable = false)
+    else base
+  }
 
   // writes hand us the frame's schema directly instead of forcing an
   // inferSchema on a possibly-empty table
@@ -80,10 +89,16 @@ class VersionedStreamProvider extends TableProvider {
       Option(properties.get("statsCol")),
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
       Option(properties.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(properties.get("changeFeed")).exists(_.toBoolean),
       schema)
 }
 
 object VersionedStreamProvider {
+  /** The CDC tag column the `changeFeed` streaming option appends:
+    * `insert` for rows a commit added, `delete` for rows a merge-on-read
+    * delete's vector growth removed. */
+  val ChangeTypeCol = "_change_type"
+
   /** Table schema: the LOG-CARRIED schema of the head version when
     * recorded (so evolved columns appear even though old files lack
     * them), else straight from one parquet FOOTER — metadata only either
@@ -137,7 +152,7 @@ object VersionedStreamProvider {
 private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
     versionAsOf: Option[Long], statsCol: Option[String],
     maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
-    schema0: StructType)
+    changeFeed: Boolean, schema0: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned($root)"
   override def schema(): StructType = schema0
@@ -148,7 +163,7 @@ private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(root, startingVersion, versionAsOf,
-      maxFilesPerTrigger, maxRowsPerTrigger, schema0)
+      maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VersionedWriteBuilder(root, info, statsCol)
@@ -164,7 +179,7 @@ private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
   * has to be SOUND, never complete. */
 private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
-    maxRowsPerTrigger: Option[Long], schema0: StructType)
+    maxRowsPerTrigger: Option[Long], changeFeed: Boolean, schema0: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -181,6 +196,11 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     case GreaterThanOrEqual(_, v) => intBound(v) || strBound(v)
     case LessThan(_, v) => intBound(v) || strBound(v)
     case LessThanOrEqual(_, v) => intBound(v) || strBound(v)
+    // null probes prune on the recorded per-file null counts — and
+    // Spark pushes IsNotNull alongside EVERY comparison filter, so
+    // all-null files drop out of ordinary range scans for free
+    case IsNull(_) => true
+    case IsNotNull(_) => true
     case _ => false
   }
 
@@ -195,13 +215,13 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
 
   override def build(): Scan =
     new VersionedScan(root, startingVersion, versionAsOf,
-      maxFilesPerTrigger, maxRowsPerTrigger, requested, skipping)
+      maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, requested, skipping)
 }
 
 private[graft] class VersionedScan(root: String, startingVersion: Long,
     versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
-    maxRowsPerTrigger: Option[Long], requested: StructType,
-    skipping: Array[Filter])
+    maxRowsPerTrigger: Option[Long], changeFeed: Boolean,
+    requested: StructType, skipping: Array[Filter])
     extends Scan with Batch {
   private val table = new VersionedTable(root)
 
@@ -212,11 +232,16 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     s"graft_versioned($root, $v, skipFilters=${skipping.mkString("[", ",", "]")})"
   }
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(!changeFeed,
+      "changeFeed is a STREAMING option (readStream); batch consumers " +
+        "read VersionedTable.changesBetween for windowed CDC")
+    this
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new VersionedMicroBatchStream(root, startingVersion,
-      maxFilesPerTrigger, maxRowsPerTrigger, requested)
+      maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, requested)
 
   /** Per-column [lo, hi] bounds implied by the pushed integer
     * comparisons — the intersection of every constraint on that column. */
@@ -282,6 +307,15 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     }
   }
 
+  /** (column, isNull) probes from pushed null filters. Spark pushes
+    * IsNotNull beside every comparison, so this alone retires all-null
+    * files from ordinary scans once null counts are recorded. */
+  private def nullProbes: Seq[(String, Boolean)] =
+    skipping.collect {
+      case IsNull(c) => (c, true)
+      case IsNotNull(c) => (c, false)
+    }.toSeq
+
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(table.version)
     val bs = bounds
@@ -289,11 +323,15 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
       (c, vs.toSeq.map(_.getBytes("UTF-8")))
     }
     val srs = strRanges
+    val nps = nullProbes
     val st = table.stateAt(v)
     // a file survives only if EVERY bounded column it has stats for can
     // intersect its bound — multi-column zone maps (z-ordered layouts)
     // prune on all clustered dimensions at once; string bounds compare
-    // unsigned-lexicographic against the recorded truncated intervals.
+    // unsigned-lexicographic against the recorded truncated intervals;
+    // a recorded ALL-NULL column fails every value bound (the bounds-
+    // less blind spot closed by the null counts); null probes prune on
+    // the recorded null counts alone.
     // Each partition carries the file's deletion vector so the reader
     // subtracts merge-on-read deletes positionally.
     st.adds.toSeq.collect {
@@ -301,17 +339,20 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
         val zm = VersionedTable.longStatsOf(line).toMap
         val sm = VersionedTable.strStatsOf(line).toMap
         bs.forall { case (c, (lo, hi)) =>
-          zm.get(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+          zm.get(c).map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+            .getOrElse(!VersionedTable.allNullOn(line, c))
         } && svs.forall { case (c, vals) =>
-          sm.get(c).forall { case (mn, mx) =>
+          sm.get(c).map { case (mn, mx) =>
             vals.exists(x =>
               VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
-          }
+          }.getOrElse(!VersionedTable.allNullOn(line, c))
         } && srs.forall { case (c, (lo, hi)) =>
-          sm.get(c).forall { case (mn, mx) =>
+          sm.get(c).map { case (mn, mx) =>
             lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
               hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
-          }
+          }.getOrElse(!VersionedTable.allNullOn(line, c))
+        } && nps.forall { case (c, isNull) =>
+          VersionedTable.nullCandidate(line, c, isNull)
         }
       } =>
         (st.dv.get(name) match {
@@ -339,19 +380,30 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
 
 /** Append-only log tail — serves each commit's ADDED files.
   *
-  * Delete visibility contract: MERGE-ON-READ DELETES ARE INVISIBLE to
-  * this feed. A `delete_mor` commit adds no files (its `dvset` actions
-  * carry positions), so the window it lands in serves nothing, and a
-  * historical window replays its files WITHOUT subtracting vectors a
-  * LATER delete committed — consistent with per-commit add semantics
-  * (the rows genuinely were live when their commit landed), same as
-  * Delta's streaming source without `readChangeFeed`. Consumers that
-  * must observe deletes (index invalidation, downstream GDPR
-  * propagation) read [[VersionedTable.changesBetween]], which emits
-  * DV growth as positional `delete` rows. */
+  * Delete visibility contract (default): MERGE-ON-READ DELETES ARE
+  * INVISIBLE to this feed. A `delete_mor` commit adds no files (its
+  * `dvset` actions carry positions), so the window it lands in serves
+  * nothing, and a historical window replays its files WITHOUT
+  * subtracting vectors a LATER delete committed — consistent with
+  * per-commit add semantics (the rows genuinely were live when their
+  * commit landed), same as Delta's streaming source without
+  * `readChangeFeed`.
+  *
+  * The opt-in `changeFeed` option (the Delta readChangeFeed shape)
+  * changes that: every row carries a `_change_type` column — commits'
+  * added files stream as `insert` rows, and a `dvset` commit streams
+  * the rows its vector GROWTH deleted as positional `delete` rows, so
+  * log-tailing consumers (index invalidation, downstream GDPR
+  * propagation) observe merge-on-read deletes without a side batch
+  * query. The grown-position diff is computed BY THE TASK from the two
+  * sidecar references the partition carries — positions never ride the
+  * plan. Restore-style vector SHRINKS serve nothing here;
+  * [[VersionedTable.changesBetween]] remains the full-fidelity batch
+  * read (it also emits restore re-inserts). */
 private[graft] class VersionedMicroBatchStream(root: String,
     startingVersion: Long, maxFilesPerTrigger: Option[Int],
-    maxRowsPerTrigger: Option[Long], schema: StructType)
+    maxRowsPerTrigger: Option[Long], changeFeed: Boolean,
+    schema: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val table = new VersionedTable(root)
 
@@ -437,8 +489,33 @@ private[graft] class VersionedMicroBatchStream(root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
-    ((s + 1) to e).flatMap(table.filesAddedAt)
-      .map(f => VersionedFilePartition(f): InputPartition).toArray
+    if (!changeFeed)
+      ((s + 1) to e).flatMap(table.filesAddedAt)
+        .map(f => VersionedFilePartition(f): InputPartition).toArray
+    else
+      ((s + 1) to e).flatMap { v =>
+        val (added, dvs) = table.changeWindowAt(v)
+        val inserts = added.map(f =>
+          VersionedFilePartition(f, feedTag = Some("insert")): InputPartition)
+        // one partition per dvset file: the task loads BOTH descriptors
+        // (sidecars by reference) and serves exactly new − prior — the
+        // rows THIS commit deleted
+        val deletes = dvs.map { case (f, newD, priorD) =>
+          val (nRef, nInline) = table.descForm(Some(newD))
+          val (pRef, pInline) = table.descForm(priorD)
+          VersionedFilePartition(
+            table.dataDir.resolve(f).toString,
+            deleted = nInline,
+            dvRef = Some(nRef).filter(_.nonEmpty)
+              .map(r => table.dataDir.resolve(r).toString),
+            feedTag = Some("delete"),
+            grownOnly = true,
+            priorDeleted = pInline,
+            priorDvRef = Some(pRef).filter(_.nonEmpty)
+              .map(r => table.dataDir.resolve(r).toString)): InputPartition
+        }
+        inserts ++ deletes
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -448,11 +525,22 @@ private[graft] class VersionedMicroBatchStream(root: String,
 /** One committed parquet file, plus its deletion vector — inline
   * positions for legacy (r12) vectors, or a sidecar path the TASK
   * loads ([[VersionedReaderFactory.createReader]]), so bulk vectors
-  * never ride the serialized plan. Empty for the streaming feed, which
-  * is append-only by contract. */
+  * never ride the serialized plan. Empty for the default streaming
+  * feed, which is append-only by contract.
+  *
+  * Change-feed fields: `feedTag` stamps every emitted row's
+  * `_change_type`; `grownOnly` flips the reader from EXCLUDE mode
+  * (serve all rows minus the vector) to INCLUDE mode (serve exactly
+  * the positions in `deleted`/`dvRef` MINUS `priorDeleted`/`priorDvRef`
+  * — the rows one commit's vector growth deleted), with the set diff
+  * computed task-side from the two references. */
 private[graft] case class VersionedFilePartition(file: String,
     deleted: Array[Long] = Array.emptyLongArray,
-    dvRef: Option[String] = None) extends InputPartition
+    dvRef: Option[String] = None,
+    feedTag: Option[String] = None,
+    grownOnly: Boolean = false,
+    priorDeleted: Array[Long] = Array.emptyLongArray,
+    priorDvRef: Option[String] = None) extends InputPartition
 
 /** Reads one committed parquet file into InternalRows via the public
   * parquet-mr record API. Column pruning is physical: the projected
@@ -471,6 +559,17 @@ private[graft] class VersionedReaderFactory(requested: StructType)
     val deleted = part.dvRef
       .map(r => VersionedTable.readDvSidecar(java.nio.file.Paths.get(r)))
       .getOrElse(part.deleted)
+    // change-feed INCLUDE mode: the rows one commit's vector growth
+    // deleted = new vector − prior vector, diffed here on the task
+    val include: Array[Long] =
+      if (!part.grownOnly) null
+      else {
+        val prior = part.priorDvRef
+          .map(r => VersionedTable.readDvSidecar(java.nio.file.Paths.get(r)))
+          .getOrElse(part.priorDeleted)
+        VersionedTable.diffSorted(deleted, prior)
+      }
+    val tagU: UTF8String = part.feedTag.map(UTF8String.fromString).orNull
     new PartitionReader[InternalRow] {
       private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), new Configuration()))
@@ -487,17 +586,21 @@ private[graft] class VersionedReaderFactory(requested: StructType)
       private var groupReader: org.apache.parquet.io.RecordReader[Group] = _
       private var rowsLeft: Long = 0L
       private var current: Group = _
-      // footer-count path: no columns requested (count(*)), or the file
-      // predates every requested column — no data pages to read either
-      // way; DV'd rows never count
+      // footer-count path: no columns requested (count(*), or only the
+      // change-feed tag), or the file predates every requested column —
+      // no data pages to read either way; DV'd rows never count, and an
+      // INCLUDE-mode partition counts exactly its grown positions
       private val noChunks = projected.getFieldCount == 0
       private var emptyRowsLeft: Long =
-        if (noChunks) reader.getRecordCount - deleted.length else 0L
+        if (!noChunks) 0L
+        else if (include != null) include.length.toLong
+        else reader.getRecordCount - deleted.length
       // running absolute row position in the file (the _metadata.row_index
-      // coordinate the deletion vector is recorded in) and a cursor into
-      // the sorted DV
+      // coordinate the deletion vector is recorded in) and cursors into
+      // the sorted DV (exclude mode) / grown set (include mode)
       private var rowIdx: Long = -1L
       private var delPtr: Int = 0
+      private var incPtr: Int = 0
 
       private def advanceRowGroup(): Boolean = {
         val pages = reader.readNextRowGroup()
@@ -516,6 +619,18 @@ private[graft] class VersionedReaderFactory(requested: StructType)
           emptyRowsLeft -= 1
           return true
         }
+        if (include != null) {
+          // INCLUDE mode: emit exactly the grown positions, in order;
+          // once the set is exhausted the task is done — no tail scan
+          if (incPtr >= include.length) return false
+          while (true) {
+            while (rowsLeft == 0L) if (!advanceRowGroup()) return false
+            current = groupReader.read()
+            rowsLeft -= 1
+            rowIdx += 1
+            if (rowIdx == include(incPtr)) { incPtr += 1; return true }
+          }
+        }
         while (true) {
           while (rowsLeft == 0L) if (!advanceRowGroup()) return false
           current = groupReader.read()
@@ -528,16 +643,30 @@ private[graft] class VersionedReaderFactory(requested: StructType)
         false // unreachable
       }
 
+      // the change-feed tag is synthesized per partition, never read
+      // from the file — it fills the requested `_change_type` slot in
+      // both the data and the footer-count paths
+      private def synthesized(i: Int): Any =
+        if (tagU != null &&
+            requested(i).name == VersionedStreamProvider.ChangeTypeCol) tagU
+        else null
+
       override def get(): InternalRow = {
-        if (noChunks)
-          return new GenericInternalRow(Array.fill[Any](requested.length)(null))
+        if (noChunks) {
+          val vals = new Array[Any](requested.length)
+          var i = 0
+          while (i < requested.length) { vals(i) = synthesized(i); i += 1 }
+          return new GenericInternalRow(vals)
+        }
         val vals = new Array[Any](requested.length)
         var i = 0
         while (i < requested.length) {
           val p = outPos(i)
           vals(i) =
-            // p < 0: the column was born after this file was written
-            if (p < 0 || current.getFieldRepetitionCount(p) == 0) null
+            // p < 0: the column was born after this file was written —
+            // or is the synthesized change-feed tag
+            if (p < 0) synthesized(i)
+            else if (current.getFieldRepetitionCount(p) == 0) null
             else requested(i).dataType match {
               case LongType => current.getLong(p, 0)
               case IntegerType => current.getInteger(p, 0)

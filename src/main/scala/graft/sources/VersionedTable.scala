@@ -189,27 +189,33 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
 
   /** Parse one checkpoint file, format-gated: binary `fmt:2` by magic,
     * text `fmt:1` by header, anything else (including a binary parse
-    * error — torn file, future layout) → None. One file read either
-    * way, counted in [[logFileReads]]. */
+    * error — torn file, future layout) → None. The ENTIRE body sits
+    * under one NonFatal→None gate — an unreadable file or a corrupt
+    * fmt:1 line (a mangled positions field would throw out of the text
+    * fold) degrades to an older checkpoint or the full log fold, it
+    * never fails the read (the skip-never-misparse contract). One file
+    * read either way, counted in [[logFileReads]]. */
   private def readCheckpoint(p: Path): Option[TableState] = {
     logFileReads.incrementAndGet()
-    val bytes = Files.readAllBytes(p)
-    if (bytes.length >= 4 &&
-        ((bytes(0) & 0xFF) << 24 | (bytes(1) & 0xFF) << 16 |
-         (bytes(2) & 0xFF) << 8 | (bytes(3) & 0xFF)) == CpMagic2)
-      parseBinaryCheckpoint(bytes)
-    else {
-      val lines = new String(bytes, "UTF-8").split('\n').toSeq
-      // anchored digit-boundary match: a future text header declaring
-      // "fmt":10 must be SKIPPED, not folded under fmt:1 rules
-      if (lines.headOption.exists(h =>
-          h.contains("\"op\":\"cp\"") &&
-            "\"fmt\":1([^0-9]|$)".r.findFirstIn(h).isDefined)) {
-        val st = new TableState
-        lines.foreach(foldLine(st, _))
-        Some(st)
-      } else None
-    }
+    try {
+      val bytes = Files.readAllBytes(p)
+      if (bytes.length >= 4 &&
+          ((bytes(0) & 0xFF) << 24 | (bytes(1) & 0xFF) << 16 |
+           (bytes(2) & 0xFF) << 8 | (bytes(3) & 0xFF)) == CpMagic2)
+        parseBinaryCheckpoint(bytes)
+      else {
+        val lines = new String(bytes, "UTF-8").split('\n').toSeq
+        // anchored digit-boundary match: a future text header declaring
+        // "fmt":10 must be SKIPPED, not folded under fmt:1 rules
+        if (lines.headOption.exists(h =>
+            h.contains("\"op\":\"cp\"") &&
+              "\"fmt\":1([^0-9]|$)".r.findFirstIn(h).isDefined)) {
+          val st = new TableState
+          lines.foreach(foldLine(st, _))
+          Some(st)
+        } else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** [[stateAt]] that accepts the empty table (v < 0 → empty state) —
@@ -284,7 +290,10 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   private[graft] var checkpointGate: () => Unit = () => ()
 
   /** Block until every checkpoint this instance enqueued is written (or
-    * has failed loudly). Cheap when none are pending. */
+    * has failed loudly). Cheap when none are pending. The writer pool
+    * is JVM-shared ([[VersionedTable.cpPool]]), so this can also wait
+    * behind OTHER tables' in-flight checkpoint writes — bounded by the
+    * pool width, and only tests/artifact builders call this at all. */
   def awaitCheckpoints(): Unit = {
     var f = pendingCps.poll()
     while (f != null) {
@@ -422,6 +431,48 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       }
   }
 
+  /** Per-commit change window for the STREAMING change feed
+    * ([[VersionedMicroBatchStream]] under `changeFeed`): the file paths
+    * commit v ADDED (served as `insert` rows) plus, per `dvset` action
+    * v landed, (file name, new DV descriptor, descriptor at v-1) so the
+    * consumer can serve the GROWN positions — the rows that commit
+    * deleted — as positional `delete` rows, computing the set diff
+    * TASK-side from the two descriptors (sidecars are never opened
+    * here). A vector that only SHRANK (a restore's un-delete) yields an
+    * empty grown set and serves nothing; [[changesBetween]] remains the
+    * full-fidelity batch read. Same vacuumed-window contract as
+    * [[filesAddedAt]]: fail loudly, never skip history. */
+  private[graft] def changeWindowAt(v: Long)
+      : (Seq[String], Seq[(String, DvDesc, Option[DvDesc])]) = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val lines = Files.readAllLines(logDir.resolve(logName(v))).asScala.toSeq
+    def checked(n: String): Path = {
+      val p = dataDir.resolve(n)
+      require(Files.exists(p),
+        s"commit $v data file $n was vacuumed; this window is no longer streamable")
+      p
+    }
+    val added = lines.filter(_.contains("\"op\":\"add\""))
+      .flatMap(l => fileOf(l)).map(n => checked(n).toString)
+    val dvLines = lines.filter(_.contains("\"op\":\"dvset\""))
+    val dvs =
+      if (dvLines.isEmpty) Nil
+      else {
+        // the commit's OWN dvset lines folded alone give the new
+        // descriptors; the prior state gives what they replaced.
+        // A clearing dvset (empty positions — restore) never lands in
+        // tmp.dv, correctly: it can only shrink, grown = ∅.
+        val prior = stateAtOrEmpty(v - 1)
+        val tmp = new TableState
+        dvLines.foreach(foldLine(tmp, _))
+        tmp.dv.toSeq.map { case (f, d) =>
+          checked(f)
+          (f, d, prior.dv.get(f))
+        }
+      }
+    (added, dvs)
+  }
+
   def read(spark: SparkSession): DataFrame = readAsOf(spark, version)
 
   /** Snapshot read under the LOG-CARRIED schema of that version (the
@@ -443,12 +494,21 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   private def readState(spark: SparkSession, st: TableState,
       what: => String): DataFrame = {
     val files = st.adds.keys.toSeq.map(n => dataDir.resolve(n).toString)
+    if (files.isEmpty) emptyFrame(spark, st, what)
+    else readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
+  }
+
+  /** An empty frame under the state's LOG-CARRIED schema — what an
+    * empty snapshot reads as, and what a pruned read returns when the
+    * zone maps eliminate EVERY candidate file (skipping's best case
+    * must not throw). Only schema-less states (possible solely in
+    * pre-schema-tracking history) are unreadable. */
+  private def emptyFrame(spark: SparkSession, st: TableState,
+      what: => String): DataFrame = {
     val sch = st.schemaB64.map(decodeSchema)
-    if (files.isEmpty) {
-      require(sch.isDefined, s"$what has no live files and no recorded schema")
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get)
-    } else readFiles(spark, files, sch, st.dv)
+    require(sch.isDefined, s"$what has no candidate files and no recorded schema")
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get)
   }
 
   /** The table schema AS OF version v — the newest schema recorded in
@@ -569,7 +629,14 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * LINK is the filesystem's put-if-absent primitive: link(2) fails
     * atomically with EEXIST when the target exists — the same
     * rename-if-absent contract Delta's HDFS LogStore builds on. Returns
-    * false when the target was taken; the temp file is always cleaned. */
+    * false when the target was taken; the temp file is always cleaned.
+    *
+    * Portability: on a filesystem WITHOUT hard-link support (createLink
+    * reports UnsupportedOperationException) the publish degrades to
+    * move-without-REPLACE — still correct for a single writer, but its
+    * exists-then-rename is the non-atomic TOCTOU the link path exists
+    * to close, so MULTI-writer tables require a hard-link-capable
+    * filesystem (any POSIX local/NFS target qualifies). */
   private def publishIfAbsent(tmp: Path, target: Path): Boolean =
     try {
       Files.createLink(target, tmp)
@@ -578,6 +645,12 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp); false
+      case _: UnsupportedOperationException =>
+        try { Files.move(tmp, target); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp); false
+        }
     }
 
   /** Atomic commit of version v. Returns false when v was taken by a
@@ -612,56 +685,86 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   // Footer stats harvesting (zone maps): INT32/INT64 and BYTE_ARRAY
   // ------------------------------------------------------------------
 
-  /** Per-file min/max of a column straight from the parquet FOOTER —
-    * metadata only, zero data pages (at 100 TB these numbers come from
-    * the writer's own row-group stats; here we read them back the same
-    * way any lake engine's stats collector does). INT32/INT64 yield a
-    * Long interval; BYTE_ARRAY (string) yields truncated-bound byte
-    * intervals (see [[VersionedTable.truncMax]] — the min bound is a
-    * sound prefix, the max bound a sound increment, exactly the
-    * Iceberg/Delta truncate(N) discipline, so pruning on arbitrarily
-    * long values stays correct while the log stays small). */
-  private def footerStats(file: Path,
-      column: String): Option[Either[(Long, Long), (String, String)]] = {
+  /** Per-file stats of the requested columns straight from the parquet
+    * FOOTER, in ONE footer open — metadata only, zero data pages (at
+    * 100 TB these numbers come from the writer's own row-group stats;
+    * here we read them back the same way any lake engine's stats
+    * collector does). Three harvests per file:
+    *   - the file's total ROW COUNT (sum of block row counts);
+    *   - per column, a min/max interval: INT32/INT64 yield a Long
+    *     interval; BYTE_ARRAY (string) yields truncated-bound byte
+    *     intervals (see [[VersionedTable.truncMax]] — the min bound is
+    *     a sound prefix, the max bound a sound increment, exactly the
+    *     Iceberg/Delta truncate(N) discipline, so pruning on
+    *     arbitrarily long values stays correct while the log stays
+    *     small). An all-NULL column records no bounds;
+    *   - per column, its NULL COUNT — recorded only when EVERY row
+    *     group reports one (parquet statistics may omit it), the stat
+    *     that serves IS NULL / IS NOT NULL pruning and closes the
+    *     all-null blind spot (a bounds-less all-null file is provably
+    *     unmatchable by any VALUE predicate on the column).
+    */
+  private def footerStats(file: Path, columns: Seq[String])
+      : (Long, Seq[(String, Either[(Long, Long), (String, String)])],
+         Seq[(String, Long)]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(file.toString),
       new org.apache.hadoop.conf.Configuration())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val chunks = r.getFooter.getBlocks.asScala.toList.flatMap { b =>
+      val blocks = r.getFooter.getBlocks.asScala.toList
+      val rows = blocks.map(_.getRowCount).sum
+      def chunksOf(column: String) = blocks.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column)
       }
-      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      // anything outside the stats lattice (double, boolean, ...) gets a
-      // diagnosable error, not a bare MatchError out of the accessors
-      chunks.foreach { c =>
-        val p = c.getPrimitiveType.getPrimitiveTypeName
-        require(p == INT64 || p == INT32 || p == BINARY,
-          s"statsCol must be integer- or string-typed, got $p for column '$column'")
-      }
-      val stats = chunks.map(_.getStatistics)
-      if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
-      else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
-        case BINARY =>
-          val mins = stats.map(_.genericGetMin
-            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-          val maxs = stats.map(_.genericGetMax
-            .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
-          val mn = truncMin(mins.reduce((a, b) => if (ucmp(a, b) <= 0) a else b))
-          truncMax(maxs.reduce((a, b) => if (ucmp(a, b) >= 0) a else b)).map { mx =>
-            Right((b64(mn), b64(mx)))
+      val bounds = columns.flatMap { column =>
+        val chunks = chunksOf(column)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        // anything outside the stats lattice (double, boolean, ...) gets a
+        // diagnosable error, not a bare MatchError out of the accessors
+        chunks.foreach { c =>
+          val p = c.getPrimitiveType.getPrimitiveTypeName
+          require(p == INT64 || p == INT32 || p == BINARY,
+            s"statsCol must be integer- or string-typed, got $p for column '$column'")
+        }
+        val stats = chunks.map(_.getStatistics)
+        val interval: Option[Either[(Long, Long), (String, String)]] =
+          if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue)) None
+          else chunks.head.getPrimitiveType.getPrimitiveTypeName match {
+            case BINARY =>
+              val mins = stats.map(_.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+              val maxs = stats.map(_.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+              val mn = truncMin(mins.reduce((a, b) => if (ucmp(a, b) <= 0) a else b))
+              truncMax(maxs.reduce((a, b) => if (ucmp(a, b) >= 0) a else b)).map { mx =>
+                Right((b64(mn), b64(mx)))
+              }
+            case _ =>
+              Some(Left((
+                stats.map(_.genericGetMin match {
+                  case l: java.lang.Long => l.longValue
+                  case i: java.lang.Integer => i.longValue
+                }).min,
+                stats.map(_.genericGetMax match {
+                  case l: java.lang.Long => l.longValue
+                  case i: java.lang.Integer => i.longValue
+                }).max)))
           }
-        case _ =>
-          Some(Left((
-            stats.map(_.genericGetMin match {
-              case l: java.lang.Long => l.longValue
-              case i: java.lang.Integer => i.longValue
-            }).min,
-            stats.map(_.genericGetMax match {
-              case l: java.lang.Long => l.longValue
-              case i: java.lang.Integer => i.longValue
-            }).max)))
+        interval.map((column, _))
       }
+      val nulls = columns.flatMap { column =>
+        val chunks = chunksOf(column)
+        val stats = chunks.map(_.getStatistics)
+        // sound-or-silent: a single row group with an unset null count
+        // makes the file's total unknowable — record nothing (the file
+        // stays a candidate for every null probe)
+        if (chunks.size == blocks.size && stats.nonEmpty &&
+            stats.forall(s => s != null && s.isNumNullsSet))
+          Some((column, stats.map(_.getNumNulls).sum))
+        else None
+      }
+      (rows, bounds, nulls)
     } finally r.close()
   }
 
@@ -678,7 +781,12 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * `scol`/`smin`/`smax` (base64 truncated bounds); two or more pack
     * into `multi` (string entries tagged `s:`) — the multi-dimensional
     * zone map a z-ordered layout needs, since its whole point is that
-    * BOTH clustered columns have tight per-file intervals. */
+    * BOTH clustered columns have tight per-file intervals. Every
+    * stats-carrying add also records the file's ROW COUNT and each
+    * stats column's NULL COUNT (`"rows"`/`"nulls"` fields) — additive
+    * fields, so pre-r14 readers regex right past them and pre-r14 logs
+    * (no fields) simply never null-prune (sound both directions; the
+    * compat spec pins it). */
   private def stageMulti(spark: SparkSession, df: DataFrame,
       statsCols: Seq[String]): Seq[String] = {
     statsCols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
@@ -689,20 +797,28 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
     val actions = parts.zipWithIndex.map { case (p, i) =>
       val name = s"${UUID.randomUUID().toString.take(8)}-$i.parquet"
-      val stats = statsCols.flatMap(c => footerStats(p, c).map((c, _)))
+      val (rows, stats, nulls) =
+        if (statsCols.isEmpty) (0L, Nil, Nil) else footerStats(p, statsCols)
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val nullsField =
+        if (statsCols.isEmpty) ""
+        else {
+          val packed = nulls.map { case (c, n) => s"$c:$n" }.mkString(";")
+          s""","rows":$rows""" +
+            (if (packed.isEmpty) "" else s""","nulls":"$packed"""")
+        }
       stats match {
         case Seq((c, Left((lo, hi)))) =>
-          s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
+          s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi$nullsField}"""
         case Seq((c, Right((mn, mx)))) =>
-          s"""{"op":"add","file":"$name","scol":"$c","smin":"$mn","smax":"$mx"}"""
-        case Seq() => s"""{"op":"add","file":"$name"}"""
+          s"""{"op":"add","file":"$name","scol":"$c","smin":"$mn","smax":"$mx"$nullsField}"""
+        case Seq() => s"""{"op":"add","file":"$name"$nullsField}"""
         case many =>
           val packed = many.map {
             case (c, Left((lo, hi))) => s"$c,$lo,$hi"
             case (c, Right((mn, mx))) => s"$c,s:$mn,s:$mx"
           }.mkString("|")
-          s"""{"op":"add","file":"$name","multi":"$packed"}"""
+          s"""{"op":"add","file":"$name","multi":"$packed"$nullsField}"""
       }
     }
     listDir(tmp).foreach(Files.deleteIfExists(_))
@@ -919,9 +1035,12 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     deleteCoW(spark, "delete",
       touched = st => st.adds.toSeq.collect {
         // a file dodges the rewrite only when it has stats ON THE
-        // PREDICATE COLUMN and the interval provably misses
+        // PREDICATE COLUMN and the interval provably misses — or when
+        // its null counts record the column as ALL NULL (no bounds
+        // exist, but no value can match either)
         case (n, line) if longStatsOf(line).toMap.get(column)
-          .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => n
+          .map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+          .getOrElse(!allNullOn(line, column)) => n
       },
       survivors = df => df.filter(!col(column).between(lo, hi) || col(column).isNull),
       statsCols = Seq(column))
@@ -941,9 +1060,9 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     deleteCoW(spark, "delete",
       touched = st => st.adds.toSeq.collect {
         case (n, line) if strStatsOf(line).toMap.get(column)
-          .forall { case (mn, mx) =>
+          .map { case (mn, mx) =>
             vb.exists(v => ucmp(mn, v) <= 0 && ucmp(v, mx) <= 0)
-          } => n
+          }.getOrElse(!allNullOn(line, column)) => n
       },
       survivors = df => df.filter(!col(column).isin(values: _*) || col(column).isNull),
       statsCols = Seq(column))
@@ -978,16 +1097,19 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * prior merge-on-read delete removed must not resurrect), rewrite the
     * survivors, carry everything else by reference.
     *
-    * Lost commit races first attempt a LOGICAL REBASE: when every
-    * implicated file is untouched at the new head (a concurrent append,
-    * or a delete of other files), the staged rewrite re-commits on top
-    * — remove the same files, add the same rewrites — with no Spark
-    * re-execution. Rows a concurrent append landed are NOT
-    * retro-deleted (the WriteSerializable stance, same as
-    * [[deleteRowsWhere]]); the meta line re-reads the head's schema so
-    * a concurrent evolution is never regressed. A conflicting
-    * interleave (an implicated file rewritten, removed, or
-    * re-vectored) drops the staged files and recomputes. */
+    * Lost commit races first attempt a LOGICAL REBASE, under TWO
+    * proofs: every implicated file is untouched at the new head (a
+    * delete/rewrite of other files), AND every file the interleave
+    * ADDED provably misses the predicate — its zone maps put it
+    * outside the `touched` set (the same pruning test the delete
+    * itself ran; a stats-less appended file always fails it). The
+    * second proof is what merge's key-range test is for merge: without
+    * it, rows appended BEFORE the delete's commit version would
+    * silently survive a predicate that matches them. When the appended
+    * files could match, the staged files drop and the delete
+    * recomputes against the new head — serializable by proof, not by
+    * stance. The meta line re-reads the head's schema so a concurrent
+    * evolution is never regressed. */
   private def deleteCoW(spark: SparkSession, op: String,
       touched: TableState => Seq[String],
       survivors: DataFrame => DataFrame,
@@ -1001,7 +1123,16 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       require(head >= 0, "nothing to delete from")
       val st = stateAt(head)
       val (hit, adds) = staged match {
-        case Some((base, h, a)) if untouchedBetween(base, st, h) => (h, a)
+        case Some((base, h, a)) if untouchedBetween(base, st, h) && {
+          // appended-file guard: run the SAME zone-map pruning over
+          // just the interleave's new files — empty means no appended
+          // row can match the predicate, so the rebase is serializable
+          val fresh = new TableState
+          st.adds.foreach { case (f, line) =>
+            if (!base.adds.contains(f)) fresh.adds(f) = line
+          }
+          fresh.adds.isEmpty || touched(fresh).isEmpty
+        } => (h, a)
         case _ =>
           staged.foreach { case (_, _, a) => dropStaged(a) }
           staged = None
@@ -1178,7 +1309,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val dirty = paths.filter(p => dv.get(Paths.get(p).getFileName.toString)
       .exists(_.cardinality > 0))
     if (dirty.isEmpty) return reader(spark, sch).parquet(paths: _*)
-    val clean = paths.filterNot(dirty.contains)
+    // Set membership, not a list scan: the clean/dirty split runs at
+    // PLANNING time on every read, and O(n·m) list contains would cost a
+    // 100k-file table a quadratic driver pass
+    val dirtySet = dirty.toSet
+    val clean = paths.filterNot(dirtySet)
     val filtered = {
       val withMeta = readFilesWithMeta(spark, dirty, sch, dv)
       val cols = withMeta.columns.filterNot(c => c == DvFileCol || c == DvPosCol)
@@ -1247,7 +1382,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
 
   /** A descriptor in the task-shippable (sidecarName, inlinePositions)
     * form expandDvPairs consumes; absent descriptor = empty vector. */
-  private def descForm(d: Option[DvDesc]): (String, Array[Long]) = d match {
+  private[sources] def descForm(d: Option[DvDesc]): (String, Array[Long]) = d match {
     case Some(DvInline(p)) => ("", p)
     case Some(DvSidecar(n, _)) => (n, Array.empty[Long])
     case None => ("", Array.empty[Long])
@@ -1307,20 +1442,24 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     }
 
   /** Data-skipping read: files whose recorded [min, max] interval on
-    * `column` cannot intersect [lo, hi] are never opened (files with no
-    * recorded stats are always read — skipping must be sound, not
-    * complete). The residual filter still applies row-level, so the
-    * result is exact regardless of how coarse the file intervals are.
+    * `column` cannot intersect [lo, hi] are never opened, and so are
+    * files whose null counts record the column as ALL NULL (bounds-less
+    * but provably value-free); files with no recorded stats at all are
+    * always read — skipping must be sound, not complete. The residual
+    * filter still applies row-level, so the result is exact regardless
+    * of how coarse the file intervals are. A probe the zone maps FULLY
+    * prune returns an empty frame under the log-carried schema.
     */
   def readWhere(spark: SparkSession, v: Long, column: String,
       lo: Long, hi: Long): DataFrame = {
     val st = stateAt(v) // ONE fold: prune and DV-subtract from the same state
     val files = st.adds.toSeq.collect {
       case (n, line) if longStatsOf(line).toMap.get(column)
-        .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } =>
+        .map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        .getOrElse(!allNullOn(line, column)) =>
         dataDir.resolve(n).toString
     }
-    require(files.nonEmpty, s"no candidate files for [$lo, $hi] at version $v")
+    if (files.isEmpty) return emptyFrame(spark, st, s"probe [$lo, $hi] at version $v")
     // the LOG-CARRIED schema, like readAsOf: a pruned candidate set may
     // predate an evolved column, which must null-fill, not vanish
     readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
@@ -1329,11 +1468,56 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
 
   /** The candidate file list [[readWhere]] would open — exposed so the
     * skipping ratio is testable and auditable. Multi-column zone maps
-    * prune on whichever recorded column the probe names. */
+    * prune on whichever recorded column the probe names; a file whose
+    * null counts record the column as ALL NULL is pruned even though
+    * it has no bounds (no value can match). */
   def prunedFiles(v: Long, column: String, lo: Long, hi: Long): Seq[String] =
-    filesWithMultiStatsAt(v).collect {
-      case (path, st) if st.toMap.get(column)
-        .forall { case (fLo, fHi) => fHi >= lo && fLo <= hi } => path
+    stateAt(v).adds.toSeq.collect {
+      case (n, line) if longStatsOf(line).toMap.get(column)
+        .map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        .getOrElse(!allNullOn(line, column)) => dataDir.resolve(n).toString
+    }
+
+  /** Candidate files for an IS NULL / IS NOT NULL probe on `column`
+    * under the recorded per-file null counts: IS NULL skips zero-null
+    * files, IS NOT NULL skips all-null files; files with no recorded
+    * null stats (pre-r14 logs, or columns outside the stats set) are
+    * always candidates — sound, never complete. */
+  def prunedFilesNull(v: Long, column: String, isNull: Boolean): Seq[String] =
+    stateAt(v).adds.toSeq.collect {
+      case (n, line) if nullCandidate(line, column, isNull) =>
+        dataDir.resolve(n).toString
+    }
+
+  /** Data-skipping read on a NULLNESS predicate — `column IS NULL`
+    * (isNull = true) or `column IS NOT NULL` — served from the per-file
+    * null counts the stats harvest records: a null census never opens
+    * the null-free files, a completeness scan never opens the all-null
+    * ones. Same sound-not-complete contract as [[readWhere]] (the
+    * residual filter keeps the result exact), same log-carried schema,
+    * and a fully-pruned probe returns an EMPTY frame under that schema. */
+  def readWhereNull(spark: SparkSession, v: Long, column: String,
+      isNull: Boolean): DataFrame = {
+    val st = stateAt(v) // ONE fold: prune and DV-subtract from the same state
+    val files = st.adds.toSeq.collect {
+      case (n, line) if nullCandidate(line, column, isNull) =>
+        dataDir.resolve(n).toString
+    }
+    val probe = if (isNull) "IS NULL" else "IS NOT NULL"
+    if (files.isEmpty)
+      return emptyFrame(spark, st, s"probe $column $probe at version $v")
+    val c = org.apache.spark.sql.functions.col(column)
+    readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
+      .filter(if (isNull) c.isNull else c.isNotNull)
+  }
+
+  /** The live (file, null stats) set at v — each add's recorded (row
+    * count, column → null count), None for stats-less adds. The audit
+    * face of null-count skipping. */
+  def filesWithNullStatsAt(v: Long)
+      : Seq[(String, Option[(Long, Map[String, Long])])] =
+    stateAt(v).adds.toSeq.map { case (n, line) =>
+      (dataDir.resolve(n).toString, nullStatsOf(line))
     }
 
   /** String-predicate skipping: candidate files for `column IN (values)`
@@ -1344,9 +1528,9 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val vb = values.map(_.getBytes("UTF-8"))
     stateAt(v).adds.toSeq.collect {
       case (n, line) if strStatsOf(line).toMap.get(column)
-        .forall { case (mn, mx) =>
+        .map { case (mn, mx) =>
           vb.exists(x => ucmp(mn, x) <= 0 && ucmp(x, mx) <= 0)
-        } => dataDir.resolve(n).toString
+        }.getOrElse(!allNullOn(line, column)) => dataDir.resolve(n).toString
     }
   }
 
@@ -1360,12 +1544,13 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val vb = values.map(_.getBytes("UTF-8"))
     val files = st.adds.toSeq.collect {
       case (n, line) if strStatsOf(line).toMap.get(column)
-        .forall { case (mn, mx) =>
+        .map { case (mn, mx) =>
           vb.exists(x => ucmp(mn, x) <= 0 && ucmp(x, mx) <= 0)
-        } => dataDir.resolve(n).toString
+        }.getOrElse(!allNullOn(line, column)) => dataDir.resolve(n).toString
     }
-    require(files.nonEmpty,
-      s"no candidate files for $column IN (${values.mkString(", ")}) at version $v")
+    if (files.isEmpty)
+      return emptyFrame(spark, st,
+        s"probe $column IN (${values.mkString(", ")}) at version $v")
     // log-carried schema, like readAsOf (see readWhere)
     readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
       .filter(org.apache.spark.sql.functions.col(column).isin(values: _*))
@@ -1392,9 +1577,9 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       loB: Array[Byte], hiB: Array[Byte]): Seq[String] =
     st.adds.toSeq.collect {
       case (n, line) if strStatsOf(line).toMap.get(column)
-        .forall { case (mn, mx) =>
+        .map { case (mn, mx) =>
           ucmp(mn, hiB) <= 0 && ucmp(loB, mx) <= 0
-        } => n
+        }.getOrElse(!allNullOn(line, column)) => n
     }
 
   /** Data-skipping read on a STRING range predicate — the
@@ -1410,8 +1595,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     require(ucmp(loB, hiB) <= 0, s"empty range ['$lo', '$hi']")
     val files = betweenCandidates(st, column, loB, hiB)
       .map(n => dataDir.resolve(n).toString)
-    require(files.nonEmpty,
-      s"no candidate files for $column in ['$lo', '$hi'] at version $v")
+    if (files.isEmpty)
+      return emptyFrame(spark, st, s"probe $column in ['$lo', '$hi'] at version $v")
     readFiles(spark, files, st.schemaB64.map(decodeSchema), st.dv)
       .filter(org.apache.spark.sql.functions.col(column).between(lo, hi))
   }
@@ -1811,16 +1996,25 @@ private[sources] object VersionedTable {
     * the log's descriptors, so the choice costs nothing. */
   private[sources] val DvBroadcastMaxPositions = 4L << 20
 
-  /** The shared async checkpoint writer: ONE daemon thread for the whole
-    * JVM (checkpoints are rare — every interval-th commit — and
-    * best-effort; serializing them keeps the thread count flat however
-    * many table instances a job touches). */
-  private[sources] val cpPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-      val t = new Thread(r, "graft-checkpoint-writer")
+  /** The shared async checkpoint writer: a SMALL bounded daemon pool
+    * for the whole JVM (checkpoints are rare — every interval-th
+    * commit — and best-effort; a fixed pool keeps the thread count
+    * flat however many table instances a job touches, while a second
+    * thread stops one slow table's checkpoint — a stuck FS write —
+    * from serializing every OTHER table's checkpoints behind it).
+    * Cross-table coupling remains at pool width: `awaitCheckpoints`
+    * on one table can wait behind at most the pool's in-flight writes
+    * for other tables, never behind an unbounded queue of them.
+    * Concurrent checkpoints of the SAME version are safe — the write
+    * is idempotent put-if-absent. */
+  private[sources] val cpPool: java.util.concurrent.ExecutorService = {
+    val n = new java.util.concurrent.atomic.AtomicLong(0L)
+    java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, s"graft-checkpoint-writer-${n.getAndIncrement()}")
       t.setDaemon(true)
       t
     })
+  }
 
   /** Write one DV sidecar: sorted positions, RANGE-RUN encoded (runs of
     * consecutive positions collapse to (start, length) pairs — a
@@ -1876,6 +2070,21 @@ private[sources] object VersionedTable {
       }
       buf.result()
     } finally in.close()
+  }
+
+  /** Sorted set difference a \ b — the GROWN positions of a deletion
+    * vector across one commit (new vector minus prior), computed
+    * task-side by the streaming change feed. Linear two-pointer walk. */
+  private[sources] def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    out.sizeHint(a.length)
+    var i = 0; var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
   }
 
   /** Merge two sorted DISJOINT position arrays (the fresh matches were
@@ -1961,6 +2170,46 @@ private[sources] object VersionedTable {
       Seq((mm.group(1), (mm.group(2).toLong, mm.group(3).toLong))))
     m.orElse(s).getOrElse(Nil)
   }
+
+  private val RowsRe = "\"rows\":(\\d+)".r
+  private val NullsRe = "\"nulls\":\"([^\"]*)\"".r
+
+  /** Null-count stats recorded on an add action: (file row count,
+    * column → null count). None for pre-r14 logs — no null pruning
+    * possible there, which is sound (absent stats never skip). */
+  private[sources] def nullStatsOf(line: String): Option[(Long, Map[String, Long])] =
+    RowsRe.findFirstMatchIn(line).map { m =>
+      val nulls = NullsRe.findFirstMatchIn(line).map(_.group(1)
+        .split(';').toSeq.filter(_.nonEmpty).map { kv =>
+          val i = kv.lastIndexOf(':')
+          (kv.take(i), kv.drop(i + 1).toLong)
+        }.toMap).getOrElse(Map.empty[String, Long])
+      (m.group(1).toLong, nulls)
+    }
+
+  /** True when the add action RECORDS that `column` is entirely NULL in
+    * the file — the all-null blind-spot fix: such a file has no bounds
+    * (parquet stats carry no min/max for it) yet is provably
+    * unmatchable by ANY value predicate on the column, so the pruned
+    * readers skip it instead of treating bounds-less as
+    * always-a-candidate. Unrecorded stats → false (never skip). */
+  private[sources] def allNullOn(line: String, column: String): Boolean =
+    nullStatsOf(line).exists { case (rows, nulls) =>
+      rows > 0 && nulls.get(column).contains(rows)
+    }
+
+  /** Candidate test for an IS NULL / IS NOT NULL probe on `column`,
+    * from RECORDED null counts only (absent stats → candidate, sound):
+    * IS NULL skips zero-null files, IS NOT NULL skips all-null files. */
+  private[sources] def nullCandidate(line: String, column: String,
+      isNull: Boolean): Boolean =
+    nullStatsOf(line) match {
+      case Some((rows, nulls)) => nulls.get(column) match {
+        case Some(n) => if (isNull) n > 0 else n < rows
+        case None => true
+      }
+      case None => true
+    }
 
   /** String zone maps recorded on an add action (single `scol` form or
     * `s:`-tagged `multi` entries), decoded to raw bound bytes. */

@@ -924,4 +924,139 @@ class LakeScaleSpec extends AnyFunSuite {
     val rng = t2.readWhereBetween(spark, 1L, "lang", "aa", "ez")
     assert(rng.schema.fieldNames === Array("id", "lang", "q"))
   }
+
+  // ------------------------------------------------------------------
+  // Per-file null-count stats (round 14)
+  // ------------------------------------------------------------------
+
+  /** One file per shape: all-null, mixed, null-free on column `v`. */
+  private def nullShapedTable(): VersionedTable = {
+    val t = new VersionedTable(dir())
+    def f(rows: Seq[(Long, Option[Long])]) = rows.toDF("id", "v").repartition(1)
+    t.append(spark, f(Seq((0L, None), (1L, None))), statsCol = Some("v"))
+    t.append(spark, f(Seq((2L, Some(10L)), (3L, None))), statsCol = Some("v"))
+    t.append(spark, f(Seq((4L, Some(20L)), (5L, Some(30L)))), statsCol = Some("v"))
+    t
+  }
+
+  test("null counts prune IS NULL / IS NOT NULL and close the all-null blind spot") {
+    val t = nullShapedTable()
+    val v = t.version
+    // every add recorded (rows, v → nulls) from the footer
+    val ns = t.filesWithNullStatsAt(v).toMap
+    assert(ns.size === 3 && ns.values.forall(_.isDefined))
+    assert(ns.values.flatMap(_.map { case (r, m) => (r, m("v")) }).toSet ===
+      Set((2L, 2L), (2L, 1L), (2L, 0L)))
+    // IS NULL skips the null-free file; IS NOT NULL skips the all-null one
+    assert(t.prunedFilesNull(v, "v", isNull = true).size === 2)
+    assert(t.prunedFilesNull(v, "v", isNull = false).size === 2)
+    // unrecorded column: always a candidate (sound)
+    assert(t.prunedFilesNull(v, "missing", isNull = true).size === 3)
+    // the pruned reads stay exact
+    assert(t.readWhereNull(spark, v, "v", isNull = true)
+      .select("id").as[Long].collect().sorted === Array(0L, 1L, 3L))
+    assert(t.readWhereNull(spark, v, "v", isNull = false)
+      .select("id").as[Long].collect().sorted === Array(2L, 4L, 5L))
+    // the BLIND SPOT: the all-null file records no bounds, but its null
+    // count proves no VALUE can match — value probes now skip it too
+    assert(t.prunedFiles(v, "v", 0L, 100L).size === 2,
+      "an all-null file must not survive a value probe")
+    assert(t.readWhere(spark, v, "v", 10L, 20L)
+      .select("id").as[Long].collect().sorted === Array(2L, 4L))
+
+    // the DSv2 batch face prunes partitions on pushed null probes —
+    // and Spark pushes IsNotNull beside every comparison, so a plain
+    // range scan sheds the all-null file for free
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", t.root).load()
+    assert(dsv2.filter("v IS NULL").count() === 3)
+    assert(dsv2.filter("v IS NULL").rdd.getNumPartitions === 2)
+    assert(dsv2.filter("v IS NOT NULL").rdd.getNumPartitions === 2)
+    assert(dsv2.filter("v >= 10").rdd.getNumPartitions === 2,
+      "a value scan must shed the all-null file via the pushed IsNotNull")
+    assert(dsv2.filter("v >= 10").count() === 3)
+
+    // r13-era add lines (no rows/nulls fields) keep reading: strip the
+    // fields from the log in place and re-probe — no pruning anywhere
+    // (sound), results unchanged
+    import scala.jdk.CollectionConverters._
+    (0L to 2L).foreach { i =>
+      val p = Paths.get(t.root, "_log", f"$i%012d.json")
+      val stripped = Files.readAllLines(p).asScala
+        .map(_.replaceAll(",\"rows\":\\d+(,\"nulls\":\"[^\"]*\")?", ""))
+      Files.write(p, stripped.mkString("\n").getBytes("UTF-8"))
+    }
+    val t2 = new VersionedTable(t.root)
+    assert(t2.filesWithNullStatsAt(v).forall(_._2.isEmpty))
+    assert(t2.prunedFilesNull(v, "v", isNull = true).size === 3)
+    assert(t2.prunedFiles(v, "v", 0L, 100L).size === 3,
+      "without null counts the all-null file is back to always-a-candidate")
+    assert(t2.readWhereNull(spark, v, "v", isNull = true)
+      .select("id").as[Long].collect().sorted === Array(0L, 1L, 3L))
+  }
+
+  test("fully-pruned reads return an empty frame under the log schema") {
+    val t = nullShapedTable()
+    val v = t.version
+    // integer probe outside every bound (and past the all-null file)
+    val r1 = t.readWhere(spark, v, "v", 1000L, 2000L)
+    assert(r1.schema.fieldNames === Array("id", "v") && r1.count() === 0)
+    // null probe nothing can serve: a null-free table probed IS NULL
+    val clean = new VersionedTable(dir())
+    clean.append(spark, Seq((1L, Some(5L))).toDF("id", "v").repartition(1),
+      statsCol = Some("v"))
+    val r2 = clean.readWhereNull(spark, 0L, "v", isNull = true)
+    assert(r2.schema.fieldNames === Array("id", "v") && r2.count() === 0)
+    // string faces: an IN set / range no file's interval can contain
+    val ts = new VersionedTable(dir())
+    ts.append(spark, Seq((1L, "en"), (2L, "fr")).toDF("id", "lang")
+      .repartition(1), statsCol = Some("lang"))
+    val r3 = ts.readWhereIn(spark, 0L, "lang", Seq("zz"))
+    assert(r3.schema.fieldNames === Array("id", "lang") && r3.count() === 0)
+    val r4 = ts.readWhereBetween(spark, 0L, "lang", "zz", "zzz")
+    assert(r4.schema.fieldNames === Array("id", "lang") && r4.count() === 0)
+  }
+
+  test("a lost delete race against an OVERLAPPING append recomputes") {
+    // the appended file's zone map intersects the delete predicate —
+    // rebasing the staged rewrite would let the appended matching row
+    // silently survive; the guard forces a recompute that deletes it
+    val t = new VersionedTable(dir())
+    t.append(spark, spark.range(0, 50).toDF("id").repartition(1),
+      statsCol = Some("id"))
+    var fired = false
+    t.onCowCommitAttempt = () => {
+      if (!fired) {
+        fired = true
+        t.append(spark, Seq(15L).toDF("id").repartition(1),
+          statsCol = Some("id"))
+      }
+    }
+    val v = t.deleteWhere(spark, "id", 10L, 19L)
+    t.onCowCommitAttempt = () => ()
+    assert(v === 2L, "the delete lands after the interleaved append")
+    assert(t.cowJobRuns.get() === 2L,
+      "an append INSIDE the predicate range must force a recompute")
+    assert(t.read(spark).select("id").as[Long].collect().sorted ===
+      (0L until 50L).filterNot(i => i >= 10 && i <= 19).toArray,
+      "the appended matching row must be deleted, not survive the rebase")
+
+    // a STATS-LESS interleaved append can't prove disjointness → recompute
+    val t2 = new VersionedTable(dir())
+    t2.append(spark, spark.range(0, 50).toDF("id").repartition(1),
+      statsCol = Some("id"))
+    var fired2 = false
+    t2.onCowCommitAttempt = () => {
+      if (!fired2) {
+        fired2 = true
+        t2.append(spark, Seq(100L).toDF("id").repartition(1)) // no stats
+      }
+    }
+    t2.deleteWhere(spark, "id", 10L, 19L)
+    t2.onCowCommitAttempt = () => ()
+    assert(t2.cowJobRuns.get() === 2L,
+      "a stats-less append is unprovable — the rebase must not be trusted")
+    assert(t2.read(spark).select("id").as[Long].collect().sorted ===
+      ((0L until 50L).filterNot(i => i >= 10 && i <= 19) :+ 100L).toArray)
+  }
 }

@@ -242,7 +242,7 @@ class VersionedStreamSpec extends AnyFunSuite {
       spark.range(i * 100L, (i + 1) * 100L).toDF("id").repartition(1)))
 
     val s = new VersionedMicroBatchStream(root, 0L, None, None,
-      t.read(spark).schema)
+      changeFeed = false, t.read(spark).schema)
     def latest(from: Long, l: ReadLimit): Long =
       s.latestOffset(VersionOffset(from), l).asInstanceOf[VersionOffset].v
 
@@ -261,6 +261,61 @@ class VersionedStreamSpec extends AnyFunSuite {
       "a composite limit admits the intersection")
     // nothing outstanding → the offset holds still
     assert(latest(2, ReadLimit.maxFiles(1)) === 2)
+  }
+
+  test("changeFeed streams MoR deletes as tagged rows; absent without the option") {
+    val root = freshDir("vstream-cdc")
+    val t = new VersionedTable(root)
+    t.append(spark, spark.range(0, 30).toDF("id").repartition(2))  // v0
+    t.deleteRowsWhere(spark, "id % 10 = 3")                        // v1: 3,13,23
+    t.deleteRowsWhere(spark, "id % 10 = 7")                        // v2: 7,17,27
+
+    // default contract unchanged: the delete windows serve NOTHING and
+    // there is no _change_type column
+    val plain = stream(root)
+    assert(!plain.schema.fieldNames.contains("_change_type"))
+    val q0 = plain.writeStream.format("memory").queryName("vcdc0")
+      .option("checkpointLocation", freshDir("vcdc0ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q0.awaitTermination()
+    assert(spark.table("vcdc0").count() === 30,
+      "without changeFeed the MoR delete windows must stay invisible")
+
+    // with the option: inserts for v0, and each delete window serves
+    // exactly ITS vector growth (the v2 window diffs against v1's
+    // sidecar — never re-serves v1's positions)
+    val cdc = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true").load()
+    assert(cdc.schema.fieldNames.last === "_change_type")
+    val q1 = cdc.writeStream.format("memory").queryName("vcdc1")
+      .option("checkpointLocation", freshDir("vcdc1ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val rows = spark.table("vcdc1").as[(Long, String)].collect()
+    assert(rows.count(_._2 == "insert") === 30)
+    val deletes = rows.filter(_._2 == "delete").map(_._1).sorted
+    assert(deletes === Array(3L, 7L, 13L, 17L, 23L, 27L),
+      "each deleted row surfaces exactly once across the two windows")
+
+    // an aggregate that projects ONLY the tag column still counts right
+    // (the footer-count path must honor include-mode cardinality)
+    val q2 = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true").load()
+      .select("_change_type")
+      .writeStream.format("memory").queryName("vcdc2")
+      .option("checkpointLocation", freshDir("vcdc2ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("vcdc2").as[String].collect()
+      .count(_ == "delete") === 6)
+
+    // changeFeed is a streaming option: the batch face refuses it
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.VersionedStreamProvider")
+        .option("path", root).option("changeFeed", "true").load().count()
+    }
+    assert(ex.getMessage.contains("changeFeed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("changeFeed")))
   }
 
   test("maxFilesPerTrigger paces an AvailableNow drain into per-commit batches") {
