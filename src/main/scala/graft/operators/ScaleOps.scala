@@ -1211,6 +1211,7 @@ object ScaleOps {
             when(col("lang") === "en", col("n_chars")).as("en_chars"))
           .repartitionByRange(6, col("en_chars")),
         statsCol = Some("en_chars"))
+      t.awaitCheckpoints() // deterministic artifact (checkpoints are async)
       path
     }
 
@@ -1260,6 +1261,7 @@ object ScaleOps {
           .repartitionByRange(4, col("doc_id")),
         statsCol = Some("doc_id"))                  // v0: ingest
       t.deleteRowsWhere(spark, "doc_id % 10 = 3")   // v1: MoR delete
+      t.awaitCheckpoints() // deterministic artifact (checkpoints are async)
       val out = scratchPath(spark, s"cdcstream_$dtag/drain")
       val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
         .option("path", path).option("changeFeed", "true").load()

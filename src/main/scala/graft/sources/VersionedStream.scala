@@ -70,10 +70,16 @@ class VersionedStreamProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = VersionedStreamProvider.tableSchema(options.get("path"))
     // the change feed widens the row with its CDC tag column — the
-    // Delta readChangeFeed shape
-    if (options.getBoolean("changeFeed", false))
+    // Delta readChangeFeed shape. The name is RESERVED under the
+    // option (Delta reserves its CDF columns the same way): a table
+    // that already carries a column of that name would both duplicate
+    // the field and let stale file values masquerade as feed tags.
+    if (options.getBoolean("changeFeed", false)) {
+      require(!base.fieldNames.contains(VersionedStreamProvider.ChangeTypeCol),
+        s"table already has a '${VersionedStreamProvider.ChangeTypeCol}' " +
+          "column; the name is reserved by the changeFeed option")
       base.add(VersionedStreamProvider.ChangeTypeCol, StringType, nullable = false)
-    else base
+    } else base
   }
 
   // writes hand us the frame's schema directly instead of forcing an
@@ -338,21 +344,22 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
       case (name, line) if {
         val zm = VersionedTable.longStatsOf(line).toMap
         val sm = VersionedTable.strStatsOf(line).toMap
+        val ns = VersionedTable.nullStatsOf(line) // ONE parse per file
         bs.forall { case (c, (lo, hi)) =>
           zm.get(c).map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-            .getOrElse(!VersionedTable.allNullOn(line, c))
+            .getOrElse(!VersionedTable.allNullIn(ns, c))
         } && svs.forall { case (c, vals) =>
           sm.get(c).map { case (mn, mx) =>
             vals.exists(x =>
               VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
-          }.getOrElse(!VersionedTable.allNullOn(line, c))
+          }.getOrElse(!VersionedTable.allNullIn(ns, c))
         } && srs.forall { case (c, (lo, hi)) =>
           sm.get(c).map { case (mn, mx) =>
             lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
               hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
-          }.getOrElse(!VersionedTable.allNullOn(line, c))
+          }.getOrElse(!VersionedTable.allNullIn(ns, c))
         } && nps.forall { case (c, isNull) =>
-          VersionedTable.nullCandidate(line, c, isNull)
+          VersionedTable.nullCandidateIn(ns, c, isNull)
         }
       } =>
         (st.dv.get(name) match {
@@ -390,16 +397,22 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
   * `readChangeFeed`.
   *
   * The opt-in `changeFeed` option (the Delta readChangeFeed shape)
-  * changes that: every row carries a `_change_type` column — commits'
-  * added files stream as `insert` rows, and a `dvset` commit streams
-  * the rows its vector GROWTH deleted as positional `delete` rows, so
-  * log-tailing consumers (index invalidation, downstream GDPR
-  * propagation) observe merge-on-read deletes without a side batch
-  * query. The grown-position diff is computed BY THE TASK from the two
-  * sidecar references the partition carries — positions never ride the
-  * plan. Restore-style vector SHRINKS serve nothing here;
-  * [[VersionedTable.changesBetween]] remains the full-fidelity batch
-  * read (it also emits restore re-inserts). */
+  * changes that: every row carries a `_change_type` column and each
+  * commit streams its FULL file-CDC window — added files as `insert`
+  * rows, REMOVED files as `delete` rows (read minus their prior
+  * deletion vector, so copy-on-write deletes/overwrites/merges/
+  * restores reach the feed; a rewrite emits its carried rows as both
+  * delete and insert, the same contract
+  * [[VersionedTable.changesBetween]] documents), and a `dvset`
+  * commit's vector GROWTH as positional `delete` rows — so log-tailing
+  * consumers (index invalidation, downstream GDPR propagation) observe
+  * every delete flavor without a side batch query. The grown-position
+  * diff is computed BY THE TASK from the two sidecar references the
+  * partition carries — positions never ride the plan. Two deliberate
+  * exceptions: MAINTENANCE commits (compact/zorder) are logical no-ops
+  * and serve nothing (Delta's dataChange=false discipline), and
+  * restore-style vector SHRINKS serve nothing (changesBetween emits
+  * restore re-inserts; the streaming feed is delete-observing). */
 private[graft] class VersionedMicroBatchStream(root: String,
     startingVersion: Long, maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long], changeFeed: Boolean,
@@ -493,28 +506,33 @@ private[graft] class VersionedMicroBatchStream(root: String,
       ((s + 1) to e).flatMap(table.filesAddedAt)
         .map(f => VersionedFilePartition(f): InputPartition).toArray
     else
-      ((s + 1) to e).flatMap { v =>
-        val (added, dvs) = table.changeWindowAt(v)
-        val inserts = added.map(f =>
+      // ONE incremental fold for the whole drain window, then three
+      // partition kinds per commit (see changeWindowsBetween)
+      table.changeWindowsBetween(s, e).flatMap { w =>
+        def sidecar(ref: String): Option[String] =
+          Some(ref).filter(_.nonEmpty)
+            .map(r => table.dataDir.resolve(r).toString)
+        val inserts = w.added.map(f =>
           VersionedFilePartition(f, feedTag = Some("insert")): InputPartition)
+        // a removed file's rows AS VISIBLE before this commit: the
+        // plain exclude-mode read minus its PRIOR vector, tagged delete
+        val removals = w.removed.map { case (f, (pRef, pInline)) =>
+          VersionedFilePartition(f, deleted = pInline, dvRef = sidecar(pRef),
+            feedTag = Some("delete")): InputPartition
+        }
         // one partition per dvset file: the task loads BOTH descriptors
         // (sidecars by reference) and serves exactly new − prior — the
         // rows THIS commit deleted
-        val deletes = dvs.map { case (f, newD, priorD) =>
+        val grown = w.grown.map { case (f, newD, priorD) =>
           val (nRef, nInline) = table.descForm(Some(newD))
           val (pRef, pInline) = table.descForm(priorD)
-          VersionedFilePartition(
-            table.dataDir.resolve(f).toString,
-            deleted = nInline,
-            dvRef = Some(nRef).filter(_.nonEmpty)
-              .map(r => table.dataDir.resolve(r).toString),
-            feedTag = Some("delete"),
-            grownOnly = true,
+          VersionedFilePartition(f,
+            deleted = nInline, dvRef = sidecar(nRef),
+            feedTag = Some("delete"), grownOnly = true,
             priorDeleted = pInline,
-            priorDvRef = Some(pRef).filter(_.nonEmpty)
-              .map(r => table.dataDir.resolve(r).toString)): InputPartition
+            priorDvRef = sidecar(pRef)): InputPartition
         }
-        inserts ++ deletes
+        inserts ++ removals ++ grown
       }.toArray
   }
 
@@ -601,6 +619,14 @@ private[graft] class VersionedReaderFactory(requested: StructType)
       private var rowIdx: Long = -1L
       private var delPtr: Int = 0
       private var incPtr: Int = 0
+      // include mode: per-row-group row counts from the footer, so the
+      // reader SKIPS whole groups containing no wanted position — a
+      // needle-delete window over a large file costs the grown rows'
+      // groups, not a full-file decode
+      private val blockRows: Array[Long] =
+        if (include == null) null
+        else reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).toArray
+      private var blockIdx: Int = 0
 
       private def advanceRowGroup(): Boolean = {
         val pages = reader.readNextRowGroup()
@@ -624,7 +650,18 @@ private[graft] class VersionedReaderFactory(requested: StructType)
           // once the set is exhausted the task is done — no tail scan
           if (incPtr >= include.length) return false
           while (true) {
-            while (rowsLeft == 0L) if (!advanceRowGroup()) return false
+            while (rowsLeft == 0L) {
+              // the next group spans [rowIdx+1, rowIdx+rows]: skip it
+              // outright when the next wanted position lies beyond it
+              while (blockIdx < blockRows.length &&
+                  include(incPtr) > rowIdx + blockRows(blockIdx)) {
+                reader.skipNextRowGroup()
+                rowIdx += blockRows(blockIdx)
+                blockIdx += 1
+              }
+              if (!advanceRowGroup()) return false
+              blockIdx += 1
+            }
             current = groupReader.read()
             rowsLeft -= 1
             rowIdx += 1

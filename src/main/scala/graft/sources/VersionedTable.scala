@@ -32,6 +32,17 @@ private[sources] final case class DvInline(pos: Array[Long]) extends DvDesc {
 private[sources] final case class DvSidecar(name: String,
     cardinality: Long) extends DvDesc
 
+/** One commit's contribution to the STREAMING change feed
+  * ([[VersionedTable.changeWindowsBetween]]): file paths the commit
+  * added (insert rows), files it removed with their PRIOR deletion
+  * vector in task-shippable descForm (delete rows = the file minus
+  * that vector), and dvset actions as (path, new descriptor, prior
+  * descriptor) whose task-side diff is the grown — deleted — rows. */
+private[sources] final case class ChangeWindow(op: String,
+    added: Seq[String],
+    removed: Seq[(String, (String, Array[Long]))],
+    grown: Seq[(String, DvDesc, Option[DvDesc])])
+
 /** The folded table state at one version: the governing add action per
   * live file (zone maps ride along verbatim), the live deletion-vector
   * DESCRIPTOR per file (inline positions or a sidecar reference), the
@@ -431,46 +442,71 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       }
   }
 
-  /** Per-commit change window for the STREAMING change feed
-    * ([[VersionedMicroBatchStream]] under `changeFeed`): the file paths
-    * commit v ADDED (served as `insert` rows) plus, per `dvset` action
-    * v landed, (file name, new DV descriptor, descriptor at v-1) so the
-    * consumer can serve the GROWN positions — the rows that commit
-    * deleted — as positional `delete` rows, computing the set diff
-    * TASK-side from the two descriptors (sidecars are never opened
-    * here). A vector that only SHRANK (a restore's un-delete) yields an
-    * empty grown set and serves nothing; [[changesBetween]] remains the
-    * full-fidelity batch read. Same vacuumed-window contract as
-    * [[filesAddedAt]]: fail loudly, never skip history. */
-  private[graft] def changeWindowAt(v: Long)
-      : (Seq[String], Seq[(String, DvDesc, Option[DvDesc])]) = {
-    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    val lines = Files.readAllLines(logDir.resolve(logName(v))).asScala.toSeq
-    def checked(n: String): Path = {
-      val p = dataDir.resolve(n)
-      require(Files.exists(p),
-        s"commit $v data file $n was vacuumed; this window is no longer streamable")
-      p
-    }
-    val added = lines.filter(_.contains("\"op\":\"add\""))
-      .flatMap(l => fileOf(l)).map(n => checked(n).toString)
-    val dvLines = lines.filter(_.contains("\"op\":\"dvset\""))
-    val dvs =
-      if (dvLines.isEmpty) Nil
-      else {
-        // the commit's OWN dvset lines folded alone give the new
-        // descriptors; the prior state gives what they replaced.
-        // A clearing dvset (empty positions — restore) never lands in
-        // tmp.dv, correctly: it can only shrink, grown = ∅.
-        val prior = stateAtOrEmpty(v - 1)
-        val tmp = new TableState
-        dvLines.foreach(foldLine(tmp, _))
-        tmp.dv.toSeq.map { case (f, d) =>
-          checked(f)
-          (f, d, prior.dv.get(f))
-        }
+  /** Per-commit change windows for the STREAMING change feed
+    * ([[VersionedMicroBatchStream]] under `changeFeed`) over (s, e] —
+    * ONE incremental fold for the whole drain (seed at s, advance per
+    * commit), never a fold per version. Each window carries:
+    *   - `added`: the file paths the commit ADDED (served as `insert`
+    *     rows);
+    *   - `removed`: (path, prior-DV descForm) per file the commit
+    *     REMOVED — its rows AS VISIBLE at v-1 (minus the prior vector)
+    *     serve as `delete` rows, so copy-on-write deletes, overwrites,
+    *     merges, and restores all reach the feed (the file-CDC
+    *     contract [[changesBetween]] documents; a rewrite emits its
+    *     carried rows as both delete and insert);
+    *   - `grown`: per `dvset` action, (file, new descriptor, prior
+    *     descriptor) — the TASK diffs the two sidecars and serves the
+    *     GROWN positions as `delete` rows. A vector that only SHRANK
+    *     (a restore's un-delete) yields an empty diff and serves
+    *     nothing.
+    * MAINTENANCE commits (`compact`/`zorder`) are logical no-ops —
+    * the snapshot's rows are identical before and after — and serve an
+    * EMPTY window (Delta's dataChange=false discipline) instead of
+    * spraying full-table delete+insert churn at every consumer.
+    * Same vacuumed-window contract as [[filesAddedAt]]: any served
+    * file missing on disk fails loudly, never skips history. */
+  private[graft] def changeWindowsBetween(s: Long, e: Long): Seq[ChangeWindow] = {
+    require(s <= e && e <= version, s"window ($s, $e] outside history [0, $version]")
+    val st = stateAtOrEmpty(s)
+    ((s + 1) to e).map { v =>
+      val lines = readLog(logDir.resolve(logName(v)))
+      def checked(n: String): String = {
+        val p = dataDir.resolve(n)
+        require(Files.exists(p),
+          s"commit $v data file $n was vacuumed; this window is no longer streamable")
+        p.toString
       }
-    (added, dvs)
+      val op = lines.collectFirst {
+        case l if l.contains("\"op\":\"meta\"") =>
+          "\"operation\":\"([a-z_]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+            .getOrElse("?")
+      }.getOrElse("?")
+      val window =
+        if (op == "compact" || op == "zorder") ChangeWindow(op, Nil, Nil, Nil)
+        else {
+          val added = lines.filter(_.contains("\"op\":\"add\""))
+            .flatMap(fileOf).map(checked)
+          val removed = lines.filter(_.contains("\"op\":\"remove\""))
+            .flatMap(fileOf)
+            .map(n => (checked(n), descForm(st.dv.get(n))))
+          // the commit's OWN dvset lines folded alone give the new
+          // descriptors; the running state (still at v-1 here) gives
+          // what they replaced. A clearing dvset (empty positions —
+          // restore) never lands in tmp.dv, correctly: it can only
+          // shrink, grown = ∅.
+          val dvLines = lines.filter(_.contains("\"op\":\"dvset\""))
+          val grown =
+            if (dvLines.isEmpty) Nil
+            else {
+              val tmp = new TableState
+              dvLines.foreach(foldLine(tmp, _))
+              tmp.dv.toSeq.map { case (f, d) => (checked(f), d, st.dv.get(f)) }
+            }
+          ChangeWindow(op, added, removed, grown)
+        }
+      lines.foreach(foldLine(st, _)) // advance the running state to v
+      window
+    }
   }
 
   def read(spark: SparkSession): DataFrame = readAsOf(spark, version)
@@ -2194,7 +2230,14 @@ private[sources] object VersionedTable {
     * readers skip it instead of treating bounds-less as
     * always-a-candidate. Unrecorded stats → false (never skip). */
   private[sources] def allNullOn(line: String, column: String): Boolean =
-    nullStatsOf(line).exists { case (rows, nulls) =>
+    allNullIn(nullStatsOf(line), column)
+
+  /** [[allNullOn]] over an ALREADY-PARSED stats record — the form the
+    * DSv2 scan uses so a multi-clause predicate parses each add line's
+    * null stats once, not once per clause. */
+  private[sources] def allNullIn(ns: Option[(Long, Map[String, Long])],
+      column: String): Boolean =
+    ns.exists { case (rows, nulls) =>
       rows > 0 && nulls.get(column).contains(rows)
     }
 
@@ -2203,7 +2246,12 @@ private[sources] object VersionedTable {
     * IS NULL skips zero-null files, IS NOT NULL skips all-null files. */
   private[sources] def nullCandidate(line: String, column: String,
       isNull: Boolean): Boolean =
-    nullStatsOf(line) match {
+    nullCandidateIn(nullStatsOf(line), column, isNull)
+
+  /** [[nullCandidate]] over an already-parsed stats record. */
+  private[sources] def nullCandidateIn(ns: Option[(Long, Map[String, Long])],
+      column: String, isNull: Boolean): Boolean =
+    ns match {
       case Some((rows, nulls)) => nulls.get(column) match {
         case Some(n) => if (isNull) n > 0 else n < rows
         case None => true

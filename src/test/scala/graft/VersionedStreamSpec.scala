@@ -318,6 +318,80 @@ class VersionedStreamSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("changeFeed")))
   }
 
+  test("changeFeed serves file-CDC for rewrite commits; maintenance is invisible") {
+    val root = freshDir("vstream-cdc2")
+    val t = new VersionedTable(root)
+    t.append(spark, spark.range(0, 20).toDF("id").repartition(1),
+      statsCol = Some("id"))             // v0: 20 inserts
+    t.deleteWhere(spark, "id", 5L, 9L)   // v1: CoW rewrite of the one file
+    t.compact(spark, targetFiles = 1)    // v2: maintenance — must serve NOTHING
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("vcdc3")
+      .option("checkpointLocation", freshDir("vcdc3ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("vcdc3").as[(Long, String)].collect()
+    // v1 is file-CDC: the removed file's 20 rows surface as deletes,
+    // the rewritten survivors (15) as inserts — carried rows on both
+    // sides, the changesBetween contract; v2 contributes zero rows
+    assert(rows.count(_._2 == "insert") === 35)
+    assert(rows.filter(_._2 == "delete").map(_._1).sorted ===
+      (0L until 20L).toArray)
+    // consumer-side reconciliation nets out to exactly the head state
+    val net = rows.groupBy(_._1).view.mapValues(rs =>
+      rs.count(_._2 == "insert") - rs.count(_._2 == "delete")).toMap
+    assert(net.filter(_._2 > 0).keys.toSeq.sorted ===
+      t.read(spark).select("id").as[Long].collect().sorted)
+
+    // the CDC tag column name is RESERVED under the option
+    val t2 = new VersionedTable(freshDir("vstream-cdc3"))
+    t2.append(spark, Seq((1L, "x")).toDF("id", "_change_type"))
+    val ex = intercept[Exception] {
+      spark.readStream.format("graft.sources.VersionedStreamProvider")
+        .option("path", t2.root).option("changeFeed", "true").load()
+    }
+    assert(ex.getMessage.contains("_change_type") ||
+      Option(ex.getCause).exists(_.getMessage.contains("_change_type")))
+  }
+
+  test("include-mode reader stays correct across multiple row groups") {
+    // a small parquet block size forces several row groups per file —
+    // the shape where the grown-position reader's group skipping must
+    // still deliver exactly the wanted rows
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", (64 * 1024).toString)
+    val root = try {
+      val r = freshDir("vstream-cdcrg")
+      val t = new VersionedTable(r)
+      t.append(spark, spark.range(0, 200000).toDF("id").repartition(1))
+      t.deleteRowsWhere(spark, "id = 123 OR id = 199999")
+      r
+    } finally old match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+    val file = new VersionedTable(root).filesAt(0L).head
+    val pr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        new org.apache.hadoop.conf.Configuration()))
+    val nGroups = try pr.getFooter.getBlocks.size finally pr.close()
+    assert(nGroups > 1, s"need a multi-row-group file, got $nGroups group(s)")
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("vcdcrg")
+      .option("checkpointLocation", freshDir("vcdcrgck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("vcdcrg").as[(Long, String)].collect()
+    assert(rows.count(_._2 == "insert") === 200000)
+    assert(rows.filter(_._2 == "delete").map(_._1).sorted ===
+      Array(123L, 199999L),
+      "group skipping must still surface exactly the grown positions")
+  }
+
   test("maxFilesPerTrigger paces an AvailableNow drain into per-commit batches") {
     val root = freshDir("vstream-rl2")
     val t = new VersionedTable(root)
