@@ -1862,10 +1862,13 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   }
 
   /** Physical cleanup: delete every data file not live in ANY version
-    * >= `keepFrom` (and not referenced by the head). Versions before
-    * the horizon stop being readable — vacuum is the explicit,
-    * operator-chosen end of their time-travel guarantee; the log itself
-    * stays intact as the audit record. Returns the deleted file names.
+    * >= `keepFrom` (and not referenced by the head), plus any
+    * ABANDONED STAGING directory (`_tmp-*` — a crashed writer's
+    * half-staged rewrite; invisible to every read, pure disk leak)
+    * past the same age gate. Versions before the horizon stop being
+    * readable — vacuum is the explicit, operator-chosen end of their
+    * time-travel guarantee; the log itself stays intact as the audit
+    * record. Returns the deleted file/directory names.
     *
     * Concurrent-writer safety is `minAgeMs` (the Delta retention
     * contract): a writer's staged-but-uncommitted files — and files a
@@ -1908,7 +1911,20 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       }
       .map(_.getFileName.toString)
     victims.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
-    victims
+    // abandoned staging dirs: stage() removes its own on every path
+    // (success, lost race, dropStaged), so any survivor is a crashed
+    // writer's leak — reclaim under the same minAge contract that
+    // protects an in-flight writer's young staging
+    val tmpVictims = listDir(Paths.get(root))
+      .filter { p =>
+        p.getFileName.toString.startsWith("_tmp-") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }
+    tmpVictims.foreach { d =>
+      listDir(d).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(d)
+    }
+    victims ++ tmpVictims.map(_.getFileName.toString)
   }
 
   /** Change feed between two snapshots — the incremental-consumer read

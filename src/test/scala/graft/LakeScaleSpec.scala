@@ -234,8 +234,19 @@ class LakeScaleSpec extends AnyFunSuite {
     // staged-or-just-committed files (they are always young)
     assert(t.vacuum(keepFrom = 1L, minAgeMs = 3600000L).isEmpty)
     assert(t.readAsOf(spark, 0L).count() === 10, "protected files still serve")
-    // the quiesced-table default still collects the dead files
-    assert(t.vacuum(keepFrom = 1L).nonEmpty)
+    // an ABANDONED staging dir (crashed writer) is reclaimed by vacuum
+    // under the same minAge contract — young staging survives
+    val orphan = Paths.get(t.root, "_tmp-orphaned-by-crash")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    assert(t.vacuum(keepFrom = 1L, minAgeMs = 3600000L).isEmpty,
+      "a young staging dir must be protected like any young file")
+    // the quiesced-table default still collects the dead files AND the
+    // orphaned staging dir
+    val collected = t.vacuum(keepFrom = 1L)
+    assert(collected.nonEmpty)
+    assert(collected.contains("_tmp-orphaned-by-crash"))
+    assert(!Files.exists(orphan))
     intercept[Exception] { t.readAsOf(spark, 0L).count() }
 
     // duplicate appendBatch: the loser must not leak its staged copy.
