@@ -75,10 +75,14 @@ class VersionedStreamProvider extends TableProvider {
     // that already carries a column of that name would both duplicate
     // the field and let stale file values masquerade as feed tags.
     if (options.getBoolean("changeFeed", false)) {
-      require(!base.fieldNames.contains(VersionedStreamProvider.ChangeTypeCol),
-        s"table already has a '${VersionedStreamProvider.ChangeTypeCol}' " +
-          "column; the name is reserved by the changeFeed option")
+      Seq(VersionedStreamProvider.ChangeTypeCol,
+          VersionedStreamProvider.ChangeVersionCol).foreach { c =>
+        require(!base.fieldNames.contains(c),
+          s"table already has a '$c' column; the name is reserved by " +
+            "the changeFeed option")
+      }
       base.add(VersionedStreamProvider.ChangeTypeCol, StringType, nullable = false)
+        .add(VersionedStreamProvider.ChangeVersionCol, LongType, nullable = false)
     } else base
   }
 
@@ -104,6 +108,13 @@ object VersionedStreamProvider {
     * `insert` for rows a commit added, `delete` for rows a merge-on-read
     * delete's vector growth removed. */
   val ChangeTypeCol = "_change_type"
+
+  /** The CDC ordering column the `changeFeed` option appends: the
+    * commit version each change row belongs to — what a consumer
+    * reconciling out-of-order or replayed windows keys its merge on
+    * (the Delta readChangeFeed `_commit_version` shape; this table's
+    * log records no wall-clock, so there is no timestamp twin). */
+  val ChangeVersionCol = "_commit_version"
 
   /** Table schema: the LOG-CARRIED schema of the head version when
     * recorded (so evolved columns appear even though old files lack
@@ -513,12 +524,13 @@ private[graft] class VersionedMicroBatchStream(root: String,
           Some(ref).filter(_.nonEmpty)
             .map(r => table.dataDir.resolve(r).toString)
         val inserts = w.added.map(f =>
-          VersionedFilePartition(f, feedTag = Some("insert")): InputPartition)
+          VersionedFilePartition(f, feedTag = Some("insert"),
+            feedVersion = w.version): InputPartition)
         // a removed file's rows AS VISIBLE before this commit: the
         // plain exclude-mode read minus its PRIOR vector, tagged delete
         val removals = w.removed.map { case (f, (pRef, pInline)) =>
           VersionedFilePartition(f, deleted = pInline, dvRef = sidecar(pRef),
-            feedTag = Some("delete")): InputPartition
+            feedTag = Some("delete"), feedVersion = w.version): InputPartition
         }
         // one partition per dvset file: the task loads BOTH descriptors
         // (sidecars by reference) and serves exactly new − prior — the
@@ -530,7 +542,7 @@ private[graft] class VersionedMicroBatchStream(root: String,
             deleted = nInline, dvRef = sidecar(nRef),
             feedTag = Some("delete"), grownOnly = true,
             priorDeleted = pInline,
-            priorDvRef = sidecar(pRef)): InputPartition
+            priorDvRef = sidecar(pRef), feedVersion = w.version): InputPartition
         }
         inserts ++ removals ++ grown
       }.toArray
@@ -558,7 +570,8 @@ private[graft] case class VersionedFilePartition(file: String,
     feedTag: Option[String] = None,
     grownOnly: Boolean = false,
     priorDeleted: Array[Long] = Array.emptyLongArray,
-    priorDvRef: Option[String] = None) extends InputPartition
+    priorDvRef: Option[String] = None,
+    feedVersion: Long = -1L) extends InputPartition
 
 /** Reads one committed parquet file into InternalRows via the public
   * parquet-mr record API. Column pruning is physical: the projected
@@ -680,12 +693,15 @@ private[graft] class VersionedReaderFactory(requested: StructType)
         false // unreachable
       }
 
-      // the change-feed tag is synthesized per partition, never read
-      // from the file — it fills the requested `_change_type` slot in
-      // both the data and the footer-count paths
+      // the change-feed tag and commit version are synthesized per
+      // partition, never read from the file — they fill the requested
+      // `_change_type`/`_commit_version` slots in both the data and
+      // the footer-count paths
       private def synthesized(i: Int): Any =
-        if (tagU != null &&
-            requested(i).name == VersionedStreamProvider.ChangeTypeCol) tagU
+        if (tagU == null) null
+        else if (requested(i).name == VersionedStreamProvider.ChangeTypeCol) tagU
+        else if (requested(i).name == VersionedStreamProvider.ChangeVersionCol)
+          java.lang.Long.valueOf(part.feedVersion)
         else null
 
       override def get(): InternalRow = {

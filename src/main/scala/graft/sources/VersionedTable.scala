@@ -33,12 +33,13 @@ private[sources] final case class DvSidecar(name: String,
     cardinality: Long) extends DvDesc
 
 /** One commit's contribution to the STREAMING change feed
-  * ([[VersionedTable.changeWindowsBetween]]): file paths the commit
+  * ([[VersionedTable.changeWindowsBetween]]): the commit version (the
+  * feed's `_commit_version` ordering column), file paths the commit
   * added (insert rows), files it removed with their PRIOR deletion
   * vector in task-shippable descForm (delete rows = the file minus
   * that vector), and dvset actions as (path, new descriptor, prior
   * descriptor) whose task-side diff is the grown — deleted — rows. */
-private[sources] final case class ChangeWindow(op: String,
+private[sources] final case class ChangeWindow(version: Long, op: String,
     added: Seq[String],
     removed: Seq[(String, (String, Array[Long]))],
     grown: Seq[(String, DvDesc, Option[DvDesc])])
@@ -482,7 +483,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
             .getOrElse("?")
       }.getOrElse("?")
       val window =
-        if (op == "compact" || op == "zorder") ChangeWindow(op, Nil, Nil, Nil)
+        if (op == "compact" || op == "zorder") ChangeWindow(v, op, Nil, Nil, Nil)
         else {
           val added = lines.filter(_.contains("\"op\":\"add\""))
             .flatMap(fileOf).map(checked)
@@ -502,7 +503,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
               dvLines.foreach(foldLine(tmp, _))
               tmp.dv.toSeq.map { case (f, d) => (checked(f), d, st.dv.get(f)) }
             }
-          ChangeWindow(op, added, removed, grown)
+          ChangeWindow(v, op, added, removed, grown)
         }
       lines.foreach(foldLine(st, _)) // advance the running state to v
       window

@@ -286,16 +286,24 @@ class VersionedStreamSpec extends AnyFunSuite {
     // sidecar — never re-serves v1's positions)
     val cdc = spark.readStream.format("graft.sources.VersionedStreamProvider")
       .option("path", root).option("changeFeed", "true").load()
-    assert(cdc.schema.fieldNames.last === "_change_type")
+    assert(cdc.schema.fieldNames.takeRight(2) ===
+      Array("_change_type", "_commit_version"))
     val q1 = cdc.writeStream.format("memory").queryName("vcdc1")
       .option("checkpointLocation", freshDir("vcdc1ck"))
       .trigger(Trigger.AvailableNow()).start()
     q1.awaitTermination()
-    val rows = spark.table("vcdc1").as[(Long, String)].collect()
+    val rows = spark.table("vcdc1").as[(Long, String, Long)].collect()
     assert(rows.count(_._2 == "insert") === 30)
+    assert(rows.filter(_._2 == "insert").forall(_._3 == 0L),
+      "inserts carry their commit version")
     val deletes = rows.filter(_._2 == "delete").map(_._1).sorted
     assert(deletes === Array(3L, 7L, 13L, 17L, 23L, 27L),
       "each deleted row surfaces exactly once across the two windows")
+    // _commit_version orders the feed: v1's deletes vs v2's
+    assert(rows.filter(r => r._2 == "delete" && r._3 == 1L).map(_._1).sorted ===
+      Array(3L, 13L, 23L))
+    assert(rows.filter(r => r._2 == "delete" && r._3 == 2L).map(_._1).sorted ===
+      Array(7L, 17L, 27L))
 
     // an aggregate that projects ONLY the tag column still counts right
     // (the footer-count path must honor include-mode cardinality)
@@ -331,13 +339,15 @@ class VersionedStreamSpec extends AnyFunSuite {
       .option("checkpointLocation", freshDir("vcdc3ck"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val rows = spark.table("vcdc3").as[(Long, String)].collect()
+    val rows = spark.table("vcdc3").as[(Long, String, Long)].collect()
     // v1 is file-CDC: the removed file's 20 rows surface as deletes,
     // the rewritten survivors (15) as inserts — carried rows on both
     // sides, the changesBetween contract; v2 contributes zero rows
     assert(rows.count(_._2 == "insert") === 35)
     assert(rows.filter(_._2 == "delete").map(_._1).sorted ===
       (0L until 20L).toArray)
+    assert(rows.forall(_._3 < 2L), "the maintenance commit v2 serves nothing")
+    assert(rows.count(_._3 == 1L) === 35, "v1's file-CDC = 20 deletes + 15 inserts")
     // consumer-side reconciliation nets out to exactly the head state
     val net = rows.groupBy(_._1).view.mapValues(rs =>
       rs.count(_._2 == "insert") - rs.count(_._2 == "delete")).toMap
@@ -385,7 +395,7 @@ class VersionedStreamSpec extends AnyFunSuite {
       .option("checkpointLocation", freshDir("vcdcrgck"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val rows = spark.table("vcdcrg").as[(Long, String)].collect()
+    val rows = spark.table("vcdcrg").as[(Long, String, Long)].collect()
     assert(rows.count(_._2 == "insert") === 200000)
     assert(rows.filter(_._2 == "delete").map(_._1).sorted ===
       Array(123L, 199999L),
