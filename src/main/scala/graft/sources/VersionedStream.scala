@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -239,7 +239,7 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long], changeFeed: Boolean,
     requested: StructType, skipping: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private val table = new VersionedTable(root)
 
   override def readSchema(): StructType = requested
@@ -333,7 +333,17 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
       case IsNotNull(c) => (c, false)
     }.toSeq
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The candidate (file name, add line) set the pushed filters leave,
+    * plus the folded state (for DV descriptors) — shared by partition
+    * planning and statistics reporting so the two can never disagree.
+    * A file survives only if EVERY bounded column it has stats for can
+    * intersect its bound — multi-column zone maps (z-ordered layouts)
+    * prune on all clustered dimensions at once; string bounds compare
+    * unsigned-lexicographic against the recorded truncated intervals;
+    * a recorded ALL-NULL column fails every value bound (the bounds-
+    * less blind spot closed by the null counts); null probes prune on
+    * the recorded null counts alone. */
+  private def candidates(): (TableState, Seq[(String, String)]) = {
     val v = versionAsOf.getOrElse(table.version)
     val bs = bounds
     val svs = strValueSets.map { case (c, vs) =>
@@ -342,49 +352,78 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     val srs = strRanges
     val nps = nullProbes
     val st = table.stateAt(v)
-    // a file survives only if EVERY bounded column it has stats for can
-    // intersect its bound — multi-column zone maps (z-ordered layouts)
-    // prune on all clustered dimensions at once; string bounds compare
-    // unsigned-lexicographic against the recorded truncated intervals;
-    // a recorded ALL-NULL column fails every value bound (the bounds-
-    // less blind spot closed by the null counts); null probes prune on
-    // the recorded null counts alone.
+    val cand = st.adds.toSeq.filter { case (_, line) =>
+      val zm = VersionedTable.longStatsOf(line).toMap
+      val sm = VersionedTable.strStatsOf(line).toMap
+      val ns = VersionedTable.nullStatsOf(line) // ONE parse per file
+      bs.forall { case (c, (lo, hi)) =>
+        zm.get(c).map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+          .getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && svs.forall { case (c, vals) =>
+        sm.get(c).map { case (mn, mx) =>
+          vals.exists(x =>
+            VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
+        }.getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && srs.forall { case (c, (lo, hi)) =>
+        sm.get(c).map { case (mn, mx) =>
+          lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
+            hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
+        }.getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && nps.forall { case (c, isNull) =>
+        VersionedTable.nullCandidateIn(ns, c, isNull)
+      }
+    }
+    (st, cand)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (st, cand) = candidates()
     // Each partition carries the file's deletion vector so the reader
     // subtracts merge-on-read deletes positionally.
-    st.adds.toSeq.collect {
-      case (name, line) if {
-        val zm = VersionedTable.longStatsOf(line).toMap
-        val sm = VersionedTable.strStatsOf(line).toMap
-        val ns = VersionedTable.nullStatsOf(line) // ONE parse per file
-        bs.forall { case (c, (lo, hi)) =>
-          zm.get(c).map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-            .getOrElse(!VersionedTable.allNullIn(ns, c))
-        } && svs.forall { case (c, vals) =>
-          sm.get(c).map { case (mn, mx) =>
-            vals.exists(x =>
-              VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
-          }.getOrElse(!VersionedTable.allNullIn(ns, c))
-        } && srs.forall { case (c, (lo, hi)) =>
-          sm.get(c).map { case (mn, mx) =>
-            lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
-              hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
-          }.getOrElse(!VersionedTable.allNullIn(ns, c))
-        } && nps.forall { case (c, isNull) =>
-          VersionedTable.nullCandidateIn(ns, c, isNull)
-        }
-      } =>
-        (st.dv.get(name) match {
-          case Some(DvInline(pos)) =>
-            VersionedFilePartition(table.dataDir.resolve(name).toString, pos)
-          case Some(DvSidecar(sc, _)) =>
-            // the sidecar is LOADED BY THE TASK (createReader), never
-            // here: the plan ships a reference, not positions
-            VersionedFilePartition(table.dataDir.resolve(name).toString,
-              Array.emptyLongArray, Some(table.dataDir.resolve(sc).toString))
-          case None =>
-            VersionedFilePartition(table.dataDir.resolve(name).toString)
-        }): InputPartition
+    cand.map { case (name, _) =>
+      (st.dv.get(name) match {
+        case Some(DvInline(pos)) =>
+          VersionedFilePartition(table.dataDir.resolve(name).toString, pos)
+        case Some(DvSidecar(sc, _)) =>
+          // the sidecar is LOADED BY THE TASK (createReader), never
+          // here: the plan ships a reference, not positions
+          VersionedFilePartition(table.dataDir.resolve(name).toString,
+            Array.emptyLongArray, Some(table.dataDir.resolve(sc).toString))
+        case None =>
+          VersionedFilePartition(table.dataDir.resolve(name).toString)
+      }): InputPartition
     }.toArray
+  }
+
+  /** Planner-visible statistics of the PRUNED scan: on-disk bytes of
+    * the candidate files (never the whole table — zone-map skipping
+    * shrinks what the optimizer sees, exactly like a lake format's
+    * file-level stats), and an exact row count whenever every candidate
+    * add recorded its footer row count (the r14 `rows` field), minus
+    * the files' deletion-vector cardinality. This is what lets Catalyst
+    * AUTO-BROADCAST a selective probe over the versioned table in a
+    * join — without it a DSv2 relation defaults to "infinitely large"
+    * and every such join shuffles. */
+  override def estimateStatistics(): Statistics = {
+    val (st, cand) = candidates()
+    var bytes = 0L
+    var rows = 0L
+    var rowsKnown = true
+    cand.foreach { case (name, line) =>
+      bytes += (try java.nio.file.Files.size(table.dataDir.resolve(name))
+        catch { case _: java.io.IOException => 0L })
+      VersionedTable.nullStatsOf(line) match {
+        case Some((r, _)) =>
+          rows += r - st.dv.get(name).map(_.cardinality).getOrElse(0L)
+        case None => rowsKnown = false
+      }
+    }
+    val nr = if (rowsKnown) util.OptionalLong.of(math.max(0L, rows))
+      else util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = nr
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -402,6 +402,47 @@ class VersionedStreamSpec extends AnyFunSuite {
       "group skipping must still surface exactly the grown positions")
   }
 
+  test("the batch scan reports PRUNED statistics to the planner") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val root = freshDir("vstream-stats")
+    val t = new VersionedTable(root)
+    // a tiny file [0, 9] and a big file [1000, 100999], zone maps on id
+    t.append(spark, spark.range(0, 10).toDF("id").repartition(1),
+      statsCol = Some("id"))
+    t.append(spark, spark.range(1000, 101000).toDF("id").repartition(1),
+      statsCol = Some("id"))
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.computeStats()
+      }.head
+    val dsv2 = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).load()
+    val full = statsOf(dsv2)
+    val pruned = statsOf(dsv2.filter("id < 100"))
+    // the pruned probe reports ONE small file, not the table
+    assert(pruned.sizeInBytes < full.sizeInBytes / 10,
+      s"pruned=${pruned.sizeInBytes} full=${full.sizeInBytes}")
+    // row counts are exact from the recorded footer rows
+    assert(full.rowCount.contains(BigInt(100010)))
+    assert(pruned.rowCount.contains(BigInt(10)))
+    // ...and a MoR delete's vector cardinality is subtracted
+    t.deleteRowsWhere(spark, "id < 5")
+    val afterDv = statsOf(spark.read
+      .format("graft.sources.VersionedStreamProvider")
+      .option("path", root).load().filter("id < 100"))
+    assert(afterDv.rowCount.contains(BigInt(5)))
+    // the payoff: a selective probe joined against a big frame is
+    // AUTO-broadcast — no hint — because the scan's reported size sits
+    // under the broadcast threshold
+    val big = spark.range(0, 200000).toDF("id")
+    val joined = big.join(dsv2.filter("id < 100"), "id")
+    val hasBroadcast = joined.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast,
+      "a pruned scan under the broadcast threshold must plan a broadcast join:\n" +
+        joined.queryExecution.sparkPlan.toString)
+  }
+
   test("maxFilesPerTrigger paces an AvailableNow drain into per-commit batches") {
     val root = freshDir("vstream-rl2")
     val t = new VersionedTable(root)
