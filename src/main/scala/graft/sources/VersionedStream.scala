@@ -256,9 +256,18 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     this
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  // set when this scan serves a STREAM: estimateStatistics then
+  // reports unknown — head-snapshot stats would mis-describe a
+  // micro-batch (the drain replays history, not the head) and the
+  // per-trigger computeStats would otherwise pay an O(live files)
+  // stat sweep, the exact per-trigger table scan this source forswears
+  @volatile private var streamingMode = false
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    streamingMode = true
     new VersionedMicroBatchStream(root, startingVersion,
       maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, requested)
+  }
 
   /** Per-column [lo, hi] bounds implied by the pushed integer
     * comparisons — the intersection of every constraint on that column. */
@@ -334,8 +343,11 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     }.toSeq
 
   /** The candidate (file name, add line) set the pushed filters leave,
-    * plus the folded state (for DV descriptors) — shared by partition
-    * planning and statistics reporting so the two can never disagree.
+    * plus the folded state (for DV descriptors) — a LAZY SNAPSHOT
+    * shared by partition planning and statistics reporting, so the two
+    * resolve the SAME head version (a concurrent commit between stats
+    * and planning cannot invalidate a broadcast decision) and a query
+    * pays the log fold + per-line stats parse once, not per consumer.
     * A file survives only if EVERY bounded column it has stats for can
     * intersect its bound — multi-column zone maps (z-ordered layouts)
     * prune on all clustered dimensions at once; string bounds compare
@@ -343,7 +355,7 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     * a recorded ALL-NULL column fails every value bound (the bounds-
     * less blind spot closed by the null counts); null probes prune on
     * the recorded null counts alone. */
-  private def candidates(): (TableState, Seq[(String, String)]) = {
+  private lazy val candidates: (TableState, Seq[(String, String)]) = {
     val v = versionAsOf.getOrElse(table.version)
     val bs = bounds
     val svs = strValueSets.map { case (c, vs) =>
@@ -377,7 +389,7 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (st, cand) = candidates()
+    val (st, cand) = candidates
     // Each partition carries the file's deletion vector so the reader
     // subtracts merge-on-read deletes positionally.
     cand.map { case (name, _) =>
@@ -403,25 +415,42 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     * the files' deletion-vector cardinality. This is what lets Catalyst
     * AUTO-BROADCAST a selective probe over the versioned table in a
     * join — without it a DSv2 relation defaults to "infinitely large"
-    * and every such join shuffles. */
+    * and every such join shuffles.
+    *
+    * BATCH ONLY: a scan serving a stream (or the change feed) reports
+    * UNKNOWN — head-snapshot numbers would mis-describe a micro-batch
+    * (a drain replays history; the head may be tiny after deletes),
+    * tempting Catalyst to broadcast the streaming side of a
+    * stream-static join, and the per-trigger computeStats would pay an
+    * O(live files) stat sweep every trigger. An unstat-able candidate
+    * file likewise degrades size to unknown, never to an understatement
+    * the planner would broadcast on. */
   override def estimateStatistics(): Statistics = {
-    val (st, cand) = candidates()
+    if (streamingMode || changeFeed)
+      return new Statistics {
+        override def sizeInBytes(): util.OptionalLong = util.OptionalLong.empty()
+        override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+      }
+    val (st, cand) = candidates
     var bytes = 0L
+    var bytesKnown = true
     var rows = 0L
     var rowsKnown = true
     cand.foreach { case (name, line) =>
-      bytes += (try java.nio.file.Files.size(table.dataDir.resolve(name))
-        catch { case _: java.io.IOException => 0L })
+      try bytes += java.nio.file.Files.size(table.dataDir.resolve(name))
+      catch { case _: java.io.IOException => bytesKnown = false }
       VersionedTable.nullStatsOf(line) match {
         case Some((r, _)) =>
           rows += r - st.dv.get(name).map(_.cardinality).getOrElse(0L)
         case None => rowsKnown = false
       }
     }
+    val sb = if (bytesKnown) util.OptionalLong.of(bytes)
+      else util.OptionalLong.empty()
     val nr = if (rowsKnown) util.OptionalLong.of(math.max(0L, rows))
       else util.OptionalLong.empty()
     new Statistics {
-      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def sizeInBytes(): util.OptionalLong = sb
       override def numRows(): util.OptionalLong = nr
     }
   }

@@ -441,6 +441,19 @@ class VersionedStreamSpec extends AnyFunSuite {
     assert(hasBroadcast,
       "a pruned scan under the broadcast threshold must plan a broadcast join:\n" +
         joined.queryExecution.sparkPlan.toString)
+
+    // a scan serving a STREAM reports UNKNOWN: head-snapshot numbers
+    // would mis-describe a drain (it replays history) and per-trigger
+    // stats would sweep the table's files every trigger
+    val builder = new graft.sources.VersionedScanBuilder(
+      root, 0L, None, None, None, false, dsv2.schema)
+    val scan = builder.build()
+    scan.toMicroBatchStream(freshDir("vstatsck"))
+    val streamStats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(!streamStats.sizeInBytes.isPresent && !streamStats.numRows.isPresent,
+      "a streaming scan must not report head-snapshot statistics")
   }
 
   test("maxFilesPerTrigger paces an AvailableNow drain into per-commit batches") {
