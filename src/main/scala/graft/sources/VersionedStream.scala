@@ -16,8 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,12 +54,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * spark.readStream.format("graft.sources.VersionedStreamProvider")
   *   .option("path", tableRoot)           // required
   *   .option("startingVersion", "0")      // default 0 = full history
-  *   .option("maxFilesPerTrigger", "8")   // optional admission control:
-  *   .option("maxRowsPerTrigger", "100000") // cap commits per batch by
-  *   .option("changeFeed", "true")        //   file / footer-row budget
-  *   .load()                              // changeFeed: CDC rows with a
-  *                                        //   _change_type column (see
-  *                                        //   VersionedMicroBatchStream)
+  *   .option("maxFilesPerTrigger", "8")   // admission control: cap the
+  *   .option("maxRowsPerTrigger", "100000") // commits claimed per batch
+  *   .option("maxBytesPerTrigger", "134217728") // by file/row/byte budget
+  *   .option("changeFeed", "true")        // CDC rows with _change_type/
+  *                                        //   _commit_version columns
+  *   .option("failOnDataLoss", "false")   // skip vacuumed windows
+  *                                        //   instead of failing (the
+  *                                        //   Delta-shaped control;
+  *                                        //   default true = fail loud)
+  *   .load()
   * spark.read.format("graft.sources.VersionedStreamProvider")
   *   .option("path", tableRoot)
   *   .option("versionAsOf", "1")          // default: head version
@@ -91,16 +95,45 @@ class VersionedStreamProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    val changeFeed = Option(properties.get("changeFeed")).exists(_.toBoolean)
+    // Re-validate the changeFeed schema contract HERE, where the FINAL
+    // schema is known: a reader supplying an explicit schema via
+    // spark.readStream.schema(...) bypasses inferSchema entirely, and
+    // without this check it would silently stream a feed missing its
+    // tag columns — or let a user-declared `_change_type` masquerade
+    // as the synthesized one.
+    if (changeFeed) {
+      Seq(VersionedStreamProvider.ChangeTypeCol,
+          VersionedStreamProvider.ChangeVersionCol).foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"changeFeed schema must carry the '$c' column the feed " +
+            "synthesizes; omit .schema(...) to infer it")
+      }
+      val t = new VersionedTable(path)
+      if (t.version >= 0) {
+        val base = VersionedStreamProvider.tableSchema(path)
+        Seq(VersionedStreamProvider.ChangeTypeCol,
+            VersionedStreamProvider.ChangeVersionCol).foreach { c =>
+          require(!base.fieldNames.contains(c),
+            s"table already has a '$c' column; the name is reserved by " +
+              "the changeFeed option")
+        }
+      }
+    }
     new VersionedStreamTable(
-      properties.get("path"),
+      path,
       Option(properties.get("startingVersion")).map(_.toLong).getOrElse(0L),
       Option(properties.get("versionAsOf")).map(_.toLong),
       Option(properties.get("statsCol")),
       Option(properties.get("maxFilesPerTrigger")).map(_.toInt),
       Option(properties.get("maxRowsPerTrigger")).map(_.toLong),
-      Option(properties.get("changeFeed")).exists(_.toBoolean),
+      Option(properties.get("maxBytesPerTrigger")).map(_.toLong),
+      changeFeed,
+      Option(properties.get("failOnDataLoss")).forall(_.toBoolean),
       schema)
+  }
 }
 
 object VersionedStreamProvider {
@@ -169,7 +202,8 @@ object VersionedStreamProvider {
 private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
     versionAsOf: Option[Long], statsCol: Option[String],
     maxFilesPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
-    changeFeed: Boolean, schema0: StructType)
+    maxBytesPerTrigger: Option[Long], changeFeed: Boolean,
+    failOnDataLoss: Boolean, schema0: StructType)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_versioned($root)"
   override def schema(): StructType = schema0
@@ -180,7 +214,8 @@ private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(root, startingVersion, versionAsOf,
-      maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, schema0)
+      maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
+      changeFeed, failOnDataLoss, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new VersionedWriteBuilder(root, info, statsCol)
@@ -196,33 +231,16 @@ private[graft] class VersionedStreamTable(root: String, startingVersion: Long,
   * has to be SOUND, never complete. */
 private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
-    maxRowsPerTrigger: Option[Long], changeFeed: Boolean, schema0: StructType)
+    maxRowsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
+    changeFeed: Boolean, failOnDataLoss: Boolean, schema0: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
   private var requested: StructType = schema0
   private var skipping: Array[Filter] = Array.empty
 
-  private def intBound(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
-  private def strBound(v: Any): Boolean = v.isInstanceOf[String]
-
-  private def statsUsable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => intBound(v) || strBound(v)
-    case In(_, vs) => vs.nonEmpty && vs.forall(strBound)
-    case GreaterThan(_, v) => intBound(v) || strBound(v)
-    case GreaterThanOrEqual(_, v) => intBound(v) || strBound(v)
-    case LessThan(_, v) => intBound(v) || strBound(v)
-    case LessThanOrEqual(_, v) => intBound(v) || strBound(v)
-    // null probes prune on the recorded per-file null counts — and
-    // Spark pushes IsNotNull alongside EVERY comparison filter, so
-    // all-null files drop out of ordinary range scans for free
-    case IsNull(_) => true
-    case IsNotNull(_) => true
-    case _ => false
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    skipping = filters.filter(statsUsable)
+    skipping = filters.filter(VersionedScan.statsUsable)
     filters // every filter stays a residual: zone maps skip files, not rows
   }
 
@@ -232,14 +250,17 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
 
   override def build(): Scan =
     new VersionedScan(root, startingVersion, versionAsOf,
-      maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, requested, skipping)
+      maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
+      changeFeed, failOnDataLoss, requested, skipping)
 }
 
 private[graft] class VersionedScan(root: String, startingVersion: Long,
     versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
-    maxRowsPerTrigger: Option[Long], changeFeed: Boolean,
+    maxRowsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
+    changeFeed: Boolean, failOnDataLoss: Boolean,
     requested: StructType, skipping: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   private val table = new VersionedTable(root)
 
   override def readSchema(): StructType = requested
@@ -266,81 +287,31 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     streamingMode = true
     new VersionedMicroBatchStream(root, startingVersion,
-      maxFilesPerTrigger, maxRowsPerTrigger, changeFeed, requested)
+      maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
+      changeFeed, failOnDataLoss, requested)
   }
 
-  /** Per-column [lo, hi] bounds implied by the pushed integer
-    * comparisons — the intersection of every constraint on that column. */
-  private def bounds: Map[String, (Long, Long)] = {
-    def num(v: Any): Long = v match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case other => throw new IllegalStateException(s"non-integer bound $other")
-    }
-    skipping.collect {
-      case EqualTo(c, v) if !v.isInstanceOf[String] => (c, num(v), num(v))
-      case GreaterThan(c, v) if !v.isInstanceOf[String] =>
-        (c, num(v) + 1, Long.MaxValue)
-      case GreaterThanOrEqual(c, v) if !v.isInstanceOf[String] =>
-        (c, num(v), Long.MaxValue)
-      case LessThan(c, v) if !v.isInstanceOf[String] =>
-        (c, Long.MinValue, num(v) - 1)
-      case LessThanOrEqual(c, v) if !v.isInstanceOf[String] =>
-        (c, Long.MinValue, num(v))
-    }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (c, lo, hi)) =>
-      val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      acc.updated(c, (math.max(l0, lo), math.min(h0, hi)))
-    }
-  }
+  /** Runtime filters Catalyst delivered AFTER planning started —
+    * dynamic file pruning (the DSv2 twin of dynamic partition
+    * pruning): when a selective dimension filter feeds a join's build
+    * side, Spark executes the build side first, collects the join-key
+    * values, and hands them here as an IN-set; [[planInputPartitions]]
+    * then re-prunes the candidate files against the SAME zone maps the
+    * static pushed filters used. Arrives at most once per scan, before
+    * partition planning (the BatchScanExec contract). */
+  @volatile private var runtime: Array[Filter] = Array.empty
 
-  /** Per-column candidate value sets implied by pushed string
-    * equality/IN predicates — intersected across predicates, so
-    * `c = 'a' AND c IN ('a','b')` probes only 'a'. */
-  private def strValueSets: Map[String, Set[String]] =
-    skipping.collect {
-      case EqualTo(c, v: String) => (c, Set(v))
-      case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
-        (c, vs.map(_.asInstanceOf[String]).toSet)
-    }.foldLeft(Map.empty[String, Set[String]]) { case (acc, (c, vs)) =>
-      acc.updated(c, acc.get(c).map(_ intersect vs).getOrElse(vs))
-    }
+  /** Every projected column is runtime-filterable: the pruning is
+    * sound on any column (files without stats on it just stay
+    * candidates), and a join key is by construction in the scan's
+    * output. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    requested.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  /** Per-column [lo, hi] BYTE ranges implied by pushed STRING
-    * comparisons (the `lang >= 'de' AND lang <= 'fr'` shape) —
-    * intersected across predicates. Strict and non-strict comparisons
-    * both prune with the CLOSED bound: sound (never loses a
-    * candidate), marginally less selective on the strict edge, and the
-    * residual filter keeps the rows exact. */
-  private def strRanges: Map[String, (Option[Array[Byte]], Option[Array[Byte]])] = {
-    def bytes(v: Any): Array[Byte] = v.asInstanceOf[String].getBytes("UTF-8")
-    skipping.collect {
-      case GreaterThan(c, v: String) => (c, Some(bytes(v)), None)
-      case GreaterThanOrEqual(c, v: String) => (c, Some(bytes(v)), None)
-      case LessThan(c, v: String) => (c, None, Some(bytes(v)))
-      case LessThanOrEqual(c, v: String) => (c, None, Some(bytes(v)))
-    }.foldLeft(
-      Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]) {
-      case (acc, (c, lo, hi)) =>
-        val (l0, h0) = acc.getOrElse(c, (None, None))
-        def tighter(a: Option[Array[Byte]], b: Option[Array[Byte]],
-            keepA: (Array[Byte], Array[Byte]) => Boolean) = (a, b) match {
-          case (Some(x), Some(y)) => Some(if (keepA(x, y)) x else y)
-          case _ => a.orElse(b)
-        }
-        acc.updated(c, (
-          tighter(l0, lo, (x, y) => VersionedTable.ucmp(x, y) >= 0),
-          tighter(h0, hi, (x, y) => VersionedTable.ucmp(x, y) <= 0)))
-    }
-  }
-
-  /** (column, isNull) probes from pushed null filters. Spark pushes
-    * IsNotNull beside every comparison, so this alone retires all-null
-    * files from ordinary scans once null counts are recorded. */
-  private def nullProbes: Seq[(String, Boolean)] =
-    skipping.collect {
-      case IsNull(c) => (c, true)
-      case IsNotNull(c) => (c, false)
-    }.toSeq
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(VersionedScan.statsUsable)
 
   /** The candidate (file name, add line) set the pushed filters leave,
     * plus the folded state (for DV descriptors) — a LAZY SNAPSHOT
@@ -348,51 +319,27 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     * resolve the SAME head version (a concurrent commit between stats
     * and planning cannot invalidate a broadcast decision) and a query
     * pays the log fold + per-line stats parse once, not per consumer.
-    * A file survives only if EVERY bounded column it has stats for can
-    * intersect its bound — multi-column zone maps (z-ordered layouts)
-    * prune on all clustered dimensions at once; string bounds compare
-    * unsigned-lexicographic against the recorded truncated intervals;
-    * a recorded ALL-NULL column fails every value bound (the bounds-
-    * less blind spot closed by the null counts); null probes prune on
-    * the recorded null counts alone. */
+    * Runtime filters do NOT enter the snapshot: they re-prune this
+    * list at partition-planning time ([[planInputPartitions]]), so the
+    * statistics Catalyst already planned on stay those of the static
+    * scan, and the same head version serves both passes. */
   private lazy val candidates: (TableState, Seq[(String, String)]) = {
     val v = versionAsOf.getOrElse(table.version)
-    val bs = bounds
-    val svs = strValueSets.map { case (c, vs) =>
-      (c, vs.toSeq.map(_.getBytes("UTF-8")))
-    }
-    val srs = strRanges
-    val nps = nullProbes
     val st = table.stateAt(v)
-    val cand = st.adds.toSeq.filter { case (_, line) =>
-      val zm = VersionedTable.longStatsOf(line).toMap
-      val sm = VersionedTable.strStatsOf(line).toMap
-      val ns = VersionedTable.nullStatsOf(line) // ONE parse per file
-      bs.forall { case (c, (lo, hi)) =>
-        zm.get(c).map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
-          .getOrElse(!VersionedTable.allNullIn(ns, c))
-      } && svs.forall { case (c, vals) =>
-        sm.get(c).map { case (mn, mx) =>
-          vals.exists(x =>
-            VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
-        }.getOrElse(!VersionedTable.allNullIn(ns, c))
-      } && srs.forall { case (c, (lo, hi)) =>
-        sm.get(c).map { case (mn, mx) =>
-          lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
-            hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
-        }.getOrElse(!VersionedTable.allNullIn(ns, c))
-      } && nps.forall { case (c, isNull) =>
-        VersionedTable.nullCandidateIn(ns, c, isNull)
-      }
-    }
-    (st, cand)
+    (st, VersionedScan.prune(st.adds.toSeq, skipping))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (st, cand) = candidates
+    // dynamic file pruning: the runtime IN-set (if any) re-prunes the
+    // statically-pruned snapshot — always a SUBSET of the planned
+    // candidates, as BatchScanExec's re-planning contract requires
+    val served =
+      if (runtime.isEmpty) cand else VersionedScan.prune(cand, runtime)
+    VersionedScan.lastPlanned.put(root, Integer.valueOf(served.size))
     // Each partition carries the file's deletion vector so the reader
     // subtracts merge-on-read deletes positionally.
-    cand.map { case (name, _) =>
+    served.map { case (name, _) =>
       (st.dv.get(name) match {
         case Some(DvInline(pos)) =>
           VersionedFilePartition(table.dataDir.resolve(name).toString, pos)
@@ -459,6 +406,158 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     new VersionedReaderFactory(requested)
 }
 
+private[graft] object VersionedScan {
+  /** File partitions planned by the LAST `planInputPartitions` call
+    * per table root — the observability seam the dynamic-file-pruning
+    * spec reads: after runtime filters land, BatchScanExec re-plans
+    * THROUGH the scan, so the post-filter partition count is not
+    * otherwise visible from outside the physical plan. */
+  private[graft] val lastPlanned =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
+  private def intBound(v: Any): Boolean =
+    v.isInstanceOf[Long] || v.isInstanceOf[Int]
+  private def strBound(v: Any): Boolean = v.isInstanceOf[String]
+  private def num(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalStateException(s"non-integer bound $other")
+  }
+
+  /** Filters the zone maps / null counts can act on — ONE gate shared
+    * by the static pushdown ([[VersionedScanBuilder.pushFilters]]) and
+    * the runtime-filter face ([[VersionedScan.filter]]). IN lists
+    * prune for BOTH string values (recorded truncated byte bounds)
+    * and integer values (recorded [min, max] intervals) — the integer
+    * shape is exactly what a runtime join-key filter arrives in. */
+  private[sources] def statsUsable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => intBound(v) || strBound(v)
+    case In(_, vs) =>
+      vs.nonEmpty && (vs.forall(strBound) || vs.forall(intBound))
+    case GreaterThan(_, v) => intBound(v) || strBound(v)
+    case GreaterThanOrEqual(_, v) => intBound(v) || strBound(v)
+    case LessThan(_, v) => intBound(v) || strBound(v)
+    case LessThanOrEqual(_, v) => intBound(v) || strBound(v)
+    // null probes prune on the recorded per-file null counts — and
+    // Spark pushes IsNotNull alongside EVERY comparison filter, so
+    // all-null files drop out of ordinary range scans for free
+    case IsNull(_) => true
+    case IsNotNull(_) => true
+    case _ => false
+  }
+
+  /** First index in `sorted` holding a value >= x (sorted.length when
+    * none) — the binary-search probe a large runtime IN-set needs so a
+    * 10⁵-key dynamic filter tests each file in O(log n), not O(n). */
+  private def lowerBound(sorted: Array[Long], x: Long): Int = {
+    val i = java.util.Arrays.binarySearch(sorted, x)
+    if (i >= 0) i else -(i + 1)
+  }
+
+  /** Apply one filter array's FILE-LEVEL probes to a candidate (file
+    * name, add line) list — the single pruning pass both the static
+    * snapshot and the runtime re-prune run, so the two can never
+    * diverge on soundness. A file survives only if EVERY probed column
+    * it has stats for can intersect its probe: integer bounds and
+    * integer IN-sets test the recorded [min, max] intervals
+    * (multi-column zone maps — z-ordered layouts — prune on all
+    * clustered dimensions at once); string equality/IN and string
+    * ranges compare unsigned-lexicographic against the recorded
+    * truncated intervals; a recorded ALL-NULL column fails every value
+    * probe (the bounds-less blind spot closed by the null counts); and
+    * null probes prune on the recorded null counts alone. Files with
+    * no stats on a probed column always survive — skipping is sound,
+    * never complete; the residual row-level filter keeps results
+    * exact. */
+  private[sources] def prune(cand: Seq[(String, String)],
+      filters: Array[Filter]): Seq[(String, String)] = {
+    // per-column [lo, hi] bounds from integer comparisons — the
+    // intersection of every constraint on the column
+    val bs = filters.collect {
+      case EqualTo(c, v) if intBound(v) => (c, num(v), num(v))
+      case GreaterThan(c, v) if intBound(v) => (c, num(v) + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v) if intBound(v) => (c, num(v), Long.MaxValue)
+      case LessThan(c, v) if intBound(v) => (c, Long.MinValue, num(v) - 1)
+      case LessThanOrEqual(c, v) if intBound(v) => (c, Long.MinValue, num(v))
+    }.foldLeft(Map.empty[String, (Long, Long)]) { case (acc, (c, lo, hi)) =>
+      val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      acc.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+    }
+    // per-column SORTED integer IN-sets — intersected across
+    // predicates; the runtime join-key shape
+    val ivs = filters.collect {
+      case In(c, vs) if vs.nonEmpty && vs.forall(intBound) =>
+        (c, vs.map(num).toSet)
+    }.foldLeft(Map.empty[String, Set[Long]]) { case (acc, (c, vs)) =>
+      acc.updated(c, acc.get(c).map(_ intersect vs).getOrElse(vs))
+    }.map { case (c, vs) => (c, vs.toArray.sorted) }
+    // per-column string candidate value sets — intersected, so
+    // `c = 'a' AND c IN ('a','b')` probes only 'a'
+    val svs = filters.collect {
+      case EqualTo(c, v: String) => (c, Set(v))
+      case In(c, vs) if vs.nonEmpty && vs.forall(strBound) =>
+        (c, vs.map(_.asInstanceOf[String]).toSet)
+    }.foldLeft(Map.empty[String, Set[String]]) { case (acc, (c, vs)) =>
+      acc.updated(c, acc.get(c).map(_ intersect vs).getOrElse(vs))
+    }.map { case (c, vs) => (c, vs.toSeq.map(_.getBytes("UTF-8"))) }
+    // per-column [lo, hi] BYTE ranges from string comparisons; strict
+    // and non-strict both prune with the CLOSED bound — sound, the
+    // residual keeps the strict edge exact
+    val srs = {
+      def bytes(v: Any): Array[Byte] = v.asInstanceOf[String].getBytes("UTF-8")
+      filters.collect {
+        case GreaterThan(c, v: String) => (c, Some(bytes(v)), None)
+        case GreaterThanOrEqual(c, v: String) => (c, Some(bytes(v)), None)
+        case LessThan(c, v: String) => (c, None, Some(bytes(v)))
+        case LessThanOrEqual(c, v: String) => (c, None, Some(bytes(v)))
+      }.foldLeft(
+        Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]) {
+        case (acc, (c, lo, hi)) =>
+          val (l0, h0) = acc.getOrElse(c, (None, None))
+          def tighter(a: Option[Array[Byte]], b: Option[Array[Byte]],
+              keepA: (Array[Byte], Array[Byte]) => Boolean) = (a, b) match {
+            case (Some(x), Some(y)) => Some(if (keepA(x, y)) x else y)
+            case _ => a.orElse(b)
+          }
+          acc.updated(c, (
+            tighter(l0, lo, (x, y) => VersionedTable.ucmp(x, y) >= 0),
+            tighter(h0, hi, (x, y) => VersionedTable.ucmp(x, y) <= 0)))
+      }
+    }
+    // (column, isNull) probes from null filters
+    val nps = filters.collect {
+      case IsNull(c) => (c, true)
+      case IsNotNull(c) => (c, false)
+    }.toSeq
+    cand.filter { case (_, line) =>
+      val zm = VersionedTable.longStatsOf(line).toMap
+      val sm = VersionedTable.strStatsOf(line).toMap
+      val ns = VersionedTable.nullStatsOf(line) // ONE parse per file
+      bs.forall { case (c, (lo, hi)) =>
+        zm.get(c).map { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+          .getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && ivs.forall { case (c, sorted) =>
+        zm.get(c).map { case (fLo, fHi) =>
+          val i = lowerBound(sorted, fLo)
+          i < sorted.length && sorted(i) <= fHi
+        }.getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && svs.forall { case (c, vals) =>
+        sm.get(c).map { case (mn, mx) =>
+          vals.exists(x =>
+            VersionedTable.ucmp(mn, x) <= 0 && VersionedTable.ucmp(x, mx) <= 0)
+        }.getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && srs.forall { case (c, (lo, hi)) =>
+        sm.get(c).map { case (mn, mx) =>
+          lo.forall(l => VersionedTable.ucmp(l, mx) <= 0) &&
+            hi.forall(h => VersionedTable.ucmp(mn, h) <= 0)
+        }.getOrElse(!VersionedTable.allNullIn(ns, c))
+      } && nps.forall { case (c, isNull) =>
+        VersionedTable.nullCandidateIn(ns, c, isNull)
+      }
+    }
+  }
+}
+
 /** Offset = highest table version already served. */
 private[graft] case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
@@ -494,10 +593,11 @@ private[graft] case class VersionOffset(v: Long) extends Offset {
   * restore re-inserts; the streaming feed is delete-observing). */
 private[graft] class VersionedMicroBatchStream(root: String,
     startingVersion: Long, maxFilesPerTrigger: Option[Int],
-    maxRowsPerTrigger: Option[Long], changeFeed: Boolean,
+    maxRowsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
+    changeFeed: Boolean, failOnDataLoss: Boolean,
     schema: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private val table = new VersionedTable(root)
+  private[graft] val table = new VersionedTable(root)
 
   // AvailableNow contract: pin the head at prepare time so the run
   // drains exactly the commits that existed when it started, then
@@ -516,10 +616,11 @@ private[graft] class VersionedMicroBatchStream(root: String,
       "admission-control source: use latestOffset(start, limit)")
 
   /** The engine's requested rate limit, from the source options. With
-    * neither option set every trigger drains all outstanding commits. */
+    * no option set every trigger drains all outstanding commits. */
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
-      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
+      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
     limits match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -538,16 +639,24 @@ private[graft] class VersionedMicroBatchStream(root: String,
     * publication unit (offset = version), so the first outstanding
     * commit is always admitted whole even when it alone exceeds the
     * cap — rate limiting bounds batches, it cannot split a commit.
-    * Costs one log-file read per considered commit (ReadMaxRows adds a
-    * footer-metadata read per file); never a data scan. */
+    * Costs one log-file read per considered commit, METADATA ONLY:
+    * ReadMaxRows serves each add's recorded `rows` stat straight from
+    * the log line (a parquet footer opens only as the fallback for
+    * stats-less adds — see [[VersionedTable.rowsAddedAt]]), and
+    * ReadMaxBytes is one `Files.size` per added file. Never a data
+    * scan. */
   private def admitUpTo(s: Long, head: Long, limit: ReadLimit): Long =
     limit match {
       case _: ReadAllAvailable => head
       case mf: ReadMaxFiles =>
-        admitWhile(s, head, mf.maxFiles())(v => table.filesAddedAt(v).size.toLong)
+        admitWhile(s, head, mf.maxFiles())(v =>
+          table.filesAddedAt(v, failOnDataLoss).size.toLong)
       case mr: ReadMaxRows =>
-        admitWhile(s, head, mr.maxRows())(v =>
-          table.filesAddedAt(v).map(footerRowCount).sum)
+        admitWhile(s, head, mr.maxRows())(table.rowsAddedAt)
+      case mb: ReadMaxBytes =>
+        admitWhile(s, head, mb.maxBytes())(v =>
+          table.filesAddedAt(v, failOnDataLoss)
+            .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum)
       case c: CompositeReadLimit =>
         c.getReadLimits.map(admitUpTo(s, head, _)).min
       case _ => head // ReadMinRows etc.: this source has no rate floor
@@ -566,28 +675,42 @@ private[graft] class VersionedMicroBatchStream(root: String,
     v
   }
 
-  private def footerRowCount(file: String): Long = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file), new Configuration()))
-    try r.getRecordCount finally r.close()
-  }
-
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
 
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 
+  /** The change-feed fold CARRIED ACROSS TRIGGERS: the table state
+    * advanced to the version the last window ended at, reused as the
+    * next window's seed whenever the offsets line up (the steady-state
+    * CDC tail), so a long-running drain folds each commit EXACTLY ONCE
+    * per stream lifetime — O(window) log reads per trigger instead of
+    * re-seeding from a checkpoint + tail every trigger. A retried or
+    * out-of-order window (offsets that don't extend the carried state)
+    * just re-seeds from the log, correct either way. */
+  private var carriedFold: Option[(Long, TableState)] = None
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     if (!changeFeed)
-      ((s + 1) to e).flatMap(table.filesAddedAt)
+      ((s + 1) to e).flatMap(v => table.filesAddedAt(v, failOnDataLoss))
         .map(f => VersionedFilePartition(f): InputPartition).toArray
-    else
-      // ONE incremental fold for the whole drain window, then three
-      // partition kinds per commit (see changeWindowsBetween)
-      table.changeWindowsBetween(s, e).flatMap { w =>
+    else {
+      // ONE incremental fold for the whole drain window — seeded from
+      // the carried state when this window extends the last one — then
+      // three partition kinds per commit (see changeWindowsBetween)
+      val windows = synchronized {
+        val seed = carriedFold match {
+          case Some((v, st)) if v == s => st
+          case _ => table.stateAtOrEmpty(s)
+        }
+        val ws = table.changeWindowsFrom(seed, s, e, failOnDataLoss)
+        carriedFold = Some((e, seed)) // seed was MUTATED forward to e
+        ws
+      }
+      windows.flatMap { w =>
         def sidecar(ref: String): Option[String] =
           Some(ref).filter(_.nonEmpty)
             .map(r => table.dataDir.resolve(r).toString)
@@ -614,6 +737,7 @@ private[graft] class VersionedMicroBatchStream(root: String,
         }
         inserts ++ removals ++ grown
       }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -112,6 +112,16 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       try s.iterator().asScala.toList finally s.close()
     }
 
+  /** Depth-first recursive delete — what staging-dir reclaim needs: a
+    * crashed `df.write.parquet` leaves a NESTED `_temporary/...` tree
+    * inside its `_tmp-*` dir, and a single-level sweep would throw
+    * DirectoryNotEmptyException on it (aborting a vacuum mid-reclaim,
+    * after data victims were already deleted). Idempotent. */
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
   private def logName(v: Long): String = f"$v%012d.json"
   private def checkpointName(v: Long): String = f"$v%012d.checkpoint"
 
@@ -430,18 +440,66 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * version. Fails loudly when the window's files were vacuumed:
     * silently skipping history would break the consumer's exactly-once
     * story. */
-  def filesAddedAt(v: Long): Seq[String] = {
+  def filesAddedAt(v: Long): Seq[String] =
+    filesAddedAt(v, failOnMissing = true)
+
+  /** [[filesAddedAt]] with the vacuumed-window contract made explicit:
+    * `failOnMissing = false` is the stream's opt-in `failOnDataLoss`
+    * escape hatch (the Delta-shaped control) — a vacuumed file is
+    * SKIPPED instead of killing the drain, re-baselining the consumer
+    * past history an operator already chose to reclaim. Fail-loud stays
+    * the default everywhere. */
+  private[graft] def filesAddedAt(v: Long, failOnMissing: Boolean): Seq[String] = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
-    Files.readAllLines(logDir.resolve(logName(v))).asScala.toSeq
-      .filter(_.contains("\"op\":\"add\""))
+    addActionsAt(v)
       .flatMap(l => fileOf(l))
-      .map { n =>
+      .flatMap { n =>
         val p = dataDir.resolve(n)
-        require(Files.exists(p),
-          s"commit $v data file $n was vacuumed; this window is no longer streamable")
-        p.toString
+        if (Files.exists(p)) Some(p.toString)
+        else if (failOnMissing) throw new IllegalArgumentException(
+          s"commit $v data file $n was vacuumed; this window is no longer " +
+            "streamable (set failOnDataLoss=false to skip reclaimed history)")
+        else None
       }
   }
+
+  /** The add-action lines of commit v alone — one log-file read
+    * (counted in [[logFileReads]]), the shared base of the streaming
+    * admission accessors. */
+  private def addActionsAt(v: Long): Seq[String] =
+    readLog(logDir.resolve(logName(v))).filter(_.contains("\"op\":\"add\""))
+
+  /** Parquet footers opened by the admission accessors — the
+    * observable for the stats-first contract: a drain over
+    * stats-carrying commits must cost ZERO footer opens on the driver
+    * (asserted in spec), because the log already recorded each add's
+    * row count. */
+  private[graft] val footerReads = new AtomicLong(0L)
+
+  /** Total rows the adds of commit v carry — the ReadMaxRows admission
+    * cost. Served from each add action's recorded `rows` stats (the
+    * r14 field) whenever present — METADATA ONLY, zero file opens; a
+    * stats-less add (pre-r14 logs, writers outside the stats path)
+    * falls back to ONE parquet footer open, counted in
+    * [[footerReads]]. On a wide stats-carrying commit this turns the
+    * per-trigger O(files) driver-side footer sweep into one log-line
+    * parse. */
+  private[graft] def rowsAddedAt(v: Long): Long = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    addActionsAt(v).map { line =>
+      nullStatsOf(line).map(_._1).getOrElse {
+        val n = fileOf(line).getOrElse(throw new IllegalStateException(
+          s"add action without a file field in commit $v"))
+        footerReads.incrementAndGet()
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dataDir.resolve(n).toString),
+            new org.apache.hadoop.conf.Configuration()))
+        try r.getRecordCount finally r.close()
+      }
+    }.sum
+  }
+
 
   /** Per-commit change windows for the STREAMING change feed
     * ([[VersionedMicroBatchStream]] under `changeFeed`) over (s, e] —
@@ -466,17 +524,30 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * spraying full-table delete+insert churn at every consumer.
     * Same vacuumed-window contract as [[filesAddedAt]]: any served
     * file missing on disk fails loudly, never skips history. */
-  private[graft] def changeWindowsBetween(s: Long, e: Long): Seq[ChangeWindow] = {
+  private[graft] def changeWindowsBetween(s: Long, e: Long): Seq[ChangeWindow] =
+    changeWindowsFrom(stateAtOrEmpty(s), s, e, failOnMissing = true)
+
+  /** The carried-fold form of [[changeWindowsBetween]]: `st` MUST be
+    * the folded state at version s, and it is MUTATED forward to e —
+    * the streaming change feed caches the advanced state across
+    * triggers keyed by the last served version, so a long-running CDC
+    * tail folds each commit EXACTLY ONCE per stream lifetime instead
+    * of re-folding from the batch start every trigger (O(window) log
+    * reads per trigger, never O(history)).
+    *
+    * `failOnMissing = false` is the opt-in `failOnDataLoss` escape
+    * hatch (the Delta CDF retention-control shape): window pieces whose
+    * data files or DV sidecars were vacuumed are SKIPPED — the
+    * ignore-missing-files discipline, so an overwrite whose remove side
+    * was reclaimed still serves its intact insert side — re-baselining
+    * the consumer past history an operator already chose to reclaim,
+    * while the fold still advances and later intact windows stay
+    * exact. Fail-loud remains the default. */
+  private[graft] def changeWindowsFrom(st: TableState, s: Long, e: Long,
+      failOnMissing: Boolean): Seq[ChangeWindow] = {
     require(s <= e && e <= version, s"window ($s, $e] outside history [0, $version]")
-    val st = stateAtOrEmpty(s)
     ((s + 1) to e).map { v =>
       val lines = readLog(logDir.resolve(logName(v)))
-      def checked(n: String): String = {
-        val p = dataDir.resolve(n)
-        require(Files.exists(p),
-          s"commit $v data file $n was vacuumed; this window is no longer streamable")
-        p.toString
-      }
       val op = lines.collectFirst {
         case l if l.contains("\"op\":\"meta\"") =>
           "\"operation\":\"([a-z_]+)\"".r.findFirstMatchIn(l).map(_.group(1))
@@ -485,25 +556,48 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val window =
         if (op == "compact" || op == "zorder") ChangeWindow(v, op, Nil, Nil, Nil)
         else {
-          val added = lines.filter(_.contains("\"op\":\"add\""))
-            .flatMap(fileOf).map(checked)
-          val removed = lines.filter(_.contains("\"op\":\"remove\""))
-            .flatMap(fileOf)
-            .map(n => (checked(n), descForm(st.dv.get(n))))
+          val addedN = lines.filter(_.contains("\"op\":\"add\"")).flatMap(fileOf)
+          val removedN = lines.filter(_.contains("\"op\":\"remove\"")).flatMap(fileOf)
           // the commit's OWN dvset lines folded alone give the new
           // descriptors; the running state (still at v-1 here) gives
           // what they replaced. A clearing dvset (empty positions —
           // restore) never lands in tmp.dv, correctly: it can only
           // shrink, grown = ∅.
           val dvLines = lines.filter(_.contains("\"op\":\"dvset\""))
-          val grown =
+          val grownRaw =
             if (dvLines.isEmpty) Nil
             else {
               val tmp = new TableState
               dvLines.foreach(foldLine(tmp, _))
-              tmp.dv.toSeq.map { case (f, d) => (checked(f), d, st.dv.get(f)) }
+              tmp.dv.toSeq.map { case (f, d) => (f, d, st.dv.get(f)) }
             }
-          ChangeWindow(v, op, added, removed, grown)
+          // every data file AND DV sidecar the window's tasks will open
+          // — a vacuumed sidecar breaks a read exactly like a data file
+          val needed = addedN ++ removedN ++ grownRaw.map(_._1) ++
+            (removedN.flatMap(n => st.dv.get(n)) ++
+              grownRaw.flatMap { case (_, d, p) => d +: p.toSeq }).collect {
+              case DvSidecar(sc, _) => sc
+            }
+          val missing = needed.filterNot(n => Files.exists(dataDir.resolve(n))).toSet
+          if (missing.nonEmpty && failOnMissing)
+            throw new IllegalArgumentException(
+              s"commit $v data file ${missing.head} was vacuumed; this window " +
+                "is no longer streamable (set failOnDataLoss=false to skip " +
+                "reclaimed history)")
+          // a removed/grown piece is servable only when its data file
+          // AND every sidecar its read needs are still on disk
+          def dvLive(d: Option[DvDesc]): Boolean = d.forall {
+            case DvSidecar(sc, _) => !missing(sc)
+            case _ => true
+          }
+          ChangeWindow(v, op,
+            addedN.filterNot(missing)
+              .map(n => dataDir.resolve(n).toString),
+            removedN.filter(n => !missing(n) && dvLive(st.dv.get(n)))
+              .map(n => (dataDir.resolve(n).toString, descForm(st.dv.get(n)))),
+            grownRaw.filter { case (f, d, p) =>
+              !missing(f) && dvLive(Some(d)) && dvLive(p)
+            }.map { case (f, d, p) => (dataDir.resolve(f).toString, d, p) })
         }
       lines.foreach(foldLine(st, _)) // advance the running state to v
       window
@@ -858,8 +952,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
           s"""{"op":"add","file":"$name","multi":"$packed"$nullsField}"""
       }
     }
-    listDir(tmp).foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(tmp)
+    deleteRecursively(tmp) // any writer leftovers (e.g. _SUCCESS) included
     actions
   }
 
@@ -1515,16 +1608,25 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         .getOrElse(!allNullOn(line, column)) => dataDir.resolve(n).toString
     }
 
-  /** Candidate files for an IS NULL / IS NOT NULL probe on `column`
-    * under the recorded per-file null counts: IS NULL skips zero-null
-    * files, IS NOT NULL skips all-null files; files with no recorded
-    * null stats (pre-r14 logs, or columns outside the stats set) are
-    * always candidates — sound, never complete. */
-  def prunedFilesNull(v: Long, column: String, isNull: Boolean): Seq[String] =
-    stateAt(v).adds.toSeq.collect {
-      case (n, line) if nullCandidate(line, column, isNull) =>
-        dataDir.resolve(n).toString
+  /** Live file NAMES that can satisfy an IS NULL / IS NOT NULL probe on
+    * `column` under the recorded per-file null counts: IS NULL skips
+    * zero-null files, IS NOT NULL skips all-null files; files with no
+    * recorded null stats (pre-r14 logs, or columns outside the stats
+    * set) are always candidates — sound, never complete. The ONE
+    * candidate test the null faces share (audit accessor + pruned
+    * read), the same shared-expression discipline
+    * [[betweenCandidates]] established for the BETWEEN family. */
+  private def nullCandidates(st: TableState, column: String,
+      isNull: Boolean): Seq[String] =
+    st.adds.toSeq.collect {
+      case (n, line) if nullCandidate(line, column, isNull) => n
     }
+
+  /** Candidate files for an IS NULL / IS NOT NULL probe on `column` —
+    * the audit face of null-count skipping (see [[nullCandidates]]). */
+  def prunedFilesNull(v: Long, column: String, isNull: Boolean): Seq[String] =
+    nullCandidates(stateAt(v), column, isNull)
+      .map(n => dataDir.resolve(n).toString)
 
   /** Data-skipping read on a NULLNESS predicate — `column IS NULL`
     * (isNull = true) or `column IS NOT NULL` — served from the per-file
@@ -1536,10 +1638,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   def readWhereNull(spark: SparkSession, v: Long, column: String,
       isNull: Boolean): DataFrame = {
     val st = stateAt(v) // ONE fold: prune and DV-subtract from the same state
-    val files = st.adds.toSeq.collect {
-      case (n, line) if nullCandidate(line, column, isNull) =>
-        dataDir.resolve(n).toString
-    }
+    val files = nullCandidates(st, column, isNull)
+      .map(n => dataDir.resolve(n).toString)
     val probe = if (isNull) "IS NULL" else "IS NOT NULL"
     if (files.isEmpty)
       return emptyFrame(spark, st, s"probe $column $probe at version $v")
@@ -1921,10 +2021,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         p.getFileName.toString.startsWith("_tmp-") &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }
-    tmpVictims.foreach { d =>
-      listDir(d).foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(d)
-    }
+    tmpVictims.foreach(deleteRecursively)
     victims ++ tmpVictims.map(_.getFileName.toString)
   }
 

@@ -1,0 +1,285 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter, In}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{VersionOffset, VersionedMicroBatchStream, VersionedScan, VersionedScanBuilder, VersionedTable}
+
+/** Round-15 lake-layer invariants: dynamic file pruning
+  * (SupportsRuntimeFiltering), stats-served admission control,
+  * maxBytesPerTrigger, the carried change-feed fold, the failOnDataLoss
+  * escape hatch, recursive staging reclaim, and the explicit-schema
+  * changeFeed contract. */
+class Round15LakeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(tag).toString
+
+  /** Three single-file commits with disjoint id ranges + zone maps. */
+  private def threeFileTable(tag: String): (String, VersionedTable) = {
+    val root = freshDir(tag)
+    val t = new VersionedTable(root)
+    Seq((0L, 50L), (50L, 100L), (100L, 150L)).foreach { case (lo, hi) =>
+      t.append(spark, spark.range(lo, hi).toDF("id")
+        .withColumn("v", concat(lit("r"), col("id").cast("string")))
+        .repartition(1), statsCol = Some("id"))
+    }
+    (root, t)
+  }
+
+  private def dsv2(root: String) = spark.read
+    .format("graft.sources.VersionedStreamProvider")
+    .option("path", root).load()
+
+  test("runtime filter() re-prunes the candidate files against the zone maps") {
+    val (root, _) = threeFileTable("rtf-unit")
+    def scan(): VersionedScan = {
+      val b = new VersionedScanBuilder(root, 0L, None, None, None, None,
+        false, true, dsv2(root).schema)
+      b.build().asInstanceOf[VersionedScan]
+    }
+    // static plan: all three files
+    assert(scan().planInputPartitions().length === 3)
+    // a runtime IN-set landing in one file's interval prunes to ONE
+    val s1 = scan()
+    s1.filter(Array[Filter](In("id", Array[Any](120L))))
+    assert(s1.planInputPartitions().length === 1,
+      "the runtime IN-set must prune through the recorded intervals")
+    // keys across two files keep exactly those two
+    val s2 = scan()
+    s2.filter(Array[Filter](In("id", Array[Any](7L, 120L))))
+    assert(s2.planInputPartitions().length === 2)
+    // a key matching nothing prunes everything (sound: residual serves 0 rows)
+    val s3 = scan()
+    s3.filter(Array[Filter](In("id", Array[Any](9999L))))
+    assert(s3.planInputPartitions().length === 0)
+    // runtime filters COMPOSE with static pushed filters: static keeps
+    // files 2+3, runtime keeps 1+3 → intersection is file 3 alone
+    val b4 = new VersionedScanBuilder(root, 0L, None, None, None, None,
+      false, true, dsv2(root).schema)
+    b4.pushFilters(Array[Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 50L)))
+    val s4 = b4.build().asInstanceOf[VersionedScan]
+    s4.filter(Array[Filter](In("id", Array[Any](7L, 120L))))
+    assert(s4.planInputPartitions().length === 1,
+      "runtime pruning must refine the statically-pruned snapshot")
+  }
+
+  test("dynamic file pruning fires end-to-end: a selective dim join reads fewer files") {
+    // a fact LARGE enough that the planner broadcasts the dim (the
+    // 100-TB shape): three single-file commits of 200k rows each, zone
+    // maps on id
+    val root = freshDir("rtf-e2e")
+    val t = new VersionedTable(root)
+    Seq((0L, 200000L), (200000L, 400000L), (400000L, 600000L)).foreach {
+      case (lo, hi) =>
+        t.append(spark, spark.range(lo, hi).toDF("id")
+          .withColumn("v", concat(lit("r"), col("id").cast("string")))
+          .repartition(1), statsCol = Some("id"))
+    }
+    val fact = dsv2(root)
+    // static baseline: an unfiltered count plans all 3 file partitions
+    fact.count()
+    assert(VersionedScan.lastPlanned.get(root) === 3)
+    // a selective dim joined to the fact, filtered on a NON-join-key
+    // column so the IN-set is unknowable statically (constraint
+    // propagation can only infer the untranslatable row filter): Spark
+    // executes the broadcast side first, hands the collected join keys
+    // to the scan as a runtime IN-set, and the scan re-prunes to the
+    // ONE file whose recorded interval can hold them
+    val dim = spark.range(0, 2000).toDF("k")
+      .select((col("k") + 400000L).as("id"),
+        concat(lit("g"), pmod(col("k"), lit(1000L)).cast("string")).as("grp"))
+    val joined = fact.join(dim.filter(col("grp") === "g7"), Seq("id"))
+    val rows = joined.select("id", "v").as[(Long, String)].collect().sorted
+    assert(rows === Array((400007L, "r400007"), (401007L, "r401007")))
+    assert(VersionedScan.lastPlanned.get(root) === 1,
+      "the dim-filtered join must execute ONE input partition, not the " +
+        s"static plan's 3 (got ${VersionedScan.lastPlanned.get(root)})")
+  }
+
+  test("static integer IN pushdown prunes files (the pre-runtime twin)") {
+    val (root, _) = threeFileTable("in-static")
+    val hit = dsv2(root).filter(col("id").isin(7L, 120L))
+    assert(hit.rdd.getNumPartitions === 2,
+      "an integer IN list must prune through the zone maps statically")
+    assert(hit.select("id").as[Long].collect().sorted === Array(7L, 120L))
+  }
+
+  test("ReadMaxRows admission is served from the log's rows stats — zero footer opens") {
+    val (root, t) = threeFileTable("adm-rows")
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t.read(spark).schema)
+    def latest(from: Long, l: ReadLimit): Long =
+      s.latestOffset(VersionOffset(from), l).asInstanceOf[VersionOffset].v
+    assert(latest(-1, ReadLimit.maxRows(75)) === 0)
+    assert(latest(-1, ReadLimit.maxRows(100)) === 1)
+    assert(latest(-1, ReadLimit.maxRows(150)) === 2)
+    assert(s.table.footerReads.get() === 0L,
+      "stats-carrying commits must admit with ZERO driver-side footer opens")
+
+    // stats-less adds (no statsCol) fall back to one footer open each —
+    // same admission answers, counted fallback
+    val root2 = freshDir("adm-rows2")
+    val t2 = new VersionedTable(root2)
+    (0 until 2).foreach(i => t2.append(spark,
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id").repartition(1)))
+    val s2 = new VersionedMicroBatchStream(root2, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t2.read(spark).schema)
+    assert(s2.latestOffset(VersionOffset(-1L), ReadLimit.maxRows(150))
+      .asInstanceOf[VersionOffset].v === 0)
+    assert(s2.table.footerReads.get() > 0L,
+      "a stats-less add must take the footer fallback, and count it")
+  }
+
+  test("maxBytesPerTrigger: the third Delta-shaped admission knob") {
+    val (root, t) = threeFileTable("adm-bytes")
+    val sizes = (0L to 2L).map(v =>
+      t.filesAddedAt(v).map(p => Files.size(Paths.get(p))).sum)
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t.read(spark).schema)
+    def latest(from: Long, l: ReadLimit): Long =
+      s.latestOffset(VersionOffset(from), l).asInstanceOf[VersionOffset].v
+    // a budget of exactly v0 admits v0 alone; v0+v1 admits both
+    assert(latest(-1, ReadLimit.maxBytes(sizes(0))) === 0)
+    assert(latest(-1, ReadLimit.maxBytes(sizes(0) + sizes(1))) === 1)
+    assert(latest(-1, ReadLimit.maxBytes(sizes.sum)) === 2)
+    // the first outstanding commit is admitted whole even over-budget
+    assert(latest(-1, ReadLimit.maxBytes(1)) === 0)
+    assert(latest(0, ReadLimit.maxBytes(sizes(1))) === 1, "the cap slides")
+
+    // e2e: the option paces an AvailableNow drain into per-commit batches
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("maxBytesPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized { batches += b.count() }; ()
+      }
+      .option("checkpointLocation", freshDir("adm-bytes-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.toList === List(50L, 50L, 50L),
+      "one commit per micro-batch under a 1-byte budget")
+  }
+
+  test("the change-feed fold is carried across triggers: O(window) log reads each") {
+    val root = freshDir("cdc-carry")
+    val t = new VersionedTable(root)
+    (0 until 7).foreach(i => t.append(spark,
+      spark.range(i * 10L, (i + 1) * 10L).toDF("id").repartition(1)))
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = true, failOnDataLoss = true,
+      spark.readStream.format("graft.sources.VersionedStreamProvider")
+        .option("path", root).option("changeFeed", "true").load().schema)
+    def drain(from: Long, to: Long): Int =
+      s.planInputPartitions(VersionOffset(from), VersionOffset(to)).length
+    // first window seeds the fold (empty below v0), then 3 window reads
+    assert(drain(-1, 2) === 3)
+    val afterFirst = s.table.logFileReads.get()
+    // the steady-state tail: each subsequent window folds ONLY its own
+    // commits — no re-seed, no checkpoint read, no batch-start re-fold
+    assert(drain(2, 4) === 2)
+    assert(s.table.logFileReads.get() - afterFirst === 2L,
+      "a carried fold must read exactly the window's log files")
+    val afterSecond = s.table.logFileReads.get()
+    assert(drain(4, 6) === 2)
+    assert(s.table.logFileReads.get() - afterSecond === 2L)
+    // a non-contiguous (retried) window falls back to a fresh seed and
+    // still serves the right commits
+    assert(drain(3, 5) === 2)
+  }
+
+  test("failOnDataLoss=false re-baselines past vacuumed windows; default stays loud") {
+    val root = freshDir("fdl")
+    val t = new VersionedTable(root)
+    t.append(spark, Seq((1L, "a")).toDF("id", "v"))   // v0
+    t.overwrite(spark, Seq((2L, "b")).toDF("id", "v")) // v1
+    t.append(spark, Seq((3L, "c")).toDF("id", "v"))   // v2
+    t.vacuum(keepFrom = 1L) // v0's file is gone
+    // unit contracts: loud by default, skipping under the option
+    assertThrows[IllegalArgumentException](t.filesAddedAt(0L))
+    assert(t.filesAddedAt(0L, failOnMissing = false) === Seq.empty)
+    assertThrows[IllegalArgumentException](t.changeWindowsBetween(-1L, 2L))
+
+    // e2e: a changeFeed drain from the batch start under the option
+    // serves every INTACT piece — v1's insert side and v2's insert —
+    // while the reclaimed pieces (v0's add, v1's remove side, both the
+    // vacuumed file) are skipped, never an error
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true")
+      .option("failOnDataLoss", "false").load()
+      .writeStream.format("memory").queryName("fdl1")
+      .option("checkpointLocation", freshDir("fdl-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("fdl1").as[(Long, String, String, Long)].collect()
+    assert(rows.forall(_._4 >= 1L), "the vacuumed v0 window serves nothing")
+    assert(rows.filter(r => r._3 == "insert" && r._4 == 1L).map(_._1) ===
+      Array(2L), "the overwrite's intact ADD side still serves")
+    assert(rows.count(_._3 == "delete") === 0,
+      "the overwrite's remove side (the vacuumed file) is skipped")
+    assert(rows.filter(r => r._3 == "insert" && r._4 == 2L).map(_._1) ===
+      Array(3L))
+  }
+
+  test("vacuum reclaims NESTED abandoned staging trees (crashed-writer shape)") {
+    val root = freshDir("vac-nested")
+    val t = new VersionedTable(root)
+    t.append(spark, Seq((1L, "a")).toDF("id", "v"))
+    // a crashed df.write.parquet leaves _temporary/... INSIDE _tmp-*
+    val staging = Paths.get(root, "_tmp-crashed")
+    val nested = staging.resolve("_temporary").resolve("0")
+    Files.createDirectories(nested)
+    Files.write(nested.resolve("task-attempt.parquet"), Array[Byte](1, 2, 3))
+    val reclaimed = t.vacuum(keepFrom = 0L)
+    assert(reclaimed.contains("_tmp-crashed"),
+      "the nested staging tree must be reported reclaimed")
+    assert(!Files.exists(staging),
+      "a single-level sweep would throw DirectoryNotEmptyException here")
+    assert(t.read(spark).count() === 1, "live data untouched")
+  }
+
+  test("explicit readStream.schema() cannot bypass the changeFeed contract") {
+    val root = freshDir("cdc-schema")
+    val t = new VersionedTable(root)
+    t.append(spark, Seq((1L, "a")).toDF("id", "v"))
+    val base = t.read(spark).schema
+    // a schema WITHOUT the feed columns is refused, not silently served
+    val ex = intercept[Exception] {
+      spark.readStream.schema(base)
+        .format("graft.sources.VersionedStreamProvider")
+        .option("path", root).option("changeFeed", "true").load()
+    }
+    assert(ex.getMessage.contains("_change_type") ||
+      Option(ex.getCause).exists(_.getMessage.contains("_change_type")))
+    // the full contract schema loads
+    val full = base
+      .add("_change_type", org.apache.spark.sql.types.StringType, false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, false)
+    val ok = spark.readStream.schema(full)
+      .format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true").load()
+    assert(ok.schema.fieldNames.takeRight(2) ===
+      Array("_change_type", "_commit_version"))
+    // the reserved-name check also holds on this path
+    val t2 = new VersionedTable(freshDir("cdc-schema2"))
+    t2.append(spark, Seq((1L, "x")).toDF("id", "_change_type"))
+    val ex2 = intercept[Exception] {
+      spark.readStream
+        .schema(t2.read(spark).schema
+          .add("_commit_version", org.apache.spark.sql.types.LongType, false))
+        .format("graft.sources.VersionedStreamProvider")
+        .option("path", t2.root).option("changeFeed", "true").load()
+    }
+    assert(ex2.getMessage.contains("reserved") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("reserved")))
+  }
+}

@@ -241,8 +241,8 @@ class VersionedStreamSpec extends AnyFunSuite {
     (0 until 3).foreach(i => t.append(spark,
       spark.range(i * 100L, (i + 1) * 100L).toDF("id").repartition(1)))
 
-    val s = new VersionedMicroBatchStream(root, 0L, None, None,
-      changeFeed = false, t.read(spark).schema)
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t.read(spark).schema)
     def latest(from: Long, l: ReadLimit): Long =
       s.latestOffset(VersionOffset(from), l).asInstanceOf[VersionOffset].v
 
@@ -446,7 +446,7 @@ class VersionedStreamSpec extends AnyFunSuite {
     // would mis-describe a drain (it replays history) and per-trigger
     // stats would sweep the table's files every trigger
     val builder = new graft.sources.VersionedScanBuilder(
-      root, 0L, None, None, None, false, dsv2.schema)
+      root, 0L, None, None, None, None, false, true, dsv2.schema)
     val scan = builder.build()
     scan.toMicroBatchStream(freshDir("vstatsck"))
     val streamStats = scan
