@@ -384,8 +384,15 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     var rows = 0L
     var rowsKnown = true
     cand.foreach { case (name, line) =>
-      try bytes += java.nio.file.Files.size(table.dataDir.resolve(name))
-      catch { case _: java.io.IOException => bytesKnown = false }
+      // recorded bytes first (the r15 field — zero file-system calls
+      // when the live set carries it); Files.size only as the
+      // pre-recording fallback
+      VersionedTable.byteStatsOf(line) match {
+        case Some(b) => bytes += b
+        case None =>
+          try bytes += java.nio.file.Files.size(table.dataDir.resolve(name))
+          catch { case _: java.io.IOException => bytesKnown = false }
+      }
       VersionedTable.nullStatsOf(line) match {
         case Some((r, _)) =>
           rows += r - st.dv.get(name).map(_.cardinality).getOrElse(0L)
@@ -652,11 +659,11 @@ private[graft] class VersionedMicroBatchStream(root: String,
         admitWhile(s, head, mf.maxFiles())(v =>
           table.filesAddedAt(v, failOnDataLoss).size.toLong)
       case mr: ReadMaxRows =>
-        admitWhile(s, head, mr.maxRows())(table.rowsAddedAt)
+        admitWhile(s, head, mr.maxRows())(v =>
+          table.rowsAddedAt(v, failOnDataLoss))
       case mb: ReadMaxBytes =>
         admitWhile(s, head, mb.maxBytes())(v =>
-          table.filesAddedAt(v, failOnDataLoss)
-            .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum)
+          table.bytesAddedAt(v, failOnDataLoss))
       case c: CompositeReadLimit =>
         c.getReadLimits.map(admitUpTo(s, head, _)).min
       case _ => head // ReadMinRows etc.: this source has no rate floor

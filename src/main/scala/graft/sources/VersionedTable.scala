@@ -483,22 +483,59 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * falls back to ONE parquet footer open, counted in
     * [[footerReads]]. On a wide stats-carrying commit this turns the
     * per-trigger O(files) driver-side footer sweep into one log-line
-    * parse. */
-  private[graft] def rowsAddedAt(v: Long): Long = {
+    * parse. The fallback honors the same vacuumed-window contract as
+    * [[filesAddedAt]]. */
+  private[graft] def rowsAddedAt(v: Long, failOnMissing: Boolean): Long = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
     addActionsAt(v).map { line =>
       nullStatsOf(line).map(_._1).getOrElse {
-        val n = fileOf(line).getOrElse(throw new IllegalStateException(
-          s"add action without a file field in commit $v"))
-        footerReads.incrementAndGet()
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(dataDir.resolve(n).toString),
-            new org.apache.hadoop.conf.Configuration()))
-        try r.getRecordCount finally r.close()
+        admissionFile(line, v, failOnMissing).fold(0L) { p =>
+          footerReads.incrementAndGet()
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toString),
+              new org.apache.hadoop.conf.Configuration()))
+          try r.getRecordCount finally r.close()
+        }
       }
     }.sum
   }
+
+  /** Total on-disk bytes the adds of commit v carry — the ReadMaxBytes
+    * admission cost and the [[footerStats]] twin of [[rowsAddedAt]]:
+    * served from each add action's recorded `bytes` stat whenever
+    * present (zero file-system calls), falling back to one `Files.size`
+    * per stats-less add under the same vacuumed-window contract. */
+  private[graft] def bytesAddedAt(v: Long, failOnMissing: Boolean): Long = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    addActionsAt(v).map { line =>
+      byteStatsOf(line).getOrElse(
+        admissionFile(line, v, failOnMissing).fold(0L)(Files.size))
+    }.sum
+  }
+
+  /** Resolve one add action's data file for an admission fallback:
+    * Some(path) when on disk, None (skip) when vacuumed and the caller
+    * opted out of fail-loud, an exception otherwise — the
+    * [[filesAddedAt]] contract shared by both fallbacks. */
+  private def admissionFile(line: String, v: Long,
+      failOnMissing: Boolean): Option[Path] = {
+    val n = fileOf(line).getOrElse(throw new IllegalStateException(
+      s"add action without a file field in commit $v"))
+    val p = dataDir.resolve(n)
+    if (Files.exists(p)) Some(p)
+    else if (failOnMissing) throw new IllegalArgumentException(
+      s"commit $v data file $n was vacuumed; this window is no longer " +
+        "streamable (set failOnDataLoss=false to skip reclaimed history)")
+    else None
+  }
+
+  /** The live (file, recorded on-disk bytes) set at v — None for adds
+    * from before byte recording. The audit face of byte stats. */
+  def filesWithByteStatsAt(v: Long): Seq[(String, Option[Long])] =
+    stateAt(v).adds.toSeq.map { case (n, line) =>
+      (dataDir.resolve(n).toString, byteStatsOf(line))
+    }
 
 
   /** Per-commit change windows for the STREAMING change feed
@@ -928,16 +965,21 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     val parts = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
     val actions = parts.zipWithIndex.map { case (p, i) =>
       val name = s"${UUID.randomUUID().toString.take(8)}-$i.parquet"
-      val (rows, stats, nulls) =
-        if (statsCols.isEmpty) (0L, Nil, Nil) else footerStats(p, statsCols)
+      // EVERY add records its row count and on-disk bytes (one footer
+      // open + one stat at stage time, off the read path): `rows`
+      // serves ReadMaxRows admission and exact planner row counts,
+      // `bytes` serves ReadMaxBytes admission and the reported scan
+      // size — with zero per-query file-system calls on tables whose
+      // whole live set carries them. Column null counts still need a
+      // stats column set (the harvest is per-column).
+      val (rows, stats, nulls) = footerStats(p, statsCols)
+      val bytes = Files.size(p)
       Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      val nullsField =
-        if (statsCols.isEmpty) ""
-        else {
-          val packed = nulls.map { case (c, n) => s"$c:$n" }.mkString(";")
-          s""","rows":$rows""" +
-            (if (packed.isEmpty) "" else s""","nulls":"$packed"""")
-        }
+      val nullsField = {
+        val packed = nulls.map { case (c, n) => s"$c:$n" }.mkString(";")
+        s""","rows":$rows,"bytes":$bytes""" +
+          (if (packed.isEmpty) "" else s""","nulls":"$packed"""")
+      }
       stats match {
         case Seq((c, Left((lo, hi)))) =>
           s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi$nullsField}"""
@@ -2323,6 +2365,13 @@ private[sources] object VersionedTable {
 
   private val RowsRe = "\"rows\":(\\d+)".r
   private val NullsRe = "\"nulls\":\"([^\"]*)\"".r
+  private val BytesRe = "\"bytes\":(\\d+)".r
+
+  /** On-disk byte size recorded on an add action (the r15 additive
+    * field — pre-r15 logs read unchanged and fall back to per-file
+    * `Files.size` where a consumer needs sizes). */
+  private[sources] def byteStatsOf(line: String): Option[Long] =
+    BytesRe.findFirstMatchIn(line).map(_.group(1).toLong)
 
   /** Null-count stats recorded on an add action: (file row count,
     * column → null count). None for pre-r14 logs — no null pruning

@@ -53,10 +53,17 @@ private[graft] class VersionedWriteBuilder(root: String, info: LogicalWriteInfo,
 
 /** One staged file's coordinates, shipped task → driver. `stats` carries
   * an integer zone map, `sstats` a string one (col, minB64, maxB64 —
-  * truncated bounds, same discipline as the library write path). */
+  * truncated bounds, same discipline as the library write path);
+  * `bytes` is the staged file's on-disk size and `nulls` the stats
+  * column's null count — all harvested DURING the task write, so the
+  * committed add action carries the same `rows`/`bytes`/`nulls` fields
+  * the library write path records (stats-served admission, planner row
+  * counts, and null pruning work identically on DSv2-written tables). */
 private[graft] case class StagedFileMessage(name: String, rows: Long,
+    bytes: Long,
     stats: Option[(String, Long, Long)],
-    sstats: Option[(String, String, String)] = None) extends WriterCommitMessage
+    sstats: Option[(String, String, String)] = None,
+    nulls: Option[(String, Long)] = None) extends WriterCommitMessage
 
 private[graft] class VersionedBatchWrite(root: String, schema: StructType,
     replace: Boolean, statsCol: Option[String]) extends BatchWrite {
@@ -135,20 +142,27 @@ private[graft] class VersionedStreamingWrite(root: String, schema: StructType,
 private[graft] object VersionedWriteCommit {
   def addActions(messages: Array[WriterCommitMessage]): Seq[String] =
     messages.toSeq.collect {
-      case StagedFileMessage(name, rows, stats, sstats) if rows > 0 =>
+      case StagedFileMessage(name, rows, bytes, stats, sstats, nulls)
+          if rows > 0 =>
+        // same additive stats fields as the library write path
+        // (VersionedTable.stageMulti): rows + bytes always, the stats
+        // column's null count when one was requested — a DSv2-written
+        // table admits, reports statistics, and null-prunes identically
+        val recorded = s""","rows":$rows,"bytes":$bytes""" +
+          nulls.map { case (c, n) => s""","nulls":"$c:$n"""" }.getOrElse("")
         (stats, sstats) match {
           case (Some((c, lo, hi)), _) =>
-            s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi}"""
+            s"""{"op":"add","file":"$name","col":"$c","min":$lo,"max":$hi$recorded}"""
           case (_, Some((c, mn, mx))) =>
-            s"""{"op":"add","file":"$name","scol":"$c","smin":"$mn","smax":"$mx"}"""
-          case _ => s"""{"op":"add","file":"$name"}"""
+            s"""{"op":"add","file":"$name","scol":"$c","smin":"$mn","smax":"$mx"$recorded}"""
+          case _ => s"""{"op":"add","file":"$name"$recorded}"""
         }
     }
 
   def dropStaged(root: String, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case StagedFileMessage(name, _, _, _) =>
-        Files.deleteIfExists(Paths.get(root, "data", name))
+      case m: StagedFileMessage =>
+        Files.deleteIfExists(Paths.get(root, "data", m.name))
       case _ =>
     }
 
@@ -159,8 +173,8 @@ private[graft] object VersionedWriteCommit {
       messages: Array[WriterCommitMessage], cs: Map[String, String]): Unit = {
     if (cs.isEmpty) return
     val files = messages.toSeq.collect {
-      case StagedFileMessage(name, rows, _, _) if rows > 0 =>
-        Paths.get(root, "data", name).toString
+      case m: StagedFileMessage if m.rows > 0 =>
+        Paths.get(root, "data", m.name).toString
     }
     if (files.isEmpty) return
     t.enforce(org.apache.spark.sql.SparkSession.active.read.parquet(files: _*),
@@ -218,6 +232,7 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
   private val statsIdx = statsCol.map(schema.fieldIndex)
   private val statsIsString = statsIdx.exists(i => schema(i).dataType == StringType)
   private var rows = 0L
+  private var statNulls = 0L
   private var lo = Long.MaxValue
   private var hi = Long.MinValue
   private var sLo: Array[Byte] = null
@@ -245,7 +260,8 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
       i += 1
     }
     statsIdx.foreach { s =>
-      if (!row.isNullAt(s)) {
+      if (row.isNullAt(s)) statNulls += 1
+      else {
         schema(s).dataType match {
           case LongType | IntegerType =>
             val v = if (schema(s).dataType == LongType) row.getLong(s)
@@ -271,8 +287,13 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    if (rows == 0) { Files.deleteIfExists(file); StagedFileMessage(name, 0L, None) }
-    else if (statsIsString) {
+    if (rows == 0) {
+      Files.deleteIfExists(file)
+      return StagedFileMessage(name, 0L, 0L, None)
+    }
+    val bytes = Files.size(file)
+    val nc = statsCol.map((_, statNulls))
+    if (statsIsString) {
       // truncated bounds, same soundness discipline as the library path;
       // an un-incrementable max drops the stat (file stays a candidate)
       val ss = for {
@@ -280,9 +301,9 @@ private[graft] class VersionedDataWriter(root: String, schema: StructType,
         mx <- Option(sHi).flatMap(VersionedTable.truncMax)
         c <- statsCol
       } yield (c, VersionedTable.b64(mn), VersionedTable.b64(mx))
-      StagedFileMessage(name, rows, None, ss)
-    } else StagedFileMessage(name, rows,
-      statsCol.filter(_ => lo <= hi).map((_, lo, hi)))
+      StagedFileMessage(name, rows, bytes, None, ss, nc)
+    } else StagedFileMessage(name, rows, bytes,
+      statsCol.filter(_ => lo <= hi).map((_, lo, hi)), None, nc)
   }
 
   override def abort(): Unit = { writer.close(); Files.deleteIfExists(file) }

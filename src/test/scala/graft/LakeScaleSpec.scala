@@ -994,7 +994,8 @@ class LakeScaleSpec extends AnyFunSuite {
     (0L to 2L).foreach { i =>
       val p = Paths.get(t.root, "_log", f"$i%012d.json")
       val stripped = Files.readAllLines(p).asScala
-        .map(_.replaceAll(",\"rows\":\\d+(,\"nulls\":\"[^\"]*\")?", ""))
+        .map(_.replaceAll(
+          ",\"rows\":\\d+(,\"bytes\":\\d+)?(,\"nulls\":\"[^\"]*\")?", ""))
       Files.write(p, stripped.mkString("\n").getBytes("UTF-8"))
     }
     val t2 = new VersionedTable(t.root)

@@ -125,12 +125,21 @@ class Round15LakeSpec extends AnyFunSuite {
     assert(s.table.footerReads.get() === 0L,
       "stats-carrying commits must admit with ZERO driver-side footer opens")
 
-    // stats-less adds (no statsCol) fall back to one footer open each —
-    // same admission answers, counted fallback
+    // stats-less adds (pre-recording logs — every library write now
+    // records rows) fall back to one footer open each — same admission
+    // answers, counted fallback. Simulate the old log by stripping the
+    // recorded fields in place (the LakeScaleSpec compat trick).
     val root2 = freshDir("adm-rows2")
     val t2 = new VersionedTable(root2)
     (0 until 2).foreach(i => t2.append(spark,
       spark.range(i * 100L, (i + 1) * 100L).toDF("id").repartition(1)))
+    import scala.jdk.CollectionConverters._
+    (0L to 1L).foreach { i =>
+      val p = Paths.get(root2, "_log", f"$i%012d.json")
+      val stripped = Files.readAllLines(p).asScala.map(_.replaceAll(
+        ",\"rows\":\\d+(,\"bytes\":\\d+)?(,\"nulls\":\"[^\"]*\")?", ""))
+      Files.write(p, stripped.mkString("\n").getBytes("UTF-8"))
+    }
     val s2 = new VersionedMicroBatchStream(root2, 0L, None, None, None,
       changeFeed = false, failOnDataLoss = true, t2.read(spark).schema)
     assert(s2.latestOffset(VersionOffset(-1L), ReadLimit.maxRows(150))
@@ -168,6 +177,67 @@ class Round15LakeSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(batches.toList === List(50L, 50L, 50L),
       "one commit per micro-batch under a 1-byte budget")
+  }
+
+  test("byte stats: admission and planner size are served from the log, not the file system") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val (root, t) = threeFileTable("bytes-log")
+    // every add recorded its on-disk size
+    val recorded = t.filesWithByteStatsAt(t.version)
+    assert(recorded.forall(_._2.isDefined))
+    recorded.foreach { case (p, b) =>
+      assert(b.contains(Files.size(Paths.get(p))),
+        "recorded bytes must equal the staged file's size")
+    }
+    // INFLATE one file on disk: recorded numbers must keep serving —
+    // proof that neither admission nor statistics re-stats the files
+    val victim = Paths.get(recorded.head._1)
+    val origSize = Files.size(victim)
+    Files.write(victim, new Array[Byte](4096),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(Files.size(victim) === origSize + 4096)
+    val sizes = (0L to 2L).map(v => t.bytesAddedAt(v, failOnMissing = true))
+    assert(sizes(0) === origSize, "admission bytes come from the log")
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t.read(spark).schema)
+    assert(s.latestOffset(VersionOffset(-1L), ReadLimit.maxBytes(sizes(0)))
+      .asInstanceOf[VersionOffset].v === 0)
+    val stats = spark.read.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).load()
+      .queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.computeStats()
+      }.head
+    assert(stats.sizeInBytes === BigInt(sizes.sum),
+      "the reported scan size is the RECORDED sum, not a live stat sweep")
+  }
+
+  test("DSv2-written tables carry the same rows/bytes/nulls stats as the library path") {
+    val root = freshDir("dsv2-stats")
+    Seq((1L, Some(10L)), (2L, None), (3L, Some(30L))).toDF("id", "v")
+      .repartition(1)
+      .write.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("statsCol", "v").mode("append").save()
+    val t = new VersionedTable(root)
+    // rows + the stats column's null count, harvested during the task write
+    assert(t.filesWithNullStatsAt(0L).flatMap(_._2) ===
+      Seq((3L, Map("v" -> 1L))))
+    assert(t.filesWithByteStatsAt(0L).forall { case (p, b) =>
+      b.contains(Files.size(Paths.get(p)))
+    })
+    // so ReadMaxRows admission on a DSv2-written table opens no footers
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t.read(spark).schema)
+    assert(s.latestOffset(VersionOffset(-1L), ReadLimit.maxRows(10))
+      .asInstanceOf[VersionOffset].v === 0)
+    assert(s.table.footerReads.get() === 0L)
+    // and the all-null blind spot closes for DSv2 writes too: an
+    // all-null stats column records no bounds but a full null count
+    Seq((4L, Option.empty[Long]), (5L, None)).toDF("id", "v")
+      .repartition(1)
+      .write.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("statsCol", "v").mode("append").save()
+    assert(t.prunedFiles(1L, "v", 0L, 100L).size === 1,
+      "the DSv2-written all-null file must not survive a value probe")
   }
 
   test("the change-feed fold is carried across triggers: O(window) log reads each") {
