@@ -336,7 +336,7 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     // candidates, as BatchScanExec's re-planning contract requires
     val served =
       if (runtime.isEmpty) cand else VersionedScan.prune(cand, runtime)
-    VersionedScan.lastPlanned.put(root, Integer.valueOf(served.size))
+    VersionedScan.recordPlanned(root, served.size)
     // Each partition carries the file's deletion vector so the reader
     // subtracts merge-on-read deletes positionally.
     served.map { case (name, _) =>
@@ -418,9 +418,17 @@ private[graft] object VersionedScan {
     * per table root — the observability seam the dynamic-file-pruning
     * spec reads: after runtime filters land, BatchScanExec re-plans
     * THROUGH the scan, so the post-filter partition count is not
-    * otherwise visible from outside the physical plan. */
+    * otherwise visible from outside the physical plan. Bounded: a
+    * long-lived session scanning ephemeral roots must not grow JVM
+    * state without limit, so the map resets past a small cap (it is
+    * diagnostics, not correctness state). */
   private[graft] val lastPlanned =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
+  private def recordPlanned(root: String, n: Int): Unit = {
+    if (lastPlanned.size > 1024) lastPlanned.clear()
+    lastPlanned.put(root, Integer.valueOf(n))
+  }
 
   private def intBound(v: Any): Boolean =
     v.isInstanceOf[Long] || v.isInstanceOf[Int]

@@ -537,7 +537,6 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       (dataDir.resolve(n).toString, byteStatsOf(line))
     }
 
-
   /** Per-commit change windows for the STREAMING change feed
     * ([[VersionedMicroBatchStream]] under `changeFeed`) over (s, e] —
     * ONE incremental fold for the whole drain (seed at s, advance per
