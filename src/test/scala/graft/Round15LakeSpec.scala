@@ -105,6 +105,34 @@ class Round15LakeSpec extends AnyFunSuite {
         s"static plan's 3 (got ${VersionedScan.lastPlanned.get(root)})")
   }
 
+  test("runtime filters prune on STRING join keys and respect MoR deletion vectors") {
+    // string-keyed dims are as common as integer ones: the runtime
+    // IN-set arrives as string values and must prune through the
+    // recorded truncated byte bounds
+    val root = freshDir("rtf-str")
+    val t = new VersionedTable(root)
+    Seq("ar" -> "de", "en" -> "fr", "it" -> "pt").foreach { case (lo, hi) =>
+      t.append(spark, Seq((1L, lo), (2L, hi)).toDF("id", "lang")
+        .repartition(1), statsCol = Some("lang"))
+    }
+    def scan(): VersionedScan = {
+      val b = new VersionedScanBuilder(root, 0L, None, None, None, None,
+        false, true, dsv2(root).schema)
+      b.build().asInstanceOf[VersionedScan]
+    }
+    val s1 = scan()
+    s1.filter(Array[Filter](In("lang", Array[Any]("en", "fr"))))
+    assert(s1.planInputPartitions().length === 1,
+      "a string runtime IN-set must prune through the byte bounds")
+    // a runtime-pruned read over a MoR-deleted file stays exact: the
+    // kept partition still carries its deletion vector
+    t.deleteRowsWhere(spark, "lang = 'fr'")
+    val rows = dsv2(root).filter(col("lang").isin("en", "fr"))
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(rows === Array((1L, "en")),
+      "pruned partitions must still subtract their deletion vectors")
+  }
+
   test("static integer IN pushdown prunes files (the pre-runtime twin)") {
     val (root, _) = threeFileTable("in-static")
     val hit = dsv2(root).filter(col("id").isin(7L, 120L))
@@ -265,6 +293,16 @@ class Round15LakeSpec extends AnyFunSuite {
     // a non-contiguous (retried) window falls back to a fresh seed and
     // still serves the right commits
     assert(drain(3, 5) === 2)
+
+    // a commit landing BETWEEN triggers is served from the carried
+    // state — the steady-state tail never re-seeds for fresh commits
+    assert(drain(5, 6) === 1) // realign the carry to the head
+    t.deleteRowsWhere(spark, "id = 42") // v7: a dvset-only commit
+    val before = s.table.logFileReads.get()
+    val parts = s.planInputPartitions(VersionOffset(6), VersionOffset(7))
+    assert(parts.length === 1, "the MoR delete serves one grown partition")
+    assert(s.table.logFileReads.get() - before === 1L,
+      "a fresh commit folds from the carried state: one log read")
   }
 
   test("failOnDataLoss=false re-baselines past vacuumed windows; default stays loud") {
