@@ -305,6 +305,49 @@ class Round15LakeSpec extends AnyFunSuite {
       "a fresh commit folds from the carried state: one log read")
   }
 
+  test("a PACED changeFeed drain serves exact CDC across triggers (carried-fold e2e)") {
+    // AvailableNow + maxFilesPerTrigger drives the REAL engine through
+    // multiple contiguous planInputPartitions windows — the call
+    // pattern the carried fold assumes — over a history mixing
+    // appends, a MoR delete (zero ADD actions, coalesces into the next
+    // admission window), and a CoW delete
+    val root = freshDir("cdc-paced")
+    val t = new VersionedTable(root)
+    t.append(spark, spark.range(0, 20).toDF("id").repartition(1),
+      statsCol = Some("id"))                 // v0: 20 inserts
+    t.append(spark, spark.range(20, 40).toDF("id").repartition(1),
+      statsCol = Some("id"))                 // v1: 20 inserts
+    t.deleteRowsWhere(spark, "id = 7")       // v2: 1 positional delete
+    t.append(spark, spark.range(40, 50).toDF("id").repartition(1),
+      statsCol = Some("id"))                 // v3: 10 inserts
+    t.deleteWhere(spark, "id", 45L, 49L)     // v4: CoW rewrite of v3's file
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = spark.readStream.format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true")
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2)))
+        acc.synchronized { acc ++= rows; batches += rows.length.toLong }
+        ()
+      }
+      .option("checkpointLocation", freshDir("cdc-paced-ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.size >= 3, s"pacing must split the drain (got $batches)")
+    val all = acc.toArray
+    // exactly-once CDC across every trigger boundary:
+    assert(all.count(_._2 == "insert") === 55,
+      "50 appended rows + the CoW rewrite's 5 survivors re-inserted")
+    assert(all.filter(_._2 == "delete").map(_._1).sorted ===
+      (Seq(7L) ++ (40L until 50L)).toArray,
+      "the MoR needle + the CoW-removed file's 10 visible rows")
+    assert(all.filter(r => r._2 == "delete" && r._3 == 2L).map(_._1) ===
+      Array(7L), "the dvset-only commit's window serves its grown position")
+  }
+
   test("failOnDataLoss=false re-baselines past vacuumed windows; default stays loud") {
     val root = freshDir("fdl")
     val t = new VersionedTable(root)
