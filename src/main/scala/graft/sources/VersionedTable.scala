@@ -2020,8 +2020,14 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     * duration on a table with live writers; the default 0 collects
     * everything dead and is only safe on a QUIESCED table (which is what
     * every spec and registry artifact here is).
+    *
+    * `dryRun = true` (the lake engines' VACUUM DRY RUN) reports the
+    * victims WITHOUT deleting anything — the operator preview before a
+    * retention decision that is, by design, irreversible. Same walk,
+    * same age gate, zero mutations.
     */
-  def vacuum(keepFrom: Long, minAgeMs: Long = 0L): Seq[String] = {
+  def vacuum(keepFrom: Long, minAgeMs: Long = 0L,
+      dryRun: Boolean = false): Seq[String] = {
     val head = version
     require(keepFrom >= 0 && keepFrom <= head,
       s"horizon $keepFrom outside [0, $head]")
@@ -2052,7 +2058,6 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }
       .map(_.getFileName.toString)
-    victims.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
     // abandoned staging dirs: stage() removes its own on every path
     // (success, lost race, dropStaged), so any survivor is a crashed
     // writer's leak — reclaim under the same minAge contract that
@@ -2062,7 +2067,10 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         p.getFileName.toString.startsWith("_tmp-") &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }
-    tmpVictims.foreach(deleteRecursively)
+    if (!dryRun) {
+      victims.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
+      tmpVictims.foreach(deleteRecursively)
+    }
     victims ++ tmpVictims.map(_.getFileName.toString)
   }
 

@@ -398,6 +398,25 @@ class Round15LakeSpec extends AnyFunSuite {
     assert(t.read(spark).count() === 1, "live data untouched")
   }
 
+  test("vacuum dryRun previews the victims without deleting anything") {
+    val root = freshDir("vac-dry")
+    val t = new VersionedTable(root)
+    t.append(spark, Seq((1L, "a")).toDF("id", "v"))    // v0
+    t.overwrite(spark, Seq((2L, "b")).toDF("id", "v")) // v1: v0's file dies
+    val staging = Paths.get(root, "_tmp-crashed")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("leak.parquet"), Array[Byte](1))
+    val preview = t.vacuum(keepFrom = 1L, dryRun = true)
+    assert(preview.size === 2 && preview.contains("_tmp-crashed"))
+    // nothing was touched: v0 still time-travels, the staging leak stays
+    assert(t.readAsOf(spark, 0L).count() === 1)
+    assert(Files.exists(staging))
+    // the real run deletes EXACTLY the previewed set
+    assert(t.vacuum(keepFrom = 1L).sorted === preview.sorted)
+    assert(!Files.exists(staging))
+    assertThrows[Exception](t.readAsOf(spark, 0L).count())
+  }
+
   test("explicit readStream.schema() cannot bypass the changeFeed contract") {
     val root = freshDir("cdc-schema")
     val t = new VersionedTable(root)
