@@ -16,7 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -234,10 +237,13 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     maxRowsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
     changeFeed: Boolean, failOnDataLoss: Boolean, schema0: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var requested: StructType = schema0
   private var skipping: Array[Filter] = Array.empty
+  private var limitN: Option[Int] = None
+  private var aggServed: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     skipping = filters.filter(VersionedScan.statsUsable)
@@ -248,19 +254,178 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
 
   override def pruneColumns(required: StructType): Unit = requested = required
 
-  override def build(): Scan =
-    new VersionedScan(root, startingVersion, versionAsOf,
-      maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
-      changeFeed, failOnDataLoss, requested, skipping)
+  /** LIMIT pushdown: serve only enough FILES to cover `n` rows
+    * ([[VersionedScan.planInputPartitions]] caps the candidate list by
+    * the log's recorded visible-row counts). Always partial — Spark
+    * keeps its own Limit on top, so over-serving is trimmed and a
+    * stats-less candidate (unknown rows) never under-delivers (it
+    * counts as zero known rows, so the cap keeps admitting files).
+    * Spark only pushes a limit when every filter above the scan was
+    * FULLY pushed; this source keeps all filters as residuals, so the
+    * pushdown fires exactly on bare `table.limit(n)` scans — where a
+    * 10-row peek at a 10k-file table plans one partition, not 10k. */
+  override def pushLimit(n: Int): Boolean = { limitN = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Aggregate pushdown: answer a global aggregate STRAIGHT FROM THE
+    * COMMIT LOG when the recorded stats prove the exact result — the
+    * lake engines' metadata-only `SELECT count(*)` (zero data files
+    * opened at any table size). Complete pushdown only, and only when
+    * provably exact:
+    *   - `count(*)` = Σ(recorded rows − deletion-vector cardinality):
+    *     exact even under merge-on-read deletes;
+    *   - `count(col)` = Σ(rows − recorded null count of col), only on
+    *     DV-free files (a vector could have removed null or non-null
+    *     rows — unknowable from metadata);
+    *   - `min/max(col)` from the INTEGER zone maps, only on DV-free
+    *     files (a vector could have removed the extreme row) and never
+    *     from string bounds (those are truncated — sound for pruning,
+    *     not exact for answers); recorded all-null files contribute
+    *     nothing, exactly like the aggregate semantics.
+    * Any file missing the needed stat refuses the WHOLE pushdown and
+    * the ordinary scan runs — exactness is proven, never assumed. A
+    * grouped, filtered (residuals pending — Spark never offers those),
+    * distinct, or changeFeed aggregation always refuses. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    serveAggregation(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    serveAggregation(agg)
+
+  private def serveAggregation(agg: Aggregation): Boolean = {
+    if (aggServed.isDefined) return true // supportCompletePushDown ran
+    if (changeFeed || skipping.nonEmpty || limitN.isDefined ||
+        agg.groupByExpressions().nonEmpty) return false
+    val table = new VersionedTable(root)
+    val head = versionAsOf.getOrElse(table.version)
+    if (head < 0) return false // empty table: nothing provable to serve
+    val st = table.stateAt(head)
+    val cand = st.adds.toSeq
+    def colName(e: V2Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def dvCard(f: String): Long = st.dv.get(f).map(_.cardinality).getOrElse(0L)
+    def intType(c: String): Option[DataType] =
+      schema0.find(_.name == c).map(_.dataType)
+        .filter(t => t == LongType || t == IntegerType)
+    def retyped(v: Long, dt: DataType): Any =
+      if (dt == IntegerType) Int.box(v.toInt) else Long.box(v)
+    val out = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        val rows = cand.map { case (f, line) =>
+          VersionedTable.nullStatsOf(line).map(_._1 - dvCard(f))
+        }
+        if (rows.exists(_.isEmpty)) return false
+        Some((StructField("count_star", LongType, nullable = false),
+          Long.box(math.max(0L, rows.flatten.sum)): Any))
+      case c: Count if !c.isDistinct =>
+        colName(c.column()).flatMap { col =>
+          val counts = cand.map { case (f, line) =>
+            VersionedTable.nullStatsOf(line).collect {
+              case (r, nulls) if nulls.contains(col) && dvCard(f) == 0L =>
+                r - nulls(col)
+            }
+          }
+          if (counts.exists(_.isEmpty)) None
+          else Some((StructField(s"count_$col", LongType, nullable = false),
+            Long.box(math.max(0L, counts.flatten.sum)): Any))
+        }
+      case m: Min =>
+        colName(m.column()).flatMap(col => intType(col).flatMap { dt =>
+          bound(cand, st, col).map(b =>
+            (StructField(s"min_$col", dt, nullable = true),
+              b.map(x => retyped(x._1, dt)).orNull: Any))
+        })
+      case m: Max =>
+        colName(m.column()).flatMap(col => intType(col).flatMap { dt =>
+          bound(cand, st, col).map(b =>
+            (StructField(s"max_$col", dt, nullable = true),
+              b.map(x => retyped(x._2, dt)).orNull: Any))
+        })
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) return false
+    val fields = out.flatten
+    aggServed = Some((StructType(fields.map(_._1)), fields.map(_._2).toArray))
+    true
+  }
+
+  /** The [lo, hi] envelope of `col` over all candidate files, from the
+    * integer zone maps — Some(None) when every file is provably
+    * all-null/empty on the column (the aggregate is NULL), None when
+    * ANY file's extreme is unprovable: missing bounds without an
+    * all-null record, or a deletion vector that could have removed the
+    * extreme row. */
+  private def bound(cand: Seq[(String, String)], st: TableState,
+      col: String): Option[Option[(Long, Long)]] = {
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var any = false
+    cand.foreach { case (f, line) =>
+      val zm = VersionedTable.longStatsOf(line).toMap.get(col)
+      val allNull =
+        VersionedTable.allNullOn(line, col) ||
+          VersionedTable.nullStatsOf(line).exists(_._1 == 0L)
+      if (!allNull) {
+        if (zm.isEmpty || st.dv.get(f).exists(_.cardinality > 0L)) return None
+        val (l, h) = zm.get
+        if (l < lo) lo = l
+        if (h > hi) hi = h
+        any = true
+      }
+    }
+    Some(if (any) Some((lo, hi)) else None)
+  }
+
+  override def build(): Scan = aggServed match {
+    case Some((schema, row)) => new VersionedAggScan(root, schema, row)
+    case None =>
+      new VersionedScan(root, startingVersion, versionAsOf,
+        maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
+        changeFeed, failOnDataLoss, requested, skipping, limitN)
+  }
 }
+
+/** The metadata-answered aggregate scan: ONE input partition carrying
+  * the already-proven values ([[VersionedScanBuilder.pushAggregation]]),
+  * one emitted row, zero data files opened. */
+private[graft] class VersionedAggScan(root: String, schema: StructType,
+    row: Array[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_versioned($root, metadata-aggregate ${schema.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(VersionedAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean =
+            if (served) false else { served = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              p.asInstanceOf[VersionedAggPartition].values.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[graft] case class VersionedAggPartition(values: Array[Any])
+    extends InputPartition
 
 private[graft] class VersionedScan(root: String, startingVersion: Long,
     versionAsOf: Option[Long], maxFilesPerTrigger: Option[Int],
     maxRowsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
     changeFeed: Boolean, failOnDataLoss: Boolean,
-    requested: StructType, skipping: Array[Filter])
+    requested: StructType, skipping: Array[Filter],
+    limitN: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeV2Filtering {
   private val table = new VersionedTable(root)
 
   override def readSchema(): StructType = requested
@@ -310,7 +475,23 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     requested.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
-  override def filter(filters: Array[Filter]): Unit =
+  /** The NATIVE V2 runtime-filter face ([[SupportsRuntimeV2Filtering]]
+    * — implemented directly rather than riding the interface's default
+    * `PredicateUtils.toV1` bridge): V2 predicates translate straight
+    * into the probe shapes the shared prune engine consumes, which
+    * keeps filter shapes the V1 detour loses — a conjunction FLATTENS
+    * into independent file probes (the bridge yields one
+    * `sources.And`, which no zone-map probe consumes), null-safe
+    * equality prunes through its null-rejecting twin, and a literal on
+    * either side of a comparison normalizes to the column-first form.
+    * Untranslatable shapes contribute no probe — sound, the residual
+    * row filter keeps results exact. */
+  override def filter(predicates: Array[V2Predicate]): Unit =
+    filter(predicates.flatMap(VersionedScan.v2Probes))
+
+  /** The V1-shaped probe sink the V2 face feeds (and specs drive
+    * directly): keep only what the zone maps can act on. */
+  private[graft] def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(VersionedScan.statsUsable)
 
   /** The candidate (file name, add line) set the pushed filters leave,
@@ -334,8 +515,27 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     // dynamic file pruning: the runtime IN-set (if any) re-prunes the
     // statically-pruned snapshot — always a SUBSET of the planned
     // candidates, as BatchScanExec's re-planning contract requires
-    val served =
+    val pruned =
       if (runtime.isEmpty) cand else VersionedScan.prune(cand, runtime)
+    // pushed LIMIT: stop admitting files once the log-recorded visible
+    // rows (add-time count minus DV cardinality) PROVABLY cover n —
+    // a stats-less file counts as zero known rows, so the cap can only
+    // over-serve (Spark's retained Limit trims), never under-deliver.
+    // Only reachable filter-free (Spark's pushdown contract; the
+    // runtime guard is belt-and-braces — a join on top of a Limit
+    // never re-plans this scan).
+    val served = limitN match {
+      case Some(n) if skipping.isEmpty && runtime.isEmpty =>
+        var known = 0L
+        pruned.takeWhile { case (name, line) =>
+          val take = known < n
+          if (take) known += math.max(0L,
+            VersionedTable.nullStatsOf(line).map(_._1).getOrElse(0L) -
+              st.dv.get(name).map(_.cardinality).getOrElse(0L))
+          take
+        }
+      case _ => pruned
+    }
     VersionedScan.recordPlanned(root, served.size)
     // Each partition carries the file's deletion vector so the reader
     // subtracts merge-on-read deletes positionally.
@@ -437,6 +637,79 @@ private[graft] object VersionedScan {
     case l: Long => l
     case i: Int => i.toLong
     case other => throw new IllegalStateException(s"non-integer bound $other")
+  }
+
+  /** Translate one V2 runtime predicate into the V1 probe shapes the
+    * shared prune engine consumes — the native
+    * [[SupportsRuntimeV2Filtering]] leg. Soundness contract: a probe is
+    * emitted only when it is IMPLIED by the predicate (so skipping a
+    * file the probe rejects can never drop a matching row), and any
+    * shape that doesn't translate emits NO probe. Per shape:
+    *   - `AND` flattens to both sides' probes (each conjunct must hold,
+    *     so each prunes independently);
+    *   - `IN` keeps its non-null values (a NULL in the list matches no
+    *     row, so the narrowed list is equivalent for pruning); an
+    *     all-null list emits nothing;
+    *   - comparisons accept the literal on EITHER side (`5 >= id`
+    *     normalizes to `id <= 5`); a null literal emits nothing (the
+    *     predicate matches no row — no probe is trivially sound);
+    *   - `<=>` (null-safe equality) against a non-null literal prunes
+    *     exactly like `=` (null rows can't match a non-null literal);
+    *     against NULL it IS the `IS NULL` probe.
+    * String literals arrive as catalyst `UTF8String` and convert to the
+    * external form the probe engine's byte-bound compares expect. */
+  private[sources] def v2Probes(p: V2Predicate): Seq[Filter] = {
+    def ref(e: V2Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def lit(e: V2Expression): Option[Any] = e match {
+      case l: V2Literal[_] => Some(l.value() match {
+        case u: UTF8String => u.toString
+        case other => other
+      })
+      case _ => None
+    }
+    def cmp(op: String, c: String, v: Any): Seq[Filter] =
+      if (v == null) { if (op == "<=>") Seq(IsNull(c)) else Nil }
+      else op match {
+        case "=" | "<=>" => Seq(EqualTo(c, v))
+        case ">" => Seq(GreaterThan(c, v))
+        case ">=" => Seq(GreaterThanOrEqual(c, v))
+        case "<" => Seq(LessThan(c, v))
+        case "<=" => Seq(LessThanOrEqual(c, v))
+        case _ => Nil
+      }
+    def flip(op: String): String = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case other => other // = and <=> are symmetric
+    }
+    val kids = p.children()
+    p.name() match {
+      case "AND" =>
+        kids.toSeq.collect { case q: V2Predicate => v2Probes(q) }.flatten
+      case "IN" if kids.length >= 2 =>
+        (ref(kids.head), kids.tail.toSeq.map(lit)) match {
+          case (Some(c), vs) if vs.forall(_.isDefined) =>
+            val nonNull = vs.flatten.filter(_ != null)
+            if (nonNull.isEmpty) Nil else Seq(In(c, nonNull.toArray))
+          case _ => Nil
+        }
+      case "IS_NULL" if kids.length == 1 => ref(kids(0)).map(IsNull(_)).toSeq
+      case "IS_NOT_NULL" if kids.length == 1 =>
+        ref(kids(0)).map(IsNotNull(_)).toSeq
+      case op @ ("=" | "<=>" | ">" | ">=" | "<" | "<=") if kids.length == 2 =>
+        (ref(kids(0)), lit(kids(1)), ref(kids(1)), lit(kids(0))) match {
+          case (Some(c), Some(v), _, _) => cmp(op, c, v)
+          case (_, _, Some(c), Some(v)) => cmp(flip(op), c, v)
+          case _ => Nil
+        }
+      case _ => Nil
+    }
   }
 
   /** Filters the zone maps / null counts can act on — ONE gate shared
@@ -659,19 +932,30 @@ private[graft] class VersionedMicroBatchStream(root: String,
     * the log line (a parquet footer opens only as the fallback for
     * stats-less adds — see [[VersionedTable.rowsAddedAt]]), and
     * ReadMaxBytes is one `Files.size` per added file. Never a data
-    * scan. */
+    * scan.
+    *
+    * Under `changeFeed` a commit is costed AS THE FEED SERVES IT
+    * ([[VersionedTable.cdcCostsAt]]): a CoW delete's removed files and
+    * a MoR delete's dvset partitions count toward files/rows/bytes —
+    * the add-only accessors would let a pure-delete commit admit as
+    * zero cost, unbounding a paced CDC drain over delete-heavy
+    * history. Still one log read per commit, stats served from the
+    * remove/dvset lines' carried fields. */
   private def admitUpTo(s: Long, head: Long, limit: ReadLimit): Long =
     limit match {
       case _: ReadAllAvailable => head
       case mf: ReadMaxFiles =>
         admitWhile(s, head, mf.maxFiles())(v =>
-          table.filesAddedAt(v, failOnDataLoss).size.toLong)
+          if (changeFeed) table.cdcCostsAt(v, failOnDataLoss)._1
+          else table.filesAddedAt(v, failOnDataLoss).size.toLong)
       case mr: ReadMaxRows =>
         admitWhile(s, head, mr.maxRows())(v =>
-          table.rowsAddedAt(v, failOnDataLoss))
+          if (changeFeed) table.cdcCostsAt(v, failOnDataLoss)._2
+          else table.rowsAddedAt(v, failOnDataLoss))
       case mb: ReadMaxBytes =>
         admitWhile(s, head, mb.maxBytes())(v =>
-          table.bytesAddedAt(v, failOnDataLoss))
+          if (changeFeed) table.cdcCostsAt(v, failOnDataLoss)._3
+          else table.bytesAddedAt(v, failOnDataLoss))
       case c: CompositeReadLimit =>
         c.getReadLimits.map(admitUpTo(s, head, _)).min
       case _ => head // ReadMinRows etc.: this source has no rate floor

@@ -488,17 +488,20 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
   private[graft] def rowsAddedAt(v: Long, failOnMissing: Boolean): Long = {
     require(v >= 0 && v <= version, s"version $v outside [0, $version]")
     addActionsAt(v).map { line =>
-      nullStatsOf(line).map(_._1).getOrElse {
-        admissionFile(line, v, failOnMissing).fold(0L) { p =>
-          footerReads.incrementAndGet()
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(p.toString),
-              new org.apache.hadoop.conf.Configuration()))
-          try r.getRecordCount finally r.close()
-        }
-      }
+      nullStatsOf(line).map(_._1).getOrElse(
+        admissionFile(line, v, failOnMissing).fold(0L)(footerRowCount))
     }.sum
+  }
+
+  /** One COUNTED parquet footer open for an admission fallback — the
+    * row count of a stats-less add or remove line's file. */
+  private def footerRowCount(p: Path): Long = {
+    footerReads.incrementAndGet()
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try r.getRecordCount finally r.close()
   }
 
   /** Total on-disk bytes the adds of commit v carry — the ReadMaxBytes
@@ -528,6 +531,59 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       s"commit $v data file $n was vacuumed; this window is no longer " +
         "streamable (set failOnDataLoss=false to skip reclaimed history)")
     else None
+  }
+
+  /** The meta line's recorded operation for one commit's log lines —
+    * "?" when unrecorded (pre-meta history). */
+  private def commitOp(lines: Seq[String]): String =
+    lines.collectFirst {
+      case l if l.contains("\"op\":\"meta\"") =>
+        "\"operation\":\"([a-z_]+)\"".r.findFirstMatchIn(l).map(_.group(1))
+          .getOrElse("?")
+    }.getOrElse("?")
+
+  /** Admission costs of commit v AS THE CHANGE FEED SERVES IT:
+    * (pieces, rows, bytes), where pieces is exactly the input-partition
+    * count the changeFeed's `planInputPartitions` will create for the
+    * window (adds + removes + dvsets), rows is what those partitions
+    * will emit (adds' recorded rows + remove lines' carried
+    * visible-row counts + dvsets' recorded grown counts), and bytes is
+    * the on-disk data the tasks can touch (recorded sizes; a dvset
+    * piece costs its DATA file's recorded size — the include-mode
+    * reader's upper bound). The plain-feed accessors
+    * ([[filesAddedAt]]/[[rowsAddedAt]]/[[bytesAddedAt]]) count only
+    * ADD actions, which under `changeFeed` lets a pure-dvset or
+    * CoW-delete commit admit as zero cost — this is their CDC twin.
+    *
+    * MAINTENANCE commits (compact/zorder) serve NOTHING in the feed
+    * and cost zero — Delta's dataChange=false discipline carried into
+    * rate limiting. Metadata-only on stats-carrying logs (ONE log read,
+    * zero file opens); stats-less lines take counted fallbacks under
+    * the same vacuumed-window contract as the plain accessors: a
+    * remove without carried rows opens its file's footer (counted in
+    * [[footerReads]]), a dvset without `grown` costs its new
+    * CARDINALITY (still from the line — the sound upper bound), and
+    * missing byte stats fall back to `Files.size`. */
+  private[graft] def cdcCostsAt(v: Long,
+      failOnMissing: Boolean): (Long, Long, Long) = {
+    require(v >= 0 && v <= version, s"version $v outside [0, $version]")
+    val lines = readLog(logDir.resolve(logName(v)))
+    val op = commitOp(lines)
+    if (op == "compact" || op == "zorder") return (0L, 0L, 0L)
+    val adds = lines.filter(_.contains("\"op\":\"add\""))
+    val removes = lines.filter(_.contains("\"op\":\"remove\""))
+    val dvsets = lines.filter(_.contains("\"op\":\"dvset\""))
+    val pieces = (adds.size + removes.size + dvsets.size).toLong
+    def rowsOf(line: String): Long =
+      nullStatsOf(line).map(_._1).getOrElse(
+        admissionFile(line, v, failOnMissing).fold(0L)(footerRowCount))
+    def sizeOf(line: String): Long =
+      admissionFile(line, v, failOnMissing).fold(0L)(Files.size)
+    val rows = (adds ++ removes).map(rowsOf).sum +
+      dvsets.map(l => grownStatsOf(l).getOrElse(dvCardOf(l))).sum
+    val bytes = (adds ++ removes).map(l => byteStatsOf(l).getOrElse(sizeOf(l))).sum +
+      dvsets.map(l => fbytesStatsOf(l).getOrElse(sizeOf(l))).sum
+    (pieces, rows, bytes)
   }
 
   /** The live (file, recorded on-disk bytes) set at v — None for adds
@@ -584,11 +640,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     require(s <= e && e <= version, s"window ($s, $e] outside history [0, $version]")
     ((s + 1) to e).map { v =>
       val lines = readLog(logDir.resolve(logName(v)))
-      val op = lines.collectFirst {
-        case l if l.contains("\"op\":\"meta\"") =>
-          "\"operation\":\"([a-z_]+)\"".r.findFirstMatchIn(l).map(_.group(1))
-            .getOrElse("?")
-      }.getOrElse("?")
+      val op = commitOp(lines)
       val window =
         if (op == "compact" || op == "zorder") ChangeWindow(v, op, Nil, Nil, Nil)
         else {
@@ -1086,7 +1138,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       // overwrite REPLACES the state, so the schema resets to the frame's
       // (earlier versions keep reading under their own recorded schema)
       val actions = metaLine("overwrite", df.schema) +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+        (removes.map(f => removeLine(f, st)) ++ adds)
       if (commit(head + 1, actions)) committed = head + 1
     }
     committed
@@ -1174,7 +1226,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       }
       val s = unionSchema(st.schemaB64.map(decodeSchema), updates.schema)
       val actions = metaLine("merge", s) +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+        (removes.map(f => removeLine(f, st)) ++ adds)
       onCowCommitAttempt()
       if (commit(head + 1, actions)) committed = head + 1
     }
@@ -1320,7 +1372,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val metaL = st.schemaB64.map(s => metaLine(op, decodeSchema(s)))
         .getOrElse(s"""{"op":"meta","operation":"$op"}""")
       val actions = metaL +:
-        (hit.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+        (hit.map(f => removeLine(f, st)) ++ adds)
       onCowCommitAttempt()
       if (commit(head + 1, actions)) committed = head + 1
     }
@@ -1377,8 +1429,8 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
     import spark.implicits._
     val dataDirStr = dataDir.toString
     // the staged Spark-job result: (head state it was computed against,
-    // per-file sidecar descriptors)
-    var staged: Option[(TableState, Seq[(String, DvSidecar)])] = None
+    // per-file (sidecar descriptor, exact grown-position count))
+    var staged: Option[(TableState, Seq[(String, DvSidecar, Long)])] = None
     var committed = -1L
     while (committed < 0) {
       val head = version
@@ -1386,17 +1438,17 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val st = stateAt(head)
       if (st.adds.isEmpty) return head
       val rebasable = staged.filter { case (base, descs) =>
-        descs.forall { case (f, _) =>
+        descs.forall { case (f, _, _) =>
           st.adds.get(f) == base.adds.get(f) && st.dv.get(f) == base.dv.get(f)
         }
       }
-      val dvsets: Seq[(String, DvSidecar)] = rebasable match {
+      val dvsets: Seq[(String, DvSidecar, Long)] = rebasable match {
         case Some((_, descs)) => descs // disjoint interleave: pure re-rename
         case None =>
           // conflicting rebase (or first pass): drop any staled sidecars
           // instead of leaking them to vacuum, then (re)run the job
           staged.foreach { case (_, descs) =>
-            descs.foreach { case (_, sc) =>
+            descs.foreach { case (_, sc, _) =>
               Files.deleteIfExists(dataDir.resolve(sc.name))
             }
           }
@@ -1427,11 +1479,13 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
               val merged = mergeSorted(old, fresh)
               val name = s"${UUID.randomUUID().toString.take(12)}.dv"
               writeDvSidecar(Paths.get(dataDirStr).resolve(name), merged)
-              (f, name, merged.length.toLong)
+              // fresh ∩ prior = ∅, so fresh.length IS the exact grown
+              // count this commit's dvset records for admission
+              (f, name, merged.length.toLong, fresh.length.toLong)
             }
             .collect()
             .toSeq.sortBy(_._1)
-            .map { case (f, n, c) => (f, DvSidecar(n, c)) }
+            .map { case (f, n, c, g) => (f, DvSidecar(n, c), g) }
           if (descs.isEmpty) return head
           staged = Some((st, descs))
           descs
@@ -1441,7 +1495,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         .getOrElse("""{"op":"meta","operation":"delete_mor"}""")
       onDvCommitAttempt()
       if (commit(head + 1,
-          metaL +: dvsets.map { case (f, d) => dvsetLine(f, d) }))
+          metaL +: dvsets.map { case (f, d, g) => dvsetLine(f, d, st, Some(g)) }))
         committed = head + 1
     }
     committed
@@ -1449,11 +1503,45 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
 
   /** The `dvset` action line for one descriptor — inline vectors keep
     * the r12 spelling (restore/checkpoint carry legacy state verbatim),
-    * sidecars are referenced by name + cardinality. */
-  private def dvsetLine(f: String, d: DvDesc): String = d match {
+    * sidecars are referenced by name + cardinality, with two additive
+    * admission-stats fields AFTER `card` (the [[DvRefRe]] fold regex
+    * anchors on `dvref`+`card`, so the order is load-bearing):
+    * `grown` = exactly how many positions this commit ADDED to the
+    * vector (recorded only where the writer knows it — [[deleteRowsWhere]]
+    * merges disjoint sets, so fresh-count is exact; a restore's
+    * reconciliation omits it), and `fbytes` = the DATA file's recorded
+    * size — what changeFeed admission costs the piece at
+    * ([[cdcCostsAt]]), metadata-only. Pre-r15 lines fall back. */
+  private def dvsetLine(f: String, d: DvDesc, st: TableState,
+      grown: Option[Long] = None): String = d match {
     case DvInline(p) =>
       s"""{"op":"dvset","file":"$f","positions":"${p.mkString(",")}"}"""
-    case DvSidecar(n, c) => s"""{"op":"dvset","file":"$f","dvref":"$n","card":$c}"""
+    case DvSidecar(n, c) =>
+      val g = grown.map(x => s""","grown":$x""").getOrElse("")
+      val fb = st.adds.get(f).flatMap(byteStatsOf)
+        .map(b => s""","fbytes":$b""").getOrElse("")
+      s"""{"op":"dvset","file":"$f","dvref":"$n","card":$c$g$fb}"""
+  }
+
+  /** The `remove` action line for one file, carrying the removed
+    * file's recorded stats FORWARD: `rows` is what the change feed
+    * will serve for this file (the rows visible before the commit —
+    * the add-time count minus the prior deletion vector's
+    * cardinality), `bytes` its recorded on-disk size. This is what
+    * lets changeFeed admission cost a commit's delete side from its
+    * own log lines with zero file opens ([[cdcCostsAt]]). Additive
+    * fields — pre-r15 remove lines (and removes of stats-less adds)
+    * simply omit them and consumers fall back. `st` must hold the
+    * pre-commit state whose `adds` map carries the file's add line. */
+  private[sources] def removeLine(f: String, st: TableState): String = {
+    val add = st.adds.get(f)
+    val rows = add.flatMap(nullStatsOf).map { case (r, _) =>
+      math.max(0L, r - st.dv.get(f).map(_.cardinality).getOrElse(0L))
+    }
+    val bytes = add.flatMap(byteStatsOf)
+    s"""{"op":"remove","file":"$f"""" +
+      rows.map(r => s""","rows":$r""").getOrElse("") +
+      bytes.map(b => s""","bytes":$b""").getOrElse("") + "}"
   }
 
   // ------------------------------------------------------------------
@@ -1856,7 +1944,7 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
       val metaL = st.schemaB64.map(s => metaLine(op, decodeSchema(s)))
         .getOrElse(s"""{"op":"meta","operation":"$op"}""")
       val actions = metaL +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+        (removes.map(f => removeLine(f, st)) ++ adds)
       onCowCommitAttempt()
       if (commit(head + 1, actions)) committed = head + 1
     }
@@ -1992,11 +2080,11 @@ class VersionedTable(val root: String, val checkpointInterval: Int = 10) {
         val want = target.dv.get(f)
         val have = if (headNames.contains(f)) headSt.dv.get(f) else None
         if (want == have) None
-        else Some(want.map(dvsetLine(f, _))
+        else Some(want.map(d => dvsetLine(f, d, target))
           .getOrElse(s"""{"op":"dvset","file":"$f","positions":""}"""))
       }
       val actions = metaL +:
-        (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++
+        (removes.map(f => removeLine(f, headSt)) ++
           readds.values ++ dvFixes)
       if (commit(head + 1, actions)) committed = head + 1
     }
@@ -2373,6 +2461,29 @@ private[sources] object VersionedTable {
   private val RowsRe = "\"rows\":(\\d+)".r
   private val NullsRe = "\"nulls\":\"([^\"]*)\"".r
   private val BytesRe = "\"bytes\":(\\d+)".r
+  private val GrownRe = "\"grown\":(\\d+)".r
+  private val FbytesRe = "\"fbytes\":(\\d+)".r
+
+  /** Exact grown-position count recorded on a dvset action (the r15
+    * changeFeed-admission field) — None for pre-recording lines, whose
+    * admission falls back to [[dvCardOf]]'s upper bound. */
+  private[sources] def grownStatsOf(line: String): Option[Long] =
+    GrownRe.findFirstMatchIn(line).map(_.group(1).toLong)
+
+  /** The data file's recorded on-disk size carried on a dvset action —
+    * what changeFeed admission costs the piece at (the include-mode
+    * reader's upper bound). */
+  private[sources] def fbytesStatsOf(line: String): Option[Long] =
+    FbytesRe.findFirstMatchIn(line).map(_.group(1).toLong)
+
+  /** The NEW vector's cardinality straight from a dvset line — sidecar
+    * `card` field or inline position count; the metadata-only upper
+    * bound on the positions the commit can have grown. */
+  private[sources] def dvCardOf(line: String): Long =
+    DvRefRe.findFirstMatchIn(line).map(_.group(2).toLong).getOrElse {
+      val pos = DvPosRe.findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+      if (pos.isEmpty) 0L else (pos.count(_ == ',') + 1).toLong
+    }
 
   /** On-disk byte size recorded on an add action (the r15 additive
     * field — pre-r15 logs read unchanged and fall back to per-file

@@ -92,7 +92,7 @@ private[graft] class VersionedBatchWrite(root: String, schema: StructType,
         if (replace) {
           val removes = st.adds.keys.toSeq
           t.metaLine("overwrite", schema) +:
-            (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++ adds)
+            (removes.map(f => t.removeLine(f, st)) ++ adds)
         } else
           t.metaLine("append", t.unionSchema(current, schema)) +: adds
       committed = t.commit(head + 1, actions)

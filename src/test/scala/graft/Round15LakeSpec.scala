@@ -85,8 +85,10 @@ class Round15LakeSpec extends AnyFunSuite {
           .repartition(1), statsCol = Some("id"))
     }
     val fact = dsv2(root)
-    // static baseline: an unfiltered count plans all 3 file partitions
-    fact.count()
+    // static baseline: an unfiltered DATA scan plans all 3 file
+    // partitions (a bare count() no longer proves this — it is now
+    // answered from the log by the aggregate pushdown)
+    assert(fact.rdd.getNumPartitions === 3)
     assert(VersionedScan.lastPlanned.get(root) === 3)
     // a selective dim joined to the fact, filtered on a NON-join-key
     // column so the IN-set is unknowable statically (constraint
@@ -415,6 +417,207 @@ class Round15LakeSpec extends AnyFunSuite {
     assert(t.vacuum(keepFrom = 1L).sorted === preview.sorted)
     assert(!Files.exists(staging))
     assertThrows[Exception](t.readAsOf(spark, 0L).count())
+  }
+
+  test("V2-native runtime predicates: conjunctions flatten, literals normalize, strings convert") {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Expressions, Literal => V2Lit}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Pred}
+    import org.apache.spark.sql.types.{DataType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val (root, _) = threeFileTable("rtf-v2")
+    def scan(): VersionedScan = {
+      val b = new VersionedScanBuilder(root, 0L, None, None, None, None,
+        false, true, dsv2(root).schema)
+      b.build().asInstanceOf[VersionedScan]
+    }
+    val id = Expressions.column("id")
+    // the catalyst-internal literal shape Spark's runtime-filter
+    // builder ships (LiteralValue is private[sql]; the interface is the
+    // public contract the translator matches on)
+    def typedLit[T](v: T, dt: DataType): V2Expr = new V2Lit[T] {
+      override def value(): T = v
+      override def dataType(): DataType = dt
+    }
+    def lit(v: Long): V2Expr = typedLit(v, LongType)
+    // a CONJUNCTION flattens into independent probes (the default
+    // PredicateUtils.toV1 bridge yields one sources.And, which the
+    // probe gate rejects — the whole filter would be dropped):
+    // id >= 100 keeps file 3; IN(7, 120) keeps files 1+3 → file 3 alone
+    val s1 = scan()
+    s1.filter(Array(new V2Pred("AND", Array[V2Expr](
+      new V2Pred(">=", Array[V2Expr](id, lit(100L))),
+      new V2Pred("IN", Array[V2Expr](id, lit(7L), lit(120L)))))))
+    assert(s1.planInputPartitions().length === 1,
+      "an AND runtime filter must prune through BOTH conjuncts")
+    // a literal on the LEFT normalizes: 49 >= id ⇒ id <= 49 → file 1
+    val s2 = scan()
+    s2.filter(Array(new V2Pred(">=", Array[V2Expr](lit(49L), id))))
+    assert(s2.planInputPartitions().length === 1)
+    // null-safe equality prunes like its null-rejecting twin
+    val s3 = scan()
+    s3.filter(Array(new V2Pred("<=>", Array[V2Expr](id, lit(120L)))))
+    assert(s3.planInputPartitions().length === 1)
+    // a NULL in an IN list matches no row: the narrowed list still prunes
+    val s4 = scan()
+    s4.filter(Array(new V2Pred("IN", Array[V2Expr](id, lit(120L),
+      typedLit(null.asInstanceOf[Any], LongType)))))
+    assert(s4.planInputPartitions().length === 1)
+    // an untranslatable shape contributes NO probe — sound, never wrong
+    val s5 = scan()
+    s5.filter(Array(new V2Pred("OR", Array[V2Expr](
+      new V2Pred("=", Array[V2Expr](id, lit(7L))),
+      new V2Pred("=", Array[V2Expr](id, lit(120L)))))))
+    assert(s5.planInputPartitions().length === 3)
+    // string literals arrive as catalyst UTF8String and must convert
+    // to the external form the byte-bound compares expect
+    val rootS = freshDir("rtf-v2-str")
+    val tS = new VersionedTable(rootS)
+    Seq("ar" -> "de", "en" -> "fr", "it" -> "pt").foreach { case (lo, hi) =>
+      tS.append(spark, Seq((1L, lo), (2L, hi)).toDF("id", "lang")
+        .repartition(1), statsCol = Some("lang"))
+    }
+    val s6 = new VersionedScanBuilder(rootS, 0L, None, None, None, None,
+      false, true, dsv2(rootS).schema).build().asInstanceOf[VersionedScan]
+    s6.filter(Array(new V2Pred("=", Array[V2Expr](
+      Expressions.column("lang"),
+      typedLit(UTF8String.fromString("en"), StringType)))))
+    assert(s6.planInputPartitions().length === 1,
+      "a UTF8String equality literal must prune through the byte bounds")
+  }
+
+  test("changeFeed admission costs the pieces the feed serves, not just the adds") {
+    val root = freshDir("cdc-adm")
+    val t = new VersionedTable(root)
+    t.append(spark, spark.range(0, 20).toDF("id").repartition(1))  // v0
+    t.overwrite(spark, spark.range(0, 5).toDF("id").repartition(1)) // v1: remove(20 rows) + add(5)
+    t.deleteRowsWhere(spark, "id = 3")                              // v2: one dvset, grown 1
+    t.compact(spark)                                                // v3: maintenance — feed serves nothing
+    val feedSchema = spark.readStream
+      .format("graft.sources.VersionedStreamProvider")
+      .option("path", root).option("changeFeed", "true").load().schema
+    val s = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = true, failOnDataLoss = true, feedSchema)
+    def latest(from: Long, l: ReadLimit): Long =
+      s.latestOffset(VersionOffset(from), l).asInstanceOf[VersionOffset].v
+    // files: v1 serves TWO pieces (the removed file's delete rows + the
+    // new file's inserts), v2 serves one dvset partition, v3 zero
+    assert(latest(-1, ReadLimit.maxFiles(1)) === 0)
+    assert(latest(-1, ReadLimit.maxFiles(2)) === 0,
+      "v1 is 2 pieces: it overflows a 2-file budget already holding v0")
+    assert(latest(-1, ReadLimit.maxFiles(3)) === 1)
+    assert(latest(0, ReadLimit.maxFiles(2)) === 1)
+    assert(latest(1, ReadLimit.maxFiles(1)) === 3,
+      "the dvset is ONE piece and the maintenance commit is free")
+    // rows: v1 = 20 deletes + 5 inserts, v2 = 1 grown position; the
+    // add-only costing would price v1 at 5 and v2 at 0
+    assert(latest(0, ReadLimit.maxRows(5)) === 1,
+      "the first outstanding commit admits whole even over budget")
+    assert(latest(0, ReadLimit.maxRows(25)) === 1, "then the 1-row dvset overflows")
+    assert(latest(0, ReadLimit.maxRows(26)) === 3)
+    // the plain feed keeps its add-only costs (v1 = 5 rows, v2 = 0)
+    val plain = new VersionedMicroBatchStream(root, 0L, None, None, None,
+      changeFeed = false, failOnDataLoss = true, t.read(spark).schema)
+    assert(plain.latestOffset(VersionOffset(0), ReadLimit.maxRows(5))
+      .asInstanceOf[VersionOffset].v === 2)
+    // all of it METADATA-ONLY: the stats ride the remove/dvset lines
+    assert(s.table.footerReads.get() === 0L,
+      "changeFeed admission over stats-carrying commits opens no footers")
+    import scala.jdk.CollectionConverters._
+    val v1log = Files.readAllLines(
+      Paths.get(root, "_log", f"${1L}%012d.json")).asScala.mkString("\n")
+    assert(v1log.contains("\"op\":\"remove\"") && v1log.contains("\"rows\":20"),
+      "the remove line must carry the removed file's visible rows")
+    val v2log = Files.readAllLines(
+      Paths.get(root, "_log", f"${2L}%012d.json")).asScala.mkString("\n")
+    assert(v2log.contains("\"grown\":1") && v2log.contains("\"fbytes\":"),
+      "the dvset line must record its exact grown count and data-file size")
+  }
+
+  test("changeFeed admission falls back soundly on pre-recording logs") {
+    val root = freshDir("cdc-adm-compat")
+    val t = new VersionedTable(root)
+    t.append(spark, spark.range(0, 20).toDF("id").repartition(1))   // v0
+    t.overwrite(spark, spark.range(0, 5).toDF("id").repartition(1)) // v1
+    t.deleteRowsWhere(spark, "id = 3")                               // v2
+    // strip the r15 carried fields in place (the LakeScaleSpec compat trick)
+    import scala.jdk.CollectionConverters._
+    (1L to 2L).foreach { i =>
+      val p = Paths.get(root, "_log", f"$i%012d.json")
+      val stripped = Files.readAllLines(p).asScala.map(_
+        .replaceAll(",\"rows\":\\d+", "").replaceAll(",\"bytes\":\\d+", "")
+        .replaceAll(",\"grown\":\\d+", "").replaceAll(",\"fbytes\":\\d+", ""))
+      Files.write(p, stripped.mkString("\n").getBytes("UTF-8"))
+    }
+    // rows: the remove falls back to ONE counted footer open (full file
+    // count — the sound upper bound), the dvset to its cardinality
+    assert(t.cdcCostsAt(1L, failOnMissing = true)._2 === 25L)
+    assert(t.footerReads.get() > 0L, "the stripped remove must cost a footer")
+    assert(t.cdcCostsAt(2L, failOnMissing = true)._2 === 1L,
+      "a grown-less dvset costs its new cardinality")
+    // bytes fall back to Files.size; pieces never need stats
+    assert(t.cdcCostsAt(1L, failOnMissing = true)._1 === 2L)
+    assert(t.cdcCostsAt(1L, failOnMissing = true)._3 > 0L)
+  }
+
+  test("LIMIT pushdown plans only enough files to cover n") {
+    val (root, _) = threeFileTable("limit-push")
+    // 50 rows fit in file 1 alone; 51 need file 2; the retained Spark
+    // Limit trims the over-serve, so results stay exact either way
+    assert(dsv2(root).limit(50).collect().length === 50)
+    assert(VersionedScan.lastPlanned.get(root) === 1,
+      "a 50-row limit over 50-row files must plan ONE partition")
+    assert(dsv2(root).limit(51).collect().length === 51)
+    assert(VersionedScan.lastPlanned.get(root) === 2)
+    // a filtered limit never pushes (this source keeps every filter as
+    // a residual, and Spark only pushes limits past FULLY-pushed
+    // filters) — the scan serves the full candidate set and stays exact
+    val filtered = dsv2(root).filter(col("id") >= 49L).limit(3)
+    assert(filtered.collect().length === 3)
+    assert(VersionedScan.lastPlanned.get(root) === 3)
+    // a MoR delete shrinks the recorded visible rows: 50 post-delete
+    // rows now span two files, and the served rows subtract the vector
+    val (root2, t2) = threeFileTable("limit-push-dv")
+    t2.deleteRowsWhere(spark, "id = 7")
+    val got = dsv2(root2).limit(50).as[(Long, String)].collect()
+    assert(got.length === 50 && !got.map(_._1).contains(7L))
+    assert(VersionedScan.lastPlanned.get(root2) === 2,
+      "49 visible rows in file 1 cannot prove a 50-row limit")
+  }
+
+  test("aggregate pushdown answers count/min/max from the log — zero data files opened") {
+    import scala.jdk.CollectionConverters._
+    def corrupt(root: String): Unit =
+      Files.list(Paths.get(root, "data")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.write(p, Array[Byte](0, 0, 0)))
+    // count(*) stays exact under a deletion vector (rows − cardinality);
+    // CORRUPTING every data file proves no task opened one
+    val (root, t) = threeFileTable("agg-push")
+    t.deleteRowsWhere(spark, "id = 7")
+    corrupt(root)
+    assert(dsv2(root).count() === 149L)
+    // min/max REFUSE under a deletion vector (it could have removed the
+    // extreme row) — the fallback data scan then trips on the corrupt
+    // files, proving the refusal is load-bearing, not cosmetic
+    assertThrows[Exception](dsv2(root).agg(min("id"), max("id")).collect())
+    // DV-free: min/max/count all served from the log in one aggregation
+    val (root2, _) = threeFileTable("agg-push2")
+    corrupt(root2)
+    val r = dsv2(root2)
+      .agg(min("id").as("lo"), max("id").as("hi"), count(lit(1)).as("n"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 149L, 150L)))
+    // count(col) serves from the recorded null counts of the stats column
+    val root3 = freshDir("agg-push3")
+    val t3 = new VersionedTable(root3)
+    t3.append(spark, Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v").repartition(1), statsCol = Some("v"))
+    t3.append(spark, Seq((4L, Option.empty[Long])).toDF("id", "v")
+      .repartition(1), statsCol = Some("v"))
+    corrupt(root3)
+    assert(dsv2(root3).agg(count(col("v"))).head().getLong(0) === 2L)
+    // a GROUPED aggregate refuses the pushdown (falls back to the scan)
+    assertThrows[Exception](dsv2(root3).groupBy("id").count().collect())
   }
 
   test("explicit readStream.schema() cannot bypass the changeFeed contract") {
