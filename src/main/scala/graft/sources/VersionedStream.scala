@@ -16,10 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, NullOrdering, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -238,11 +238,13 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     changeFeed: Boolean, failOnDataLoss: Boolean, schema0: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var requested: StructType = schema0
   private var skipping: Array[Filter] = Array.empty
   private var limitN: Option[Int] = None
+  private var topN: Option[TopNSpec] = None
   private var aggServed: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -267,6 +269,37 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
   override def pushLimit(n: Int): Boolean = { limitN = Some(n); true }
 
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN (ORDER BY + LIMIT) pushdown, the ordered twin of
+    * [[pushLimit]]: when the LEADING sort key is an integer column,
+    * the scan serves only the files whose recorded interval can hold
+    * one of the n extreme rows ([[VersionedScan.planInputPartitions]]
+    * runs the coverage proof against the zone maps). Pruning on the
+    * first key alone is sound for a multi-key order — any row whose
+    * leading value lies beyond n provably-covered rows can never enter
+    * the lexicographic top-n — and the pushdown is always PARTIAL
+    * (Spark keeps the full Sort+Limit), so the scan only has to serve
+    * a SUPERSET of the true top-n. This is the "newest 100 events of a
+    * time-ordered 100-TB table" shape: the plan reads the tail files,
+    * not the table. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (changeFeed || skipping.nonEmpty || orders.isEmpty) return false
+    val head = orders.head
+    val col = head.expression() match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    col.filter(c => schema0.find(_.name == c).map(_.dataType)
+        .exists(t => t == LongType || t == IntegerType)) match {
+      case Some(c) =>
+        topN = Some(TopNSpec(c,
+          head.direction() == SortDirection.DESCENDING,
+          head.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+        true
+      case None => false
+    }
+  }
 
   /** Aggregate pushdown: answer a global aggregate STRAIGHT FROM THE
     * COMMIT LOG when the recorded stats prove the exact result — the
@@ -296,7 +329,7 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
   private def serveAggregation(agg: Aggregation): Boolean = {
     if (aggServed.isDefined) return true // supportCompletePushDown ran
     if (changeFeed || skipping.nonEmpty || limitN.isDefined ||
-        agg.groupByExpressions().nonEmpty) return false
+        topN.isDefined || agg.groupByExpressions().nonEmpty) return false
     val table = new VersionedTable(root)
     val head = versionAsOf.getOrElse(table.version)
     if (head < 0) return false // empty table: nothing provable to serve
@@ -385,9 +418,14 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     case None =>
       new VersionedScan(root, startingVersion, versionAsOf,
         maxFilesPerTrigger, maxRowsPerTrigger, maxBytesPerTrigger,
-        changeFeed, failOnDataLoss, requested, skipping, limitN)
+        changeFeed, failOnDataLoss, requested, skipping, limitN, topN)
   }
 }
+
+/** One pushed ORDER BY <col> [DESC] [NULLS FIRST] LIMIT n — only the
+  * LEADING sort key, which is all file-level pruning needs. */
+private[graft] case class TopNSpec(col: String, desc: Boolean,
+    nullsFirst: Boolean, n: Int)
 
 /** The metadata-answered aggregate scan: ONE input partition carrying
   * the already-proven values ([[VersionedScanBuilder.pushAggregation]]),
@@ -423,7 +461,7 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     maxRowsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
     changeFeed: Boolean, failOnDataLoss: Boolean,
     requested: StructType, skipping: Array[Filter],
-    limitN: Option[Int] = None)
+    limitN: Option[Int] = None, topN: Option[TopNSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
   private val table = new VersionedTable(root)
@@ -523,9 +561,12 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
     // over-serve (Spark's retained Limit trims), never under-deliver.
     // Only reachable filter-free (Spark's pushdown contract; the
     // runtime guard is belt-and-braces — a join on top of a Limit
-    // never re-plans this scan).
-    val served = limitN match {
-      case Some(n) if skipping.isEmpty && runtime.isEmpty =>
+    // never re-plans this scan). A pushed TOP-N instead keeps exactly
+    // the files whose interval can hold one of the n extreme rows.
+    val served = (topN, limitN) match {
+      case (Some(t), _) if skipping.isEmpty && runtime.isEmpty =>
+        topNServe(st, pruned, t)
+      case (_, Some(n)) if skipping.isEmpty && runtime.isEmpty =>
         var known = 0L
         pruned.takeWhile { case (name, line) =>
           val take = known < n
@@ -607,6 +648,60 @@ private[graft] class VersionedScan(root: String, startingVersion: Long,
       override def sizeInBytes(): util.OptionalLong = sb
       override def numRows(): util.OptionalLong = nr
     }
+  }
+
+  /** The TOP-N file cap: serve exactly the candidate files that can
+    * hold one of the n extreme rows under ORDER BY col [DESC]
+    * [NULLS FIRST]. The coverage proof: walk the value-bounded files
+    * from the extreme end (ascending lo / descending hi), accumulating
+    * each file's PROVABLE non-null visible rows (recorded rows − null
+    * count − DV cardinality — a deletion vector conservatively eats
+    * non-nulls); once ≥ n rows are covered, the prefix's far bound B
+    * bounds the n-th value (n rows exist at-or-inside B, so no row
+    * beyond B can enter the top-n on the leading key). Kept: files
+    * whose interval reaches B, files with no bounds and no all-null
+    * proof (unknowable — always served), and, when nulls sort FIRST,
+    * every file that may hold a null on the column (nulls are the
+    * top-n's prefix). When nulls sort LAST the proven n non-null rows
+    * all precede every null, so all-null files drop. If coverage can't
+    * be proven (stats-less history, tiny table), every candidate
+    * serves — the cap only ever removes provably-irrelevant files. */
+  private def topNServe(st: TableState, cand: Seq[(String, String)],
+      t: TopNSpec): Seq[(String, String)] = {
+    final case class F(name: String, zm: Option[(Long, Long)],
+        nn: Option[Long], rows: Option[Long], allNull: Boolean)
+    val fs = cand.map { case (name, line) =>
+      val ns = VersionedTable.nullStatsOf(line)
+      F(name, VersionedTable.longStatsOf(line).toMap.get(t.col),
+        ns.flatMap(_._2.get(t.col)), ns.map(_._1),
+        VersionedTable.allNullIn(ns, t.col))
+    }
+    def contrib(f: F): Long = (f.rows, f.nn) match {
+      case (Some(r), Some(nn)) => math.max(0L,
+        r - nn - st.dv.get(f.name).map(_.cardinality).getOrElse(0L))
+      case _ => 0L
+    }
+    val valueFiles = fs.filter(_.zm.isDefined)
+    val sorted =
+      if (t.desc) valueFiles.sortBy(_.zm.get._2)(Ordering[Long].reverse)
+      else valueFiles.sortBy(_.zm.get._1)
+    var acc = 0L
+    val prefix = sorted.takeWhile { f =>
+      val take = acc < t.n
+      if (take) acc += contrib(f)
+      take
+    }
+    if (acc < t.n) return cand // coverage unprovable: serve everything
+    val bound =
+      if (t.desc) prefix.map(_.zm.get._1).min else prefix.map(_.zm.get._2).max
+    // unknown null count counts as may-hold-nulls; Some(0) does not
+    def nullSuspect(f: F): Boolean = f.allNull || f.nn.forall(_ > 0L)
+    val keep = fs.filter { f =>
+      (f.zm.isEmpty && !f.allNull) ||
+        f.zm.exists(z => if (t.desc) z._2 >= bound else z._1 <= bound) ||
+        (t.nullsFirst && nullSuspect(f))
+    }.map(_.name).toSet
+    cand.filter { case (name, _) => keep(name) }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

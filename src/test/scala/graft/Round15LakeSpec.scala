@@ -584,6 +584,45 @@ class Round15LakeSpec extends AnyFunSuite {
       "49 visible rows in file 1 cannot prove a 50-row limit")
   }
 
+  test("TOP-N pushdown serves only the files that can hold an extreme row") {
+    val (root, _) = threeFileTable("topn-push")
+    // ascending: the 10 smallest ids live in file 1 alone
+    val asc = dsv2(root).orderBy(col("id")).limit(10)
+      .select("id").as[Long].collect()
+    assert(asc === (0L until 10L).toArray)
+    assert(VersionedScan.lastPlanned.get(root) === 1)
+    // descending: the tail file alone — the "newest 100 events" shape
+    val desc = dsv2(root).orderBy(col("id").desc).limit(10)
+      .select("id").as[Long].collect()
+    assert(desc === (149L to 140L by -1L).toArray)
+    assert(VersionedScan.lastPlanned.get(root) === 1)
+    // 60 rows outgrow file 1: coverage needs two files
+    val sixty = dsv2(root).orderBy(col("id")).limit(60)
+      .select("id").as[Long].collect()
+    assert(sixty === (0L until 60L).toArray)
+    assert(VersionedScan.lastPlanned.get(root) === 2)
+
+    // NULLS FIRST (the ASC default): the all-null file must serve —
+    // its rows ARE the top of the order
+    val rootN = freshDir("topn-nulls")
+    val tN = new VersionedTable(rootN)
+    tN.append(spark, Seq.tabulate(5)(i => (Some(i.toLong), s"r$i"))
+      .toDF("id", "v").repartition(1), statsCol = Some("id"))
+    tN.append(spark, Seq((Option.empty[Long], "n1"), (None, "n2"))
+      .toDF("id", "v").repartition(1), statsCol = Some("id"))
+    val first2 = dsv2(rootN).orderBy(col("id")).limit(2)
+      .select("id").collect()
+    assert(first2.forall(_.isNullAt(0)), "ASC defaults to NULLS FIRST")
+    assert(VersionedScan.lastPlanned.get(rootN) === 2,
+      "the null-holding file plus the coverage file")
+    // NULLS LAST: n non-null rows provably precede every null, so the
+    // all-null file is skipped outright
+    val last2 = dsv2(rootN).orderBy(col("id").asc_nulls_last).limit(2)
+      .select("id").as[Long].collect()
+    assert(last2 === Array(0L, 1L))
+    assert(VersionedScan.lastPlanned.get(rootN) === 1)
+  }
+
   test("aggregate pushdown answers count/min/max from the log — zero data files opened") {
     import scala.jdk.CollectionConverters._
     def corrupt(root: String): Unit =
