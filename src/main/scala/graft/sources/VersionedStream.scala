@@ -356,10 +356,15 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
           Long.box(math.max(0L, rows.flatten.sum)): Any))
       case c: Count if !c.isDistinct =>
         colName(c.column()).flatMap { col =>
+          // a deletion vector makes the null-ness of the removed rows
+          // unknowable — EXCEPT when the file records zero nulls on the
+          // column, where every removed row was provably non-null and
+          // the visible count is rows − cardinality exactly
           val counts = cand.map { case (f, line) =>
             VersionedTable.nullStatsOf(line).collect {
-              case (r, nulls) if nulls.contains(col) && dvCard(f) == 0L =>
-                r - nulls(col)
+              case (r, nulls) if nulls.contains(col) &&
+                  (dvCard(f) == 0L || nulls(col) == 0L) =>
+                r - nulls(col) - dvCard(f)
             }
           }
           if (counts.exists(_.isEmpty)) None
@@ -368,15 +373,15 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
         }
       case m: Min =>
         colName(m.column()).flatMap(col => intType(col).flatMap { dt =>
-          bound(cand, st, col).map(b =>
+          boundSide(cand, st, col, isMax = false).map(b =>
             (StructField(s"min_$col", dt, nullable = true),
-              b.map(x => retyped(x._1, dt)).orNull: Any))
+              b.map(x => retyped(x, dt)).orNull: Any))
         })
       case m: Max =>
         colName(m.column()).flatMap(col => intType(col).flatMap { dt =>
-          bound(cand, st, col).map(b =>
+          boundSide(cand, st, col, isMax = true).map(b =>
             (StructField(s"max_$col", dt, nullable = true),
-              b.map(x => retyped(x._2, dt)).orNull: Any))
+              b.map(x => retyped(x, dt)).orNull: Any))
         })
       case _ => None
     }
@@ -386,31 +391,41 @@ private[graft] class VersionedScanBuilder(root: String, startingVersion: Long,
     true
   }
 
-  /** The [lo, hi] envelope of `col` over all candidate files, from the
-    * integer zone maps — Some(None) when every file is provably
-    * all-null/empty on the column (the aggregate is NULL), None when
-    * ANY file's extreme is unprovable: missing bounds without an
-    * all-null record, or a deletion vector that could have removed the
-    * extreme row. */
-  private def bound(cand: Seq[(String, String)], st: TableState,
-      col: String): Option[Option[(Long, Long)]] = {
-    var lo = Long.MaxValue
-    var hi = Long.MinValue
-    var any = false
+  /** One PROVABLE extreme of `col` over the candidate files, from the
+    * integer zone maps. A DV-FREE file ATTAINS its recorded bound (the
+    * footer min/max is exact and all its rows are live); a DV'd file's
+    * live rows merely lie WITHIN its interval — they may attain
+    * neither end, or all be deleted. So the global extreme is provable
+    * exactly when the best DV-free bound DOMINATES every DV'd file's
+    * interval on that side: the answer is attained by a live row and
+    * nothing vectored could exceed it. A vector on a NON-extreme file
+    * never blocks the answer, and min can stay provable while max is
+    * not. Some(None) = every file is provably all-null/empty (the
+    * aggregate is NULL); None = unprovable (missing bounds on a
+    * non-all-null file, or a DV'd interval past the free bound). */
+  private def boundSide(cand: Seq[(String, String)], st: TableState,
+      col: String, isMax: Boolean): Option[Option[Long]] = {
+    def better(a: Long, b: Long): Long = if (isMax) math.max(a, b) else math.min(a, b)
+    var free: Option[Long] = None
+    var dvd: Option[Long] = None
     cand.foreach { case (f, line) =>
       val zm = VersionedTable.longStatsOf(line).toMap.get(col)
       val allNull =
         VersionedTable.allNullOn(line, col) ||
           VersionedTable.nullStatsOf(line).exists(_._1 == 0L)
       if (!allNull) {
-        if (zm.isEmpty || st.dv.get(f).exists(_.cardinality > 0L)) return None
-        val (l, h) = zm.get
-        if (l < lo) lo = l
-        if (h > hi) hi = h
-        any = true
+        if (zm.isEmpty) return None
+        val v = if (isMax) zm.get._2 else zm.get._1
+        if (st.dv.get(f).exists(_.cardinality > 0L))
+          dvd = Some(dvd.fold(v)(better(_, v)))
+        else free = Some(free.fold(v)(better(_, v)))
       }
     }
-    Some(if (any) Some((lo, hi)) else None)
+    free match {
+      case None => if (dvd.isEmpty) Some(None) else None
+      case Some(fv) =>
+        if (dvd.exists(dv => better(dv, fv) != fv)) None else Some(Some(fv))
+    }
   }
 
   override def build(): Scan = aggServed match {

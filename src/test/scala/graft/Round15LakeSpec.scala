@@ -657,6 +657,17 @@ class Round15LakeSpec extends AnyFunSuite {
     assert(dsv2(root3).agg(count(col("v"))).head().getLong(0) === 2L)
     // a GROUPED aggregate refuses the pushdown (falls back to the scan)
     assertThrows[Exception](dsv2(root3).groupBy("id").count().collect())
+    // a vector on a NON-extreme file blocks nothing: the DV-free
+    // bounds dominate, so min/max still answer — and count(col) stays
+    // exact on the DV'd file because its recorded null count is zero
+    // (every vectored row was provably non-null)
+    val (root4, t4) = threeFileTable("agg-push4")
+    t4.deleteRowsWhere(spark, "id = 75") // the MIDDLE file
+    corrupt(root4)
+    val r4 = dsv2(root4)
+      .agg(min("id"), max("id"), count(col("id")), count(lit(1))).head()
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2), r4.getLong(3)) ===
+      ((0L, 149L, 149L, 149L)))
   }
 
   test("explicit readStream.schema() cannot bypass the changeFeed contract") {
