@@ -507,6 +507,82 @@ object BehaviorOps {
     ).orderBy(col("event_type"))
   }
 
+  /** Exact distributed ntile(k) for a total order (key, ties…) whose KEY
+    * has bounded multiplicity — bit-identical to [[distributedNtile]]
+    * over the same order, but the fact table is never range-shuffled or
+    * checkpointed. Decomposition: the global row number of a row is
+    * (count of rows whose key sorts strictly earlier) + (rank within its
+    * key by the unique tie-break), because the key is the primary sort
+    * column, so whole key-groups are contiguous runs of the total order.
+    * Mechanics: ONE narrow aggregate pass builds the per-key census
+    * (map-side partial aggregation — the shuffle carries (key, count)
+    * pairs, not fact rows); the exact cross-key prefix sums run over
+    * that census with the same range-partition + pid-offset machinery as
+    * [[distributedNtile]], but on the census frame (≤ |distinct keys|
+    * narrow rows); the census offsets then join back onto the fact by
+    * key and a key-partitioned window ranks the tie-break. vs the range
+    * version the fact sheds: the RangePartitioner sampling pass, the
+    * wide range exchange, and the full-frame localCheckpoint — it pays
+    * one hash exchange (the key window; the offsets join reuses it or
+    * broadcasts). The trade is the key-partitioned window: a single key
+    * owns a single task's sort, so this is ONLY for keys with bounded
+    * multiplicity (fixed fan-outs like TPC-H partkey/suppkey, or
+    * near-unique scores); a key that can own an unbounded share of rows
+    * (e.g. a modal count value) must stay on [[distributedNtile]], whose
+    * range partitioner splits hot keys across tasks. Callers must pass
+    * non-null keys (the census join is an equi-join) — every caller's
+    * key is an aggregate or a non-null fact column.
+    */
+  private[graft] def keyedNtile(df: DataFrame, k: Int, tileCol: String)(
+      key: org.apache.spark.sql.Column, desc: Boolean,
+      ties: org.apache.spark.sql.Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def ord(c: org.apache.spark.sql.Column) = if (desc) c.desc else c.asc
+    // per-key census, checkpointed so the range sampling below and the
+    // offsets pass read a ≤|keys|-row materialization instead of each
+    // re-executing the full upstream plan (the round-11 bounds-drift
+    // hazard documented on distributedNtile applies here too)
+    val census = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint()
+    val ranged = census.repartitionByRange(parts, ord(col("_k")))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val pidSums = ranged.groupBy(col("_pid")).agg(sum(col("_cnt")).as("_s"))
+    // cumulative pid offsets + grand total via the explode-to-equi trick
+    // (see distributedNtile: no unpartitioned window, no non-equi join)
+    val pidOff = pidSums
+      .select(col("_pid").as("_q"), col("_s"))
+      .select(explode(sequence(lit(0), lit(parts - 1))).as("_pid"),
+        col("_q"), col("_s"))
+      .groupBy(col("_pid"))
+      .agg(
+        sum(when(col("_q") < col("_pid"), col("_s")).otherwise(lit(0L)))
+          .as("_poff"),
+        sum(col("_s")).as("_n"))
+    val wPid = Window.partitionBy(col("_pid")).orderBy(ord(col("_k")))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val offsets = ranged.join(broadcast(pidOff), Seq("_pid"))
+      .withColumn("_off",
+        coalesce(sum(col("_cnt")).over(wPid), lit(0L)) + col("_poff"))
+      .select(col("_k"), col("_off"), col("_n"))
+    // same closed-form ntile boundary as distributedNtile (CASE is lazy,
+    // so the `div (_n div k)` arm can't divide by zero when n < k)
+    val tileExpr =
+      s"""CAST(CASE
+            WHEN _rn <= (_n % $k) * (_n div $k + 1)
+              THEN (_rn - 1) div (_n div $k + 1) + 1
+            ELSE (_n % $k) + (_rn - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1
+          END AS INT)"""
+    df.withColumn("_k", key)
+      .join(offsets, Seq("_k"))
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col("_k")).orderBy(ties: _*))
+          + col("_off"))
+      .withColumn(tileCol, expr(tileExpr))
+      .drop("_k", "_off", "_n", "_rn")
+  }
+
   /** Exact distributed ntile(k): bit-identical to `ntile(k) OVER (ORDER
     * BY order…)` but with NO unpartitioned window. The order must be a
     * TOTAL order (distinct keys), which every caller guarantees with a

@@ -1573,10 +1573,10 @@ object ScaleOps {
     // One exact rank cut per dimension (64 buckets): the partkey cut IS
     // the linear layout's file id, so the two distributed ntiles below
     // are the ONLY range shuffles in the query.
-    val bx = BehaviorOps.distributedNtile(base0, 64, "f_linear")(
-      (col("l_partkey") +: keys): _*)
-    val by = BehaviorOps.distributedNtile(bx, 64, "byt")(
-      (col("l_suppkey") +: keys): _*)
+    val bx = BehaviorOps.keyedNtile(base0, 64, "f_linear")(
+      col("l_partkey"), false, keys: _*)
+    val by = BehaviorOps.keyedNtile(bx, 64, "byt")(
+      col("l_suppkey"), false, keys: _*)
     // 6-bit Morton spread via the standard magic-number doubling; both
     // engines evaluate the same BIGINT & | << algebra
     def spread(c: String): String = graft.functions.MortonSql.spread(c)
